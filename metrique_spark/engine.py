@@ -1,0 +1,239 @@
+"""Engine — the proxy/container layer: named cubes + query operators.
+
+Replaces the reference's ``SQLAlchemyProxy`` + ``MetriqueContainer``
+(``metrique/sqlalchemy.py``, ``metrique/core_api.py``). Cubes are
+parquet-backed tables in a warehouse directory (partitioned by a
+``_current`` flag so snapshot upserts never rewrite history — see
+``upsert.py``), or plain registered DataFrames/views for read-only
+analysis.
+
+Query operators mirror the reference proxy surface
+(``sqlalchemy.py:641-803``): find / count / distinct / get_last_field /
+deptree / dfind, all MQL + date-range aware, all returning DataFrames that
+Catalyst optimizes end-to-end (MQL compiles to a plain predicate tree, so
+filter pushdown and column pruning reach the parquet scan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metrique_spark import temporal, upsert as _upsert
+from metrique_spark.mql import compile_mql, date_range_predicate, parse_fields
+from metrique_spark.objects import stamp, validate
+
+# default fields always appended to explicit projections
+# (reference sqlalchemy.py:264-273)
+DEFAULT_FIELDS = ("_start", "_end", "_oid")
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self._views: dict[str, DataFrame] = {}
+
+    # -- catalog ------------------------------------------------------------
+
+    def _path(self, cube: str) -> str:
+        if not self.warehouse:
+            raise ValueError("no warehouse directory configured")
+        return os.path.join(self.warehouse, cube)
+
+    def register(self, cube: str, df: DataFrame) -> None:
+        """Register a read-only DataFrame as a cube (temp-view analog)."""
+        self._views[cube] = df
+        df.createOrReplaceTempView(cube)
+
+    def _read(self, path: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        if "_current" in df.columns:
+            # partition-value inference yields string; restore boolean
+            df = df.withColumn("_current", F.col("_current").cast("boolean"))
+        return df
+
+    def table(self, cube: str) -> DataFrame:
+        """The cube as a DataFrame (reference ``get_table``)."""
+        if cube in self._views:
+            return self._views[cube]
+        return self._read(self._path(cube))
+
+    def ls(self) -> list[str]:
+        """List cubes (reference ``sqlalchemy.py:877-888``)."""
+        names = set(self._views)
+        if self.warehouse and os.path.isdir(self.warehouse):
+            names.update(
+                d for d in os.listdir(self.warehouse)
+                if os.path.isdir(os.path.join(self.warehouse, d))
+            )
+        return sorted(names)
+
+    def exists(self, cube: str) -> bool:
+        return cube in self._views or (
+            self.warehouse is not None and os.path.isdir(self._path(cube))
+        )
+
+    def columns(self, cube: str) -> list[str]:
+        return self.table(cube).columns
+
+    def drop(self, cube: str) -> None:
+        """Drop a cube (reference ``sqlalchemy.py:723-747``)."""
+        self._views.pop(cube, None)
+        self.spark.catalog.dropTempView(cube)
+        if self.warehouse and os.path.isdir(self._path(cube)):
+            shutil.rmtree(self._path(cube))
+
+    def index(self, cube: str, fields) -> None:
+        """Secondary indexes have no Spark analog — advisory no-op
+        (reference ``sqlalchemy.py:826-847``); file-format stats and
+        partitioning serve the same role."""
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_partitioned(self, df: DataFrame, path: str, mode: str) -> None:
+        out = df.withColumn("_current", F.col("_end").isNull())
+        (
+            out.write.mode(mode)
+            .partitionBy("_current")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    def insert(self, cube: str, df: DataFrame, stamped: bool = False, **stamp_kw) -> None:
+        """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``)."""
+        obj = df if stamped else stamp(df, **stamp_kw)
+        validate(obj)
+        self._write_partitioned(obj, self._path(cube), "append")
+
+    def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
+               stamped: bool = False, **stamp_kw) -> None:
+        """Temporal upsert (reference ``sqlalchemy.py:906-975``); see
+        ``upsert.py`` for semantics and the partition-local write strategy."""
+        incoming = df if stamped else stamp(df, **stamp_kw)
+        validate(incoming)
+        path = self._path(cube)
+        if autosnap is None:
+            autosnap = _upsert.detect_autosnap(incoming)
+        if autosnap:
+            # last write wins within a snapshot batch (the reference's
+            # container buffer is keyed by _id, core_api.py:537-540)
+            incoming = _upsert.latest_per_oid(incoming)
+        if not os.path.isdir(path):
+            self._write_partitioned(incoming, path, "errorifexists")
+            return
+        table = self._read(path)
+        cols = [c for c in table.columns if c != "_current"]
+        if autosnap:
+            open_rows = table.where(F.col("_current")).select(*cols)
+            new_open, closed = _upsert.snapshot_merge(open_rows, incoming.select(*cols))
+            # materialize before rewriting the partition we read from
+            merged = new_open.withColumn("_end", F.col("_end"))  # no-op, keeps lineage clear
+            new_open_pd = merged.localCheckpoint(eager=True)
+            closed_pd = closed.localCheckpoint(eager=True)
+            (
+                new_open_pd.withColumn("_current", F.lit(True))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_current")
+                .parquet(path)
+            )
+            (
+                closed_pd.withColumn("_current", F.lit(False))
+                .write.mode("append")
+                .partitionBy("_current")
+                .parquet(path)
+            )
+        else:
+            replaced = _upsert.history_replace(
+                table.select(*cols), incoming.select(*cols)
+            ).localCheckpoint(eager=True)
+            self._write_partitioned(replaced, path, "overwrite")
+
+    # -- queries (reference sqlalchemy.py:641-803) ---------------------------
+
+    def _scoped(self, cube: str | DataFrame, query: str | None, date: str | None) -> DataFrame:
+        df = cube if isinstance(cube, DataFrame) else self.table(cube)
+        if "_current" in df.columns:
+            df = df.drop("_current")
+        dpred = date_range_predicate(date) if ("_end" in df.columns) else None
+        if dpred is not None:
+            df = df.where(dpred)
+        if query:
+            df = df.where(compile_mql(query, df))
+        return df
+
+    def find(
+        self,
+        cube: str | DataFrame,
+        query: str | None = None,
+        fields=None,
+        date: str | None = None,
+        sort: str | None = None,
+        descending: bool = False,
+        limit: int | None = None,
+        distinct: bool = False,
+        default_fields: bool = True,
+    ) -> DataFrame:
+        """MQL find (reference ``sqlalchemy.py:753-785``)."""
+        df = self._scoped(cube, query, date)
+        cols = parse_fields(fields)
+        if cols is not None:
+            if default_fields:
+                cols = cols + [c for c in DEFAULT_FIELDS if c not in cols and c in df.columns]
+            df = df.select(*cols)
+        if distinct:
+            df = df.distinct()
+        if sort:
+            df = df.orderBy(F.col(sort).desc() if descending else F.col(sort))
+        if limit and limit >= 1:
+            df = df.limit(limit)
+        return df
+
+    def count(self, cube: str | DataFrame, query: str | None = None,
+              date: str | None = None) -> int:
+        """Count matches (reference ``sqlalchemy.py:641-664``)."""
+        return self._scoped(cube, query, date).count()
+
+    def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
+                 date: str | None = "~") -> DataFrame:
+        """Unique values of field(s); array-valued fields are flattened
+        (reference ``sqlalchemy.py:706-721`` reduce-adds lists)."""
+        from pyspark.sql import types as T
+
+        df = self._scoped(cube, query, date)
+        cols = parse_fields(fields) or df.columns
+        outs = []
+        for c in cols:
+            dtype = df.schema[c].dataType
+            col = F.explode_outer(F.col(c)) if isinstance(dtype, T.ArrayType) else F.col(c)
+            outs.append(df.select(col.alias(c)).where(F.col(c).isNotNull()).distinct())
+        if len(outs) == 1:
+            return outs[0].orderBy(cols[0])
+        # multi-field: distinct tuples (reference returns per-row dicts)
+        return df.select(*cols).distinct()
+
+    def get_last_field(self, cube: str | DataFrame, field: str):
+        """Max value of a field across all history (reference
+        ``sqlalchemy.py:787-803``) — one aggregate, no sort."""
+        df = cube if isinstance(cube, DataFrame) else self.table(cube)
+        return df.agg(F.max(field).alias(field)).first()[field]
+
+    def deptree(self, cube: str | DataFrame, field: str, oids: Sequence,
+                date: str | None = None, level: int | None = None) -> list:
+        df = cube if isinstance(cube, DataFrame) else self.table(cube)
+        return temporal.deptree(df, field, oids, level=level, date=date)
+
+    def dfind(self, cube: str | DataFrame, fields: Iterable[str],
+              query: str | None = None, date: str | None = "~") -> DataFrame:
+        """Diff-find (reference ``sqlalchemy.py:694-704``)."""
+        return temporal.dfind(self._scoped(cube, query, date), fields)
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw SQL over registered cubes (reference ``execute``,
+        ``sqlalchemy.py:528-547``) — full Spark SQL surface."""
+        return self.spark.sql(query)

@@ -1,0 +1,302 @@
+"""MQL — the metrique query language, compiled to Spark ``Column`` predicates.
+
+The reference parses MQL (a restricted Python expression) with ``ast.parse``
+and interprets it into SQLAlchemy clauses (reference:
+``metrique/parse.py:133-287``). This module is the same idea targeting
+``pyspark.sql.Column``: the IR is the Python AST; the output plugs straight
+into ``df.where(...)`` so Catalyst sees a plain predicate tree and can push
+it down to the scan.
+
+Grammar supported (parity with reference ``parse.py``):
+
+- comparisons ``== != > >= < <=`` on scalar columns
+- ``in [..]`` / ``not in [..]``
+- ``and`` / ``or`` / ``not`` with arbitrary nesting
+- array-field comparisons: ``f == v`` → any element equals (SQL ``ANY``),
+  ``f != v`` → all elements differ (SQL ``ALL``), ``in``/``not in``
+  (reference ``parse.py:201-208``)
+- ``regex('pat')`` / ``iregex('pat')`` on scalars and arrays
+  (reference ``parse.py:227-245``)
+- ``empty(field)`` — array field is empty (reference ``parse.py:272-276``)
+- ``date("...")`` — date literal (reference ``parse.py:277-283``)
+- literals: numbers, strings, lists/tuples, ``None/True/False``
+
+Temporal range predicates (``date_range_predicate``) reproduce the exact
+boundary semantics of reference ``parse.py:74-130`` (pinned by reference
+``tests/test_parse.py:54-76``): strict ``<`` on ``_start``, ``>=`` on
+``_end``.
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime as _dt
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MQLError(ValueError):
+    """Raised when an MQL expression cannot be compiled."""
+
+
+# ---------------------------------------------------------------------------
+# date coercion
+
+
+def to_timestamp_lit(value) -> Column:
+    """Coerce a python value (ISO string / epoch number / datetime) to a
+    timestamp literal Column. The reference normalizes all datetimes to UTC
+    epoch floats (``utils.py:432-457``); we use proper TimestampType and
+    coerce at this boundary.
+    """
+    if isinstance(value, Column):
+        return value
+    if isinstance(value, (int, float)):
+        return F.timestamp_seconds(F.lit(value))
+    if isinstance(value, _dt.datetime):
+        return F.lit(value)
+    if isinstance(value, str):
+        v = value.strip().replace("T", " ")
+        return F.to_timestamp(F.lit(v))
+    raise MQLError(f"cannot interpret {value!r} as a date")
+
+
+def date_range_predicate(date: str | None) -> Column | None:
+    """Temporal-range predicate over ``_start``/``_end``.
+
+    Exact reference semantics (``parse.py:74-130``):
+
+    - ``None``/empty → current versions only: ``_end IS NULL``
+    - ``'~'``       → all history: no predicate (returns ``None``)
+    - ``'d'``       → as-of d: ``_start < d AND (_end >= d OR _end IS NULL)``
+      (objects true strictly BEFORE d; d itself excluded from ``_start``)
+    - ``'d~'``      → ``_end >= d OR _end IS NULL``
+    - ``'~d'``      → ``_start < d``
+    - ``'d1~d2'``   → overlap: ``_start < d2 AND (_end >= d1 OR _end IS NULL)``
+    """
+    if isinstance(date, str):
+        date = date.strip()
+    if not date:
+        return F.col("_end").isNull()
+    if date == "~":
+        return None
+
+    def before(d: str) -> Column:
+        return F.col("_start") < to_timestamp_lit(d)
+
+    def after(d: str) -> Column:
+        return (F.col("_end") >= to_timestamp_lit(d)) | F.col("_end").isNull()
+
+    split = [s.strip() for s in date.split("~")]
+    if len(split) == 1:
+        return before(split[0]) & after(split[0])
+    if len(split) != 2:
+        raise MQLError(f"bad date range: {date!r}")
+    lo, hi = split
+    if not lo:
+        return before(hi)
+    if not hi:
+        return after(lo)
+    return before(hi) & after(lo)
+
+
+# ---------------------------------------------------------------------------
+# the compiler
+
+
+_SCALAR_OPS = {
+    "Eq": lambda l, r: l.eqNullSafe(r) if r is None else (l == r),
+    "NotEq": lambda l, r: ~l.eqNullSafe(r) if r is None else (l != r),
+    "Gt": lambda l, r: l > r,
+    "GtE": lambda l, r: l >= r,
+    "Lt": lambda l, r: l < r,
+    "LtE": lambda l, r: l <= r,
+}
+
+
+def _array_field_names(df_or_fields) -> set[str]:
+    if isinstance(df_or_fields, DataFrame):
+        return {
+            f.name for f in df_or_fields.schema.fields
+            if isinstance(f.dataType, T.ArrayType)
+        }
+    return set(df_or_fields or ())
+
+
+class _Compiler(ast.NodeVisitor):
+    """AST → Column. Mirrors reference ``MQLInterpreter`` dispatch
+    (``parse.py:164-287``) but emits Spark Column expressions."""
+
+    def __init__(self, arrays: set[str], columns: set[str] | None):
+        self.arrays = arrays
+        self.columns = columns  # None = unknown schema, accept any name
+
+    # entry -----------------------------------------------------------------
+    def compile(self, query: str) -> Column:
+        try:
+            tree = ast.parse(query, mode="eval")
+        except SyntaxError as e:
+            raise MQLError(f"invalid MQL: {query!r}: {e}") from e
+        out = self.p(tree.body)
+        if not isinstance(out, Column):
+            raise MQLError(f"MQL must be a boolean expression: {query!r}")
+        return out
+
+    def p(self, node):
+        meth = getattr(self, f"p_{type(node).__name__}", None)
+        if meth is None:
+            raise MQLError(f"unsupported MQL construct: {type(node).__name__}")
+        return meth(node)
+
+    # boolean ---------------------------------------------------------------
+    def p_BoolOp(self, node: ast.BoolOp) -> Column:
+        parts = [self.p(v) for v in node.values]
+        out = parts[0]
+        for part in parts[1:]:
+            out = (out & part) if isinstance(node.op, ast.And) else (out | part)
+        return out
+
+    def p_UnaryOp(self, node: ast.UnaryOp):
+        if isinstance(node.op, ast.Not):
+            return ~self.p(node.operand)
+        if isinstance(node.op, ast.USub):
+            operand = self.p(node.operand)
+            if isinstance(operand, (int, float)):
+                return -operand
+        raise MQLError("unsupported unary op")
+
+    # comparisons -----------------------------------------------------------
+    def p_Compare(self, node: ast.Compare) -> Column:
+        if len(node.comparators) != 1:
+            raise MQLError("chained comparisons not supported")
+        op = type(node.ops[0]).__name__
+        left_name = node.left.id if isinstance(node.left, ast.Name) else None
+        left = self.p(node.left)
+        right = self.p(node.comparators[0])
+
+        if isinstance(right, tuple) and right[0] in ("regex", "iregex"):
+            return self._regex(left, op, right, left_name in self.arrays)
+
+        if left_name in self.arrays:
+            return self._array_compare(left, op, right)
+        return self._scalar_compare(left, op, right)
+
+    def _scalar_compare(self, left: Column, op: str, right) -> Column:
+        if op == "In":
+            return left.isin(list(right))
+        if op == "NotIn":
+            return ~left.isin(list(right))
+        if op in _SCALAR_OPS:
+            return _SCALAR_OPS[op](left, right)
+        raise MQLError(f"unsupported comparison: {op}")
+
+    def _array_compare(self, left: Column, op: str, right) -> Column:
+        # reference parse.py:201-208 — Eq is ANY (exists-element),
+        # NotEq is ALL (no element equals).
+        if op == "Eq":
+            return F.array_contains(left, right)
+        if op == "NotEq":
+            return ~F.coalesce(F.array_contains(left, right), F.lit(False))
+        if op == "In":
+            return F.arrays_overlap(left, F.array(*[F.lit(v) for v in right]))
+        if op == "NotIn":
+            return ~F.coalesce(
+                F.arrays_overlap(left, F.array(*[F.lit(v) for v in right])),
+                F.lit(False),
+            )
+        raise MQLError(f"unsupported array comparison: {op}")
+
+    def _regex(self, left: Column, op: str, right: tuple, is_array: bool) -> Column:
+        kind, pat = right
+        if kind == "iregex":
+            pat = f"(?i){pat}"
+        if is_array:
+            # reference's commuted ``~@`` operator (parse.py:232-239) — any
+            # element matches. Higher-order function keeps this JVM-side.
+            expr = F.exists(left, lambda e: e.rlike(pat))
+        else:
+            expr = left.rlike(pat)
+        if op == "Eq":
+            return expr
+        if op == "NotEq":
+            return ~expr
+        raise MQLError(f"unsupported regex comparison: {op}")
+
+    # atoms -----------------------------------------------------------------
+    def p_Name(self, node: ast.Name):
+        if node.id in ("None", "True", "False"):  # py2-style literals
+            return {"None": None, "True": True, "False": False}[node.id]
+        if self.columns is not None and node.id not in self.columns:
+            raise MQLError(f"unknown field: {node.id}")
+        return F.col(node.id)
+
+    def p_Constant(self, node: ast.Constant):
+        return node.value
+
+    def p_List(self, node: ast.List):
+        return [self.p(e) for e in node.elts]
+
+    def p_Tuple(self, node: ast.Tuple):
+        return [self.p(e) for e in node.elts]
+
+    # calls -----------------------------------------------------------------
+    def p_Call(self, node: ast.Call):
+        if not isinstance(node.func, ast.Name):
+            raise MQLError("unsupported call")
+        fname = node.func.id
+        if fname == "empty":
+            if len(node.args) != 1 or not isinstance(node.args[0], ast.Name):
+                raise MQLError("empty expects 1 field argument")
+            name = node.args[0].id
+            if name not in self.arrays:
+                raise MQLError(f"expected array field: {name}")
+            return F.size(F.col(name)) == 0
+        if fname == "date":
+            if len(node.args) != 1:
+                raise MQLError("date expects 1 argument")
+            return to_timestamp_lit(self.p(node.args[0]))
+        if fname in ("regex", "iregex"):
+            if len(node.args) != 1:
+                raise MQLError(f"{fname} expects 1 argument")
+            return (fname, self.p(node.args[0]))
+        raise MQLError(f"unknown function: {fname}")
+
+
+def compile_mql(
+    query: str,
+    df: DataFrame | None = None,
+    arrays: Iterable[str] | None = None,
+) -> Column:
+    """Compile an MQL query string to a Spark ``Column`` predicate.
+
+    Pass ``df`` so array-typed fields get the reference's ANY/ALL semantics
+    and unknown field names fail fast; without it, all fields are treated as
+    scalars unless listed in ``arrays``.
+    """
+    if df is not None:
+        arr = _array_field_names(df)
+        cols = set(df.columns)
+    else:
+        arr = set(arrays or ())
+        cols = None
+    return _Compiler(arr, cols).compile(query)
+
+
+def parse_fields(fields) -> list[str] | None:
+    """Projection normalization (reference ``parse.py:37-71``): accepts
+    ``'a,b,c'`` / list / ``{field: 1}`` dict; ``'~'``/None/True/[] → all
+    fields (returns None meaning ``select *``)."""
+    if fields in (None, True, False, [], (), {}, "", "~"):
+        return None
+    if isinstance(fields, str):
+        out = [f.strip() for f in fields.split(",") if f.strip()]
+    elif isinstance(fields, dict):
+        out = [k for k, v in fields.items() if v]
+    elif isinstance(fields, (list, tuple, set)):
+        out = [str(f).strip() for f in fields]
+    else:
+        raise MQLError(f"cannot parse fields: {fields!r}")
+    return sorted(out)

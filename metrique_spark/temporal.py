@@ -1,0 +1,327 @@
+"""Temporal analytic operators over versioned-object DataFrames.
+
+Rebuilds the reference's pandas ``Result`` layer (``metrique/result.py``) as
+distributed DataFrame transformations. Every operator takes and returns a
+DataFrame with ``_oid``/``_start``/``_end`` columns; nothing is collected to
+the driver.
+
+Scale notes baked into each op:
+
+- per-oid operators use window functions partitioned by ``_oid`` — a single
+  hash shuffle on the entity key, the minimum possible; consecutive per-oid
+  windows reuse the same partitioning so Catalyst schedules one exchange.
+- ``history`` replaces the reference's O(dates × rows) driver loop
+  (``result.py:182-195``) with one interval join against a date spine and a
+  single aggregation.
+- as-of boundary semantics are the reference's *pandas* ones here
+  (``_start <= d AND _end > d``, ``result.py:175-176``), intentionally
+  distinct from the query-level ``date_range`` (``_start < d, _end >= d``,
+  ``parse.py:109-114``) — the reference is asymmetric and both are pinned by
+  its tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metrique_spark.mql import to_timestamp_lit
+
+def _OID_WIN():
+    return Window.partitionBy("_oid")
+
+
+def _OID_BY_START():
+    return Window.partitionBy("_oid").orderBy("_start")
+
+
+def _OID_BY_START_DESC():
+    return Window.partitionBy("_oid").orderBy(F.col("_start").desc())
+
+
+# ---------------------------------------------------------------------------
+# as-of / history
+
+
+def on_date(df: DataFrame, date, only_count: bool = False):
+    """Versions live at ``date``: ``_start <= d AND (_end > d OR _end IS
+    NULL)`` (reference ``result.py:164-180``)."""
+    d = to_timestamp_lit(date)
+    out = df.where((F.col("_start") <= d) & ((F.col("_end") > d) | F.col("_end").isNull()))
+    return out.count() if only_count else out
+
+
+_SCALE_INTERVAL = {
+    "daily": "interval 1 day",
+    "weekly": "interval 7 days",
+    "monthly": "interval 1 month",
+    "quarterly": "interval 3 months",
+    "yearly": "interval 1 year",
+}
+
+
+def date_spine(
+    spark: SparkSession,
+    start,
+    end,
+    scale: str = "daily",
+    versions: DataFrame | None = None,
+) -> DataFrame:
+    """Date spine DataFrame with one ``_date`` timestamp column.
+
+    Scales: daily/weekly/monthly/quarterly/yearly (reference
+    ``result.py:227-275``) built with ``sequence()`` + ``explode`` —
+    generated JVM-side, no driver loop. ``scale='maximum'`` = all distinct
+    ``_start``/``_end`` instants of ``versions`` in-bounds
+    (``result.py:256-263``).
+    """
+    if scale == "maximum":
+        if versions is None:
+            raise ValueError("scale='maximum' needs the versions DataFrame")
+        lo, hi = to_timestamp_lit(start), to_timestamp_lit(end)
+        pts = (
+            versions.select(F.col("_start").alias("_date"))
+            .unionAll(versions.where(F.col("_end").isNotNull())
+                      .select(F.col("_end").alias("_date")))
+            .where((F.col("_date") >= lo) & (F.col("_date") <= hi))
+            .distinct()
+        )
+        return pts.orderBy("_date")
+    if scale not in _SCALE_INTERVAL:
+        raise ValueError(f"unknown scale: {scale}")
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    to_timestamp_lit(start),
+                    to_timestamp_lit(end),
+                    F.expr(_SCALE_INTERVAL[scale]),
+                )
+            ).alias("_date")
+        )
+    )
+
+
+def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFrame:
+    """Count of live objects at each spine date (reference
+    ``result.py:182-195``) — one range join + one aggregation instead of a
+    per-date scan.
+
+    The spine is tiny (~300 points by the reference's 'auto' heuristic,
+    ``result.py:277-298``) so it is explicitly broadcast: the interval join
+    becomes a broadcast nested-loop over the versions scan — no shuffle of
+    the big side at any scale.
+    """
+    joined = df.join(
+        F.broadcast(spine),
+        (F.col("_start") <= F.col("_date"))
+        & ((F.col("_end") > F.col("_date")) | F.col("_end").isNull()),
+        "inner",
+    )
+    return joined.groupBy("_date").agg(F.count("*").alias(count_col)).orderBy("_date")
+
+
+def persistent_oid_counts(df: DataFrame, spine: DataFrame) -> DataFrame:
+    """Cumulative distinct-oid count existing on-or-before each spine date
+    (reference ``result.py:324-337``). Aggregate to first-seen per oid
+    (shuffle on ``_oid``), then broadcast-range-join the tiny spine."""
+    first_seen = df.groupBy("_oid").agg(F.min("_start").alias("_first"))
+    return (
+        first_seen.join(F.broadcast(spine), F.col("_first") <= F.col("_date"), "inner")
+        .groupBy("_date")
+        .agg(F.countDistinct("_oid").alias("count"))
+        .orderBy("_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-oid version selection (single shuffle on _oid each)
+
+
+def filter_oids(df: DataFrame, oids: Sequence) -> DataFrame:
+    """Keep listed oids (reference ``result.py:302-310``). For large oid
+    sets pass a DataFrame and use a (broadcast) semi-join instead."""
+    if isinstance(oids, DataFrame):
+        return df.join(F.broadcast(oids.select("_oid").distinct()), "_oid", "left_semi")
+    return df.where(F.col("_oid").isin(list(oids)))
+
+
+def unfinished_objects(df: DataFrame, rbound=None) -> DataFrame:
+    """All versions of objects that have an open version (``_end`` NULL or
+    beyond ``rbound``) (reference ``result.py:312-322``). Window-based: one
+    shuffle on ``_oid``, no self-join."""
+    open_pred = F.col("_end").isNull()
+    if rbound is not None:
+        open_pred = open_pred | (F.col("_end") > to_timestamp_lit(rbound))
+    return (
+        df.withColumn("__has_open", F.max(open_pred.cast("int")).over(_OID_WIN()))
+        .where(F.col("__has_open") == 1)
+        .drop("__has_open")
+    )
+
+
+def one_version(df: DataFrame, index: int = 0) -> DataFrame:
+    """Version #index per oid by ``_start`` order; negative = from the end
+    (reference ``result.py:429-452``)."""
+    if index >= 0:
+        win, k = _OID_BY_START(), index + 1
+    else:
+        win, k = _OID_BY_START_DESC(), -index
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") == k)
+        .drop("__rn")
+    )
+
+
+def first_version(df: DataFrame) -> DataFrame:
+    return one_version(df, 0)
+
+
+def last_version(df: DataFrame) -> DataFrame:
+    return one_version(df, -1)
+
+
+def started_after(df: DataFrame, date) -> DataFrame:
+    """All versions of objects whose first ``_start`` > date (reference
+    ``result.py:454-465``)."""
+    d = to_timestamp_lit(date)
+    return (
+        df.withColumn("__first", F.min("_start").over(_OID_WIN()))
+        .where(F.col("__first") > d)
+        .drop("__first")
+    )
+
+
+def last_versions_with_age(
+    df: DataFrame, col_name: str = "age", rbound=None
+) -> DataFrame:
+    """Latest version per oid plus an ``age`` column = min(_end, now/rbound)
+    − min(_start) per oid, in seconds (reference ``result.py:339-392``;
+    the reference drops sub-second precision — we keep whole seconds)."""
+    now = to_timestamp_lit(rbound) if rbound is not None else F.current_timestamp()
+    cutoff = F.least(F.coalesce(F.col("_end"), now), now)
+    return (
+        df.withColumn("__first", F.min("_start").over(_OID_WIN()))
+        .withColumn("__rn", F.row_number().over(_OID_BY_START_DESC()))
+        .where(F.col("__rn") == 1)
+        .withColumn(
+            col_name,
+            F.floor(cutoff.cast("double") - F.col("__first").cast("double")),
+        )
+        .drop("__first", "__rn")
+    )
+
+
+def last_chain(df: DataFrame) -> DataFrame:
+    """Keep the last unbroken chain of versions per oid — consecutive
+    versions where one's ``_end`` equals the next's ``_start`` (reference
+    ``result.py:394-427``). Classic gaps-and-islands: gap flag via ``lag``,
+    running sum → session id, keep the max session. Three window ops over
+    the same ``_oid`` partitioning → one shuffle."""
+    gap = F.when(
+        F.lag("_end").over(_OID_BY_START()).isNull()
+        | (F.lag("_end").over(_OID_BY_START()) == F.col("_start")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    with_chain = df.withColumn(
+        "__chain", F.sum(gap).over(_OID_BY_START().rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_chain.withColumn("__last", F.max("__chain").over(_OID_WIN()))
+        .where(F.col("__chain") == F.col("__last"))
+        .drop("__chain", "__last")
+    )
+
+
+# ---------------------------------------------------------------------------
+# diffs / traversal / grouped apply
+
+
+def dfind(df: DataFrame, fields: Iterable[str]) -> DataFrame:
+    """Diff consecutive versions per oid (reference ``dfind``,
+    ``sqlalchemy.py:694-704`` + ``DictDiffer`` ``utils.py:1446-1535``):
+    for each version after the first, emit per-field previous/current values
+    where they changed. ``lag`` window + a small array of change structs,
+    exploded — all JVM-side."""
+    fields = list(fields)
+    diffs = []
+    for f in fields:
+        prev = F.lag(f).over(_OID_BY_START())
+        cur = F.col(f)
+        changed = ~prev.eqNullSafe(cur)
+        diffs.append(
+            F.when(
+                changed,
+                F.struct(
+                    F.lit(f).alias("field"),
+                    prev.cast("string").alias("old"),
+                    cur.cast("string").alias("new"),
+                ),
+            )
+        )
+    out = (
+        df.withColumn("__rn", F.row_number().over(_OID_BY_START()))
+        .withColumn("__changes", F.filter(F.array(*diffs), lambda x: x.isNotNull()))
+        .where((F.col("__rn") > 1) & (F.size("__changes") > 0))
+        .select(
+            "_oid",
+            "_start",
+            F.explode("__changes").alias("__c"),
+        )
+        .select(
+            "_oid",
+            "_start",
+            F.col("__c.field").alias("field"),
+            F.col("__c.old").alias("old"),
+            F.col("__c.new").alias("new"),
+        )
+    )
+    return out
+
+
+def deptree(
+    df: DataFrame,
+    field: str,
+    oids: Sequence,
+    level: int | None = None,
+    date: str | None = None,
+) -> list:
+    """Recursive BFS from seed oids following a parent→children array field,
+    up to ``level`` hops; returns the visited oid list (reference
+    ``sqlalchemy.py:666-692``).
+
+    Driver loop of distributed steps, same as the reference's algorithm —
+    each hop is one filtered scan + explode. The fringe is collected per hop
+    (oid sets are small relative to data; the reference does the same)."""
+    from metrique_spark.mql import date_range_predicate
+
+    pred = date_range_predicate(date)
+    scoped = df.where(pred) if pred is not None else df
+    visited: set = set()
+    fringe = list(oids)
+    depth = 0
+    while fringe and (level is None or depth < level):
+        children = (
+            scoped.where(F.col("_oid").isin(fringe))
+            .select(F.explode_outer(F.col(field)).alias("child"))
+            .where(F.col("child").isNotNull())
+            .distinct()
+            .collect()
+        )
+        visited.update(fringe)
+        fringe = [r["child"] for r in children if r["child"] not in visited]
+        depth += 1
+    visited.update(fringe)
+    visited.difference_update(set(oids))
+    return sorted(visited)
+
+
+def object_apply(df: DataFrame, func: Callable, schema) -> DataFrame:
+    """Apply a pandas DataFrame→DataFrame function per ``_oid`` group
+    (reference ``result.py:475-483``) — ``applyInPandas`` grouped-map,
+    Arrow-batched."""
+    return df.groupBy("_oid").applyInPandas(func, schema=schema)

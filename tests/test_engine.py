@@ -1,0 +1,65 @@
+"""Engine facade tests: find/count/distinct/get_last_field/catalog ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, versions, tmp_path):
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    e.register("v", versions)
+    return e
+
+
+def test_find_projection_defaults(engine):
+    df = engine.find("v", fields="val", date="~")
+    # default fields appended (sqlalchemy.py:264-273)
+    assert set(df.columns) == {"val", "_start", "_end", "_oid"}
+
+
+def test_find_sort_limit(engine):
+    rows = engine.find("v", date="~", sort="_start", descending=True, limit=2).collect()
+    assert len(rows) == 2
+    assert all(str(r["_start"]).startswith("2014-03-01") for r in rows)
+
+
+def test_find_date_default_current(engine):
+    # no date -> current versions only (_end is null)
+    assert engine.find("v").count() == 2
+
+
+def test_count_with_query(engine):
+    assert engine.count("v", query='val == "a"', date="~") == 3
+    assert engine.count("v", query='val == "a"') == 1  # current only: oid3
+
+
+def test_distinct_scalar_and_array(engine):
+    vals = [r["val"] for r in engine.distinct("v", "val").collect()]
+    assert vals == ["a", "b", "c"]
+    # array field flattened (sqlalchemy.py:706-721)
+    tags = [r["tags"] for r in engine.distinct("v", "tags").collect()]
+    assert tags == ["x", "y", "z"]
+
+
+def test_get_last_field(engine):
+    assert str(engine.get_last_field("v", "_start")).startswith("2014-03-01")
+    assert engine.get_last_field("v", "_oid") == 3
+
+
+def test_catalog(engine, spark):
+    assert "v" in engine.ls()
+    assert engine.exists("v")
+    assert not engine.exists("nope")
+    assert "tags" in engine.columns("v")
+
+
+def test_sql_over_registered_cubes(engine):
+    out = engine.sql("select _oid, count(*) as n from v group by _oid order by _oid")
+    assert [(r["_oid"], r["n"]) for r in out.collect()] == [(1, 3), (2, 2), (3, 1)]
+
+
+def test_dfind_via_engine(engine):
+    out = engine.dfind("v", ["val"])
+    assert out.count() == 3

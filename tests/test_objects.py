@@ -1,0 +1,78 @@
+"""Object stamp tests — invariants from reference tests/test_MetriqueObject.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.objects import HASH_EXCLUDE, normalize_key, stamp, validate
+
+
+@pytest.fixture()
+def raw(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", 10.0, ["b", "a"]), (2, "beta", 20.0, ["z"])],
+        "oid long, name string, score double, tags array<string>",
+    )
+
+
+def test_stamp_system_fields(raw):
+    out = stamp(raw, oid="oid")
+    for c in ("_oid", "_id", "_hash", "_start", "_end", "_v", "__v__"):
+        assert c in out.columns
+    rows = out.orderBy("_oid").collect()
+    # current versions: _id == str(_oid) (core_api.py:73-82)
+    assert rows[0]["_id"] == "1"
+    assert rows[0]["_end"] is None
+
+
+def test_closed_version_id(spark):
+    df = spark.createDataFrame([(1, "a", "2014-01-01", "2014-02-01")],
+                               "oid long, v string, s string, e string")
+    out = stamp(df, oid="oid", start="s", end="e").first()
+    assert out["_id"].startswith("1:")
+    assert out["_end"] is not None
+
+
+def test_hash_stability_and_sensitivity(raw):
+    a = stamp(raw, oid="oid").select("_oid", "_hash")
+    b = stamp(raw, oid="oid").select("_oid", "_hash")
+    assert sorted(a.collect()) == sorted(b.collect())  # deterministic
+    # hash ignores _start/_end (HASH_EXCLUDE, core_api.py:69)
+    c = stamp(raw.withColumn("extra", F.lit(None).cast("string")), oid="oid")
+    changed = stamp(raw.withColumn("score", F.col("score") + 1), oid="oid")
+    orig = {r["_oid"]: r["_hash"] for r in a.collect()}
+    chg = {r["_oid"]: r["_hash"] for r in changed.select("_oid", "_hash").collect()}
+    assert all(orig[k] != chg[k] for k in orig)
+
+
+def test_array_sorted_for_hash(spark):
+    # container fields sorted at ingest (core_api.py:498) so element order
+    # doesn't change the hash
+    d1 = spark.createDataFrame([(1, ["b", "a"])], "oid long, tags array<string>")
+    d2 = spark.createDataFrame([(1, ["a", "b"])], "oid long, tags array<string>")
+    h1 = stamp(d1, oid="oid").first()["_hash"]
+    h2 = stamp(d2, oid="oid").first()["_hash"]
+    assert h1 == h2
+
+
+def test_reserved_id_dropped(spark):
+    df = spark.createDataFrame([(1, 99)], "oid long, id long")
+    out = stamp(df, oid="oid")
+    assert "id" not in out.columns
+
+
+def test_normalize_key():
+    assert normalize_key("Foo Bar-baz") == "foo_bar_baz"
+    assert normalize_key("9lives") == "_9lives"
+
+
+def test_validate_null_oid(spark):
+    df = spark.createDataFrame([(None, "x")], "oid long, v string")
+    with pytest.raises(ValueError, match="null _oid"):
+        validate(stamp(df, oid="oid"))
+
+
+def test_validate_bad_interval(spark):
+    df = spark.createDataFrame([(1, "2014-02-01", "2014-01-01")],
+                               "oid long, s string, e string")
+    with pytest.raises(ValueError, match="_end < _start"):
+        validate(stamp(df, oid="oid", start="s", end="e"))

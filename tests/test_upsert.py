@@ -1,0 +1,81 @@
+"""Temporal upsert tests — row-count pins from reference
+tests/test_sqla_proxy.py:117-139 and tests/test_MetriqueContainer.py:149-196."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+from metrique_spark.objects import stamp
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _objs(spark, rows, start):
+    df = spark.createDataFrame(rows, "oid long, col_1 long")
+    return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
+
+
+def test_snapshot_upsert_lifecycle(spark, engine):
+    # v1: two objects
+    engine.upsert("kitchen", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
+    assert engine.count("kitchen", date="~") == 2
+    assert engine.count("kitchen") == 2  # current only
+
+    # same content again -> dedup by _hash, nothing changes
+    engine.upsert("kitchen", _objs(spark, [(1, 10), (2, 20)], "2014-02-01"), stamped=True)
+    assert engine.count("kitchen", date="~") == 2
+
+    # oid 1 changes -> old version closed at new._start, new inserted
+    engine.upsert("kitchen", _objs(spark, [(1, 11)], "2014-03-01"), stamped=True)
+    assert engine.count("kitchen", date="~") == 3
+    assert engine.count("kitchen") == 2  # still 2 current
+    closed = engine.find("kitchen", query="_oid == 1 and _end != None", date="~").collect()
+    assert len(closed) == 1
+    assert str(closed[0]["_end"]).startswith("2014-03-01")
+    assert closed[0]["_id"].startswith("1:")
+    cur = engine.find("kitchen", query="_oid == 1").collect()
+    assert len(cur) == 1 and cur[0]["col_1"] == 11
+
+    # new oid -> plain insert
+    engine.upsert("kitchen", _objs(spark, [(3, 30)], "2014-04-01"), stamped=True)
+    assert engine.count("kitchen", date="~") == 4
+    assert engine.count("kitchen") == 3
+
+
+def test_history_import(spark, engine):
+    engine.upsert("h", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    # full-history replace for oid 1: two closed versions + one open
+    rows = [
+        (1, 1, "2013-01-01", "2013-06-01"),
+        (1, 2, "2013-06-01", "2014-01-01"),
+        (1, 3, "2014-01-01", None),
+    ]
+    df = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
+    hist = stamp(df, oid="oid", start="s", end="e")
+    engine.upsert("h", hist, autosnap=False, stamped=True)
+    assert engine.count("h", date="~") == 3
+    assert engine.count("h") == 1
+    # as-of query hits the middle version
+    mid = engine.find("h", date="2013-08-01").collect()
+    assert len(mid) == 1 and mid[0]["col_1"] == 2
+
+
+def test_autosnap_autodetect(spark, engine):
+    # batch containing a closed version -> history-import path
+    rows = [(5, 1, "2013-01-01", "2013-06-01"), (5, 2, "2013-06-01", None)]
+    df = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
+    engine.upsert("auto", stamp(df, oid="oid", start="s", end="e"), stamped=True)
+    assert engine.count("auto", date="~") == 2
+    assert engine.count("auto") == 1
+
+
+def test_last_write_wins_within_batch(spark, engine):
+    # two versions of the same oid in one snapshot batch -> latest _start wins
+    a = _objs(spark, [(9, 1)], "2014-01-01")
+    b = _objs(spark, [(9, 2)], "2014-02-01")
+    engine.upsert("lww", a.unionByName(b), stamped=True)
+    assert engine.count("lww", date="~") == 1
+    assert engine.find("lww").first()["col_1"] == 2
