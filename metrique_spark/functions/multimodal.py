@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery here is real and tested — schemas, Arrow batch
+shapes, ``mapInPandas`` partitioning, deterministic fake feature
+extraction. The actual media decode is STUBBED (``decode_stub``): the
+image/audio libraries are not in this container. Swap ``_decode_image`` for
+a real decoder (PIL/ffmpeg) in production; nothing else changes.
+
+Design for 100 TB of media:
+
+- binary payloads ride in parquet as ``BinaryType`` — columnar readers
+  prune them unless the plan touches the column, so metadata-only queries
+  never read bytes.
+- decode/feature-extract runs in ``mapInPandas`` with a bounded Arrow batch
+  size (``spark.sql.execution.arrow.maxRecordsPerBatch``) so executor
+  memory is payload-bounded, not row-count-bounded.
+- derived features (dims, duration, embedding) land in a sibling struct
+  column; the binary column is dropped as early as the plan allows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("format", T.StringType(), True),
+        T.StructField("bytes", T.LongType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("checksum", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def decode_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: derives (width, height) from the payload
+    bytes. Replace with a real decoder in production; raises on None to
+    mirror real decoder behavior.
+
+    Real implementation would be, e.g.::
+
+        from PIL import Image; import io
+        img = Image.open(io.BytesIO(payload)); return img.size
+    """
+    if payload is None:
+        raise NotImplementedError("no payload; real decoder required")
+    w = 64 + (payload[0] if payload else 0) % 192 if len(payload) else 64
+    h = 64 + (payload[-1] if payload else 0) % 192 if len(payload) else 64
+    return int(w), int(h)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract media rows via ``mapInPandas``.
+
+    Iterator-of-batches form: payloads stream through in Arrow batches, so
+    a partition larger than memory still processes incrementally."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                try:
+                    w, h = decode_stub(payload)
+                except NotImplementedError:
+                    w = h = None
+                rows.append({
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "n_bytes": len(payload) if payload is not None else None,
+                    "checksum": hashlib.md5(payload).hexdigest()
+                    if payload is not None else None,
+                    "width": w,
+                    "height": h,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic synthetic media table for tests: payload bytes derived
+    from the id (no randomness)."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8")
+        .alias("payload"),
+    )
+    return base.withColumn(
+        "meta",
+        F.struct(F.lit("synthetic").alias("format"),
+                 F.length("payload").cast("long").alias("bytes")),
+    )

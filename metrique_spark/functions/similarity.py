@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same contract:
+
+- ``cosine_topk`` — exact brute-force: query set × corpus with the dot
+  product as ``zip_with``/``aggregate`` higher-order functions (JVM-side,
+  codegen) and a window top-k. The query side is broadcast — the corpus is
+  scanned once, never shuffled. This is the correctness baseline and is
+  fine whenever |queries| × |corpus| partitions fit the cluster.
+- ``ivf_topk`` — the scale path: k-means-style inverted file. Centroids are
+  sampled deterministically, every vector is assigned to its nearest
+  centroid (one broadcast pass), and a query only scans its ``nprobe``
+  closest buckets. At 100 TB the bucket assignment is the partition key, so
+  a probe touches ``nprobe/nlist`` of the data instead of all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays, built-ins only."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, sim) — self-matches excluded, ties
+    broken by neighbor id for determinism. The query side is broadcast;
+    ranking is a window over query_id (shuffle of |Q|·|C| slim rows — at
+    scale prefer ``ivf_topk``).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Assign each vector to its nearest of ``nlist`` centroids.
+
+    Centroids are the vectors whose id hashes lowest (deterministic seeded
+    sample — no Date/random dependence, reproducible across runs). Returns
+    (assigned_df with ``bucket`` column, centroids_df). One broadcast pass
+    over the corpus; at scale, write the result partitioned by ``bucket``.
+    """
+    ranked = df.select(
+        F.col(id_col), _as_double(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+    )
+    centroids = (
+        ranked.orderBy("h").limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cvec"))
+    )
+    cent_rows = centroids.collect()  # nlist rows only — tiny, by design
+    assigned = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    best_bucket, best_sim = None, None
+    for row in cent_rows:
+        cv = F.array(*[F.lit(float(x)) for x in row["cvec"]])
+        sim = cosine(F.col("v"), cv)
+        if best_bucket is None:
+            best_bucket, best_sim = F.lit(row["centroid_id"]), sim
+        else:
+            cond = sim > best_sim
+            best_bucket = F.when(cond, F.lit(row["centroid_id"])).otherwise(best_bucket)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+    assigned = assigned.withColumn("bucket", best_bucket)
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest buckets per
+    query. Same output contract as ``cosine_topk``."""
+    assigned, centroids = ivf_assign(corpus, nlist, id_col, vec_col)
+    cent_rows = centroids.collect()
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    # per query: similarity to each centroid -> nprobe best buckets
+    sims = []
+    for row in cent_rows:
+        cv = F.array(*[F.lit(float(x)) for x in row["cvec"]])
+        sims.append(F.struct(cosine(F.col("qv"), cv).alias("s"),
+                             F.lit(row["centroid_id"]).alias("b")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, nprobe)
+    q_probed = q.withColumn("qbucket", F.explode(F.transform(probes, lambda p: p["b"])))
+
+    scored = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q_probed),
+              (F.col("bucket") == F.col("qbucket"))
+              & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Sane scan parallelism for many-small-files layouts.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Read nanosecond parquet timestamps as long (converted to
+        # timestamp in sources.testdata); Spark has no ns timestamp type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,105 @@
+"""JDBC SQL source with incremental delta sync — the reference's sqldata
+cube (``cubes/sqldata/generic.py``) re-expressed Spark-first.
+
+The reference builds SELECT statements by hand, pulls oid chunks through
+joblib worker processes (``generic.py:377-435``), and tracks a last-ETL
+timestamp file. Here:
+
+- extraction is ``spark.read.jdbc`` with partitioning options — Spark's own
+  parallel fetch replaces joblib; source-side LEFT JOINs
+  (``generic.py:437-448``) become Spark joins after load, where Catalyst
+  can reorder/broadcast them.
+- delta plans (new oids ``generic.py:344-364``, changed-by-mtime
+  ``generic.py:228-253``, full-vs-delta decision ``generic.py:201-226``)
+  become pushed-down predicates on the JDBC read.
+- the checkpointed last-update timestamp (``sqlalchemy.py:805-824``)
+  is a tiny json file next to the warehouse.
+
+No database ships in this container, so the JDBC calls are exercised only
+through plan construction in tests; predicate strings are the unit surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+) -> DataFrame:
+    """Parallel JDBC read. Prefer ``partition_column`` bounds (Spark issues
+    one range query per partition) for big tables; ``predicates`` for
+    explicit shard lists."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    if predicates:
+        return spark.read.jdbc(url, table, predicates=predicates,
+                               properties=dict(options))
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# delta plans (predicate builders — pushed down to the source)
+
+
+def new_oids_predicate(last_max_oid) -> str:
+    """Oids beyond the last stored max (reference ``get_new_oids``,
+    ``generic.py:344-364``)."""
+    if isinstance(last_max_oid, str):
+        return f"_oid > '{last_max_oid}'"
+    return f"_oid > {last_max_oid}"
+
+
+def changed_oids_predicate(mtime_columns: list[str], last_update: str) -> str:
+    """Oids whose any mtime column moved since the last ETL (reference
+    ``get_changed_oids``, ``generic.py:228-253`` — OR-combined)."""
+    parts = [f"{c} >= '{last_update}'" for c in mtime_columns]
+    return " OR ".join(parts)
+
+
+def delta_plan(force: bool, last_update: str | None) -> str:
+    """Full vs delta decision (reference ``_delta_force``,
+    ``generic.py:201-226``): force or no checkpoint → full sync."""
+    if force or not last_update:
+        return "full"
+    return "delta"
+
+
+# ---------------------------------------------------------------------------
+# ETL checkpoint (reference sqlalchemy.py:805-824)
+
+
+def load_checkpoint(path: str) -> str | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh).get("last_update")
+
+
+def save_checkpoint(path: str, last_update: str | None = None) -> str:
+    last_update = last_update or time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump({"last_update": last_update}, fh)
+    return last_update

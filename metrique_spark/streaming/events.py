@@ -1,0 +1,115 @@
+"""Event-stream operators: tumbling/sliding windows, sessionization, and a
+streaming ingest path for the cube model.
+
+Every operator has one implementation that works in BOTH batch and
+streaming mode — the transformations are identical DataFrame ops; only the
+source (``read`` vs ``readStream``) differs. Watermarks bound state for
+late data in streaming; in batch they're no-ops.
+
+Sessionization uses the built-in ``session_window`` (Spark 3.2+) — state
+store managed, no custom ``applyInPandasWithState`` needed for gap
+sessions. A custom stateful example (running per-user counters) shows the
+``applyInPandasWithState`` path for semantics the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# physical schema: ts is nanosecond parquet, read as long
+# (spark.sql.legacy.parquet.nanosAsLong) and converted below
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over an events directory (exactly-once via file
+    tracking; at scale this is the same code against Kafka/Kinesis)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-window, per-type counts + value sum. Streaming-safe (watermark
+    bounds state); in batch mode the watermark is ignored by Spark."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions per user via built-in ``session_window``."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful op demo: running per-user event count/value via
+    ``applyInPandasWithState`` in streaming, plain window agg in batch.
+    Illustrates the escape hatch for semantics built-ins can't express
+    (reference has no analog; SURVEY.md §2.7 extension)."""
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, value_sum double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
+def stream_upsert_sink(engine, cube: str, checkpoint_dir: str):
+    """foreachBatch sink: each micro-batch flows through the engine's
+    temporal snapshot upsert — streaming ingest of versioned objects
+    (the streaming analog of the reference's delta batch sync)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        if not batch_df.isEmpty():
+            engine.upsert(cube, batch_df, stamped=True)
+
+    return _sink

@@ -1,0 +1,72 @@
+"""Dedup operator tests: exact, jaccard, minhash-lsh, simhash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.functions import dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog near the river bank "
+            "while birds sing in the morning light")
+    near = base.replace("morning", "evening")
+    far = "completely different content about spark engines and distributed query processing at scale"
+    rows = [
+        (1, base),
+        (2, base.upper()),          # exact dup modulo case/punct
+        (3, near),                  # near dup
+        (4, far),
+        (5, "the quick brown fox."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == [1, 2]
+
+
+def test_dedup_exact_keeps_lowest_id(docs):
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 4
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 3, 4, 5}
+
+
+def test_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = df.select(dedup.word_shingles("text", 2).alias("s")).first()["s"]
+    assert sorted(got) == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert short.select(dedup.word_shingles("text", 2).alias("s")).first()["s"] == []
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_dedup_pairs(docs, threshold=0.7, shingle_n=1).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_signature_deterministic(docs):
+    a = docs.select(dedup.minhash_signature("text", 16, 1).alias("sig")).collect()
+    b = docs.select(dedup.minhash_signature("text", 16, 1).alias("sig")).collect()
+    assert [r["sig"] for r in a] == [r["sig"] for r in b]
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # same canonical tokens
+    assert (1, 3) in pairs  # one word swapped -> few bits differ

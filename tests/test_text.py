@@ -1,0 +1,59 @@
+"""Text analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.functions import text as tx
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and the cat."),
+        (2, "Der Hund und die Katze und der Vogel."),
+        (3, "12345 67890 !!! ??? ..."),
+        (4, "le chat et la souris et le fromage"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got[1] == 12
+    assert got[5] == 0
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[4] == "fr"
+    assert got[3] == "und"
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(tx.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    got = {r["doc_id"]: r["q"] for r in
+           docs.select("doc_id", tx.quality_score("text").alias("q")).collect()}
+    assert got[1] > got[3]  # prose beats digit/punct soup
+
+
+def test_fingerprint_canonical(spark):
+    # case and punctuation insensitive, whitespace-normalized
+    rows = [(1, "Hello,   WORLD!"), (2, "hello world"), (3, "different text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_text_stats_schema(docs):
+    out = tx.text_stats(docs)
+    for c in ("n_tokens", "quality", "lang_pred", "fp", "punct_ratio"):
+        assert c in out.columns
+    assert out.count() == 5
