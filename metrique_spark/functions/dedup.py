@@ -55,9 +55,13 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 # shingles / n-gram jaccard
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the canonical token stream."""
-    toks = tokens(text_col)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a (materialized) token array.
+
+    Pass a plain column reference, not the token-extraction expression —
+    ``slice`` runs once per window position, and Catalyst will NOT
+    deduplicate a heavy expression referenced from inside a lambda.
+    """
     if n == 1:
         return F.array_distinct(toks)
     # sliding window via transform over index range; guard short docs
@@ -68,6 +72,24 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the canonical token stream.
+    Convenience form — for anything hot, materialize tokens first via
+    ``shingle_table`` so tokenization isn't re-run per shingle."""
+    return shingles_from_tokens(tokens(text_col), n)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) projection with tokenization and shingling materialized in
+    separate projection steps. The two-step shape is load-bearing for
+    performance: an alias referenced many times downstream (64 hash lambdas,
+    16 band slices) is kept materialized by CollapseProject only because the
+    producing expression is non-cheap — inlining the regexp into consumers
+    multiplies the tokenization cost by the consumer count."""
+    t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    return t.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh"))
 
 
 def jaccard_pairs(
@@ -87,9 +109,7 @@ def jaccard_pairs(
     At 100 TB you'd cap the index by dropping ultra-frequent shingles
     (stop-shingles) — ``max_doc_freq`` does that.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    ).withColumn("sz", F.size("sh"))
+    sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
     sizes = sh.select("id", "sz")
     inv = sh.select("id", F.explode("sh").alias("tok"))
     pairs = (
@@ -118,15 +138,22 @@ def jaccard_pairs(
 # MinHash + LSH
 
 
-def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+def signature_from_shingles(sh: Column, num_hashes: int = 64) -> Column:
     """MinHash signature as array<bigint>: for hash i, min over shingles of
     ``xxhash64(shingle, i)``. Pure higher-order functions — executes inside
-    codegen, no UDF."""
-    sh = word_shingles(text_col, shingle_n)
+    codegen, no UDF. ``sh`` should be a materialized column reference (see
+    ``shingle_table``): it is evaluated inside ``num_hashes`` lambdas."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
+
+
+def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """Convenience single-expression form (tests/small data only — inlines
+    shingling into every hash lambda; hot paths go through
+    ``shingle_table`` + ``signature_from_shingles``)."""
+    return signature_from_shingles(word_shingles(text_col, shingle_n), num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -141,8 +168,8 @@ def minhash_lsh_candidates(
     ``num_hashes/bands``, hash each band, group by (band, hash). Returns
     distinct (id_a, id_b) with id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sig = sh.select("id", signature_from_shingles(F.col("sh"), num_hashes).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -188,8 +215,7 @@ def minhash_dedup_pairs(
     curve. The verify join only touches candidate ids — document text is
     shuffled once to build shingle sets for candidates."""
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_shingles(text_col, shingle_n).alias("sh"))
+    sh = shingle_table(df, id_col, text_col, shingle_n)
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     return (

@@ -74,6 +74,23 @@ def cosine_topk(
     )
 
 
+def _nearest_buckets(
+    vectors: DataFrame, centroids: DataFrame, vec_alias: str, n_keep: int
+) -> DataFrame:
+    """Broadcast-join every vector against the (tiny) centroid set, keep the
+    ``n_keep`` most-similar centroid ids per vector. All data-side rows are
+    scanned once; nothing but slim (id, bucket) rows shuffle."""
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id"))
+    return (
+        vectors.join(F.broadcast(centroids))
+        .withColumn("__csim", cosine(F.col(vec_alias), F.col("cvec")))
+        .withColumn("__crk", F.row_number().over(w))
+        .where(F.col("__crk") <= n_keep)
+        .drop("__csim", "__crk", "cvec")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     nlist: int = 16,
@@ -83,9 +100,11 @@ def ivf_assign(
     """Assign each vector to its nearest of ``nlist`` centroids.
 
     Centroids are the vectors whose id hashes lowest (deterministic seeded
-    sample — no Date/random dependence, reproducible across runs). Returns
-    (assigned_df with ``bucket`` column, centroids_df). One broadcast pass
-    over the corpus; at scale, write the result partitioned by ``bucket``.
+    sample — no wall-clock/random dependence, reproducible across runs).
+    Returns (assigned_df with ``bucket`` column, centroids_df). The
+    assignment is a broadcast join + per-vector top-1 — no driver-side
+    literal expressions, so plan size is independent of ``nlist``/dim. At
+    scale, persist the result partitioned by ``bucket``.
     """
     ranked = df.select(
         F.col(id_col), _as_double(vec_col).alias("v"),
@@ -95,19 +114,13 @@ def ivf_assign(
         ranked.orderBy("h").limit(nlist)
         .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cvec"))
     )
-    cent_rows = centroids.collect()  # nlist rows only — tiny, by design
-    assigned = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    best_bucket, best_sim = None, None
-    for row in cent_rows:
-        cv = F.array(*[F.lit(float(x)) for x in row["cvec"]])
-        sim = cosine(F.col("v"), cv)
-        if best_bucket is None:
-            best_bucket, best_sim = F.lit(row["centroid_id"]), sim
-        else:
-            cond = sim > best_sim
-            best_bucket = F.when(cond, F.lit(row["centroid_id"])).otherwise(best_bucket)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    assigned = assigned.withColumn("bucket", best_bucket)
+    vectors = df.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    assigned = (
+        _nearest_buckets(vectors, centroids, "v", 1)
+        .select(F.col("__vid").alias(id_col), "v",
+                F.col("centroid_id").alias("bucket"))
+    )
     return assigned, centroids
 
 
@@ -122,21 +135,16 @@ def ivf_topk(
     decimals: int = 4,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest buckets per
-    query. Same output contract as ``cosine_topk``."""
+    query. Same output contract as ``cosine_topk``; probes touch
+    ~``nprobe/nlist`` of the corpus instead of all of it."""
     assigned, centroids = ivf_assign(corpus, nlist, id_col, vec_col)
-    cent_rows = centroids.collect()
-
-    q = queries.select(F.col(id_col).alias("query_id"),
+    q = queries.select(F.col(id_col).alias("__vid"),
                        _as_double(vec_col).alias("qv"))
-    # per query: similarity to each centroid -> nprobe best buckets
-    sims = []
-    for row in cent_rows:
-        cv = F.array(*[F.lit(float(x)) for x in row["cvec"]])
-        sims.append(F.struct(cosine(F.col("qv"), cv).alias("s"),
-                             F.lit(row["centroid_id"]).alias("b")))
-    probes = F.slice(F.reverse(F.array_sort(F.array(*sims))), 1, nprobe)
-    q_probed = q.withColumn("qbucket", F.explode(F.transform(probes, lambda p: p["b"])))
-
+    q_probed = (
+        _nearest_buckets(q, centroids, "qv", nprobe)
+        .select(F.col("__vid").alias("query_id"), "qv",
+                F.col("centroid_id").alias("qbucket"))
+    )
     scored = (
         assigned.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(q_probed),

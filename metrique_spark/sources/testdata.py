@@ -17,9 +17,14 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) parquet — illegal for Spark's reader unless
+        # surfaced as a long, then converted. Integer `div` (not `/`) — ns
+        # epochs exceed 2^53, double division would drift by ±1µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -39,8 +39,7 @@ def read_events_stream(spark: SparkSession, path: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
