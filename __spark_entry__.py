@@ -364,6 +364,59 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_open.select(out).unionByName(closed.select(out))
 
 
+def activity_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """activity-history reconstruction (reference generic.py:106-199):
+    rebuild per-user version history from a synthesized field-level
+    changelog of the events table. The invariant checked by the oracle:
+    replaying the changelog backwards from the final state must reproduce
+    exactly the lead()-window versions view."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    last = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        ).where(F.col("__rn") == 1)
+    )
+    created = ev.groupBy("user_id").agg(F.min("ts").alias("created"))
+    docs = last.join(created, "user_id").select(
+        F.col("user_id").alias("_oid"),
+        F.col("event_type").alias("status"),
+        "created",
+        F.lit("2024-03-01").cast("timestamp").alias("_start"),
+        F.lit(None).cast("timestamp").alias("_end"),
+    )
+    acts = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("user_id").alias("_oid"),
+            F.col("ts").alias("when"),
+            F.lit("status").alias("field"),
+            F.col("prev").alias("removed"),
+            F.col("event_type").alias("added"),
+        )
+    )
+    from metrique_spark.operators.activity import activity_import
+
+    out = activity_import(docs, acts, fields=["status"], cfield="created")
+    return out.select("_oid", "status", "_start", "_end")
+
+
+def tmp_history_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """history + linear-regression forecast past a cutoff (reference
+    result.py:197-223) via built-in regr_slope/regr_intercept."""
+    v = _versions(spark, sf_dir)
+    spine = temporal.date_spine(spark, "2024-01-01", "2024-01-30", "daily")
+    out = temporal.history_with_forecast(v, spine, "2024-01-25", days=20,
+                                         count_col="n")
+    return out.select("_date", F.round(F.col("n"), 2).alias("n"))
+
+
 def deptree_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recursive BFS over a parent→children array field (reference
     sqlalchemy.py:666-692): region → nations → suppliers."""
@@ -533,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_persistent_counts": tmp_persistent_counts,
         "tmp_age": tmp_age,
         "upsert_snapshot": upsert_snapshot,
+        "activity_reconstruct": activity_reconstruct,
+        "tmp_history_forecast": tmp_history_forecast,
         "deptree_regions": deptree_regions,
         # pipeline extensions
         "text_fingerprints": text_fingerprints,
@@ -663,10 +718,10 @@ def oracle_sql() -> dict[str, str]:
                                               TIMESTAMP '2024-01-30',
                                               INTERVAL 1 DAY)) AS _date
             )
-            SELECT _date, count(*) AS n
-            FROM spine JOIN v
+            SELECT spine._date, count(v._start) AS n
+            FROM spine LEFT JOIN v
               ON v._start <= spine._date AND (v._end > spine._date OR v._end IS NULL)
-            GROUP BY _date
+            GROUP BY spine._date
         """,
         "tmp_first_version": f"""
             WITH v AS ({_V}),
@@ -720,9 +775,9 @@ def oracle_sql() -> dict[str, str]:
                                               TIMESTAMP '2024-01-30',
                                               INTERVAL 1 DAY)) AS _date
             )
-            SELECT _date, count(DISTINCT _oid) AS n
-            FROM spine JOIN fs ON fs.first_seen <= spine._date
-            GROUP BY _date
+            SELECT spine._date, count(DISTINCT _oid) AS n
+            FROM spine LEFT JOIN fs ON fs.first_seen <= spine._date
+            GROUP BY spine._date
         """,
         "tmp_age": f"""
             WITH v AS ({_V}),
@@ -771,6 +826,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM kept
             UNION ALL SELECT * FROM inserted
             UNION ALL SELECT * FROM closed
+        """,
+        "activity_reconstruct": f"""
+            SELECT user_id AS _oid, event_type AS status, ts AS _start,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS _end
+            FROM events
+        """,
+        "tmp_history_forecast": f"""
+            WITH v AS ({_V}),
+            bspine AS (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-06',
+                                              TIMESTAMP '2024-01-25',
+                                              INTERVAL 1 DAY)) AS _date
+            ),
+            basis AS (
+                SELECT b._date, count(*) AS n FROM bspine b JOIN v
+                  ON v._start <= b._date AND (v._end > b._date OR v._end IS NULL)
+                GROUP BY b._date
+            ),
+            w AS (
+                SELECT regr_slope(CAST(n AS DOUBLE), epoch(_date)) AS w0,
+                       regr_intercept(CAST(n AS DOUBLE), epoch(_date)) AS w1
+                FROM basis
+            ),
+            spine AS (
+                SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                              TIMESTAMP '2024-01-30',
+                                              INTERVAL 1 DAY)) AS _date
+            ),
+            obs AS (
+                SELECT s._date, CAST(count(v._start) AS DOUBLE) AS n
+                FROM spine s LEFT JOIN v
+                  ON v._start <= s._date AND (v._end > s._date OR v._end IS NULL)
+                WHERE s._date <= TIMESTAMP '2024-01-25'
+                GROUP BY s._date
+            ),
+            pred AS (
+                SELECT s._date, greatest(w0 * epoch(s._date) + w1, 0.0) AS n
+                FROM spine s, w WHERE s._date > TIMESTAMP '2024-01-25'
+            )
+            SELECT _date, round(n, 2) AS n FROM obs
+            UNION ALL
+            SELECT _date, round(n, 2) AS n FROM pred
         """,
         "deptree_regions": """
             SELECT CAST(n_nationkey + 100 AS BIGINT) AS child

@@ -89,6 +89,8 @@ def date_spine(
             .distinct()
         )
         return pts.orderBy("_date")
+    if scale == "auto":
+        scale = auto_select_scale(start, end)
     if scale not in _SCALE_INTERVAL:
         raise ValueError(f"unknown scale: {scale}")
     return (
@@ -121,7 +123,86 @@ def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFr
         & ((F.col("_end") > F.col("_date")) | F.col("_end").isNull()),
         "inner",
     )
-    return joined.groupBy("_date").agg(F.count("*").alias(count_col)).orderBy("_date")
+    counts = joined.groupBy("_date").agg(F.count("*").alias(count_col))
+    # zero-fill dates with no live versions (the reference's per-date scan
+    # reports 0, result.py:164-180). Done as a tiny spine←counts equi-join
+    # AFTER aggregation — a left interval-join with the spine broadcast is
+    # not executable as a broadcast join (left-outer can only build right),
+    # and would force broadcasting the big side.
+    return (
+        spine.join(counts, "_date", "left")
+        .select("_date", F.coalesce(F.col(count_col), F.lit(0)).alias(count_col))
+        .orderBy("_date")
+    )
+
+
+def auto_select_scale(start, end, ideal: int = 300) -> str:
+    """Pick a spine scale targeting ~``ideal`` points (reference
+    ``result.py:277-298`` — same thresholds). Pure scalar heuristic."""
+    import pandas as pd
+
+    days = (pd.Timestamp(end) - pd.Timestamp(start)).days
+    if days <= ideal:
+        return "daily"
+    if days / 7 <= ideal:
+        return "weekly"
+    if days / 30 <= ideal:
+        return "monthly"
+    if days / 91 <= ideal:
+        return "quarterly"
+    return "yearly"
+
+
+def history_with_forecast(
+    df: DataFrame,
+    spine: DataFrame,
+    since,
+    days: int = 20,
+    count_col: str = "count",
+) -> DataFrame:
+    """``history`` plus a linear-regression forecast for spine dates after
+    ``since`` (reference ``_linreg_future``, ``result.py:197-223``).
+
+    The regression basis is the daily history of the ``days`` days ending
+    at ``since``; slope/intercept come from the built-in ``regr_slope`` /
+    ``regr_intercept`` aggregates (distributed, no numpy/driver fitting —
+    the basis itself is the interval-join history, so this composes from
+    two broadcast joins and two aggregations). Forecast values are clamped
+    at 0 like the reference (``result.py:221-222``)."""
+    spark = df.sparkSession
+    since_ts = to_timestamp_lit(since)
+    basis_spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                since_ts - F.expr(f"interval {days - 1} days"),
+                since_ts,
+                F.expr("interval 1 day"),
+            )
+        ).alias("_date")
+    )
+    basis = history(df, basis_spine, count_col)
+    w = basis.agg(
+        F.regr_slope(F.col(count_col).cast("double"),
+                     F.col("_date").cast("double")).alias("w0"),
+        F.regr_intercept(F.col(count_col).cast("double"),
+                         F.col("_date").cast("double")).alias("w1"),
+    )
+    observed = (
+        history(df, spine.where(F.col("_date") <= since_ts), count_col)
+        .select("_date", F.col(count_col).cast("double").alias(count_col))
+    )
+    predicted = (
+        spine.where(F.col("_date") > since_ts)
+        .join(F.broadcast(w))
+        .select(
+            "_date",
+            F.greatest(
+                F.col("w0") * F.col("_date").cast("double") + F.col("w1"),
+                F.lit(0.0),
+            ).alias(count_col),
+        )
+    )
+    return observed.unionByName(predicted).orderBy("_date")
 
 
 def persistent_oid_counts(df: DataFrame, spine: DataFrame) -> DataFrame:
@@ -129,10 +210,14 @@ def persistent_oid_counts(df: DataFrame, spine: DataFrame) -> DataFrame:
     (reference ``result.py:324-337``). Aggregate to first-seen per oid
     (shuffle on ``_oid``), then broadcast-range-join the tiny spine."""
     first_seen = df.groupBy("_oid").agg(F.min("_start").alias("_first"))
-    return (
-        first_seen.join(F.broadcast(spine), F.col("_first") <= F.col("_date"), "inner")
+    counts = (
+        first_seen.join(F.broadcast(spine), F.col("_first") <= F.col("_date"))
         .groupBy("_date")
         .agg(F.countDistinct("_oid").alias("count"))
+    )
+    return (
+        spine.join(counts, "_date", "left")
+        .select("_date", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
         .orderBy("_date")
     )
 

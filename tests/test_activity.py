@@ -1,0 +1,181 @@
+"""Activity-history reconstruction tests — semantics pinned to the
+reference's `_activity_import_doc`/`_activity_backwards`
+(/root/reference/metrique/cubes/sqldata/generic.py:125-199): backwards
+replay, same-instant grouping, list element replay, inconsistency capture
+in _e, creation-field back-dating, and the drop-when-nothing-happened rule.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.operators.activity import activity_import
+
+
+def ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+DOC_SCHEMA = ("_oid long, status string, tags array<string>, "
+              "created timestamp, _start timestamp, _end timestamp")
+ACT_SCHEMA = ("_oid long, when timestamp, field string, removed string, "
+              "added string, removed_list array<string>, added_list array<string>")
+
+
+def make(spark, docs, acts):
+    return (
+        spark.createDataFrame(docs, DOC_SCHEMA),
+        spark.createDataFrame(acts, ACT_SCHEMA),
+    )
+
+
+def test_scalar_backwards_replay(spark):
+    docs, acts = make(
+        spark,
+        [(1, "done", None, ts(1), ts(10), None)],
+        [
+            (1, ts(5), "status", "open", "done", None, None),
+            (1, ts(2), "status", "new", "open", None, None),
+        ],
+    )
+    out = activity_import(docs, acts, fields=["status"], cfield="created")
+    rows = {(r["_start"], r["_end"]): r["status"]
+            for r in out.collect()}
+    # current state begins at the last change; each older version spans to
+    # the next change; the oldest is back-dated to `created`
+    assert rows == {
+        (ts(5), None): "done",
+        (ts(2), ts(5)): "open",
+        (ts(1), ts(2)): "new",
+    }
+
+
+def test_same_instant_changes_group_into_one_version(spark):
+    docs, acts = make(
+        spark,
+        [(1, "done", ["a", "b"], ts(1), ts(10), None)],
+        [
+            (1, ts(4), "status", "open", "done", None, None),
+            (1, ts(4), "tags", None, None, ["z"], ["b"]),
+        ],
+    )
+    out = activity_import(docs, acts, fields=["status", "tags"],
+                          cfield="created").collect()
+    assert len(out) == 2  # one split, not two
+    old = [r for r in out if r["_end"] is not None][0]
+    assert old["status"] == "open" and sorted(old["tags"]) == ["a", "z"]
+
+
+def test_list_replay_and_inconsistency(spark):
+    docs, acts = make(
+        spark,
+        [(1, "x", ["a"], ts(1), ts(10), None)],
+        # says 'b' was added at t3, but current value lacks 'b' → inconsistent
+        [(1, ts(3), "tags", None, None, ["c"], ["b"])],
+    )
+    out = activity_import(docs, acts, fields=["tags"]).collect()
+    old = [r for r in out if r["_end"] is not None][0]
+    assert sorted(old["tags"]) == ["a", "c"]  # replay continues regardless
+    assert old["_e"] == {"tags": "b"}
+
+
+def test_scalar_inconsistency_marks_e(spark):
+    docs, acts = make(
+        spark,
+        [(1, "done", None, ts(1), ts(10), None)],
+        [(1, ts(5), "status", "open", "closed", None, None)],  # added != done
+    )
+    out = activity_import(docs, acts, fields=["status"]).collect()
+    old = [r for r in out if r["_end"] is not None][0]
+    assert old["status"] == "open" and old["_e"] == {"status": "closed"}
+
+
+def test_no_activity_with_useless_cfield_drops_doc(spark):
+    # creation does NOT predate _start and nothing was replayed → no rows
+    docs, acts = make(spark, [(1, "done", None, ts(10), ts(5), None)], [])
+    assert activity_import(docs, acts, fields=["status"],
+                           cfield="created").count() == 0
+
+
+def test_no_activity_without_cfield_keeps_doc(spark):
+    docs, acts = make(spark, [(1, "done", None, ts(1), ts(5), None)], [])
+    out = activity_import(docs, acts, fields=["status"]).collect()
+    assert len(out) == 1 and out[0]["_start"] == ts(5)
+
+
+def test_activities_at_or_after_start_ignored(spark):
+    docs, acts = make(
+        spark,
+        [(1, "done", None, ts(1), ts(5), None)],
+        [
+            (1, ts(5), "status", "open", "done", None, None),   # == _start
+            (1, ts(7), "status", "x", "y", None, None),          # > _start
+        ],
+    )
+    out = activity_import(docs, acts, fields=["status"]).collect()
+    assert len(out) == 1  # nothing replayed
+
+
+def test_reconstruction_matches_event_log(spark):
+    """End-to-end: rebuilding from a change-log of the events table equals
+    the lead()-window versions view (the same invariant the driver's
+    activity_reconstruct oracle checks at sf0.01)."""
+    from pyspark.sql import Window
+
+    from metrique_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = ev.select(
+        F.col("user_id").alias("_oid"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("_start"),
+        F.lead("ts").over(w).alias("_end"),
+    )
+
+    last = (
+        ev.withColumn("__rn", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                                  F.col("event_id").desc())))
+        .where(F.col("__rn") == 1)
+    )
+    docs = last.select(
+        F.col("user_id").alias("_oid"),
+        F.col("event_type").alias("status"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.first("ts").over(Window.partitionBy("user_id").orderBy("ts")).alias("created"),
+        F.lit("2024-03-01").cast("timestamp").alias("_start"),
+        F.lit(None).cast("timestamp").alias("_end"),
+    )
+    created = ev.groupBy("user_id").agg(F.min("ts").alias("created"))
+    docs = (
+        last.join(created, "user_id")
+        .select(
+            F.col("user_id").alias("_oid"),
+            F.col("event_type").alias("status"),
+            F.lit(None).cast("array<string>").alias("tags"),
+            "created",
+            F.lit("2024-03-01").cast("timestamp").alias("_start"),
+            F.lit(None).cast("timestamp").alias("_end"),
+        )
+    )
+    acts = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.col("user_id").alias("_oid"),
+            F.col("ts").alias("when"),
+            F.lit("status").alias("field"),
+            F.col("prev").alias("removed"),
+            F.col("event_type").alias("added"),
+            F.lit(None).cast("array<string>").alias("removed_list"),
+            F.lit(None).cast("array<string>").alias("added_list"),
+        )
+    )
+    got = activity_import(docs, acts, fields=["status"], cfield="created")
+    g = {(r["_oid"], r["_start"]): (r["_end"], r["status"])
+         for r in got.collect()}
+    e = {(r["_oid"], r["_start"]): (r["_end"], r["status"])
+         for r in expected.collect()}
+    assert g == e
