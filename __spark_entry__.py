@@ -29,7 +29,7 @@ from metrique_spark import temporal
 from metrique_spark.engine import Engine
 from metrique_spark.functions import dedup, similarity, text
 from metrique_spark.objects import stamp
-from metrique_spark.upsert import snapshot_merge
+from metrique_spark.upsert import snapshot_merge_tagged
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -359,9 +359,8 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["_oid", "event_type", "value", "_start", "_end", "_hash", "_id"]
     open_rows = latest_state(ev.where(F.col("ts") < cut)).select(cols)
     incoming = latest_state(ev.where(F.col("ts") >= cut)).select(cols)
-    new_open, closed = snapshot_merge(open_rows, incoming)
-    out = ["_oid", "event_type", "value", "_start", "_end"]
-    return new_open.select(out).unionByName(closed.select(out))
+    tagged = snapshot_merge_tagged(open_rows, incoming)
+    return tagged.select("_oid", "event_type", "value", "_start", "_end")
 
 
 def activity_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,20 +130,22 @@ class Engine:
         cols = [c for c in table.columns if c != "_current"]
         if autosnap:
             open_rows = table.where(F.col("_current")).select(*cols)
-            new_open, closed = _upsert.snapshot_merge(open_rows, incoming.select(*cols))
-            # materialize before rewriting the partition we read from
-            merged = new_open.withColumn("_end", F.col("_end"))  # no-op, keeps lineage clear
-            new_open_pd = merged.localCheckpoint(eager=True)
-            closed_pd = closed.localCheckpoint(eager=True)
+            # one join, one materialization (must happen before rewriting
+            # the partition we read from), then two cheap filters
+            tagged = _upsert.snapshot_merge_tagged(
+                open_rows, incoming.select(*cols)
+            ).localCheckpoint(eager=True)
             (
-                new_open_pd.withColumn("_current", F.lit(True))
+                tagged.where(~F.col("__closed")).drop("__closed")
+                .withColumn("_current", F.lit(True))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("_current")
                 .parquet(path)
             )
             (
-                closed_pd.withColumn("_current", F.lit(False))
+                tagged.where(F.col("__closed")).drop("__closed")
+                .withColumn("_current", F.lit(False))
                 .write.mode("append")
                 .partitionBy("_current")
                 .parquet(path)
