@@ -363,6 +363,62 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("_oid", "event_type", "value", "_start", "_end")
 
 
+def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join (SURVEY §2.6 temporal join pattern): each purchase event
+    picks up the user's latest signup/error state at-or-before its time.
+    Union+window implementation — one shuffle, no range explosion."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    states = ev.where(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        F.col("ts").alias("state_ts"),
+        F.col("value").alias("state_value"),
+    )
+    out = temporal.asof_join(
+        purchases, states, on="user_id", left_ts="ts", right_ts="state_ts",
+        payload=["state_ts", "state_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "state_ts", "state_value")
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap-based sessionization via built-in session_window (30-min gap);
+    value sums decimal-exact for oracle parity."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders (beyond-reference relational
+    surface, SURVEY §2.6)."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+        )
+    )
+
+
 def activity_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """activity-history reconstruction (reference generic.py:106-199):
     rebuild per-user version history from a synthesized field-level
@@ -587,6 +643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_snapshot": upsert_snapshot,
         "activity_reconstruct": activity_reconstruct,
         "tmp_history_forecast": tmp_history_forecast,
+        "tmp_asof_join": tmp_asof_join,
+        "events_sessionize": events_sessionize,
+        "q_rollup_status": q_rollup_status,
         "deptree_regions": deptree_regions,
         # pipeline extensions
         "text_fingerprints": text_fingerprints,
@@ -825,6 +884,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM kept
             UNION ALL SELECT * FROM inserted
             UNION ALL SELECT * FROM closed
+        """,
+        "tmp_asof_join": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), states AS (
+                SELECT user_id, ts AS state_ts, value AS state_value
+                FROM events WHERE event_type IN ('signup', 'error')
+            )
+            SELECT l.event_id, l.user_id, l.ts, r.state_ts, r.state_value
+            FROM purchases l
+            ASOF LEFT JOIN states r
+              ON l.user_id = r.user_id AND l.ts >= r.state_ts
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS value_sum
+            FROM s GROUP BY user_id, sid
+        """,
+        "q_rollup_status": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "activity_reconstruct": f"""
             SELECT user_id AS _oid, event_type AS status, ts AS _start,

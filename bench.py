@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     "tmp_last_version",
     "tmp_last_chain",
     "tmp_dfind",
+    "tmp_asof_join",
+    "events_sessionize",
+    "q_rollup_status",
     "upsert_snapshot",
     "text_fingerprints",
     "text_quality",

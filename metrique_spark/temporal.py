@@ -322,6 +322,66 @@ def last_chain(df: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str = "_start",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each ``left`` row, attach the latest ``right`` row
+    (per ``on`` key) whose ``right_ts`` <= ``left_ts``.
+
+    SURVEY §2.6 names this one of the two temporal join patterns to make
+    first-class (the reference reaches it via ``on_date`` per date).
+
+    Implementation is the union+window trick, NOT a range join: tag and
+    union both sides, sort within each ``on`` partition by (time,
+    right-first), and carry the last seen right payload forward with
+    ``last_value(ignorenulls)``. One shuffle on the key, linear work —
+    no |left|×|versions| intermediate, which is what a naive range join
+    produces at 100 TB. Ties (right_ts == left_ts) resolve to the right
+    row, matching ASOF JOIN semantics (>= match).
+    """
+    payload = list(payload) if payload is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lcols = [c for c in left.columns]
+    # the payload rides as ONE struct so the carried values always come from
+    # a single right row — per-column last(ignorenulls) would stitch
+    # together different rows when right columns are legitimately NULL
+    p_struct = F.struct(*[F.col(c) for c in payload])
+    p_type = right.select(p_struct.alias("__p")).schema["__p"].dataType
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(p_type).alias("__p"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c != on else F.col(on) for c in lcols],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        p_struct.alias("__p"),
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__side",
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__p"),
+    )
+    return filled.where(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__p.{c}").alias(c) for c in payload]
+    )
+
+
 # ---------------------------------------------------------------------------
 # diffs / traversal / grouped apply
 
