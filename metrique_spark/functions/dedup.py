@@ -99,6 +99,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     n: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs word-set Jaccard via token inverted index (exact).
 
@@ -107,12 +108,21 @@ def jaccard_pairs(
     → count intersections per pair → Jaccard from per-doc set sizes.
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 4dp.
 
-    At 100 TB you'd cap the index by dropping ultra-frequent shingles
-    (stop-shingles) — ``max_doc_freq`` does that.
+    ``max_doc_freq`` caps the index by dropping shingles appearing in more
+    than that many docs (stop-shingles). A shingle in k docs contributes
+    k² join rows — one ultra-frequent shingle is the whole skew story at
+    100 TB. Dropping them undercounts intersections slightly (Jaccard
+    becomes a lower bound), which is the standard recall/cost trade;
+    leave None for exact results.
     """
     sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
     sizes = sh.select("id", "sz")
     inv = sh.select("id", F.explode("sh").alias("tok"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("tok").agg(F.count("*").alias("__df"))
+        inv = (
+            inv.join(freq.where(F.col("__df") <= max_doc_freq), "tok", "left_semi")
+        )
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.tok") == F.col("b.tok"))

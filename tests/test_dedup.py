@@ -70,3 +70,18 @@ def test_simhash_near_duplicates(docs):
              for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0  # same canonical tokens
     assert (1, 3) in pairs  # one word swapped -> few bits differ
+
+
+def test_jaccard_max_doc_freq_drops_stop_shingles(spark):
+    # 'common' appears in all docs; capping doc-freq removes its pairs
+    df = spark.createDataFrame(
+        [(1, "common alpha beta"), (2, "common alpha beta"),
+         (3, "common gamma delta")],
+        "doc_id long, text string")
+    exact = dedup.jaccard_pairs(df, threshold=0.1, n=1)
+    capped = dedup.jaccard_pairs(df, threshold=0.1, n=1, max_doc_freq=2)
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    c = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert e[(1, 2)] == 1.0
+    assert c[(1, 2)] < e[(1, 2)]          # intersection undercounted
+    assert (1, 3) in e and (1, 3) not in c  # only-common pair disappears
