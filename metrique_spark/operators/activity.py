@@ -54,11 +54,153 @@ def _ensure_list_cols(acts: DataFrame) -> DataFrame:
     return acts
 
 
+def _activity_import_window(
+    docs: DataFrame,
+    activities: DataFrame,
+    tracked: list[str],
+    cfield: str | None,
+) -> DataFrame:
+    """Scalar-field fast path: the backwards replay expressed as window
+    fills — zero Python, one shuffle on ``_oid`` for the heavy work.
+
+    Key observation: with scalar fields, the reconstructed version starting
+    at boundary ``t`` has, for each tracked field, the ``removed`` value of
+    that field's FIRST activity strictly after ``t`` (none → the doc's
+    final value). Inconsistency at activity ``j`` compares the value just
+    after ``j`` with ``added_j`` and lands in ``_e`` of the version ending
+    at ``when_j`` — all first()-over-following-window logic, no sequential
+    state. Validated equivalent to the Python replay by the shared tests
+    and the driver's changelog-reconstruction oracle.
+    """
+    from pyspark.sql import Window
+
+    doc_cols = [c for c in docs.columns if c != "_e"]
+    d = docs.select(*[F.col(c).alias(f"__d_{c}" if c != "_oid" else c)
+                      for c in doc_cols])
+    acts = activities.join(
+        d.select("_oid", F.col("__d__start").alias("__doc_start")), "_oid"
+    ).where(
+        (F.col("when") < F.col("__doc_start")) & F.col("field").isin(tracked)
+    ).select("_oid", "when", "field", "removed", "added")
+
+    # row kinds share one (t, rank) ordering: zero-width version (0) sees
+    # same-instant acts; acts (1) see strictly-later acts; versions (2)
+    # see strictly-later acts only
+    a_rows = acts.select("_oid", F.col("when").alias("__t"),
+                         F.lit(1).alias("__rank"), "field", "removed", "added")
+    v_rows = acts.select("_oid", F.col("when").alias("__t")).distinct().select(
+        "_oid", "__t", F.lit(2).alias("__rank"),
+        F.lit(None).cast("string").alias("field"),
+        F.lit(None).cast("string").alias("removed"),
+        F.lit(None).cast("string").alias("added"),
+    )
+    z_rows = acts.groupBy("_oid").agg(F.min("when").alias("__t")).select(
+        "_oid", "__t", F.lit(0).alias("__rank"),
+        F.lit(None).cast("string").alias("field"),
+        F.lit(None).cast("string").alias("removed"),
+        F.lit(None).cast("string").alias("added"),
+    )
+    u = a_rows.unionByName(v_rows).unionByName(z_rows).join(d, "_oid")
+
+    # "first strictly-following activity of field f" computed as a
+    # cumulative last() over DESCENDING order: [unboundedPreceding, -1]
+    # frames update incrementally (O(n) per partition), whereas a
+    # [1, unboundedFollowing] frame re-scans the remainder per row (O(n²) —
+    # measured 16s vs 4s at sf0.1 on ~700-row partitions)
+    fill_w = (
+        Window.partitionBy("_oid")
+        .orderBy(F.col("__t").desc(), F.col("__rank").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for f in tracked:
+        nxt = F.last(
+            F.when(F.col("field") == f, F.col("removed")), ignorenulls=True
+        ).over(fill_w)
+        u = u.withColumn(
+            f"__v_{f}",
+            F.coalesce(nxt, F.col(f"__d_{f}").cast("string")),
+        )
+
+    # inconsistencies: activity j mismatches when the value just after it
+    # (its own fill) differs from added_j; collect per (oid, when) as the
+    # _e map of the version ENDING there (generic.py:160-167)
+    act_vals = u.where(F.col("__rank") == 1)
+    val_after = None
+    for f in tracked:
+        v = F.when(F.col("field") == f, F.col(f"__v_{f}"))
+        val_after = v if val_after is None else F.coalesce(val_after, v)
+    mism = act_vals.where(~val_after.eqNullSafe(F.col("added"))).groupBy(
+        "_oid", "__t"
+    ).agg(F.map_from_entries(
+        F.collect_list(F.struct("field", "added"))).alias("__e"))
+
+    vers = u.where(F.col("__rank") != 1)
+    lead_w = Window.partitionBy("_oid").orderBy("__t", "__rank")
+    if cfield:
+        # oldest (zero-width) version back-dates to creation when earlier
+        # (generic.py:168-184)
+        backdate = (
+            (F.col("__rank") == 0)
+            & F.col(f"__d_{cfield}").isNotNull()
+            & (F.col(f"__d_{cfield}") < F.col("__t"))
+        )
+        start_col = F.when(backdate, F.col(f"__d_{cfield}")).otherwise(F.col("__t"))
+    else:
+        start_col = F.col("__t")
+    vers = vers.withColumn("_start", start_col).withColumn(
+        "_end",
+        # zero-width version ends at its own instant (generic.py:146-148);
+        # normal versions end at the next boundary, last one stays open
+        F.when(F.col("__rank") == 0, F.col("__t")).otherwise(
+            F.lead("__t").over(lead_w)
+        ),
+    )
+
+    out_vals = [F.col("_oid")]
+    for c in doc_cols:
+        if c == "_oid":
+            continue
+        if c in ("_start", "_end"):
+            out_vals.append(F.col(c))
+        elif c in tracked:
+            out_vals.append(F.col(f"__v_{c}").cast(docs.schema[c].dataType).alias(c))
+        else:
+            out_vals.append(F.col(f"__d_{c}").alias(c))
+    m = mism.select(
+        F.col("_oid").alias("__m_oid"), F.col("__t").alias("__m_t"), "__e"
+    )
+    with_acts = vers.join(
+        m,
+        (F.col("_oid") == F.col("__m_oid")) & (F.col("_end") == F.col("__m_t")),
+        "left",
+    ).select(*out_vals, F.col("__e").alias("_e"))
+
+    # oids with no replayable activity: the doc itself (generic.py:168-184)
+    no_act = d.join(acts.select("_oid").distinct(), "_oid", "left_anti")
+    keep = no_act
+    if cfield:
+        keep = no_act.where(F.col(f"__d_{cfield}").isNotNull()
+                            & (F.col(f"__d_{cfield}") < F.col("__d__start")))
+        backdated = [
+            (F.col(f"__d_{cfield}") if c == "_start" else F.col(f"__d_{c}"))
+            .alias(c)
+            for c in doc_cols if c != "_oid"
+        ]
+    else:
+        backdated = [F.col(f"__d_{c}").alias(c) for c in doc_cols if c != "_oid"]
+    doc_rows = keep.select(
+        "_oid", *backdated,
+        F.lit(None).cast("map<string,string>").alias("_e"),
+    )
+    return with_acts.unionByName(doc_rows)
+
+
 def activity_import(
     docs: DataFrame,
     activities: DataFrame,
     fields: Iterable[str] | None = None,
     cfield: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Reconstruct full version history for each doc from its changelog.
 
@@ -74,10 +216,26 @@ def activity_import(
 
     Returns one row per reconstructed version, same schema as ``docs`` plus
     an ``_e`` map<string,string> of per-field inconsistencies.
+
+    ``strategy``: 'window' = pure window-function fast path (scalar fields
+    only — zero Python); 'python' = cogrouped backwards replay (required
+    for list fields); 'auto' picks per the tracked fields' types.
     """
     doc_cols = list(docs.columns)
     tracked = set(fields) if fields is not None else set(doc_cols)
     tracked &= set(doc_cols)
+
+    if strategy == "auto":
+        has_list = any(
+            isinstance(docs.schema[f].dataType, T.ArrayType)
+            for f in tracked if f in docs.columns
+        )
+        strategy = "python" if has_list else "window"
+    if strategy == "window":
+        scalar_tracked = sorted(
+            tracked - {"_oid", "_start", "_end", "_e"}
+        )
+        return _activity_import_window(docs, activities, scalar_tracked, cfield)
     acts = _ensure_list_cols(activities).select(*ACTIVITY_FIELDS)
 
     out_fields = [f for f in docs.schema.fields if f.name != "_e"]
