@@ -62,3 +62,43 @@ def test_streaming_micro_batch(spark, sf_dir, tmp_path):
     # 2h of event-time should be present
     got = spark.sql("select sum(n) as s from tc").first()["s"]
     assert got is not None and got > 0
+
+
+def test_stream_upsert_sink(spark, sf_dir, tmp_path):
+    """readStream → foreachBatch → Engine temporal upsert: streaming ingest
+    of versioned objects lands in the warehouse with snapshot semantics."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from metrique_spark.engine import Engine
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+
+    stream = ev.read_events_stream(spark, str(src_dir))
+    objs = stream.select(
+        F.col("user_id").alias("_oid"),
+        "event_type",
+        F.col("ts").alias("_start"),
+    )
+
+    def sink(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            eng.upsert("user_state", batch_df)
+
+    q = (
+        objs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id").distinct().count()
+    # one open version per user (last-write-wins within the batch)
+    assert eng.count("user_state", date=None) == n_users
+    assert eng.count("user_state", date="~") >= n_users
