@@ -196,6 +196,20 @@ class Engine:
             df = df.limit(limit)
         return df
 
+    def find_one(self, cube: str | DataFrame, query: str | None = None,
+                 **kw):
+        """First matching row as a dict, or None (reference ``one=True``,
+        ``sqlalchemy.py:769-771``)."""
+        row = self.find(cube, query, **kw).first()
+        return row.asDict(recursive=True) if row is not None else None
+
+    def find_scalar(self, cube: str | DataFrame, query: str | None = None,
+                    **kw):
+        """First column of the first matching row (reference
+        ``scalar=True``, ``sqlalchemy.py:772-774``)."""
+        row = self.find(cube, query, **kw).first()
+        return row[0] if row is not None else None
+
     def count(self, cube: str | DataFrame, query: str | None = None,
               date: str | None = None) -> int:
         """Count matches (reference ``sqlalchemy.py:641-664``)."""

@@ -63,3 +63,15 @@ def test_sql_over_registered_cubes(engine):
 def test_dfind_via_engine(engine):
     out = engine.dfind("v", ["val"])
     assert out.count() == 3
+
+
+def test_find_one_and_scalar(spark, versions):
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark)
+    one = eng.find_one(versions, "val == 'c'", date="~")
+    assert one is not None and one["val"] == "c" and one["_oid"] == 1
+    assert eng.find_one(versions, "val == 'zzz'", date="~") is None
+    n = eng.find_scalar(versions, "val == 'a'", fields="_oid", date="~",
+                        sort="_oid")
+    assert n == 1
