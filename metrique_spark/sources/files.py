@@ -8,7 +8,12 @@ column expression, not a per-row callable.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import pickle
+import re
+import tempfile
+import urllib.request
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,7 +47,16 @@ def load(
 ) -> DataFrame:
     """Glob-aware multi-file loader (reference ``load()``,
     ``utils.py:762-825``). ``oid`` is a column name or expression assigned
-    to ``_oid``; None leaves assignment to a later ``stamp()``."""
+    to ``_oid``; None leaves assignment to a later ``stamp()``.
+
+    ``http(s)://`` paths are fetched driver-side to a temp file first
+    (reference ``utils.py:791-798``) and read from there; the temp file
+    is left in place because Spark reads lazily."""
+    if re.match(r"https?://", path):
+        return _load_url(spark, path, filetype, oid, **reader_options)
+    if filetype == "pickle" or (filetype is None
+                                and path.rstrip("*").endswith(".pickle")):
+        return load_pickle(spark, path, oid=oid)
     fmt = filetype or detect_format(path)
     reader = spark.read
     if fmt == "csv":
@@ -50,6 +64,56 @@ def load(
         if path.endswith(".tsv"):
             reader = reader.option("sep", "\t")
     df = reader.options(**reader_options).format(fmt).load(path)
+    if oid is not None:
+        df = df.withColumn("_oid", F.col(oid) if isinstance(oid, str) else oid)
+    return df
+
+
+def _load_url(
+    spark: SparkSession,
+    url: str,
+    filetype: str | None,
+    oid: str | Column | None,
+    **reader_options,
+) -> DataFrame:
+    """Driver-side fetch of an HTTP(S) source into a temp file, then the
+    normal loader (reference ``load()`` URL branch, ``utils.py:791-798``
+    and ``urlretrieve``, ``utils.py:1340-1359``). At cluster scale a
+    one-shot driver fetch only suits small side inputs; bulk data should
+    land on shared storage first."""
+    fmt = filetype or detect_format(url.split("?", 1)[0])
+    suffix = os.path.splitext(url.split("?", 1)[0])[1] or f".{fmt}"
+    fd, tmp = tempfile.mkstemp(prefix="metrique_fetch_", suffix=suffix)
+    os.close(fd)
+    urllib.request.urlretrieve(url, tmp)  # noqa: S310 — explicit user URL
+    return load(spark, tmp, fmt, oid=oid, **reader_options)
+
+
+def load_pickle(
+    spark: SparkSession, path: str, oid: str | Column | None = None
+) -> DataFrame:
+    """Multi-pickle stream loader (reference ``load_pickle``,
+    ``utils.py:903-912``): each file may hold several concatenated pickle
+    dumps; each dump is a dict-record or a list of them.
+
+    Pickle is not splittable, so files are read driver-side and
+    parallelized — suitable for the reference's small fixture streams,
+    not a bulk path (convert to parquet for that)."""
+    files = sorted(_glob.glob(os.path.expanduser(path)))
+    if not files:
+        raise IOError(f"failed to load: {path}")
+    records: list[dict] = []
+    for fp in files:
+        with open(fp, "rb") as f:
+            while True:
+                try:
+                    obj = pickle.load(f)
+                except EOFError:
+                    break
+                records.extend(obj if isinstance(obj, list) else [obj])
+    if not records:
+        raise RuntimeError("no objects extracted!")
+    df = spark.createDataFrame(records)
     if oid is not None:
         df = df.withColumn("_oid", F.col(oid) if isinstance(oid, str) else oid)
     return df

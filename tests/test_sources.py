@@ -92,3 +92,50 @@ def test_multimodal_features(spark):
     # metadata-only projection never touches payload bytes
     meta_only = media.select("media_id", "meta.bytes")
     assert meta_only.count() == 30
+
+
+def test_load_pickle_multi_stream(spark, tmp_path):
+    import pickle
+
+    p = tmp_path / "objs.pickle"
+    with open(p, "wb") as f:
+        pickle.dump({"id": 1, "val": "a"}, f)
+        pickle.dump([{"id": 2, "val": "b"}, {"id": 3, "val": "c"}], f)
+    df = files.load_pickle(spark, str(p), oid="id")
+    rows = {r["_oid"]: r["val"] for r in df.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+    # dispatcher route by extension
+    assert files.load(spark, str(p)).count() == 3
+
+
+def test_load_http_fetch(spark, tmp_path):
+    import http.server
+    import threading
+
+    (tmp_path / "web.csv").write_text("id,val\n1,x\n2,y\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/web.csv"
+        df = files.load(spark, url, oid="id")
+        assert sorted(r["val"] for r in df.collect()) == ["x", "y"]
+    finally:
+        srv.shutdown()
+
+
+def test_rpm_packages_injected_runner(spark):
+    from metrique_spark.sources import rpm
+
+    fake = ("bash:::5.1:::1:::x86_64:::bash-5.1-1.x86_64:::GPL:::linux:::"
+            "(none):::(none):::0:::bash-5.1-1.src.rpm:::The shell\n"
+            "zsh:::5.8:::2:::x86_64:::zsh-5.8-2.x86_64:::MIT:::linux:::"
+            "Me:::x86:::0:::zsh-5.8-2.src.rpm:::Z shell\n")
+    df = rpm.rpm_packages(spark, _runner=lambda fmt: fake)
+    rows = {r["name"]: r for r in df.collect()}
+    assert set(rows) == {"bash", "zsh"}
+    assert rows["bash"]["packager"] is None          # (none) -> NULL
+    assert rows["zsh"]["packager"] == "Me"
+    assert rows["bash"]["_oid"].endswith("__bash-5.1-1.x86_64")
+    assert rows["bash"]["_start"] is not None and rows["bash"]["_end"] is None
