@@ -573,6 +573,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
 
 
+def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = nlist — degenerates to exact search, which makes
+    the ENTIRE inverted-file pipeline (deterministic centroid sampling,
+    bucket assignment, probe ranking, per-bucket scoring, global top-k)
+    value-checkable against the brute-force oracle. The partial-probe
+    entry (sim_ivf_topk) stays rows-only; recall quality is pinned in
+    tests/test_similarity.py."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=16)
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing: opaque binary column + typed metadata (byte
     length, content digest) — the decode step itself is stubbed per
@@ -656,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_fullprobe": sim_ivf_fullprobe,
         "mm_binary_meta": mm_binary_meta,
         "events_daily_rollup": events_daily_rollup,
     }
@@ -1035,6 +1049,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "sim_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) AS sim
+                FROM q, c WHERE query_id <> neighbor_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
+        """,
+        # full-probe IVF is exact ⇒ same oracle as brute force
+        "sim_ivf_fullprobe": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 10),
             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
