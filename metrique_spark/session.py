@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Full PushedFilters/ReadSchema in plan strings (the 100-char
+        # default truncates them with "...", which blinds plans/audit.py;
+        # the length is captured at first render, so it must be set at
+        # session build, not at audit time).
+        .config("spark.sql.maxMetadataStringLength", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

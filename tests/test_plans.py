@@ -1,0 +1,98 @@
+"""Physical-plan audits: pin the scale-critical shape of the headline
+queries so a regression (lost pushdown, lost broadcast, surprise
+cartesian, extra shuffle) fails here at sf0.001 instead of on a cluster.
+
+Bounds are exact where the plan is deterministic (exchange counts) and
+one-sided where AQE may legitimately improve things (broadcast counts can
+grow when AQE converts a sort-merge join at runtime).
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+from metrique_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return audit.executed_plan(entry.queries()[name](spark, SF))
+
+
+def test_q1_single_shuffle_pruned_scan(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    # one shuffle: the partial/final hash aggregation pair (map-side
+    # combine shrinks what moves); the shipdate filter reaches the scan
+    assert audit.count_exchanges(p) <= 2
+    assert not audit.has_cartesian(p)
+    assert any("l_shipdate" in f for f in audit.pushed_filters(p))
+    [schema] = audit.read_schemas(p)
+    # 16-column lineitem pruned to exactly the 6 needed
+    assert schema.count(":") == 6
+    assert "l_comment" not in schema
+
+
+def test_q3_broadcasts_dims_one_shuffle(spark):
+    p = _plan(spark, "q3_shipping_priority")
+    assert audit.broadcast_join_count(p) >= 2      # customer + orders sides
+    assert audit.count_exchanges(p) <= 1            # only the final agg
+    assert not audit.has_cartesian(p)
+    assert any("c_mktsegment" in f for f in audit.pushed_filters(p))
+
+
+def test_q5_all_dims_broadcast(spark):
+    p = _plan(spark, "q5_local_supplier")
+    # region/nation/supplier/customer/orders all broadcast: the only
+    # shuffle left is the final aggregation
+    assert audit.broadcast_join_count(p) >= 5
+    assert audit.count_exchanges(p) <= 1
+    assert not audit.has_cartesian(p)
+    assert any("r_name" in f for f in audit.pushed_filters(p))
+
+
+def test_mql_filter_fully_pushed_no_shuffle(spark):
+    p = _plan(spark, "mql_find_returns")
+    # an MQL find compiles to scan+filter+project: no exchange at all,
+    # every comparison pushed into the parquet reader
+    assert audit.count_exchanges(p) == 0
+    pushed = audit.pushed_filters(p)
+    assert any("EqualTo(l_returnflag,R)" in f for f in pushed)
+    assert any("l_quantity" in f for f in pushed)
+    assert any("l_shipdate" in f for f in pushed)
+    [schema] = audit.read_schemas(p)
+    assert "l_comment" not in schema
+
+
+def test_snapshot_merge_two_exchanges(spark):
+    # the tagged single-pass merge design: one exchange per side of the
+    # full-outer co-partition join, nothing re-executed per output role
+    p = _plan(spark, "upsert_snapshot")
+    assert audit.count_exchanges(p) == 2
+    assert not audit.has_cartesian(p)
+
+
+def test_minhash_no_cartesian_bounded_shuffles(spark):
+    # LSH candidate join + verify join stay equi-joins on (band, hash) /
+    # id — an accidental cartesian here is the classic all-pairs blowup
+    p = _plan(spark, "dedup_minhash_pairs")
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= 3
+    assert audit.broadcast_join_count(p) >= 1
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    p = _plan(spark, "sim_cosine_topk")
+    # corpus scanned once, query side broadcast, one window shuffle
+    assert audit.broadcast_join_count(p) >= 1
+    assert audit.count_exchanges(p) <= 1
+    assert not audit.has_cartesian(p)
+
+
+@pytest.mark.parametrize("name", ["tmp_on_date", "dedup_exact_groups",
+                                  "tmp_asof_join"])
+def test_single_shuffle_operators(spark, name):
+    # temporal point-lookup, exact dedup, and as-of join are all
+    # one-shuffle plans (partition on _oid / fingerprint / join key)
+    p = _plan(spark, name)
+    assert audit.count_exchanges(p) <= 1
+    assert not audit.has_cartesian(p)
