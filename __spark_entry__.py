@@ -573,6 +573,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.45):
+    Arrow-batched BLAS matmul against a broadcast normalized matrix —
+    the fourth dedup modality (exact / jaccard / minhash / embedding)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.45)
+
+
 def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe = nlist — degenerates to exact search, which makes
     the ENTIRE inverted-file pipeline (deterministic centroid sampling,
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
         "events_daily_rollup": events_daily_rollup,
     }
@@ -1065,6 +1075,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
+        """,
+        "dedup_embedding_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
         """,
         # full-probe IVF is exact ⇒ same oracle as brute force
         "sim_ivf_fullprobe": """

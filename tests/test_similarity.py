@@ -145,3 +145,39 @@ def test_simhash_pairs_pinned_golden(spark):
         (260, 391, 3), (261, 296, 3), (270, 329, 0), (306, 387, 3),
         (306, 457, 3), (328, 428, 0), (474, 498, 3),
     ]
+
+
+def test_cosine_pairs_exact_known_vectors(spark):
+    from metrique_spark.functions.similarity import cosine_pairs
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.01]),   # ~identical direction
+        (3, [0.0, 1.0]),                      # orthogonal to 1
+        (4, [-1.0, 0.0]),                     # opposite to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.sim
+           for r in cosine_pairs(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0  # cos ≈ 0.99995 rounds to 1.0 at 4dp
+
+
+def test_cosine_pairs_bucketed_subset_and_exact_sims(spark):
+    from metrique_spark.functions.similarity import (cosine_pairs,
+                                                     cosine_pairs_bucketed)
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.sim
+             for r in cosine_pairs(emb, threshold=0.4).collect()}
+    bucketed = {(r.id_a, r.id_b): r.sim
+                for r in cosine_pairs_bucketed(emb, threshold=0.4).collect()}
+    # precision is exact: every emitted pair is a true pair, same sim
+    assert set(bucketed) <= set(exact)
+    assert all(exact[k] == bucketed[k] for k in bucketed)
+    # recall: probing 2/16 buckets on structureless vectors still finds a
+    # meaningful share; full probing finds everything
+    assert len(bucketed) >= len(exact) * 0.3
+    full = {(r.id_a, r.id_b)
+            for r in cosine_pairs_bucketed(emb, threshold=0.4,
+                                           nprobe=16).collect()}
+    assert full == set(exact)
