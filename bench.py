@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_embedding_pairs",
     "sim_cosine_topk",
     "events_daily_rollup",
 ]
