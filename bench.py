@@ -71,6 +71,20 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer reads
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # warm the Python-UDF worker pool: with spark.python.worker.reuse the
+    # forked workers persist, but each pays a one-time numpy/pandas import;
+    # absorb that here (one task per core) so the Arrow-path queries below
+    # measure plan execution, not interpreter spin-up
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, 1024, 1, int(cpus)).mapInPandas(
+        _warm, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
