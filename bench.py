@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "q_rollup_status",
     "upsert_snapshot",
+    "activity_reconstruct",
+    "deptree_regions",
     "text_fingerprints",
     "text_quality",
     "dedup_exact_groups",

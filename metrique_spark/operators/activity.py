@@ -135,7 +135,11 @@ def _activity_import_window(
         F.collect_list(F.struct("field", "added"))).alias("__e"))
 
     vers = u.where(F.col("__rank") != 1)
-    lead_w = Window.partitionBy("_oid").orderBy("__t", "__rank")
+    # "next boundary" = lag over the SAME descending order the fill window
+    # uses (lag on the reversed sort ≡ lead on the ascending one) — keeps
+    # every window in one Exchange+Sort pass instead of re-sorting ascending
+    lead_w = Window.partitionBy("_oid").orderBy(
+        F.col("__t").desc(), F.col("__rank").desc())
     if cfield:
         # oldest (zero-width) version back-dates to creation when earlier
         # (generic.py:168-184)
@@ -152,7 +156,7 @@ def _activity_import_window(
         # zero-width version ends at its own instant (generic.py:146-148);
         # normal versions end at the next boundary, last one stays open
         F.when(F.col("__rank") == 0, F.col("__t")).otherwise(
-            F.lead("__t").over(lead_w)
+            F.lag("__t").over(lead_w)
         ),
     )
 
