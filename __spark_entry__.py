@@ -556,6 +556,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(d, max_hamming=3)
 
 
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-SimHash near-dup pairs (60-bit md5-derived signature,
+    hamming ≤ 3) — the cross-engine-verifiable twin of
+    dedup_simhash_pairs: pure column expressions on the Spark side, so
+    DuckDB reproduces the signatures bit-for-bit and the driver gets a
+    full value-hash check for the simhash family."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_md5_near_duplicates(d, max_hamming=3)
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact brute-force cosine top-5 for 10 query vectors (broadcast query
     side, JVM-side dot products)."""
@@ -676,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
@@ -1058,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
+        "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,
         "sim_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 10),
@@ -1121,6 +1134,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
     }
+
+
+# portable 60-bit md5 simhash: the 60 bit-sums / case terms are generated
+# rather than hand-written; signature math mirrors dedup.simhash_md5 exactly
+_SIMHASH_SUMS = ", ".join(f"sum((h>>{b})&1) AS c{b}" for b in range(60))
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN 2*c{b} >= n THEN (1::BIGINT << {b}) ELSE 0 END)"
+    for b in range(60)
+)
+_SIMHASH_MD5_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_extract_all(lower(text), '[^\W_]+')) AS t
+        FROM documents
+    ), hs AS (
+        SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+    ), agg AS (
+        SELECT id, count(*) AS n, {_SIMHASH_SUMS} FROM hs GROUP BY id
+    ), sig AS (
+        SELECT id, {_SIMHASH_BITS} AS simhash FROM agg
+    ), chunks AS (
+        SELECT id, simhash, i AS chunk, (simhash >> (i * 15)) & 32767 AS cv
+        FROM sig, unnest([0, 1, 2, 3]) AS u(i)
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sig_a, b.simhash AS sig_b
+        FROM chunks a
+        JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
 
 
 _JACCARD_ORACLE = r"""

@@ -295,6 +295,78 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.withColumn(out_col, _fold(token_hashes))
 
 
+def simhash_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                bits: int = 60) -> DataFrame:
+    """Cross-engine-verifiable SimHash: 60-bit signature from md5-derived
+    token hashes, pure column expressions end-to-end (no Python).
+
+    Per token occurrence, hash = first 15 md5 hex chars parsed as int
+    (60 bits — fits signed BIGINT in both Spark and DuckDB, so an ANSI-SQL
+    oracle can reproduce the value exactly, unlike xxhash64). Signature bit
+    b is the majority vote ``2*sum(bit b) >= n_tokens``. Plan shape is the
+    minhash one: explode to (id, hash) rows, 60 codegen'd conditional-sum
+    aggregates with map-side partial aggregation — one shuffled row per doc.
+    Zero-token docs drop out (no rows to vote), same as the SQL twin.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    hs = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    agg = hs.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+          for b in range(bits)],
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"c{b}") * 2 >= F.col("n"),
+                      F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_md5_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, band_bits: int = 15, bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs on the portable md5 SimHash, hamming ≤ ``max_hamming``.
+    Bands of 15 bits (4 chunks): ≤3 differing bits leave ≥1 chunk equal, so
+    the banded join loses no true pair (same pigeonhole as the xxhash
+    variant, which stays the scale default — xxhash64 beats md5 per token)."""
+    sigs = simhash_md5(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned("simhash", i * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for i in range(bits // band_bits)
+    ]
+    chunks = sigs.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"),
+             F.col("c.cv").alias("cv"))
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"),
+              (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming",
+                        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, band_bits: int = 16,

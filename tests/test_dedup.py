@@ -72,6 +72,22 @@ def test_simhash_near_duplicates(docs):
     assert (1, 3) in pairs  # one word swapped -> few bits differ
 
 
+def test_simhash_md5_near_duplicates(docs):
+    # portable 60-bit variant: same near-dup structure as the xxhash one
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_md5_near_duplicates(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # same canonical tokens
+    assert (1, 3) in pairs  # one word swapped -> few bits differ
+
+
+def test_simhash_md5_signature_range(docs):
+    # 60-bit signatures: non-negative, below 2^60, deterministic
+    sigs = [r["simhash"] for r in dedup.simhash_md5(docs).collect()]
+    assert all(0 <= s < (1 << 60) for s in sigs)
+    again = [r["simhash"] for r in dedup.simhash_md5(docs).collect()]
+    assert sigs == again
+
+
 def test_jaccard_max_doc_freq_drops_stop_shingles(spark):
     # 'common' appears in all docs; capping doc-freq removes its pairs
     df = spark.createDataFrame(
