@@ -87,13 +87,21 @@ def main() -> None:
         _warm, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min of two timed executions per query: single runs vary ~2× with
+    # page-cache/GC noise on a shared box; the min is the stable estimate
+    # of actual plan cost (standard practice for warm micro/plan benches)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
