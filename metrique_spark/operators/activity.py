@@ -85,22 +85,43 @@ def _activity_import_window(
 
     # row kinds share one (t, rank) ordering: zero-width version (0) sees
     # same-instant acts; acts (1) see strictly-later acts; versions (2)
-    # see strictly-later acts only
-    a_rows = acts.select("_oid", F.col("when").alias("__t"),
-                         F.lit(1).alias("__rank"), "field", "removed", "added")
-    v_rows = acts.select("_oid", F.col("when").alias("__t")).distinct().select(
-        "_oid", "__t", F.lit(2).alias("__rank"),
-        F.lit(None).cast("string").alias("field"),
-        F.lit(None).cast("string").alias("removed"),
-        F.lit(None).cast("string").alias("added"),
+    # see strictly-later acts only. All three kinds come out of ONE pass
+    # over acts: window-tag each activity row (first-at-instant emits the
+    # version-boundary row, first-at-min-instant also emits the zero-width
+    # row), then explode — a self-union would scan and shuffle acts 3×.
+    w_inst = Window.partitionBy("_oid", "when").orderBy("field", "removed",
+                                                        "added")
+    w_oid = Window.partitionBy("_oid")
+    tagged = (
+        acts.withColumn("__rn_inst", F.row_number().over(w_inst))
+        .withColumn("__min_t", F.min("when").over(w_oid))
     )
-    z_rows = acts.groupBy("_oid").agg(F.min("when").alias("__t")).select(
-        "_oid", "__t", F.lit(0).alias("__rank"),
-        F.lit(None).cast("string").alias("field"),
-        F.lit(None).cast("string").alias("removed"),
-        F.lit(None).cast("string").alias("added"),
+    null_s = F.lit(None).cast("string")
+    kinds = F.array(
+        F.struct(F.lit(1).alias("__rank"), F.col("field"),
+                 F.col("removed"), F.col("added")),
+        F.when(F.col("__rn_inst") == 1,
+               F.struct(F.lit(2).alias("__rank"), null_s.alias("field"),
+                        null_s.alias("removed"), null_s.alias("added"))),
+        F.when((F.col("__rn_inst") == 1) & (F.col("when") == F.col("__min_t")),
+               F.struct(F.lit(0).alias("__rank"), null_s.alias("field"),
+                        null_s.alias("removed"), null_s.alias("added"))),
     )
-    u = a_rows.unionByName(v_rows).unionByName(z_rows).join(d, "_oid")
+    u = (
+        tagged.select(
+            "_oid", F.col("when").alias("__t"),
+            # explode the raw array and drop the null slots afterwards: a
+            # higher-order filter() lambda evaluates interpreted per row,
+            # outside codegen — measured ~1s slower at sf0.1
+            F.explode(kinds).alias("__k"),
+        )
+        .where(F.col("__k").isNotNull())
+        .select("_oid", "__t", F.col("__k.__rank").alias("__rank"),
+                F.col("__k.field").alias("field"),
+                F.col("__k.removed").alias("removed"),
+                F.col("__k.added").alias("added"))
+        .join(d, "_oid")
+    )
 
     # "first strictly-following activity of field f" computed as a
     # cumulative last() over DESCENDING order: [unboundedPreceding, -1]
