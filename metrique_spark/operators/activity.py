@@ -143,17 +143,30 @@ def _activity_import_window(
         )
 
     # inconsistencies: activity j mismatches when the value just after it
-    # (its own fill) differs from added_j; collect per (oid, when) as the
-    # _e map of the version ENDING there (generic.py:160-167)
-    act_vals = u.where(F.col("__rank") == 1)
+    # (its own fill) differs from added_j; the _e map of the version ENDING
+    # at when_j is the per-(oid, when) collection of those mismatches
+    # (generic.py:160-167). Collected as a window over the (oid, instant)
+    # partition — HashPartitioning(_oid) already satisfies the clustered
+    # distribution, so this is a local re-sort, not a new exchange (vs the
+    # old groupBy + join-back, which shuffled and joined per version) —
+    # then carried to the version row ending there by the same descending
+    # lag that computes _end (the row preceding a version row in descending
+    # order always belongs to its _end instant, or shares its own instant
+    # for the zero-width row, whose _e is its own map).
     val_after = None
     for f in tracked:
         v = F.when(F.col("field") == f, F.col(f"__v_{f}"))
         val_after = v if val_after is None else F.coalesce(val_after, v)
-    mism = act_vals.where(~val_after.eqNullSafe(F.col("added"))).groupBy(
-        "_oid", "__t"
-    ).agg(F.map_from_entries(
-        F.collect_list(F.struct("field", "added"))).alias("__e"))
+    mism_entry = F.when(
+        (F.col("__rank") == 1) & ~val_after.eqNullSafe(F.col("added")),
+        F.struct("field", "added"),
+    )
+    w_inst2 = Window.partitionBy("_oid", "__t")
+    mism_list = F.collect_list(mism_entry).over(w_inst2)  # collect_ skips nulls
+    u = u.withColumn(
+        "__be",
+        F.when(F.size(mism_list) > 0, F.map_from_entries(mism_list)),
+    )
 
     vers = u.where(F.col("__rank") != 1)
     # "next boundary" = lag over the SAME descending order the fill window
@@ -179,6 +192,11 @@ def _activity_import_window(
         F.when(F.col("__rank") == 0, F.col("__t")).otherwise(
             F.lag("__t").over(lead_w)
         ),
+    ).withColumn(
+        # predecessor in descending order: for a normal version, the last
+        # row of its _end instant; for the zero-width row, the boundary row
+        # of its own instant — both carry exactly the _e map it needs
+        "_e", F.lag("__be").over(lead_w),
     )
 
     out_vals = [F.col("_oid")]
@@ -191,14 +209,7 @@ def _activity_import_window(
             out_vals.append(F.col(f"__v_{c}").cast(docs.schema[c].dataType).alias(c))
         else:
             out_vals.append(F.col(f"__d_{c}").alias(c))
-    m = mism.select(
-        F.col("_oid").alias("__m_oid"), F.col("__t").alias("__m_t"), "__e"
-    )
-    with_acts = vers.join(
-        m,
-        (F.col("_oid") == F.col("__m_oid")) & (F.col("_end") == F.col("__m_t")),
-        "left",
-    ).select(*out_vals, F.col("__e").alias("_e"))
+    with_acts = vers.select(*out_vals, F.col("_e"))
 
     # oids with no replayable activity: the doc itself (generic.py:168-184)
     no_act = d.join(acts.select("_oid").distinct(), "_oid", "left_anti")
