@@ -620,6 +620,28 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal frame sampling e2e: document text bytes stand in for
+    video payloads, and the mapInPandas sampler's row expansion (frame
+    index, timestamp, digest-stubbed frame bytes) is deterministic enough
+    for DuckDB to reproduce bit-for-bit — value-hash coverage for the
+    Arrow-batched Python path itself, not just the JVM-side metadata."""
+    _utc(spark)
+    from metrique_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    fr = mm.sample_frames(media, fps=1.0, max_frames=16)
+    return fr.select(
+        "media_id", "frame_idx", "ts_sec",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tumbling-window rollup of the events stream (batch-equivalent of the
     streaming path in streaming/events.py)."""
@@ -693,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
+        "mm_frame_samples": mm_frame_samples,
         "events_daily_rollup": events_daily_rollup,
     }
 
@@ -1126,6 +1149,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "mm_frame_samples": """
+            WITH m AS (
+                SELECT doc_id AS media_id, encode(text) AS payload
+                FROM documents WHERE text IS NOT NULL
+            ), n AS (
+                SELECT media_id, payload,
+                       least(16, greatest(1, CAST(floor(
+                           greatest(1.0, octet_length(payload) / 8.0) * 1.0
+                       ) AS INT))) AS nf
+                FROM m
+            ), f AS (
+                SELECT media_id, payload, unnest(range(nf)) AS i FROM n
+            )
+            SELECT media_id, CAST(i AS INT) AS frame_idx,
+                   round(i / 1.0, 3) AS ts_sec,
+                   md5(lower(to_hex(payload)) ||
+                       lpad(lower(to_hex(i)), 8, '0')) AS frame_hex
+            FROM f
         """,
         "events_daily_rollup": """
             SELECT date_trunc('day', ts) AS day, event_type,

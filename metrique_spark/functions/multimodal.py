@@ -97,6 +97,103 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` via ``mapInPandas``.
+
+    The resize itself is STUBBED deterministically (payload re-derived from
+    the input bytes at a size proportional to the target area — a real
+    implementation swaps in ``PIL.Image.resize`` and nothing else changes).
+    The Spark plumbing is real: non-image rows are pruned JVM-side before
+    any Python runs, and payloads stream through in bounded Arrow batches.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                if payload is None:
+                    out = None
+                else:
+                    # deterministic fake: digest-seeded bytes, size scaled
+                    # to the target area (stands in for re-encoded pixels)
+                    seed = hashlib.md5(payload).digest()
+                    size = max(16, (width * height) // 256)
+                    out = (seed * (size // len(seed) + 1))[:size]
+                rows.append({"media_id": r["media_id"], "payload": out,
+                             "width": width, "height": height})
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_sec", T.DoubleType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, fps: float = 1.0,
+                  max_frames: int = 16) -> DataFrame:
+    """Sample frames from video payloads at ``fps`` frames/sec (capped at
+    ``max_frames``), one output row per frame — the row-expanding shape a
+    real ffmpeg-backed sampler needs, with the decode STUBBED: duration is
+    derived deterministically from payload length, frame bytes from a
+    digest of (payload, index). ``mapInPandas`` may emit more rows than it
+    consumes, so the expansion happens executor-side without a join or
+    explode over pre-materialized frame arrays (which would buffer whole
+    videos in one row — the thing to avoid at 100 TB)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                if payload is None:
+                    continue
+                duration = max(1.0, len(payload) / 8.0)  # fake seconds
+                n = min(max_frames, max(1, int(duration * fps)))
+                for i in range(n):
+                    ts = round(i / fps, 3)
+                    # digest over the lowercase-hex form of (payload, idx):
+                    # byte-identical in ANSI SQL (md5 there is VARCHAR-only),
+                    # so the fake frame bytes are oracle-verifiable
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": i,
+                        "ts_sec": ts,
+                        "frame": hashlib.md5(
+                            (payload.hex() + format(i, "08x")).encode()
+                        ).digest(),
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(_sample, schema=FRAME_SCHEMA)
+    )
+
+
 def synthetic_media(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes derived
     from the id (no randomness)."""

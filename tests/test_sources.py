@@ -94,6 +94,39 @@ def test_multimodal_features(spark):
     assert meta_only.count() == 30
 
 
+def test_multimodal_resize(spark):
+    from metrique_spark.functions import multimodal as mm
+
+    media = mm.synthetic_media(spark, 30)
+    out = mm.resize_images(media, 128, 96).collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    assert all(r["width"] == 128 and r["height"] == 96 for r in out)
+    assert all(len(r["payload"]) == (128 * 96) // 256 for r in out)
+    # deterministic: same input -> same resized payload
+    again = mm.resize_images(media, 128, 96).collect()
+    assert sorted(r["payload"] for r in out) == sorted(r["payload"] for r in again)
+
+
+def test_multimodal_sample_frames(spark):
+    from metrique_spark.functions import multimodal as mm
+
+    media = mm.synthetic_media(spark, 30)
+    frames = mm.sample_frames(media, fps=2.0, max_frames=4).collect()
+    n_videos = media.where("kind = 'video'").count()
+    assert n_videos > 0
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == n_videos
+    for rs in by_media.values():
+        assert 1 <= len(rs) <= 4
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(len(rs)))  # dense frame indices
+        assert all(abs(r["ts_sec"] - r["frame_idx"] / 2.0) < 1e-9 for r in rs)
+        assert all(len(r["frame"]) == 16 for r in rs)  # md5 digest bytes
+
+
 def test_load_pickle_multi_stream(spark, tmp_path):
     import pickle
 
