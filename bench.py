@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
+    "mm_frame_samples",
     "events_daily_rollup",
 ]
 
