@@ -64,6 +64,70 @@ def test_streaming_micro_batch(spark, sf_dir, tmp_path):
     assert got is not None and got > 0
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics across micro-batches: after the watermark
+    advances past an event-time window, a late event for that window is
+    DROPPED from the append-mode aggregation (it is present in the input
+    and in batch mode, absent from the streaming output)."""
+    import os
+    import time
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(p for p in os.listdir(tmp_path / name)
+                    if p.endswith(".parquet"))
+        os.rename(tmp_path / name / part, src_dir / f"{name}.parquet")
+
+    def ns(hour, minute=0):
+        t = time.mktime((2024, 1, 1, hour, minute, 0, 0, 0, 0)) - time.timezone
+        return int(t) * 1_000_000_000
+
+    def run_until_drained():
+        # separate availableNow runs over one checkpoint: the watermark is
+        # recovered from the commit log, so batch boundaries (and the
+        # late-row filter) are deterministic regardless of file batching
+        stream = ev.read_events_stream(spark, str(src_dir))
+        agg = ev.tumbling_counts(stream, "1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(tmp_path / "late_out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: on-time events at 10:xx-12:00 -> watermark lands at 10:00
+    write_batch("b1", [(1, ns(10, 15), 1, "click", 1.0, None),
+                       (2, ns(11, 45), 2, "click", 1.0, None),
+                       (3, ns(12, 0), 3, "click", 1.0, None)])
+    run_until_drained()
+    # run 2: one event at 20:00 (advances the watermark to 18:00, closing
+    # the 10:00/11:00 windows) and one LATE event at 00:30 (window far
+    # below the 10:00 watermark from run 1 -> must be dropped)
+    write_batch("b2", [(4, ns(20, 0), 4, "click", 1.0, None),
+                       (5, ns(0, 30), 5, "late", 1.0, None)])
+    run_until_drained()
+    got = {r["window_start"].hour: r["n"]
+           for r in spark.read.parquet(str(tmp_path / "late_out")).collect()}
+    assert 10 in got and 11 in got  # closed on-time windows emitted
+    assert 0 not in got  # the late event's window never appears
+    # same op in batch mode keeps the late row — the drop is watermarking,
+    # not the aggregation
+    batch_df = spark.read.parquet(str(src_dir)).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch_hours = {r["window_start"].hour
+                   for r in ev.tumbling_counts(batch_df, "1 hour").collect()}
+    assert 0 in batch_hours
+
+
 def test_stream_upsert_sink(spark, sf_dir, tmp_path):
     """readStream → foreachBatch → Engine temporal upsert: streaming ingest
     of versioned objects lands in the warehouse with snapshot semantics."""
