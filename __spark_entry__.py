@@ -642,6 +642,28 @@ def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal resize e2e: document text bytes as image payloads through
+    the mapInPandas resize stub (digest-seeded output bytes, size scaled to
+    the target area) — like mm_frame_samples, the stub is deterministic
+    enough for an exact SQL twin, so the resize Python path is value-hash
+    checked too."""
+    _utc(spark)
+    from metrique_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = mm.resize_images(media, 128, 96)
+    return out.select(
+        "media_id", "width", "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
 def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tumbling-window rollup of the events stream (batch-equivalent of the
     streaming path in streaming/events.py)."""
@@ -716,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
         "mm_frame_samples": mm_frame_samples,
+        "mm_resized": mm_resized,
         "events_daily_rollup": events_daily_rollup,
     }
 
@@ -1168,6 +1191,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(to_hex(payload)) ||
                        lpad(lower(to_hex(i)), 8, '0')) AS frame_hex
             FROM f
+        """,
+        "mm_resized": """
+            SELECT doc_id AS media_id,
+                   CAST(128 AS INT) AS width, CAST(96 AS INT) AS height,
+                   substr(repeat(md5(text), 4), 1, 96) AS payload_hex
+            FROM documents
         """,
         "events_daily_rollup": """
             SELECT date_trunc('day', ts) AS day, event_type,
