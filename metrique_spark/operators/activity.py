@@ -284,38 +284,39 @@ def activity_import(
         f.name for f in docs.schema.fields if isinstance(f.dataType, T.ArrayType)
     }
 
-    def replay(doc_pdf: pd.DataFrame, act_pdf: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        if doc_pdf.empty:
-            return pd.DataFrame(columns=out_cols)
-        doc = doc_pdf.iloc[0].to_dict()
+    def _replay_one(doc: dict, act_dicts: list[dict]) -> list[dict]:
+        doc = dict(doc)
         doc["_e"] = None
         td_start = doc["_start"]
-        acts_f = act_pdf[
-            (act_pdf["when"] < td_start) & (act_pdf["field"].isin(tracked))
-        ].sort_values("when", ascending=False, kind="mergesort")
+        # arrival order is already (when desc) from the JVM sort; keep only
+        # replayable activities (strictly before _start, tracked field)
+        acts_f = [a for a in act_dicts
+                  if a["when"] is not None and pd.notna(a["when"])
+                  and a["when"] < td_start and a["field"] in tracked]
 
-        batch = [dict(doc)]
-        for act in acts_f.itertuples(index=False):
+        batch = [doc]
+        for act in acts_f:
             last = batch.pop()
             if last["_end"] is not None and pd.notna(last["_end"]) \
-                    and last["_end"] == act.when:
+                    and last["_end"] == act["when"]:
                 # same-instant change group: fold into the version the
                 # previous activity already created
                 new = dict(last)
                 last = batch.pop()
             else:
                 new = dict(last)
-                new["_start"] = act.when
-                new["_end"] = act.when
+                new["_start"] = act["when"]
+                new["_end"] = act["when"]
                 last = dict(last)
-                last["_start"] = act.when
-            f = act.field
+                last["_start"] = act["when"]
+            f = act["field"]
             if f in list_fields:
                 # explicit None checks — Arrow hands lists over as numpy
                 # arrays, whose truthiness raises
-                removed = list(act.removed_list) if act.removed_list is not None else []
-                added = list(act.added_list) if act.added_list is not None else []
+                removed = list(act["removed_list"]) \
+                    if act["removed_list"] is not None else []
+                added = list(act["added_list"]) \
+                    if act["added_list"] is not None else []
                 val = list(new[f]) if new[f] is not None else []
                 inconsistent = False
                 for ad in added:
@@ -328,9 +329,9 @@ def activity_import(
                 marker = ",".join(added)
             else:
                 cur = new[f]
-                inconsistent = (None if cur is None else str(cur)) != act.added
-                new[f] = act.removed
-                marker = act.added
+                inconsistent = (None if cur is None else str(cur)) != act["added"]
+                new[f] = act["removed"]
+                marker = act["added"]
             if inconsistent:
                 new["_e"] = dict(new.get("_e") or {})
                 new["_e"][f] = marker
@@ -345,12 +346,61 @@ def activity_import(
                     and created < oldest["_start"]:
                 oldest["_start"] = created
             elif len(batch) == 1:
-                return pd.DataFrame(columns=out_cols)
+                return []
+        return [{c: row.get(c) for c in out_cols} for row in batch]
 
-        for row in batch:
-            out_rows.append({c: row.get(c) for c in out_cols})
-        return pd.DataFrame(out_rows, columns=out_cols)
+    # One Python/Arrow round trip PER ARROW BATCH, not per oid: docs and
+    # activities ride one oid-co-partitioned union (doc row first, then its
+    # activities newest→oldest, guaranteed by the within-partition sort), and
+    # a mapInPandas stream replays oids as they flow past. A cogrouped
+    # applyInPandas has per-key invocation overhead — with millions of tiny
+    # groups at 100 TB that overhead dominates; here thousands of oids share
+    # each Arrow transfer. State spans batch boundaries inside a partition;
+    # an oid never spans partitions (hash repartition on _oid).
+    doc_fields = [f for f in docs.schema.fields if f.name != "_e"]
+    doc_struct = T.StructType(doc_fields)
+    act_fields = [f for f in acts.schema.fields if f.name != "_oid"]
+    act_struct = T.StructType(act_fields)
+    merged = docs.select(
+        "_oid", F.lit(0).alias("__kind"),
+        F.struct(*[F.col(f.name) for f in doc_fields]).alias("__doc"),
+        F.lit(None).cast(act_struct).alias("__act"),
+    ).unionByName(acts.select(
+        "_oid", F.lit(1).alias("__kind"),
+        F.lit(None).cast(doc_struct).alias("__doc"),
+        F.struct(*[F.col(f.name) for f in act_fields]).alias("__act"),
+    ))
+    part = merged.repartition("_oid").sortWithinPartitions(
+        "_oid", "__kind", F.col("__act")["when"].desc()
+    )
 
-    return docs.groupBy("_oid").cogroup(
-        acts.groupBy("_oid")
-    ).applyInPandas(replay, schema=out_schema)
+    def replay_stream(batches):
+        cur_oid = None
+        cur_doc = None
+        cur_acts: list[dict] = []
+        out_rows: list[dict] = []
+
+        def flush():
+            if cur_doc is not None:
+                out_rows.extend(_replay_one(cur_doc, cur_acts))
+
+        for pdf in batches:
+            for oid, kind, doc, act in zip(
+                pdf["_oid"], pdf["__kind"], pdf["__doc"], pdf["__act"]
+            ):
+                if kind == 0:
+                    flush()
+                    cur_oid, cur_doc, cur_acts = oid, doc, []
+                elif oid == cur_oid:
+                    cur_acts.append(act)
+                else:
+                    # activities for an oid with no doc row: no versions
+                    flush()
+                    cur_oid, cur_doc, cur_acts = oid, None, []
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=out_cols)
+                out_rows = []
+        flush()
+        yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return part.mapInPandas(replay_stream, schema=out_schema)
