@@ -23,11 +23,12 @@ Reference semantics (``/root/reference/metrique/cubes/sqldata/generic.py:106-199
   it and there was nothing to replay, the doc yields NO versions
   (``generic.py:168-184``).
 
-Spark shape: a cogrouped ``applyInPandas`` — docs and activities are
-co-partitioned by ``_oid`` in one shuffle each, and the per-oid replay
-(inherently sequential, list-mutating) runs vectorized-batch Python with
-Arrow transfer. This is the designed escape hatch for semantics DataFrame
-expressions can't state (SURVEY.md §2.7).
+Spark shape: scalar-field tracking compiles to pure window functions
+(zero Python, one Exchange+Sort); list-field replay streams through
+``mapInPandas`` over an oid-co-partitioned union of docs + activities, so
+each Arrow transfer carries thousands of oids (the per-oid replay is
+inherently sequential and list-mutating — the designed escape hatch for
+semantics DataFrame expressions can't state, SURVEY.md §2.7).
 """
 
 from __future__ import annotations
@@ -254,7 +255,7 @@ def activity_import(
     an ``_e`` map<string,string> of per-field inconsistencies.
 
     ``strategy``: 'window' = pure window-function fast path (scalar fields
-    only — zero Python); 'python' = cogrouped backwards replay (required
+    only — zero Python); 'python' = streamed backwards replay (required
     for list fields); 'auto' picks per the tracked fields' types.
     """
     doc_cols = list(docs.columns)
