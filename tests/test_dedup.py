@@ -88,6 +88,27 @@ def test_simhash_md5_signature_range(docs):
     assert sigs == again
 
 
+def test_simhash_banding_has_no_false_negatives(spark, sf_dir):
+    # pigeonhole guarantee: with 4 bands of 15 bits, any pair within
+    # hamming 3 shares at least one band exactly — the banded join must
+    # find EXACTLY the brute-force pairs (banding only prunes, never loses)
+    from itertools import combinations
+
+    from metrique_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash_md5(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {(r["id_a"], r["id_b"])
+              for r in dedup.simhash_md5_near_duplicates(
+                  docs, max_hamming=3).collect()}
+    assert banded == brute
+
+
 def test_jaccard_max_doc_freq_drops_stop_shingles(spark):
     # 'common' appears in all docs; capping doc-freq removes its pairs
     df = spark.createDataFrame(
