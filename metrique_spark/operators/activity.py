@@ -135,39 +135,63 @@ def _activity_import_window(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     for f in tracked:
+        # the rollback value rides inside a struct so a legitimate NULL
+        # `removed` (field rolled back to empty) stays distinguishable from
+        # "no later activity" — last(ignorenulls) skips bare NULLs, which
+        # would silently fall back to the doc value
         nxt = F.last(
-            F.when(F.col("field") == f, F.col("removed")), ignorenulls=True
+            F.when(F.col("field") == f,
+                   F.struct(F.col("removed").alias("v"))),
+            ignorenulls=True,
         ).over(fill_w)
         u = u.withColumn(
             f"__v_{f}",
-            F.coalesce(nxt, F.col(f"__d_{f}").cast("string")),
+            F.when(nxt.isNotNull(), nxt["v"])
+            .otherwise(F.col(f"__d_{f}").cast("string")),
         )
 
     # inconsistencies: activity j mismatches when the value just after it
-    # (its own fill) differs from added_j; the _e map of the version ENDING
-    # at when_j is the per-(oid, when) collection of those mismatches
-    # (generic.py:160-167). Collected as a window over the (oid, instant)
-    # partition — HashPartitioning(_oid) already satisfies the clustered
-    # distribution, so this is a local re-sort, not a new exchange (vs the
-    # old groupBy + join-back, which shuffled and joined per version) —
-    # then carried to the version row ending there by the same descending
-    # lag that computes _end (the row preceding a version row in descending
-    # order always belongs to its _end instant, or shares its own instant
-    # for the zero-width row, whose _e is its own map).
+    # (its own fill) differs from added_j. The reference deep-copies each
+    # younger version into the older one it splits off (generic.py:144-167),
+    # so _e ACCUMULATES down the history: the version at boundary t carries,
+    # per field, the `added` of the OLDEST mismatching activity at any
+    # instant after t (older acts overwrite the field key as the copy chain
+    # extends). That is exactly a cumulative last()-fill of mismatch values
+    # over the same descending order the value fills use — evaluated AT the
+    # version row itself, whose [unboundedPreceding, 0] frame covers
+    # precisely the strictly-newer instants (and, for the zero-width row,
+    # its own instant's activities, which sort before it).
     val_after = None
     for f in tracked:
         v = F.when(F.col("field") == f, F.col(f"__v_{f}"))
         val_after = v if val_after is None else F.coalesce(val_after, v)
-    mism_entry = F.when(
-        (F.col("__rank") == 1) & ~val_after.eqNullSafe(F.col("added")),
-        F.struct("field", "added"),
+    mism_cond = (F.col("__rank") == 1) & ~val_after.eqNullSafe(F.col("added"))
+    fill_w0 = (
+        Window.partitionBy("_oid")
+        .orderBy(F.col("__t").desc(), F.col("__rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_inst2 = Window.partitionBy("_oid", "__t")
-    mism_list = F.collect_list(mism_entry).over(w_inst2)  # collect_ skips nulls
-    u = u.withColumn(
-        "__be",
-        F.when(F.size(mism_list) > 0, F.map_from_entries(mism_list)),
-    )
+    entries = []
+    for f in tracked:
+        # same struct wrapper: a mismatch whose `added` is NULL still counts
+        cum = F.last(
+            F.when(mism_cond & (F.col("field") == f),
+                   F.struct(F.col("added").alias("v"))),
+            ignorenulls=True,
+        ).over(fill_w0)
+        entries.append(
+            F.when(cum.isNotNull(),
+                   F.struct(F.lit(f).alias("key"), cum["v"].alias("value")))
+        )
+    if entries:
+        arr = F.array_compact(F.array(*entries))
+        u = u.withColumn(
+            "__e_all", F.when(F.size(arr) > 0, F.map_from_entries(arr))
+        )
+    else:
+        u = u.withColumn(
+            "__e_all", F.lit(None).cast("map<string,string>")
+        )
 
     vers = u.where(F.col("__rank") != 1)
     # "next boundary" = lag over the SAME descending order the fill window
@@ -193,12 +217,7 @@ def _activity_import_window(
         F.when(F.col("__rank") == 0, F.col("__t")).otherwise(
             F.lag("__t").over(lead_w)
         ),
-    ).withColumn(
-        # predecessor in descending order: for a normal version, the last
-        # row of its _end instant; for the zero-width row, the boundary row
-        # of its own instant — both carry exactly the _e map it needs
-        "_e", F.lag("__be").over(lead_w),
-    )
+    ).withColumn("_e", F.col("__e_all"))
 
     out_vals = [F.col("_oid")]
     for c in doc_cols:

@@ -179,3 +179,51 @@ def test_reconstruction_matches_event_log(spark):
     e = {(r["_oid"], r["_start"]): (r["_end"], r["status"])
          for r in expected.collect()}
     assert g == e
+
+
+def test_window_strategy_matches_python_strategy(spark):
+    """Randomized cross-validation of the two replay engines: the pure
+    window-function fast path and the streamed Python replay must produce
+    identical version sets on scalar-only inputs — same-instant groups
+    (across fields), inconsistencies, back-dating, and the no-replay drop
+    rule included. Ties of the SAME field at one instant are excluded:
+    their application order is unspecified in both engines."""
+    import random
+
+    rng = random.Random(7)
+    docs, acts = [], []
+    for oid in range(60):
+        created = ts(1, rng.randrange(24))
+        docs.append((oid, rng.choice(["a", "b", "c"]),
+                     rng.choice(["hi", "lo", None]), created, ts(20), None))
+        for field in ("status", "prio"):
+            # at most one act per (field, instant); instants may collide
+            # across fields (same-instant version folding)
+            days = rng.sample(range(2, 25), k=rng.randrange(0, 5))
+            for d in days:
+                acts.append((
+                    oid, ts(min(d, 22)), field,
+                    rng.choice(["a", "b", "c", "hi", "lo", None]),
+                    rng.choice(["a", "b", "c", "hi", "lo"]),
+                    None, None,
+                ))
+    docs_df = spark.createDataFrame(
+        docs, "_oid long, status string, prio string, created timestamp, "
+              "_start timestamp, _end timestamp")
+    acts_df = spark.createDataFrame(acts, ACT_SCHEMA)
+
+    def snap(df):
+        return {
+            (r["_oid"], r["_start"], r["_end"], r["status"], r["prio"],
+             frozenset((r["_e"] or {}).items()) or None)
+            for r in df.collect()
+        }
+
+    for cf in (None, "created"):
+        w = snap(activity_import(docs_df, acts_df,
+                                 fields=["status", "prio"], cfield=cf,
+                                 strategy="window"))
+        p = snap(activity_import(docs_df, acts_df,
+                                 fields=["status", "prio"], cfield=cf,
+                                 strategy="python"))
+        assert w == p
