@@ -181,6 +181,49 @@ def test_reconstruction_matches_event_log(spark):
     assert g == e
 
 
+def test_list_replay_roundtrip_random(spark):
+    """Round-trip property for the list-field engine: simulate true
+    histories FORWARD (random element adds/removes), give the replay only
+    the final state plus the changelog, and require it to reconstruct
+    every intermediate version exactly — with zero inconsistencies, since
+    the changelog is consistent by construction. Element order is compared
+    as multisets (backwards replay appends restored elements at the end,
+    same as the reference)."""
+    import random
+
+    rng = random.Random(11)
+    docs, acts = [], []
+    expected = set()
+    for oid in range(40):
+        cur = ["a", "b"]
+        history = [(ts(1), list(cur))]
+        for d in sorted(rng.sample(range(2, 19), k=rng.randrange(0, 5))):
+            added = rng.sample([x for x in "cdefgh" if x not in cur],
+                               k=rng.randrange(0, 3))
+            n_rm = rng.randrange(0, len(cur) + 1) if cur else 0
+            removed = rng.sample(cur, k=min(n_rm, 2))
+            if not added and not removed:
+                continue
+            for r in removed:
+                cur.remove(r)
+            cur.extend(added)
+            acts.append((oid, ts(d), "tags", None, None, removed, added))
+            history.append((ts(d), list(cur)))
+        docs.append((oid, None, list(cur), ts(1), ts(20), None))
+        for (t, v), nxt in zip(history, history[1:] + [None]):
+            end = nxt[0] if nxt else None
+            expected.add((oid, t, end, tuple(sorted(v))))
+
+    docs_df = spark.createDataFrame(docs, DOC_SCHEMA)
+    acts_df = spark.createDataFrame(acts, ACT_SCHEMA)
+    out = activity_import(docs_df, acts_df, fields=["tags"],
+                          cfield="created").collect()
+    got = {(r["_oid"], r["_start"], r["_end"], tuple(sorted(r["tags"])))
+           for r in out}
+    assert got == expected
+    assert all(r["_e"] is None for r in out)  # consistent log -> no _e
+
+
 def test_window_strategy_matches_python_strategy(spark):
     """Randomized cross-validation of the two replay engines: the pure
     window-function fast path and the streamed Python replay must produce
