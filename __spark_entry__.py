@@ -428,22 +428,25 @@ def activity_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    last = (
-        ev.withColumn(
-            "__rn",
+    # creation time = min(ts) over the same user partition the row_number
+    # sorts — one window pass, no separate groupBy + join back
+    docs = (
+        ev.select(
+            "user_id", "event_type",
             F.row_number().over(
                 Window.partitionBy("user_id").orderBy(
                     F.col("ts").desc(), F.col("event_id").desc())
-            ),
-        ).where(F.col("__rn") == 1)
-    )
-    created = ev.groupBy("user_id").agg(F.min("ts").alias("created"))
-    docs = last.join(created, "user_id").select(
-        F.col("user_id").alias("_oid"),
-        F.col("event_type").alias("status"),
-        "created",
-        F.lit("2024-03-01").cast("timestamp").alias("_start"),
-        F.lit(None).cast("timestamp").alias("_end"),
+            ).alias("__rn"),
+            F.min("ts").over(Window.partitionBy("user_id")).alias("created"),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("user_id").alias("_oid"),
+            F.col("event_type").alias("status"),
+            "created",
+            F.lit("2024-03-01").cast("timestamp").alias("_start"),
+            F.lit(None).cast("timestamp").alias("_end"),
+        )
     )
     acts = (
         ev.withColumn("prev", F.lag("event_type").over(w))
