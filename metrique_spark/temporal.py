@@ -165,22 +165,29 @@ def history_with_forecast(
 
     The regression basis is the daily history of the ``days`` days ending
     at ``since``; slope/intercept come from the built-in ``regr_slope`` /
-    ``regr_intercept`` aggregates (distributed, no numpy/driver fitting —
-    the basis itself is the interval-join history, so this composes from
-    two broadcast joins and two aggregations). Forecast values are clamped
-    at 0 like the reference (``result.py:221-222``)."""
+    ``regr_intercept`` aggregates (distributed, no numpy/driver fitting).
+    The basis and observed series share ONE interval-join history over the
+    union of their date spines — the interval join is the only operator
+    here that touches the big side, so it must not run twice. Forecast
+    values are clamped at 0 like the reference (``result.py:221-222``)."""
     spark = df.sparkSession
     since_ts = to_timestamp_lit(since)
+    basis_lo = since_ts - F.expr(f"interval {days - 1} days")
     basis_spine = spark.range(1).select(
         F.explode(
-            F.sequence(
-                since_ts - F.expr(f"interval {days - 1} days"),
-                since_ts,
-                F.expr("interval 1 day"),
-            )
+            F.sequence(basis_lo, since_ts, F.expr("interval 1 day"))
         ).alias("_date")
     )
-    basis = history(df, basis_spine, count_col)
+    obs_dates = spine.where(F.col("_date") <= since_ts).select("_date")
+    all_dates = obs_dates.unionByName(basis_spine).distinct()
+    # persist the aggregated history (spine-sized, ~300 rows): it feeds both
+    # the regression basis and the observed series, and without
+    # materialization lazy evaluation re-runs the big-side interval join
+    # once per consumer
+    hist = history(df, all_dates, count_col).persist()
+    basis = hist.where(
+        (F.col("_date") >= basis_lo) & (F.col("_date") <= since_ts)
+    )
     w = basis.agg(
         F.regr_slope(F.col(count_col).cast("double"),
                      F.col("_date").cast("double")).alias("w0"),
@@ -188,7 +195,7 @@ def history_with_forecast(
                          F.col("_date").cast("double")).alias("w1"),
     )
     observed = (
-        history(df, spine.where(F.col("_date") <= since_ts), count_col)
+        hist.join(F.broadcast(obs_dates), "_date", "left_semi")
         .select("_date", F.col(count_col).cast("double").alias(count_col))
     )
     predicted = (
