@@ -363,6 +363,20 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_history_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """history import (autosnap=False, reference sqlalchemy.py:955-963):
+    every stored version of the incoming oids is dropped, then the supplied
+    full history is unioned in — exercised as replacing one third of the
+    users' histories in a truncated version table."""
+    _utc(spark)
+    from metrique_spark import upsert as ups
+
+    v = _versions(spark, sf_dir)
+    table = v.where(F.col("_start") < F.lit("2024-01-16").cast("timestamp"))
+    incoming = v.where(F.col("_oid") % 3 == 0)
+    return ups.history_replace(table, incoming)
+
+
 def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """as-of join (SURVEY §2.6 temporal join pattern): each purchase event
     picks up the user's latest signup/error state at-or-before its time.
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_persistent_counts": tmp_persistent_counts,
         "tmp_age": tmp_age,
         "upsert_snapshot": upsert_snapshot,
+        "upsert_history_replace": upsert_history_replace,
         "activity_reconstruct": activity_reconstruct,
         "tmp_history_forecast": tmp_history_forecast,
         "tmp_asof_join": tmp_asof_join,
@@ -969,6 +984,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM kept
             UNION ALL SELECT * FROM inserted
             UNION ALL SELECT * FROM closed
+        """,
+        "upsert_history_replace": f"""
+            WITH v AS ({_V}),
+            tbl AS (SELECT * FROM v WHERE _start < TIMESTAMP '2024-01-16'),
+            inc AS (SELECT * FROM v WHERE _oid % 3 = 0)
+            SELECT * FROM tbl
+            WHERE _oid NOT IN (SELECT _oid FROM inc)
+            UNION ALL SELECT * FROM inc
         """,
         "tmp_asof_join": """
             WITH purchases AS (
