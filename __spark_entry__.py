@@ -242,6 +242,18 @@ def mql_array_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mql_empty_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQL ``empty(field)`` on an array column (reference parse.py:272-276):
+    documents whose derived word-match array is empty."""
+    _utc(spark)
+    eng = Engine(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "qu_words",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("qu[a-z]+"), F.lit(0)),
+    )
+    return eng.find(d, "empty(qu_words)", fields="doc_id")
+
+
 def mql_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct on an array field flattens elements
     (reference sqlalchemy.py:706-721)."""
@@ -720,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mql_find_returns": mql_find_returns,
         "mql_regex_priority": mql_regex_priority,
         "mql_array_any": mql_array_any,
+        "mql_empty_array": mql_empty_array,
         "mql_distinct_priorities": mql_distinct_priorities,
         # temporal (§2.5) + upsert (§2.2) + deptree
         "tmp_current_by_type": tmp_current_by_type,
@@ -850,6 +863,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mql_distinct_priorities": """
             SELECT DISTINCT o_orderpriority AS priorities FROM orders
+        """,
+        "mql_empty_array": """
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(lower(text), 'qu[a-z]+')) = 0
         """,
         "tmp_current_by_type": f"""
             WITH v AS ({_V})
