@@ -184,6 +184,24 @@ def q_nations_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_c.intersect(with_s)
 
 
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join pattern: customers with no orders since 1998, counted per
+    nation — left_anti composes with the broadcast nation dim, and the date
+    filter pushes to the orders scan."""
+    _utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(n), inactive.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
 def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders rollup by priority: count + exact-decimal average price."""
     _utc(spark)
@@ -727,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "q_top_customers_window": q_top_customers_window,
         "q_nations_both": q_nations_both,
+        "q_customers_no_orders": q_customers_no_orders,
         "q_priority_rollup": q_priority_rollup,
         # MQL (§2.3/2.4)
         "mql_find_returns": mql_find_returns,
@@ -836,6 +855,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
             INTERSECT
             SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        """,
+        "q_customers_no_orders": """
+            SELECT n_name, count(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY n_name
         """,
         "q_priority_rollup": """
             SELECT o_orderpriority,
