@@ -181,6 +181,26 @@ def test_reconstruction_matches_event_log(spark):
     assert g == e
 
 
+def test_python_replay_state_spans_arrow_batches(spark):
+    """One oid whose changelog is far larger than the Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch defaults to 10000): the
+    streamed replay must carry its accumulation state across batch
+    boundaries inside the partition."""
+    n = 25000
+    docs = spark.createDataFrame(
+        [(1, str(n), None, ts(1), dt.datetime(2024, 3, 1), None)], DOC_SCHEMA)
+    acts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), "status",
+          str(i), str(i + 1), None, None) for i in range(n)],
+        ACT_SCHEMA)
+    out = activity_import(docs, acts, fields=["status"], strategy="python")
+    rows = out.collect()
+    assert len(rows) == n + 1
+    # the full chain of values is reconstructed exactly once each
+    assert sorted(int(r["status"]) for r in rows) == list(range(n + 1))
+    assert all(r["_e"] is None for r in rows)
+
+
 def test_list_replay_roundtrip_random(spark):
     """Round-trip property for the list-field engine: simulate true
     histories FORWARD (random element adds/removes), give the replay only
