@@ -95,12 +95,14 @@ class Engine:
 
     # -- writes -------------------------------------------------------------
 
-    def _write_partitioned(self, df: DataFrame, path: str, mode: str) -> None:
+    def _write_partitioned(
+        self, df: DataFrame, path: str, mode: str, dynamic: bool = True
+    ) -> None:
         out = df.withColumn("_current", F.col("_end").isNull())
         (
             out.write.mode(mode)
             .partitionBy("_current")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
 
@@ -154,7 +156,12 @@ class Engine:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
             ).localCheckpoint(eager=True)
-            self._write_partitioned(replaced, path, "overwrite")
+            # static overwrite: the history import must rewrite BOTH
+            # partitions (reference deletes ALL versions of the replaced
+            # oids, sqlalchemy.py:955-963) — dynamic mode would leave a
+            # _current partition absent from the result untouched on disk,
+            # letting stale versions survive
+            self._write_partitioned(replaced, path, "overwrite", dynamic=False)
 
     # -- queries (reference sqlalchemy.py:641-803) ---------------------------
 

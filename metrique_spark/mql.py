@@ -199,14 +199,14 @@ class _Compiler(ast.NodeVisitor):
         if op == "Eq":
             return F.array_contains(left, right)
         if op == "NotEq":
-            return ~F.coalesce(F.array_contains(left, right), F.lit(False))
+            # plain three-valued negation reproduces Postgres ``ALL`` exactly
+            # (reference backend): NULL array -> NULL -> excluded; an array
+            # with NULL elements and no match -> NULL -> excluded
+            return ~F.array_contains(left, right)
         if op == "In":
             return F.arrays_overlap(left, F.array(*[F.lit(v) for v in right]))
         if op == "NotIn":
-            return ~F.coalesce(
-                F.arrays_overlap(left, F.array(*[F.lit(v) for v in right])),
-                F.lit(False),
-            )
+            return ~F.arrays_overlap(left, F.array(*[F.lit(v) for v in right]))
         raise MQLError(f"unsupported array comparison: {op}")
 
     def _regex(self, left: Column, op: str, right: tuple, is_array: bool) -> Column:

@@ -55,6 +55,26 @@ def _ensure_list_cols(acts: DataFrame) -> DataFrame:
     return acts
 
 
+def _doc_only_rows(no_act: DataFrame, doc_cols: list[str], cfield: str | None) -> DataFrame:
+    """Docs that had no replayable activity: emit the doc itself, back-dated
+    to ``cfield`` when that is earlier (reference generic.py:168-184)."""
+    keep = no_act
+    if cfield:
+        keep = no_act.where(F.col(f"__d_{cfield}").isNotNull()
+                            & (F.col(f"__d_{cfield}") < F.col("__d__start")))
+        backdated = [
+            (F.col(f"__d_{cfield}") if c == "_start" else F.col(f"__d_{c}"))
+            .alias(c)
+            for c in doc_cols if c != "_oid"
+        ]
+    else:
+        backdated = [F.col(f"__d_{c}").alias(c) for c in doc_cols if c != "_oid"]
+    return keep.select(
+        "_oid", *backdated,
+        F.lit(None).cast("map<string,string>").alias("_e"),
+    )
+
+
 def _activity_import_window(
     docs: DataFrame,
     activities: DataFrame,
@@ -78,6 +98,11 @@ def _activity_import_window(
     doc_cols = [c for c in docs.columns if c != "_e"]
     d = docs.select(*[F.col(c).alias(f"__d_{c}" if c != "_oid" else c)
                       for c in doc_cols])
+    if not tracked:
+        # nothing replayable with an empty tracked-scalar set — every doc
+        # takes the docs-only branch (previously the mismatch fold over zero
+        # fields raised AttributeError before any data was processed)
+        return _doc_only_rows(d, doc_cols, cfield)
     acts = activities.join(
         d.select("_oid", F.col("__d__start").alias("__doc_start")), "_oid"
     ).where(
@@ -233,21 +258,7 @@ def _activity_import_window(
 
     # oids with no replayable activity: the doc itself (generic.py:168-184)
     no_act = d.join(acts.select("_oid").distinct(), "_oid", "left_anti")
-    keep = no_act
-    if cfield:
-        keep = no_act.where(F.col(f"__d_{cfield}").isNotNull()
-                            & (F.col(f"__d_{cfield}") < F.col("__d__start")))
-        backdated = [
-            (F.col(f"__d_{cfield}") if c == "_start" else F.col(f"__d_{c}"))
-            .alias(c)
-            for c in doc_cols if c != "_oid"
-        ]
-    else:
-        backdated = [F.col(f"__d_{c}").alias(c) for c in doc_cols if c != "_oid"]
-    doc_rows = keep.select(
-        "_oid", *backdated,
-        F.lit(None).cast("map<string,string>").alias("_e"),
-    )
+    doc_rows = _doc_only_rows(no_act, doc_cols, cfield)
     return with_acts.unionByName(doc_rows)
 
 

@@ -90,7 +90,10 @@ def snapshot_merge_tagged(open_rows: DataFrame, incoming: DataFrame) -> DataFram
 
     has_old = F.col("o._oid").isNotNull()
     has_new = F.col("n._oid").isNotNull()
-    same_hash = F.col("o._hash") == F.col("n._hash")
+    # null-safe: a NULL _hash on either side must not void all three output
+    # branches (plain == would make every when() condition NULL and the
+    # joined row would emit nothing — the object silently disappears)
+    same_hash = F.col("o._hash").eqNullSafe(F.col("n._hash"))
     changed = has_old & has_new & ~same_hash
 
     def side(prefix: str, closed: bool = False):

@@ -51,6 +51,24 @@ def test_scalar_backwards_replay(spark):
     }
 
 
+def test_empty_tracked_fields_short_circuits(spark):
+    # fields=[] (or only system fields) must not raise: nothing is
+    # replayable, so every doc takes the docs-only branch
+    docs, acts = make(
+        spark,
+        [(1, "done", None, ts(1), ts(10), None)],
+        [(1, ts(5), "status", "open", "done", None, None)],
+    )
+    out = activity_import(docs, acts, fields=[])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "done" and rows[0]["_e"] is None
+    # with a cfield the doc is back-dated like any no-activity doc
+    out2 = activity_import(docs, acts, fields=["_start"], cfield="created")
+    rows2 = out2.collect()
+    assert len(rows2) == 1 and rows2[0]["_start"] == ts(1)
+
+
 def test_same_instant_changes_group_into_one_version(spark):
     docs, acts = make(
         spark,

@@ -44,6 +44,18 @@ def test_array_semantics(versions):
     assert q(versions, 'empty(tags)').count() == 1
 
 
+def test_array_null_three_valued(spark):
+    # reference backend: `v != ALL(arr)` / NOT IN over a NULL array (or an
+    # array with NULL elements and no match) yields NULL -> row excluded
+    rows = [(1, ["x"]), (2, None), (3, [None]), (4, ["y"])]
+    df = spark.createDataFrame(rows, "o long, tags array<string>")
+    assert {r["o"] for r in q(df, 'tags != "x"').collect()} == {4}
+    assert {r["o"] for r in q(df, 'tags not in ["x"]').collect()} == {4}
+    # positive forms unaffected
+    assert {r["o"] for r in q(df, 'tags == "x"').collect()} == {1}
+    assert {r["o"] for r in q(df, 'tags in ["x", "y"]').collect()} == {1, 4}
+
+
 def test_regex(versions):
     assert q(versions, 'val == regex("^[ab]$")').count() == 5
     assert q(versions, 'val != regex("^[ab]$")').count() == 1

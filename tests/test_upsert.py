@@ -72,6 +72,43 @@ def test_autosnap_autodetect(spark, engine):
     assert engine.count("auto") == 1
 
 
+def test_history_import_purges_stale_partitions(spark, engine):
+    # table starts with one closed + one open version of oid 1
+    rows = [(1, 1, "2013-01-01", "2014-01-01"), (1, 2, "2014-01-01", None)]
+    df = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
+    engine.upsert("hp", stamp(df, oid="oid", start="s", end="e"),
+                  autosnap=False, stamped=True)
+    assert engine.count("hp", date="~") == 2
+    # replacement history is open-only: the _current=false partition must be
+    # truncated too (reference deletes ALL versions, sqlalchemy.py:955-963);
+    # dynamic partition overwrite would leave the old closed row on disk
+    only_open = spark.createDataFrame([(1, 3, "2014-06-01", None)],
+                                      "oid long, col_1 long, s string, e string")
+    engine.upsert("hp", stamp(only_open, oid="oid", start="s"),
+                  autosnap=False, stamped=True)
+    assert engine.count("hp", date="~") == 1
+    assert engine.find("hp").first()["col_1"] == 3
+
+
+def test_null_hash_upsert_does_not_drop_objects(spark, engine):
+    def objs(start, val, null_hash=False):
+        df = spark.createDataFrame([(1, val)], "oid long, col_1 long")
+        out = stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
+        if null_hash:
+            out = out.withColumn("_hash", F.lit(None).cast("string"))
+        return out
+
+    engine.upsert("nh", objs("2014-01-01", 10, null_hash=True), stamped=True)
+    assert engine.count("nh", date="~") == 1
+    # NULL-vs-NULL hash -> dedup skip, object must NOT vanish
+    engine.upsert("nh", objs("2014-02-01", 10, null_hash=True), stamped=True)
+    assert engine.count("nh", date="~") == 1
+    # NULL-vs-real hash -> treated as changed: close old, insert new
+    engine.upsert("nh", objs("2014-03-01", 11), stamped=True)
+    assert engine.count("nh", date="~") == 2
+    assert engine.find("nh").first()["col_1"] == 11
+
+
 def test_last_write_wins_within_batch(spark, engine):
     # two versions of the same oid in one snapshot batch -> latest _start wins
     a = _objs(spark, [(9, 1)], "2014-01-01")
