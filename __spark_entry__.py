@@ -1121,6 +1121,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT _date, round(n, 2) AS n FROM pred
         """,
         "deptree_regions": """
+            SELECT CAST(child AS BIGINT) AS child
+            FROM (VALUES (0), (1)) seeds(child)
+            UNION
             SELECT CAST(n_nationkey + 100 AS BIGINT) AS child
             FROM nation WHERE n_regionkey IN (0, 1)
             UNION

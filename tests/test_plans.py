@@ -88,6 +88,24 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert not audit.has_cartesian(p)
 
 
+def test_deptree_hop_broadcast_semi_no_literal_fringe(spark):
+    # the BFS fringe must ride as a broadcast semi-join, never a driver-side
+    # IN literal — a millions-wide fringe would otherwise bloat the plan
+    # itself before the data hurts
+    from pyspark.sql import functions as F
+
+    from metrique_spark.temporal import _deptree_hop
+
+    df = spark.createDataFrame(
+        [(i, [i + 1]) for i in range(100)], "_oid long, children array<long>"
+    )
+    fringe = spark.createDataFrame([(i,) for i in range(50)], "_oid long")
+    p = audit.executed_plan(_deptree_hop(df, "children", fringe))
+    assert audit.broadcast_join_count(p) >= 1
+    assert " IN (" not in p and "_oid IN" not in p
+    assert not audit.has_cartesian(p)
+
+
 @pytest.mark.parametrize("name", ["tmp_on_date", "dedup_exact_groups",
                                   "tmp_asof_join"])
 def test_single_shuffle_operators(spark, name):

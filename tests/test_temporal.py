@@ -114,6 +114,9 @@ def test_deptree(spark):
     df = spark.createDataFrame(rows, "_oid long, children array<long>")
     df = df.withColumn("_start", F.to_timestamp(F.lit("2014-01-01"))).withColumn(
         "_end", F.lit(None).cast("timestamp"))
-    assert temporal.deptree(df, "children", [1]) == [2, 3, 4, 5]
-    assert temporal.deptree(df, "children", [1], level=1) == [2, 3]
-    assert temporal.deptree(df, "children", [1], level=2) == [2, 3, 4]
+    # reference returns sorted(checked) with the seeds included
+    assert temporal.deptree(df, "children", [1]) == [1, 2, 3, 4, 5]
+    assert temporal.deptree(df, "children", [1], level=1) == [1, 2, 3]
+    assert temporal.deptree(df, "children", [1], level=2) == [1, 2, 3, 4]
+    # cycles terminate (6 -> 1 -> ... -> back pointers never re-expand)
+    assert temporal.deptree(df, "children", [6]) == [1, 2, 3, 4, 5, 6]
