@@ -632,12 +632,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.45):
-    Arrow-batched BLAS matmul against a broadcast normalized matrix —
-    the fourth dedup modality (exact / jaccard / minhash / embedding)."""
+    """embedding-cosine near-duplicate pairs (exact, ≥ 0.45) through the
+    SCALE path: IVF-bucketed candidate generation + per-bucket BLAS verify
+    (similarity.cosine_pairs_bucketed) — the bucket id is the shuffle key
+    and nothing collects to the driver. Run at nprobe=nlist so every pair
+    shares a bucket and the result degenerates to exact, which keeps the
+    all-pairs SQL oracle a valid value check. The broadcast all-pairs
+    variant (cosine_pairs) remains the small-data convenience API."""
     _utc(spark)
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(e, threshold=0.45)
+    return similarity.cosine_pairs_bucketed(e, threshold=0.45, nlist=4, nprobe=4)
 
 
 def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

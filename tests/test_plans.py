@@ -88,6 +88,16 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert not audit.has_cartesian(p)
 
 
+def test_embedding_pairs_bucketed_no_driver_collect(spark):
+    # the gate entry must run the IVF-bucketed path: per-bucket grouped
+    # pandas verify, centroids broadcast, no cartesian — and nothing
+    # resembling the broadcast-variant's full-corpus driver collect
+    p = _plan(spark, "dedup_embedding_pairs")
+    assert "FlatMapGroupsInPandas" in p        # per-bucket BLAS verify
+    assert audit.broadcast_join_count(p) >= 1  # centroid assignment join
+    assert not audit.has_cartesian(p)
+
+
 def test_deptree_hop_broadcast_semi_no_literal_fringe(spark):
     # the BFS fringe must ride as a broadcast semi-join, never a driver-side
     # IN literal — a millions-wide fringe would otherwise bloat the plan
