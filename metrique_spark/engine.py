@@ -55,6 +55,8 @@ class Engine:
         if "_current" in df.columns:
             # partition-value inference yields string; restore boolean
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
+        if "__batch" in df.columns:  # internal commit-batch key, not data
+            df = df.drop("__batch")
         return df
 
     def table(self, cube: str) -> DataFrame:
@@ -99,10 +101,50 @@ class Engine:
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True
     ) -> None:
         out = df.withColumn("_current", F.col("_end").isNull())
+        # second-level __batch partition key: open rows live in one fixed
+        # partition; closed (history) rows land in per-upsert-batch
+        # directories keyed by a content token, which is what makes the
+        # snapshot upsert's closed-row write idempotent (see upsert below)
+        out = out.withColumn(
+            "__batch",
+            F.when(F.col("_current"), F.lit("open")).otherwise(F.lit("hist")),
+        )
         (
             out.write.mode(mode)
-            .partitionBy("_current")
+            .partitionBy("_current", "__batch")
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+            .parquet(path)
+        )
+
+    def _write_closed_batch(self, closed: DataFrame, path: str) -> None:
+        """Append newly-closed rows into a history partition keyed by a
+        deterministic content token: retrying the same merge overwrites the
+        SAME directory instead of appending duplicates."""
+        tok = closed.agg(
+            F.count("*").alias("n"),
+            F.sha1(F.concat_ws("|", F.sort_array(F.collect_list(
+                F.concat_ws("@", "_id", F.col("_end").cast("string"))
+            )))).alias("tok"),
+        ).first()
+        if not tok["n"]:
+            return
+        (
+            closed.withColumn("_current", F.lit(False))
+            .withColumn("__batch", F.lit(tok["tok"]))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_current", "__batch")
+            .parquet(path)
+        )
+
+    def _write_open(self, new_open: DataFrame, path: str) -> None:
+        """Dynamically overwrite the single open partition."""
+        (
+            new_open.withColumn("_current", F.lit(True))
+            .withColumn("__batch", F.lit("open"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_current", "__batch")
             .parquet(path)
         )
 
@@ -137,20 +179,18 @@ class Engine:
             tagged = _upsert.snapshot_merge_tagged(
                 open_rows, incoming.select(*cols)
             ).localCheckpoint(eager=True)
-            (
-                tagged.where(~F.col("__closed")).drop("__closed")
-                .withColumn("_current", F.lit(True))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_current")
-                .parquet(path)
+            # commit order is load-bearing: closed rows FIRST (idempotent
+            # token-keyed partition), open-partition overwrite second. A
+            # crash between the two leaves the old rows open alongside
+            # their closed copies — retrying the same batch recomputes the
+            # identical closed set, overwrites the same token directory,
+            # and converges to the crash-free state. The old order lost
+            # the closed versions (a history gap) with no recovery path.
+            self._write_closed_batch(
+                tagged.where(F.col("__closed")).drop("__closed"), path
             )
-            (
-                tagged.where(F.col("__closed")).drop("__closed")
-                .withColumn("_current", F.lit(False))
-                .write.mode("append")
-                .partitionBy("_current")
-                .parquet(path)
+            self._write_open(
+                tagged.where(~F.col("__closed")).drop("__closed"), path
             )
         else:
             replaced = _upsert.history_replace(

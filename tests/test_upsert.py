@@ -109,6 +109,32 @@ def test_null_hash_upsert_does_not_drop_objects(spark, engine):
     assert engine.find("nh").first()["col_1"] == 11
 
 
+def test_crash_between_closed_and_open_writes_recovers(spark, engine, monkeypatch):
+    engine.upsert("cr", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
+
+    # inject a crash AFTER the closed-row write, BEFORE the open overwrite
+    def boom(self, df, path):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(Engine, "_write_open", boom)
+    batch = _objs(spark, [(1, 11)], "2014-02-01")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        engine.upsert("cr", batch, stamped=True)
+    monkeypatch.undo()
+
+    # no history loss: the closed version of oid 1 is already durable
+    closed = engine.find("cr", query="_oid == 1 and _end != None", date="~").collect()
+    assert len(closed) == 1 and closed[0]["col_1"] == 10
+
+    # retrying the same batch converges to the crash-free state: the
+    # identical closed set overwrites its token partition (no duplicates)
+    engine.upsert("cr", batch, stamped=True)
+    assert engine.count("cr", date="~") == 3
+    assert engine.count("cr") == 2
+    cur = engine.find("cr", query="_oid == 1").collect()
+    assert len(cur) == 1 and cur[0]["col_1"] == 11
+
+
 def test_last_write_wins_within_batch(spark, engine):
     # two versions of the same oid in one snapshot batch -> latest _start wins
     a = _objs(spark, [(9, 1)], "2014-01-01")
