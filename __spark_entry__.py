@@ -347,7 +347,32 @@ def tmp_last_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tmp_dfind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """per-oid successive diffs via lag (reference sqlalchemy.py:694-704)."""
     v = _versions(spark, sf_dir)
-    return temporal.dfind(v, ["event_type"])
+    return temporal.dfind(v, ["event_type"]).select(
+        "_oid", "_start", "field", "old", "new")
+
+
+def tmp_dfind_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """whole-object diff with DictDiffer added/removed-key classification
+    (reference utils.py:1446-1535): value is NULLed for click events so the
+    version chain drifts between schemas — NULL→value diffs as an added
+    key, value→NULL as removed, value→value as changed."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    # one event per (user, instant): dfind's lag orders by _start alone, so
+    # duplicate timestamps would make the diff order engine-dependent
+    w2 = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    ev1 = ev.withColumn("__rn", F.row_number().over(w2)).where(F.col("__rn") == 1)
+    v = ev1.select(
+        F.col("user_id").alias("_oid"),
+        "event_type",
+        # floor() explicitly: Spark's double->long cast truncates while
+        # DuckDB's rounds, so the shared intent must be spelled out
+        F.when(F.col("event_type") != "click",
+               F.floor("value").cast("long")).alias("value"),
+        F.col("ts").alias("_start"),
+        F.lit(None).cast("timestamp").alias("_end"),
+    )
+    return temporal.dfind(v, None)
 
 
 def tmp_persistent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_unfinished": tmp_unfinished,
         "tmp_last_chain": tmp_last_chain,
         "tmp_dfind": tmp_dfind,
+        "tmp_dfind_keys": tmp_dfind_keys,
         "tmp_persistent_counts": tmp_persistent_counts,
         "tmp_age": tmp_age,
         "upsert_snapshot": upsert_snapshot,
@@ -972,6 +998,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM v)
             SELECT _oid, _start, 'event_type' AS field, old, new
             FROM o WHERE rn > 1 AND old IS DISTINCT FROM new
+        """,
+        "tmp_dfind_keys": """
+            WITH evm AS (
+                -- match Spark's microsecond-truncated read of the NANOS ts
+                SELECT user_id, event_id, event_type, value,
+                       CAST(ts AS TIMESTAMP) AS ts
+                FROM events
+            ),
+            ev1 AS (
+                SELECT * FROM evm
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id) = 1
+            ),
+            v AS (SELECT user_id AS _oid, event_type,
+                         CASE WHEN event_type != 'click'
+                              THEN CAST(floor(value) AS BIGINT) END AS value,
+                         ts AS _start FROM ev1),
+            o AS (SELECT _oid, _start,
+                         lag(event_type) OVER w AS old_et, event_type AS new_et,
+                         lag(value) OVER w AS old_v, value AS new_v,
+                         row_number() OVER w AS rn
+                  FROM v WINDOW w AS (PARTITION BY _oid ORDER BY _start))
+            SELECT _oid, _start, 'event_type' AS field,
+                   old_et AS old, new_et AS new,
+                   CASE WHEN old_et IS NULL THEN 'added'
+                        WHEN new_et IS NULL THEN 'removed'
+                        ELSE 'changed' END AS kind
+            FROM o WHERE rn > 1 AND old_et IS DISTINCT FROM new_et
+            UNION ALL
+            SELECT _oid, _start, 'value' AS field,
+                   CAST(old_v AS VARCHAR) AS old, CAST(new_v AS VARCHAR) AS new,
+                   CASE WHEN old_v IS NULL THEN 'added'
+                        WHEN new_v IS NULL THEN 'removed'
+                        ELSE 'changed' END AS kind
+            FROM o WHERE rn > 1 AND old_v IS DISTINCT FROM new_v
         """,
         "tmp_persistent_counts": f"""
             WITH v AS ({_V}),

@@ -291,9 +291,10 @@ class Engine:
         df = cube if isinstance(cube, DataFrame) else self.table(cube)
         return temporal.deptree(df, field, oids, level=level, date=date)
 
-    def dfind(self, cube: str | DataFrame, fields: Iterable[str],
+    def dfind(self, cube: str | DataFrame, fields: Iterable[str] | None = None,
               query: str | None = None, date: str | None = "~") -> DataFrame:
-        """Diff-find (reference ``sqlalchemy.py:694-704``)."""
+        """Diff-find (reference ``sqlalchemy.py:694-704``); ``fields=None``
+        diffs the whole object with added/removed-key classification."""
         return temporal.dfind(self._scoped(cube, query, date), fields)
 
     def sql(self, query: str) -> DataFrame:

@@ -393,12 +393,23 @@ def asof_join(
 # diffs / traversal / grouped apply
 
 
-def dfind(df: DataFrame, fields: Iterable[str]) -> DataFrame:
+def dfind(df: DataFrame, fields: Iterable[str] | None = None) -> DataFrame:
     """Diff consecutive versions per oid (reference ``dfind``,
     ``sqlalchemy.py:694-704`` + ``DictDiffer`` ``utils.py:1446-1535``):
     for each version after the first, emit per-field previous/current values
     where they changed. ``lag`` window + a small array of change structs,
-    exploded — all JVM-side."""
+    exploded — all JVM-side.
+
+    ``fields=None`` diffs every non-system field (the reference's
+    ``include=None`` whole-object diff). Each row carries the DictDiffer
+    classification in ``kind``: a NULL→value transition is an ``added``
+    key, value→NULL is ``removed`` (fixed-schema columns model the
+    reference's dynamic dict keys as NULLs), value→value is ``changed``."""
+    from metrique_spark.objects import SYSTEM_FIELDS
+
+    if fields is None:
+        fields = [c for c in df.columns
+                  if c not in SYSTEM_FIELDS and c != "_current"]
     fields = list(fields)
     diffs = []
     for f in fields:
@@ -412,6 +423,10 @@ def dfind(df: DataFrame, fields: Iterable[str]) -> DataFrame:
                     F.lit(f).alias("field"),
                     prev.cast("string").alias("old"),
                     cur.cast("string").alias("new"),
+                    F.when(prev.isNull(), F.lit("added"))
+                    .when(cur.isNull(), F.lit("removed"))
+                    .otherwise(F.lit("changed"))
+                    .alias("kind"),
                 ),
             )
         )
@@ -430,6 +445,7 @@ def dfind(df: DataFrame, fields: Iterable[str]) -> DataFrame:
             F.col("__c.field").alias("field"),
             F.col("__c.old").alias("old"),
             F.col("__c.new").alias("new"),
+            F.col("__c.kind").alias("kind"),
         )
     )
     return out

@@ -94,6 +94,27 @@ def test_dfind(versions):
     assert (1, "b", "c") in changes
     assert (2, "a", "b") in changes
     assert len(changes) == 3
+    assert all(r["kind"] == "changed" for r in out)
+
+
+def test_dfind_whole_object_added_removed(spark):
+    # fields=None diffs every non-system field; NULL transitions classify
+    # as added/removed keys (reference DictDiffer, utils.py:1446-1535)
+    rows = [
+        (1, "a", None, "2014-01-01"),
+        (1, "b", 5, "2014-02-01"),     # size appears  -> added
+        (1, "b", None, "2014-03-01"),  # size vanishes -> removed
+    ]
+    df = spark.createDataFrame(rows, "_oid long, val string, size long, s string")
+    df = df.withColumn("_start", F.to_timestamp("s")).withColumn(
+        "_end", F.lit(None).cast("timestamp")).drop("s")
+    out = temporal.dfind(df, None).collect()
+    got = {(r["field"], r["old"], r["new"], r["kind"]) for r in out}
+    assert got == {
+        ("val", "a", "b", "changed"),
+        ("size", None, "5", "added"),
+        ("size", "5", None, "removed"),
+    }
 
 
 def test_object_apply(spark, versions):
