@@ -280,6 +280,16 @@ def mql_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.distinct(_cust_priorities(spark, sf_dir), "priorities")
 
 
+def mql_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-field distinct: per-field flatten (array elements included)
+    reduce-added into one flat value set (reference sqlalchemy.py:706-721)."""
+    _utc(spark)
+    eng = Engine(spark)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "tags", F.array("lang", "source"))
+    return eng.distinct(d, ["tags", "lang"])
+
+
 # ---------------------------------------------------------------------------
 # temporal operators (SURVEY §2.5) over the versioned events view
 
@@ -782,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mql_array_any": mql_array_any,
         "mql_empty_array": mql_empty_array,
         "mql_distinct_priorities": mql_distinct_priorities,
+        "mql_distinct_multi": mql_distinct_multi,
         # temporal (§2.5) + upsert (§2.2) + deptree
         "tmp_current_by_type": tmp_current_by_type,
         "tmp_on_date": tmp_on_date,
@@ -920,6 +931,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mql_distinct_priorities": """
             SELECT DISTINCT o_orderpriority AS priorities FROM orders
+        """,
+        "mql_distinct_multi": """
+            SELECT DISTINCT value FROM (
+                SELECT lang AS value FROM documents
+                UNION ALL SELECT source FROM documents
+                UNION ALL SELECT lang FROM documents
+            ) WHERE value IS NOT NULL
         """,
         "mql_empty_array": """
             SELECT doc_id FROM documents

@@ -265,7 +265,10 @@ class Engine:
     def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
                  date: str | None = "~") -> DataFrame:
         """Unique values of field(s); array-valued fields are flattened
-        (reference ``sqlalchemy.py:706-721`` reduce-adds lists)."""
+        (reference ``sqlalchemy.py:706-721`` reduce-adds per-field lists
+        into ONE flat sorted value set). Single field keeps its name and
+        type; multiple fields union into a single string-cast ``value``
+        column, matching the reference's untyped flat list."""
         from pyspark.sql import types as T
 
         df = self._scoped(cube, query, date)
@@ -277,8 +280,11 @@ class Engine:
             outs.append(df.select(col.alias(c)).where(F.col(c).isNotNull()).distinct())
         if len(outs) == 1:
             return outs[0].orderBy(cols[0])
-        # multi-field: distinct tuples (reference returns per-row dicts)
-        return df.select(*cols).distinct()
+        uni = None
+        for out in outs:
+            part = out.select(F.col(out.columns[0]).cast("string").alias("value"))
+            uni = part if uni is None else uni.unionByName(part)
+        return uni.distinct().orderBy("value")
 
     def get_last_field(self, cube: str | DataFrame, field: str):
         """Max value of a field across all history (reference

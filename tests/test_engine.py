@@ -60,6 +60,14 @@ def test_sql_over_registered_cubes(engine):
     assert [(r["_oid"], r["n"]) for r in out.collect()] == [(1, 3), (2, 2), (3, 1)]
 
 
+def test_distinct_multi_field_flattens_arrays(engine):
+    # reference reduce-adds per-field lists into one flat sorted set
+    out = engine.distinct("v", ["tags", "val"])
+    assert out.columns == ["value"]
+    vals = [r["value"] for r in out.collect()]
+    assert vals == sorted({"x", "y", "z", "a", "b", "c"})
+
+
 def test_dfind_via_engine(engine):
     out = engine.dfind("v", ["val"])
     assert out.count() == 3
