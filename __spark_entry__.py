@@ -676,7 +676,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (cosine_pairs) remains the small-data convenience API."""
     _utc(spark)
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_bucketed(e, threshold=0.45, nlist=4, nprobe=4)
+    return similarity.cosine_pairs_bucketed(e, threshold=0.45, nlist=2, nprobe=2)
 
 
 def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,8 +162,16 @@ def cosine_pairs_bucketed(
     _, centroids = ivf_assign(df, nlist, id_col, vec_col)
     vecs = df.select(F.col(id_col).cast("long").alias("__vid"),
                      _as_double(vec_col).alias("v"))
-    probed = _nearest_buckets(vecs, centroids, "v", nprobe).select(
-        F.col("__vid").alias("id"), "v", F.col("centroid_id").alias("bucket"))
+    if nprobe >= nlist:
+        # exact mode (every vector probes every bucket): skip the centroid
+        # scoring + per-vector ranking window — tagging each vector with all
+        # bucket ids needs no shuffle at all, just a broadcast of nlist ids
+        probed = vecs.join(
+            F.broadcast(centroids.select(F.col("centroid_id").alias("bucket")))
+        ).select(F.col("__vid").alias("id"), "v", "bucket")
+    else:
+        probed = _nearest_buckets(vecs, centroids, "v", nprobe).select(
+            F.col("__vid").alias("id"), "v", F.col("centroid_id").alias("bucket"))
 
     def per_bucket(pdf):
         import numpy as np
