@@ -120,17 +120,24 @@ class Engine:
         """Append newly-closed rows into a history partition keyed by a
         deterministic content token: retrying the same merge overwrites the
         SAME directory instead of appending duplicates."""
+        # Order-insensitive distributed checksum: sum of per-row xxhash64
+        # aggregates map-side with constant memory per task (the earlier
+        # collect_list token held every closed _id in ONE aggregation
+        # buffer — gigabytes at a 100 TB-scale batch). decimal(38,0) sum
+        # can't overflow under ANSI until ~1e19 rows.
         tok = closed.agg(
             F.count("*").alias("n"),
-            F.sha1(F.concat_ws("|", F.sort_array(F.collect_list(
-                F.concat_ws("@", "_id", F.col("_end").cast("string"))
-            )))).alias("tok"),
+            F.sum(
+                F.xxhash64("_id", F.col("_end").cast("string"))
+                .cast("decimal(38,0)")
+            ).alias("s"),
         ).first()
         if not tok["n"]:
             return
+        token = f"n{tok['n']}x{tok['s']}"
         (
             closed.withColumn("_current", F.lit(False))
-            .withColumn("__batch", F.lit(tok["tok"]))
+            .withColumn("__batch", F.lit(token))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_current", "__batch")

@@ -21,8 +21,10 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -73,26 +75,28 @@ def extract_features(df: DataFrame) -> DataFrame:
     a partition larger than memory still processes incrementally."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+        def _decode(payload):
+            try:
+                return decode_stub(payload)
+            except NotImplementedError:
+                return (None, None)
 
+        # Column-wise construction: per-element Python survives only at
+        # the hash/decode seam (md5 over bytes can't vectorize further);
+        # everything else is a pandas Series op over the Arrow batch.
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
-                try:
-                    w, h = decode_stub(payload)
-                except NotImplementedError:
-                    w = h = None
-                rows.append({
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
-                    "n_bytes": len(payload) if payload is not None else None,
-                    "checksum": hashlib.md5(payload).hexdigest()
-                    if payload is not None else None,
-                    "width": w,
-                    "height": h,
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payload = pdf["payload"]
+            wh = payload.map(_decode)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payload.str.len(),
+                "checksum": payload.map(
+                    lambda p: hashlib.md5(p).hexdigest() if p is not None
+                    else None),
+                "width": wh.map(lambda t: t[0]),
+                "height": wh.map(lambda t: t[1]),
+            })
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
@@ -115,24 +119,26 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     any Python runs, and payloads stream through in bounded Arrow batches.
     """
 
-    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+    size = max(16, (width * height) // 256)
 
+    def _fake_resize(payload):
+        if payload is None:
+            return None
+        # deterministic fake: digest-seeded bytes, size scaled to the
+        # target area (stands in for re-encoded pixels)
+        seed = hashlib.md5(payload).digest()
+        return (seed * (size // len(seed) + 1))[:size]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-element Python only at the resize seam; constant columns and
+        # frame assembly are vectorized
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
-                if payload is None:
-                    out = None
-                else:
-                    # deterministic fake: digest-seeded bytes, size scaled
-                    # to the target area (stands in for re-encoded pixels)
-                    seed = hashlib.md5(payload).digest()
-                    size = max(16, (width * height) // 256)
-                    out = (seed * (size // len(seed) + 1))[:size]
-                rows.append({"media_id": r["media_id"], "payload": out,
-                             "width": width, "height": height})
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": pdf["payload"].map(_fake_resize),
+                "width": width,
+                "height": height,
+            })
 
     return (
         df.where(F.col("kind") == "image")
@@ -161,31 +167,35 @@ def sample_frames(df: DataFrame, fps: float = 1.0,
     videos in one row — the thing to avoid at 100 TB)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         cols = [f.name for f in FRAME_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
-                if payload is None:
-                    continue
-                duration = max(1.0, len(payload) / 8.0)  # fake seconds
-                n = min(max_frames, max(1, int(duration * fps)))
-                for i in range(n):
-                    ts = round(i / fps, 3)
-                    # digest over the lowercase-hex form of (payload, idx):
-                    # byte-identical in ANSI SQL (md5 there is VARCHAR-only),
-                    # so the fake frame bytes are oracle-verifiable
-                    rows.append({
-                        "media_id": r["media_id"],
-                        "frame_idx": i,
-                        "ts_sec": ts,
-                        "frame": hashlib.md5(
-                            (payload.hex() + format(i, "08x")).encode()
-                        ).digest(),
-                    })
-            yield pd.DataFrame(rows, columns=cols)
+            pdf = pdf[pdf["payload"].notna()]
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in cols})
+                continue
+            # frame counts + expansion are pure numpy: duration is faked
+            # from payload length, each input row repeats n times with a
+            # per-row arange of frame indices
+            lens = pdf["payload"].str.len().to_numpy(dtype="float64")
+            duration = np.maximum(1.0, lens / 8.0)  # fake seconds
+            n = np.clip((duration * fps).astype("int64"), 1, max_frames)
+            media_id = np.repeat(pdf["media_id"].to_numpy(), n)
+            frame_idx = np.concatenate([np.arange(k) for k in n])
+            hexes = np.repeat(
+                pdf["payload"].map(bytes.hex).to_numpy(), n)
+            # digest over the lowercase-hex form of (payload, idx):
+            # byte-identical in ANSI SQL (md5 there is VARCHAR-only),
+            # so the fake frame bytes are oracle-verifiable
+            yield pd.DataFrame({
+                "media_id": media_id,
+                "frame_idx": frame_idx.astype("int32"),
+                "ts_sec": np.round(frame_idx / fps, 3),
+                "frame": [
+                    hashlib.md5((hx + format(i, "08x")).encode()).digest()
+                    for hx, i in zip(hexes, frame_idx)
+                ],
+            })
 
     return (
         df.where(F.col("kind") == "video")

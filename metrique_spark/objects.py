@@ -126,7 +126,8 @@ def stamp(
         "_id",
         F.when(F.col("_end").isNull(), F.col("_oid").cast("string")).otherwise(
             F.concat_ws(":", F.col("_oid").cast("string"),
-                        F.col("_start").cast("double").cast("string"))
+                        F.col("_start").cast("timestamp").cast("double")
+                        .cast("string"))
         ),
     )
     work = work.withColumn("_v", F.lit(schema_version)).withColumn(

@@ -1,9 +1,12 @@
 """Loaders for the driver's synthetic tables (TESTDATA.md).
 
-Handles the one physical quirk: ``events.ts`` is nanosecond-precision
-parquet, which Spark reads as long under
-``spark.sql.legacy.parquet.nanosAsLong`` — converted here to a microsecond
-timestamp (matching DuckDB's truncation, so oracle values agree).
+Handles the one physical quirk: ``events.ts`` has shipped both as
+nanosecond-precision parquet (read as long under
+``spark.sql.legacy.parquet.nanosAsLong``, converted to microsecond
+timestamp here — matching DuckDB's truncation, so oracle values agree)
+and as microsecond TIMESTAMP_NTZ (cast to TimestampType; session TZ is
+UTC so values are identical). Either way the rest of the engine sees a
+plain ``TimestampType`` column.
 """
 
 from __future__ import annotations
@@ -23,8 +26,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # epochs exceed 2^53, double division would drift by ±1µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Microsecond TIMESTAMP_NTZ parquet: session TZ is UTC, so a
+            # plain cast preserves every instant bit-for-bit and restores
+            # the TimestampType the rest of the engine expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -18,28 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# physical schema: ts is nanosecond parquet, read as long
-# (spark.sql.legacy.parquet.nanosAsLong) and converted below
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 4) -> DataFrame:
     """File-source stream over an events directory (exactly-once via file
-    tracking; at scale this is the same code against Kafka/Kinesis)."""
+    tracking; at scale this is the same code against Kafka/Kinesis).
+
+    The physical ``ts`` encoding has shipped both as nanosecond parquet
+    (surfaced as long under ``nanosAsLong``) and as microsecond
+    TIMESTAMP_NTZ; the schema is taken from the files themselves (a
+    footer-only batch read) and either encoding is normalized to
+    ``TimestampType`` before any watermark/window sees it."""
+    static_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(static_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = static_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

@@ -302,7 +302,8 @@ def last_versions_with_age(
         .where(F.col("__rn") == 1)
         .withColumn(
             col_name,
-            F.floor(cutoff.cast("double") - F.col("__first").cast("double")),
+            F.floor(cutoff.cast("timestamp").cast("double")
+                    - F.col("__first").cast("timestamp").cast("double")),
         )
         .drop("__first", "__rn")
     )
@@ -481,8 +482,6 @@ def deptree(
     the driver. The full oid set is collected ONCE at the end, so a
     millions-wide fringe never becomes a giant ``IN`` literal in the
     plan."""
-    from metrique_spark.mql import date_range_predicate
-
     from pyspark.sql import types as T
 
     from metrique_spark.mql import date_range_predicate

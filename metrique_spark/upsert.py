@@ -42,7 +42,8 @@ def _regen_id(df: DataFrame) -> DataFrame:
         "_id",
         F.when(F.col("_end").isNull(), F.col("_oid").cast("string")).otherwise(
             F.concat_ws(":", F.col("_oid").cast("string"),
-                        F.col("_start").cast("double").cast("string"))
+                        F.col("_start").cast("timestamp").cast("double")
+                        .cast("string"))
         ),
     )
 

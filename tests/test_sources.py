@@ -172,3 +172,23 @@ def test_rpm_packages_injected_runner(spark):
     assert rows["zsh"]["packager"] == "Me"
     assert rows["bash"]["_oid"].endswith("__bash-5.1-1.x86_64")
     assert rows["bash"]["_start"] is not None and rows["bash"]["_end"] is None
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    """Pin the events source dtype at the loader boundary: whatever the
+    physical parquet encoding (ns-as-long or us TIMESTAMP_NTZ), ``ts``
+    must surface as plain TimestampType — downstream ``_id`` generation
+    casts ``_start`` through double and an NTZ leak fails at analysis."""
+    from pyspark.sql import types as T
+
+    from metrique_spark.sources.testdata import load_table
+    from metrique_spark.objects import stamp
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    # And the full stamp() path (the round-2 casualty) must analyze + run.
+    stamped = stamp(
+        df.select("event_id", "user_id", "event_type", "ts"),
+        oid="user_id", start="ts",
+    )
+    assert stamped.where(F.col("_id").isNotNull()).limit(1).count() == 1
