@@ -37,6 +37,10 @@ class Engine:
         self.spark = spark
         self.warehouse = warehouse
         self._views: dict[str, DataFrame] = {}
+        # advisory index registry: cube -> [{"name", "column_names"}]
+        # (underscore-prefixed sidecar files are invisible to Spark's
+        # parquet discovery, so _indexes.json can live inside the cube dir)
+        self._indexes: dict[str, list[dict]] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -90,10 +94,48 @@ class Engine:
         if self.warehouse and os.path.isdir(self._path(cube)):
             shutil.rmtree(self._path(cube))
 
-    def index(self, cube: str, fields) -> None:
-        """Secondary indexes have no Spark analog — advisory no-op
-        (reference ``sqlalchemy.py:826-847``); file-format stats and
-        partitioning serve the same role."""
+    def _index_meta_path(self, cube: str) -> str:
+        return os.path.join(self._path(cube), "_indexes.json")
+
+    def index(self, cube: str, fields, name: str | None = None) -> None:
+        """Register an advisory index (reference ``index``,
+        ``sqlalchemy.py:826-847``). Spark has no secondary indexes —
+        file-format stats and partitioning serve that role — but the
+        declaration is durably recorded per cube so ``index_list`` can
+        report it (and a planner MAY use it as a sort/partition hint)."""
+        import json
+
+        if isinstance(fields, str):
+            fields = [fields]
+        fields = list(fields)
+        name = name or f"ix_{cube}_" + "_".join(fields)
+        entry = {"name": name, "column_names": fields}
+        registry = self._indexes.setdefault(cube, [])
+        if entry not in registry:
+            registry.append(entry)
+        if self.warehouse and os.path.isdir(self._path(cube)):
+            with open(self._index_meta_path(cube), "w") as fh:
+                json.dump(registry, fh)
+
+    def index_list(self) -> dict[str, list[dict]]:
+        """All advisory indexes per cube (reference ``index_list``,
+        ``sqlalchemy.py:849-863``: dict of table → index descriptors) —
+        merges this session's registrations with any persisted
+        ``_indexes.json`` in the warehouse."""
+        import json
+
+        out: dict[str, list[dict]] = {c: [] for c in self.ls()}
+        for cube, entries in self._indexes.items():
+            out.setdefault(cube, []).extend(entries)
+        if self.warehouse and os.path.isdir(self.warehouse):
+            for cube in list(out):
+                p = os.path.join(self.warehouse, cube, "_indexes.json")
+                if os.path.isfile(p):
+                    with open(p) as fh:
+                        for e in json.load(fh):
+                            if e not in out[cube]:
+                                out[cube].append(e)
+        return out
 
     # -- writes -------------------------------------------------------------
 

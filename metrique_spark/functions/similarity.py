@@ -142,14 +142,24 @@ def cosine_pairs(
     return base.select("id").mapInPandas(gen, schema=_PAIRS_SCHEMA)
 
 
+def auto_nlist(n_rows: int, target_bucket_rows: int = 100_000) -> int:
+    """Bucket count that keeps the EXPECTED bucket ≤ ``target_bucket_rows``
+    rows — the knob that stops a fixed ``nlist`` from becoming a hidden
+    per-executor memory bound as the corpus grows."""
+    import math
+
+    return max(2, math.ceil(max(0, n_rows) / max(1, target_bucket_rows)))
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.45,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 4,
+    target_bucket_rows: int = 100_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: assign every vector to its
     ``nprobe`` nearest of ``nlist`` IVF buckets, generate candidates only
@@ -158,7 +168,18 @@ def cosine_pairs_bucketed(
     full matrix), then verify with the exact dot product (one BLAS matmul
     per bucket group). Output precision is exact; recall misses pairs whose
     members share no probed bucket (raise ``nprobe`` to trade cost for
-    recall). Same contract as ``cosine_pairs``."""
+    recall). Same contract as ``cosine_pairs``.
+
+    MEMORY CONTRACT: each bucket group materializes as ONE pandas frame
+    inside ``applyInPandas`` — a bucket must fit in executor memory.
+    ``nlist=None`` sizes it automatically from the corpus count so the
+    expected bucket stays ≤ ``target_bucket_rows`` (hot buckets still
+    need headroom; lower ``target_bucket_rows`` for wide vectors). A
+    fixed ``nlist`` (like the test-gate's exact mode ``nlist=2,
+    nprobe=2``, where every vector lands in every bucket) is a
+    small-corpus/oracle configuration, NOT the scale configuration."""
+    if nlist is None:
+        nlist = auto_nlist(df.count(), target_bucket_rows)
     _, centroids = ivf_assign(df, nlist, id_col, vec_col)
     vecs = df.select(F.col(id_col).cast("long").alias("__vid"),
                      _as_double(vec_col).alias("v"))

@@ -13,6 +13,7 @@ import os
 import pickle
 import re
 import tempfile
+import time
 import urllib.request
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -43,6 +44,7 @@ def load(
     path: str,
     filetype: str | None = None,
     oid: str | Column | None = None,
+    retries: int | None = None,
     **reader_options,
 ) -> DataFrame:
     """Glob-aware multi-file loader (reference ``load()``,
@@ -50,10 +52,13 @@ def load(
     to ``_oid``; None leaves assignment to a later ``stamp()``.
 
     ``http(s)://`` paths are fetched driver-side to a temp file first
-    (reference ``utils.py:791-798``) and read from there; the temp file
-    is left in place because Spark reads lazily."""
+    (reference ``utils.py:791-798``), retried ``retries`` times on
+    transient failure (reference ``urlretrieve``, ``utils.py:1340-1359``,
+    default 3), and read from there; the temp file is left in place
+    because Spark reads lazily."""
     if re.match(r"https?://", path):
-        return _load_url(spark, path, filetype, oid, **reader_options)
+        return _load_url(spark, path, filetype, oid, retries=retries,
+                         **reader_options)
     if filetype == "pickle" or (filetype is None
                                 and path.rstrip("*").endswith(".pickle")):
         return load_pickle(spark, path, oid=oid)
@@ -74,6 +79,7 @@ def _load_url(
     url: str,
     filetype: str | None,
     oid: str | Column | None,
+    retries: int | None = None,
     **reader_options,
 ) -> DataFrame:
     """Driver-side fetch of an HTTP(S) source into a temp file, then the
@@ -85,8 +91,25 @@ def _load_url(
     suffix = os.path.splitext(url.split("?", 1)[0])[1] or f".{fmt}"
     fd, tmp = tempfile.mkstemp(prefix="metrique_fetch_", suffix=suffix)
     os.close(fd)
-    urllib.request.urlretrieve(url, tmp)  # noqa: S310 — explicit user URL
+    _fetch_with_retries(url, tmp, retries)
     return load(spark, tmp, fmt, oid=oid, **reader_options)
+
+
+def _fetch_with_retries(url: str, dest: str, retries: int | None) -> None:
+    """Retry transient fetch failures with a short backoff (reference
+    ``urlretrieve``, ``utils.py:1340-1359``: default 3 attempts, sleep
+    between tries, raise once exhausted)."""
+    attempts = int(retries) if retries else 3
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        try:
+            urllib.request.urlretrieve(url, dest)  # noqa: S310 — user URL
+            return
+        except Exception as e:  # transient network errors included
+            last_err = e
+            time.sleep(0.2)
+    raise RuntimeError(f"failed to retrieve {url!r} "
+                       f"after {attempts} attempts") from last_err
 
 
 def load_pickle(

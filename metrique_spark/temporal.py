@@ -22,6 +22,7 @@ Scale notes baked into each op:
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -486,32 +487,45 @@ def deptree(
 
     from metrique_spark.mql import date_range_predicate
 
+    from pyspark import StorageLevel
+
     pred = date_range_predicate(date)
     scoped = df.where(pred) if pred is not None else df
     spark = df.sparkSession
     oid_type = df.schema["_oid"].dataType
+    # Every hop re-scans the edge table: persist the 2-column projection
+    # once (MEMORY_AND_DISK — spills rather than OOMs) instead of
+    # recomputing the caller's upstream plan per hop.
+    scoped = scoped.select("_oid", field).persist(StorageLevel.MEMORY_AND_DISK)
     seeds = spark.createDataFrame(
         [(o,) for o in oids],
         T.StructType([T.StructField("_oid", oid_type)]),
     ).distinct()
 
-    visited = seeds.localCheckpoint(eager=True)
-    fringe = visited
+    # visited stays a lazy union of per-hop checkpointed fringes: each
+    # fringe is cut from its lineage (otherwise the plan doubles every
+    # iteration), while the union itself is k cheap checkpoint scans —
+    # linear in depth, never a rewrite of everything seen so far.
+    fringe = seeds.localCheckpoint(eager=True)
+    parts = [fringe]
+    visited = fringe
     depth = 0
-    while level is None or depth < level:
-        new_fringe = (
-            _deptree_hop(scoped, field, fringe)
-            .join(visited, "_oid", "anti")
-            # cut lineage per hop: without this the plan doubles every
-            # iteration and planning time dominates by hop ~20
-            .localCheckpoint(eager=True)
-        )
-        if new_fringe.isEmpty():
-            break
-        visited = visited.unionByName(new_fringe).localCheckpoint(eager=True)
-        fringe = new_fringe
-        depth += 1
-    return sorted(r["_oid"] for r in visited.collect())
+    try:
+        while level is None or depth < level:
+            new_fringe = (
+                _deptree_hop(scoped, field, fringe)
+                .join(visited, "_oid", "anti")
+                .localCheckpoint(eager=True)
+            )
+            if new_fringe.isEmpty():
+                break
+            parts.append(new_fringe)
+            visited = reduce(DataFrame.unionByName, parts)
+            fringe = new_fringe
+            depth += 1
+        return sorted(r["_oid"] for r in visited.collect())
+    finally:
+        scoped.unpersist()
 
 
 def object_apply(df: DataFrame, func: Callable, schema) -> DataFrame:

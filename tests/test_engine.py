@@ -83,3 +83,25 @@ def test_find_one_and_scalar(spark, versions):
     n = eng.find_scalar(versions, "val == 'a'", fields="_oid", date="~",
                         sort="_oid")
     assert n == 1
+
+
+def test_index_and_index_list(spark, tmp_path):
+    """Advisory index registry (reference index/index_list,
+    sqlalchemy.py:826-863): declarations are recorded, listed per cube,
+    persisted in the warehouse, and invisible to the parquet reader."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    eng.insert("c1", df, oid="k")
+    eng.index("c1", ["k"])
+    eng.index("c1", "v", name="ix_custom")
+    listed = eng.index_list()
+    assert [e["name"] for e in listed["c1"]] == ["ix_c1_k", "ix_custom"]
+    assert listed["c1"][0]["column_names"] == ["k"]
+    # sidecar survives a fresh Engine over the same warehouse
+    eng2 = Engine(spark, warehouse=str(tmp_path))
+    assert [e["name"] for e in eng2.index_list()["c1"]] == ["ix_c1_k",
+                                                            "ix_custom"]
+    # and does not pollute reads
+    assert eng2.table("c1").count() == 1

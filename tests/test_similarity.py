@@ -181,3 +181,30 @@ def test_cosine_pairs_bucketed_subset_and_exact_sims(spark):
             for r in cosine_pairs_bucketed(emb, threshold=0.4,
                                            nprobe=16).collect()}
     assert full == set(exact)
+
+
+def test_auto_nlist_scales_with_corpus():
+    from metrique_spark.functions.similarity import auto_nlist
+
+    assert auto_nlist(0) == 2                       # floor
+    assert auto_nlist(50_000) == 2                  # tiny corpus: floor
+    assert auto_nlist(1_000_000) == 10              # 100k/bucket default
+    assert auto_nlist(100_000_000) == 1000          # grows with the data
+    assert auto_nlist(1_000_000, target_bucket_rows=10_000) == 100
+    # bigger corpus never gets a smaller nlist
+    assert auto_nlist(10**9) > auto_nlist(10**8) > auto_nlist(10**7)
+
+
+def test_cosine_pairs_bucketed_auto_nlist_runs(spark):
+    from metrique_spark.functions.similarity import cosine_pairs_bucketed
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    # nlist=None sizes buckets from the corpus count; tiny corpus → floor
+    # nlist=2, and with nprobe=2 the exact mode must find the full pair set
+    auto = {(r.id_a, r.id_b)
+            for r in cosine_pairs_bucketed(emb, threshold=0.4, nlist=None,
+                                           nprobe=2).collect()}
+    fixed = {(r.id_a, r.id_b)
+             for r in cosine_pairs_bucketed(emb, threshold=0.4, nlist=2,
+                                            nprobe=2).collect()}
+    assert auto == fixed and len(auto) > 0

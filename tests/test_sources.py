@@ -192,3 +192,30 @@ def test_events_ts_is_timestamp(spark, sf_dir):
         oid="user_id", start="ts",
     )
     assert stamped.where(F.col("_id").isNotNull()).limit(1).count() == 1
+
+
+def test_fetch_retries_then_succeeds(monkeypatch, tmp_path):
+    """Transient failures are retried with backoff; exhaustion raises
+    (reference urlretrieve, utils.py:1340-1359)."""
+    import urllib.request
+
+    calls = {"n": 0}
+
+    def flaky(url, dest):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("connection reset")
+        (tmp_path / "out").write_text("ok")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", flaky)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    files._fetch_with_retries("http://x/", str(tmp_path / "out"), retries=5)
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    monkeypatch.setattr(
+        urllib.request, "urlretrieve",
+        lambda u, d: (_ for _ in ()).throw(OSError("down")))
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        files._fetch_with_retries("http://x/", str(tmp_path / "out"),
+                                  retries=2)
