@@ -142,3 +142,30 @@ def test_last_write_wins_within_batch(spark, engine):
     engine.upsert("lww", a.unionByName(b), stamped=True)
     assert engine.count("lww", date="~") == 1
     assert engine.find("lww").first()["col_1"] == 2
+
+
+def test_idempotency_token_is_distributed(spark, engine):
+    """The closed-batch token must aggregate with constant per-task memory
+    (count + sum of per-row hashes): a collect_list token concentrates
+    every closed _id into one aggregation buffer, which is gigabytes for a
+    large upsert batch. Pin the plan: no collect_list/sort_array."""
+    engine.upsert("tok", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    closed = engine.table("tok").where("_end is not null")
+    captured = {}
+    orig_agg = type(closed).agg
+
+    def spy_agg(self, *exprs):
+        out = orig_agg(self, *exprs)
+        captured["plan"] = out._jdf.queryExecution().analyzed().toString()
+        return out
+
+    import unittest.mock as mock
+    with mock.patch.object(type(closed), "agg", spy_agg):
+        engine.upsert("tok", _objs(spark, [(1, 11)], "2014-02-01"),
+                      stamped=True)
+    plan = captured["plan"]
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "xxhash64" in plan and "count" in plan
+    # and the upsert semantics are intact: one closed + one open version
+    assert engine.count("tok", date="~") == 2
+    assert engine.count("tok") == 1
