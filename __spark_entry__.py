@@ -622,6 +622,17 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, threshold=0.8, n=3)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup clustering: jaccard pairs -> connected components (min-label
+    propagation) -> per-document keep/drop decisions. ``where is_canonical``
+    is the deduplicated corpus."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.8, n=3)
+    out = dedup.canonical_docs(d, pairs)
+    return out.select("doc_id", "component_id", "is_canonical")
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -820,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_components": dedup_components,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1271,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.fp, f.doc_id, g.n FROM fps f JOIN g ON f.fp = g.fp
         """,
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
+        "dedup_components": _COMPONENTS_ORACLE,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,
         "sim_cosine_topk": """
@@ -1394,6 +1407,44 @@ _SIMHASH_MD5_ORACLE = rf"""
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
 
+
+_COMPONENTS_ORACLE = r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    g AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS tok FROM g),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pj AS (
+        SELECT id_a, id_b
+        FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        WHERE round(inter / (x.sz + y.sz - inter), 4) >= 0.8
+    ),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM pj
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pj
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component_id,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
 
 _JACCARD_ORACLE = r"""
     WITH t AS (

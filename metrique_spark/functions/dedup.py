@@ -401,3 +401,100 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> components -> keep/drop decisions
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph via min-label
+    propagation: every vertex starts labeled with its own id; each round
+    pushes labels across edges and keeps the per-vertex min; fixpoint when
+    a round changes nothing. Returns ``(id, component)`` for every vertex
+    that appears in ``pairs`` — ``component`` is the smallest id reachable.
+
+    Scale shape: one join + one min-aggregate per round, both shuffling on
+    the vertex id, with per-round ``localCheckpoint`` lineage cuts (the
+    same pattern as ``temporal.deptree``). Round count is bounded by the
+    component diameter — near-dup clusters are shallow (dozens of docs
+    chained through shared shingles), so this converges in a handful of
+    rounds; for adversarial long-path graphs switch to large-star /
+    small-star, which is O(log n) rounds at higher per-round volume."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # re-scanned every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), "component")
+            )
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            # converged when no vertex improved its (monotone) min label
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") < F.col("o.component"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if changed:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def canonical_docs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep/drop decision table from near-dup pairs: every document gets a
+    ``component_id`` (its near-dup cluster's min doc id; singletons get
+    their own id) and ``is_canonical`` (true for the one kept doc per
+    cluster — the min id, a deterministic arbitrary choice; swap in a
+    quality-score argmax for production). This is the step that turns any
+    pair-producing dedup (jaccard/minhash/simhash/embedding) into an
+    actionable filter: ``where is_canonical`` IS the deduplicated corpus.
+
+    The decoration join is left to AQE: the components table only holds
+    docs that appear in some pair, so it usually broadcasts — but a
+    heavily-duplicated corpus can make it a large fraction of the input,
+    where a forced broadcast would OOM the executors."""
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .alias("is_canonical"),
+        )
+    )

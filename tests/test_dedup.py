@@ -122,3 +122,33 @@ def test_jaccard_max_doc_freq_drops_stop_shingles(spark):
     assert e[(1, 2)] == 1.0
     assert c[(1, 2)] < e[(1, 2)]          # intersection undercounted
     assert (1, 3) in e and (1, 3) not in c  # only-common pair disappears
+
+
+def test_connected_components_chain_and_clique(spark):
+    """min-label propagation: a 4-chain (diameter > 1 round) and a
+    separate 2-clique both collapse to their min id; convergence is by
+    fixpoint, not luck of iteration count."""
+    from metrique_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11),                    # pair
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_canonical_docs_decisions(spark):
+    from metrique_spark.functions.dedup import canonical_docs
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in canonical_docs(docs, pairs).collect()}
+    assert [rows[i]["component_id"] for i in range(1, 7)] == [1, 1, 1, 4, 5, 5]
+    # exactly one canonical doc per component; singletons are canonical
+    assert [rows[i]["is_canonical"] for i in range(1, 7)] == [
+        True, False, False, True, True, False]
