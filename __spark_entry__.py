@@ -633,6 +633,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component_id", "is_canonical")
 
 
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontamination check: 3-gram containment of a holdout slice
+    (doc_id % 7 == 0) against the rest of the corpus as training data —
+    max containment + best-matching train doc per holdout doc."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    holdout = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    out = dedup.containment_scores(train, holdout, n=3)
+    return out.select("doc_id", "max_containment",
+                      F.col("train_id").cast("long").alias("train_id"))
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_components": dedup_components,
+        "text_contamination": text_contamination,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1284,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
+        "text_contamination": _CONTAMINATION_ORACLE,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,
         "sim_cosine_topk": """
@@ -1444,6 +1459,38 @@ _COMPONENTS_ORACLE = r"""
            coalesce(c.component, d.doc_id) AS component_id,
            coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+_CONTAMINATION_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    g AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS tok FROM g),
+    hsz AS (SELECT doc_id, count(*) AS sz FROM sh WHERE doc_id % 7 = 0 GROUP BY doc_id),
+    inter AS (
+        SELECT h.doc_id AS h_id, tr.doc_id AS t_id, count(*) AS n
+        FROM sh h JOIN sh tr ON h.tok = tr.tok
+        WHERE h.doc_id % 7 = 0 AND tr.doc_id % 7 != 0
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.h_id, i.t_id, round(i.n / s.sz, 4) AS containment
+        FROM inter i JOIN hsz s ON s.doc_id = i.h_id
+    ),
+    best AS (
+        SELECT h_id, containment, t_id,
+               row_number() OVER (PARTITION BY h_id
+                                  ORDER BY containment DESC, t_id ASC) AS rn
+        FROM scored
+    )
+    SELECT d.doc_id,
+           coalesce(b.containment, 0.0) AS max_containment,
+           b.t_id AS train_id
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.h_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
 """
 
 _JACCARD_ORACLE = r"""

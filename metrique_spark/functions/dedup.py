@@ -498,3 +498,90 @@ def canonical_docs(
             .alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: eval-set n-gram containment against a training corpus
+
+
+def containment_scores(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-holdout-doc contamination score: max over training docs of
+    ``|shingles(holdout) ∩ shingles(train)| / |shingles(holdout)|``
+    (n-gram containment — the standard train/eval overlap check run
+    before pre-training). Returns every holdout doc with
+    ``max_containment`` (0.0 when no shingle co-occurs anywhere) and the
+    ``train_id`` achieving it (min id on ties, NULL when 0).
+
+    Plan shape is the jaccard inverted index with an asymmetric join: the
+    (usually tiny) holdout side explodes against the training index,
+    shuffling on the shingle — never a cartesian, never a broadcast of the
+    training corpus. ``max_doc_freq`` drops stop-shingles on the TRAIN
+    side only (a shingle in k train docs fans every matching holdout
+    shingle out k ways — the skew story at 100 TB); holdout counts stay
+    exact, so the score remains a true containment against the surviving
+    index (a lower bound on the uncapped score)."""
+    h = (shingle_table(holdout, id_col, text_col, n)
+         .withColumn("sz", F.size("sh")))
+    h_inv = h.select(F.col("id").alias("h_id"), "sz",
+                     F.explode("sh").alias("tok"))
+    t_inv = (shingle_table(train, id_col, text_col, n)
+             .select(F.col("id").alias("t_id"), F.explode("sh").alias("tok")))
+    if max_doc_freq is not None:
+        freq = t_inv.groupBy("tok").agg(F.count("*").alias("__df"))
+        t_inv = t_inv.join(freq.where(F.col("__df") <= max_doc_freq),
+                           "tok", "left_semi")
+    inter = (
+        h_inv.join(t_inv, "tok")
+        .groupBy("h_id", "t_id", "sz")
+        .agg(F.count("*").alias("inter"))
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 4))
+    )
+    # argmax as max-of-struct: struct comparison is field-order
+    # lexicographic, so (containment, -t_id) picks the best score with
+    # min train id on ties — one map-side-combinable aggregate, no window
+    best = inter.groupBy("h_id").agg(
+        F.max(F.struct("containment", (-F.col("t_id")).alias("neg")))
+        .alias("__best")
+    ).select(
+        "h_id",
+        F.col("__best.containment").alias("max_containment"),
+        (-F.col("__best.neg")).alias("train_id"),
+    )
+    return (
+        holdout.select(F.col(id_col).alias("h_id"))
+        .join(best, "h_id", "left")
+        .select(
+            F.col("h_id").alias(id_col),
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+            F.col("train_id"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    **kw,
+) -> DataFrame:
+    """Training rows whose content contaminates the holdout set: any train
+    doc achieving containment ≥ threshold against some holdout doc.
+    ``train.join(decontaminate(...), id_col, "anti")`` is the cleaned
+    corpus."""
+    scores = containment_scores(train, holdout, id_col, text_col, n, **kw)
+    return (
+        scores.where(F.col("max_containment") >= threshold)
+        .select(F.col("train_id").alias(id_col),
+                "max_containment")
+        .distinct()
+    )

@@ -152,3 +152,31 @@ def test_canonical_docs_decisions(spark):
     # exactly one canonical doc per component; singletons are canonical
     assert [rows[i]["is_canonical"] for i in range(1, 7)] == [
         True, False, False, True, True, False]
+
+
+def test_containment_scores_and_decontaminate(spark):
+    from metrique_spark.functions.dedup import (containment_scores,
+                                                decontaminate)
+
+    train = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated content about spark engines"),
+        (3, "the quick brown fox jumps high today"),
+    ], ["doc_id", "text"])
+    holdout = spark.createDataFrame([
+        (100, "the quick brown fox jumps over the lazy dog"),  # == train 1
+        (101, "nothing in common with anything at all here"),
+        (102, "xy"),                                           # < n tokens
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r
+            for r in containment_scores(train, holdout, n=3).collect()}
+    assert rows[100]["max_containment"] == 1.0
+    assert rows[100]["train_id"] == 1        # exact superset match
+    assert rows[101]["max_containment"] == 0.0
+    assert rows[101]["train_id"] is None
+    assert rows[102]["max_containment"] == 0.0   # no shingles at all
+    # train doc 1 is flagged as contaminating; 2 and 3 are not (3 shares
+    # only a partial prefix, under threshold)
+    bad = {r["doc_id"] for r in
+           decontaminate(train, holdout, threshold=0.8, n=3).collect()}
+    assert bad == {1}
