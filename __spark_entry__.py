@@ -646,6 +646,20 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("train_id").cast("long").alias("train_id"))
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic hash-based stratified sampling (language rebalance:
+    keep 25% of en, 100% of zh, 50% of everything else) — pure scan-stage
+    predicate, zero shuffle, rerun-stable and engine-portable (md5)."""
+    _utc(spark)
+    from metrique_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d, "lang", {"en": 0.25, "zh": 1.0}, key_col="doc_id",
+        default_fraction=0.5)
+    return out.select("doc_id", "lang")
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -846,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_components": dedup_components,
         "text_contamination": text_contamination,
+        "sample_stratified": sample_stratified,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1299,6 +1314,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "sample_stratified": """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
+          CASE WHEN lang = 'en' THEN '40000000'
+               WHEN lang = 'zh' THEN 'g'
+               ELSE '80000000' END
+""",
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,
         "sim_cosine_topk": """
