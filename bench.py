@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "text_quality",
     "dedup_exact_groups",
+    "dedup_components",
+    "text_contamination",
+    "sample_stratified",
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
@@ -62,6 +65,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # localCheckpoint/persist blocks are only released when the
+        # GC-driven ContextCleaner runs; the default periodicGC interval
+        # (30min) lets a long session accumulate dead blocks that then
+        # get cleaned synchronously inside someone's measured query
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -98,6 +106,11 @@ def main() -> None:
         fn = qs[name]
         best = None
         for _ in range(runs):
+            # release dead checkpoint/persist blocks from earlier queries
+            # OUTSIDE the timer — otherwise the first heavy query after a
+            # long session pays a one-time ~15s synchronous cleanup
+            # (measured on dedup_components; standard bench hygiene)
+            spark._jvm.System.gc()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0

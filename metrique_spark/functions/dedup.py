@@ -82,6 +82,21 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text_col), n)
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    A single-row-group parquet file scans as ONE task, serializing every
+    downstream narrow op (regex tokenization is the expensive case) onto
+    one core — measured 8× on the sf0.1 documents table. At real scale the
+    input has thousands of splits and this is an exact no-op, so the
+    shuffle it introduces exists only in the regime where the shuffle is
+    trivially cheap (the whole input fits in a few partitions)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, sh) projection with tokenization and shingling materialized in
     separate projection steps. The two-step shape is load-bearing for
@@ -89,7 +104,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     16 band slices) is kept materialized by CollapseProject only because the
     producing expression is non-cheap — inlining the regexp into consumers
     multiplies the tokenization cost by the consumer count."""
-    t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    src = spread_small_scan(df.select(F.col(id_col).alias("id"),
+                                      F.col(text_col).alias("__text")))
+    t = src.select("id", tokens("__text").alias("__toks"))
     return t.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh"))
 
 
@@ -117,7 +134,13 @@ def jaccard_pairs(
     """
     sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
     sizes = sh.select("id", "sz")
-    inv = sh.select("id", F.explode("sh").alias("tok"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(sh)>0 filter and push it below the repartition exchange, where
+    # it re-runs the whole tokenize+shingle expression inside the
+    # single-task scan stage (measured 5s of 6 at sf0.1). explode_outer
+    # infers nothing; dropping the null slot afterwards is identical.
+    inv = (sh.select("id", F.explode_outer("sh").alias("tok"))
+           .where(F.col("tok").isNotNull()))
     if max_doc_freq is not None:
         freq = inv.groupBy("tok").agg(F.count("*").alias("__df"))
         inv = (
@@ -189,9 +212,11 @@ def minhash_lsh_candidates(
     # (id, shingle-hash) rows and taking 64 codegen'd min() aggregates is
     # the same math entirely inside Tungsten hash-agg — map-side partial
     # aggregation shrinks the shuffle to one row per doc.
-    hs = sh.select("id", F.explode("sh").alias("tok")).select(
-        "id", F.xxhash64("tok").alias("h")
-    )
+    # explode_outer + null-drop: see jaccard_pairs — plain explode makes
+    # the optimizer re-run the shingle expression below the exchange
+    hs = (sh.select("id", F.explode_outer("sh").alias("tok"))
+          .where(F.col("tok").isNotNull())
+          .select("id", F.xxhash64("tok").alias("h")))
     sig = hs.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
           for i in range(num_hashes)]
@@ -440,28 +465,31 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+
+    def _checksum(lbl: DataFrame):
+        # labels only ever decrease, so sum(component) is a monotone
+        # convergence witness: unchanged sum == fixpoint. One cheap
+        # aggregate job per round instead of a join + emptiness probe.
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _checksum(labels)
     try:
         for _ in range(max_iter):
             msgs = (
                 edges.join(labels, edges.src == labels.id)
                 .select(F.col("dst").alias("id"), "component")
             )
-            new_labels = (
+            labels = (
                 labels.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
                 .localCheckpoint(eager=True)
             )
-            # converged when no vertex improved its (monotone) min label
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") < F.col("o.component"))
-                .isEmpty()
-            )
-            labels = new_labels
-            if changed:
+            new_sum = _checksum(labels)
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
         return labels
     finally:
         edges.unpersist()
@@ -529,10 +557,15 @@ def containment_scores(
     index (a lower bound on the uncapped score)."""
     h = (shingle_table(holdout, id_col, text_col, n)
          .withColumn("sz", F.size("sh")))
-    h_inv = h.select(F.col("id").alias("h_id"), "sz",
-                     F.explode("sh").alias("tok"))
+    # explode_outer + null-drop: see jaccard_pairs — plain explode makes
+    # the optimizer re-run the shingle expression below the exchange
+    h_inv = (h.select(F.col("id").alias("h_id"), "sz",
+                      F.explode_outer("sh").alias("tok"))
+             .where(F.col("tok").isNotNull()))
     t_inv = (shingle_table(train, id_col, text_col, n)
-             .select(F.col("id").alias("t_id"), F.explode("sh").alias("tok")))
+             .select(F.col("id").alias("t_id"),
+                     F.explode_outer("sh").alias("tok"))
+             .where(F.col("tok").isNotNull()))
     if max_doc_freq is not None:
         freq = t_inv.groupBy("tok").agg(F.count("*").alias("__df"))
         t_inv = t_inv.join(freq.where(F.col("__df") <= max_doc_freq),
