@@ -432,17 +432,45 @@ def simhash_near_duplicates(
 # near-dup clustering: pairs -> components -> keep/drop decisions
 
 
+def _components_driver(edge_rows) -> list[tuple]:
+    """Union-find with path compression over collected edges; roots are
+    normalized to the component's min id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(v, find(v)) for v in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph via min-label
     propagation: every vertex starts labeled with its own id; each round
     pushes labels across edges and keeps the per-vertex min; fixpoint when
     a round changes nothing. Returns ``(id, component)`` for every vertex
     that appears in ``pairs`` — ``component`` is the smallest id reachable.
+
+    Hybrid execution: a pair graph at or under ``driver_edge_threshold``
+    edges (~30 MB collected at 2M) is solved with driver-side union-find —
+    the pair set surviving an LSH/jaccard threshold is usually a sliver of
+    the corpus, and a multi-round distributed loop on a small graph is all
+    scheduling overhead. Above the threshold the distributed loop runs;
+    pass ``driver_edge_threshold=0`` to force it.
 
     Scale shape: one join + one min-aggregate per round, both shuffling on
     the vertex id, with per-round ``localCheckpoint`` lineage cuts (the
@@ -452,6 +480,25 @@ def connected_components(
     rounds; for adversarial long-path graphs switch to large-star /
     small-star, which is O(log n) rounds at higher per-round volume."""
     from pyspark import StorageLevel
+
+    if driver_edge_threshold:
+        # persist first: if the probe overflows the threshold we fall
+        # through to the distributed loop without recomputing the
+        # (expensive) pair generation
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        small = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+                 .limit(driver_edge_threshold + 1).collect())
+        if len(small) <= driver_edge_threshold:
+            spark = pairs.sparkSession
+            id_type = pairs.schema[id_a].dataType
+            pairs.unpersist()
+            from pyspark.sql import types as T
+
+            return spark.createDataFrame(
+                _components_driver([(r["a"], r["b"]) for r in small]),
+                T.StructType([T.StructField("id", id_type),
+                              T.StructField("component", id_type)]))
+        # fell through: graph too big for the driver — run distributed
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -493,6 +540,8 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+        if driver_edge_threshold:
+            pairs.unpersist()
 
 
 def canonical_docs(

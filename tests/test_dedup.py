@@ -135,11 +135,18 @@ def test_connected_components_chain_and_clique(spark):
          (10, 11),                    # pair
          (20, 21), (21, 22), (20, 22)],  # triangle
         ["id_a", "id_b"])
-    got = {r["id"]: r["component"]
-           for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1,
+                10: 10, 11: 10,
+                20: 20, 21: 20, 22: 20}
+    # driver union-find path (default) and distributed min-label loop
+    # (threshold=0) must agree exactly
+    got_driver = {r["id"]: r["component"]
+                  for r in connected_components(pairs).collect()}
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(
+                    pairs, driver_edge_threshold=0).collect()}
+    assert got_driver == expected
+    assert got_dist == expected
 
 
 def test_canonical_docs_decisions(spark):
