@@ -148,3 +148,25 @@ def validate(df: DataFrame) -> None:
         raise ValueError(f"{bad['null_oid']} objects with null _oid")
     if bad["bad_interval"]:
         raise ValueError(f"{bad['bad_interval']} objects with _end < _start")
+
+
+def assign_autoincrement(df: DataFrame, col: str = "id",
+                         dense: bool = False) -> DataFrame:
+    """The reference reserves ``id`` for backend autoincrement
+    (``core_api.py:98``); Spark has no sequence, so:
+
+    - ``dense=False`` (scale default): ``monotonically_increasing_id`` —
+      unique, increasing, zero-shuffle, computed inside the scan stage;
+      values are sparse (partition id in the high bits), which is what a
+      distributed engine can give for free.
+    - ``dense=True``: contiguous 0..n-1 via ``zipWithIndex`` — two passes
+      (one to count partitions, one to stamp) but NO global sort; use only
+      where a downstream system requires gapless ids.
+    """
+    if not dense:
+        return df.withColumn(col, F.monotonically_increasing_id())
+    spark = df.sparkSession
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(col, T.LongType(), False)])
+    rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return spark.createDataFrame(rdd, schema)

@@ -76,3 +76,17 @@ def test_validate_bad_interval(spark):
                                "oid long, s string, e string")
     with pytest.raises(ValueError, match="_end < _start"):
         validate(stamp(df, oid="oid", start="s", end="e"))
+
+
+def test_assign_autoincrement_sparse_and_dense(spark):
+    from metrique_spark.objects import assign_autoincrement
+
+    df = spark.range(100).withColumnRenamed("id", "v").repartition(8)
+    sparse = assign_autoincrement(df, "id")
+    rows = sparse.select("id").collect()
+    assert len({r["id"] for r in rows}) == 100       # unique
+    dense = assign_autoincrement(df, "id", dense=True)
+    ids = sorted(r["id"] for r in dense.collect())
+    assert ids == list(range(100))                   # gapless 0..n-1
+    # original columns survive both paths
+    assert set(dense.columns) == {"v", "id"}

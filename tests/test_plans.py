@@ -124,3 +124,33 @@ def test_single_shuffle_operators(spark, name):
     p = _plan(spark, name)
     assert audit.count_exchanges(p) <= 1
     assert not audit.has_cartesian(p)
+
+
+def test_shingle_expression_not_duplicated_below_exchange(spark):
+    """Generate(explode) must not let InferFiltersFromGenerate push a
+    size()>0 filter — and with it the whole regex tokenize+shingle
+    expression — below the repartition exchange into the single-task scan
+    stage (measured 5s of 6 on text_contamination at sf0.1). The shingle
+    paths use explode_outer + null-drop, which infers nothing: the plan
+    must contain exactly ONE regexp tokenization per document side."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark.functions import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = dedup.shingle_table(d, "doc_id", "text", 3)
+    inv = (sh.select("id", F.explode_outer("sh").alias("tok"))
+           .where(F.col("tok").isNotNull()))
+    for q in [
+        inv,
+        dedup.jaccard_pairs(d, threshold=0.8, n=3),
+        dedup.containment_scores(d.where("doc_id % 2 = 1"),
+                                 d.where("doc_id % 2 = 0"), n=3),
+    ]:
+        p = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "extended")
+        physical = p.split("== Physical Plan ==")[-1]
+        # one tokenize per distinct document input in the physical plan:
+        # inv has 1 input; jaccard 1; containment 2 (holdout + train)
+        n_inputs = physical.count("FileScan")
+        assert physical.count("regexp_extract_all") <= n_inputs
