@@ -646,6 +646,16 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("train_id").cast("long").alias("train_id"))
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """internal-repetition quality signals (Gopher-rule family): top/dup
+    bigram fractions per document — boilerplate and spam detectors."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(d, n=2).select(
+        "doc_id", "top_ngram_frac", "dup_ngram_frac",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic hash-based stratified sampling (language rebalance:
     keep 25% of en, 100% of zh, 50% of everything else) — pure scan-stage
@@ -861,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "text_contamination": text_contamination,
         "sample_stratified": sample_stratified,
+        "text_repetition": text_repetition,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1314,6 +1325,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "text_repetition": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1))) AS i
+              FROM t)
+    ),
+    counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               round(max(c) / sum(c), 4) AS top_ngram_frac,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4)
+                   AS dup_ngram_frac,
+               CAST(sum(c) AS BIGINT) AS n_ngrams
+        FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.top_ngram_frac, 0.0) AS top_ngram_frac,
+           coalesce(p.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+           CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
         "sample_stratified": """
     SELECT doc_id, lang
     FROM documents

@@ -115,3 +115,70 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(text_col).alias("fp"),
         F.round(cc["punct"] / F.greatest(cc["total"], F.lit(1)), 4).alias("punct_ratio"),
     )
+
+
+def ngram_stream(toks: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (unlike ``dedup.shingles_from_tokens``,
+    which set-dedups for Jaccard): repetition measures need multiplicity."""
+    if n == 1:
+        return toks
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    decimals: int = 4,
+) -> DataFrame:
+    """Internal-repetition quality signals per document (the Gopher-rule
+    family: documents dominated by a few repeated n-grams are boilerplate
+    or spam):
+
+    - ``top_ngram_frac``  — occurrences of the single most frequent n-gram
+      over all n-gram occurrences;
+    - ``dup_ngram_frac``  — fraction of n-gram occurrences whose n-gram
+      appears more than once.
+
+    Plan: non-distinct n-grams explode to (doc, gram) rows, count per
+    (doc, gram) — one shuffle keyed by doc+gram, map-side combinable —
+    then roll up per doc. Docs with < n tokens get 0.0 for both. The same
+    two-shuffle shape holds at any scale; no doc's grams ever concentrate
+    beyond its own row count."""
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    t = src.select("id", tokens("__text").alias("__toks"))
+    g = (
+        t.select("id", F.explode_outer(ngram_stream(F.col("__toks"), n))
+                 .alias("g"))
+        .where(F.col("g").isNotNull())
+    )
+    counts = g.groupBy("id", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("__total"),
+        F.max("c").alias("__top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__dup"),
+    ).select(
+        "id",
+        F.round(F.col("__top") / F.col("__total"), decimals)
+        .alias("top_ngram_frac"),
+        F.round(F.col("__dup") / F.col("__total"), decimals)
+        .alias("dup_ngram_frac"),
+        F.col("__total").alias("n_ngrams"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+        )
+    )

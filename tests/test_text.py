@@ -57,3 +57,21 @@ def test_text_stats_schema(docs):
     for c in ("n_tokens", "quality", "lang_pred", "fp", "punct_ratio"):
         assert c in out.columns
     assert out.count() == 5
+
+
+def test_repetition_stats(spark):
+    from metrique_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame([
+        (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> all dup
+        (2, "w x y z q r"),          # all 5 bigrams unique
+        (3, "solo"),                 # < 2 tokens -> zeros
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert rows[1]["n_ngrams"] == 5
+    assert rows[1]["top_ngram_frac"] == 0.6      # 'a b' x3 of 5
+    assert rows[1]["dup_ngram_frac"] == 1.0      # every occurrence repeats
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == 0.2
+    assert rows[3]["n_ngrams"] == 0
+    assert rows[3]["top_ngram_frac"] == 0.0
