@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_components",
     "text_contamination",
+    "text_repetition",
     "sample_stratified",
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
