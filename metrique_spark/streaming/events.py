@@ -71,6 +71,23 @@ def session_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, keys=("event_id",),
+                 watermark: str = "2 hours", ts_col: str = "ts") -> DataFrame:
+    """Exactly-once event dedup — the standard ingestion guard against
+    at-least-once sources (replayed Kafka offsets, retried file drops).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps one state entry per
+    key only until the watermark passes it, so state is bounded by the
+    horizon × key arrival rate, not by stream lifetime — the property that
+    makes this runnable forever at 100 TB/day. Batch: plain
+    ``dropDuplicates`` (same semantics, no horizon needed)."""
+    keys = list(keys)
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful op demo: running per-user event count/value via
     ``applyInPandasWithState`` in streaming, plain window agg in batch.

@@ -166,3 +166,35 @@ def test_stream_upsert_sink(spark, sf_dir, tmp_path):
     # one open version per user (last-write-wins within the batch)
     assert eng.count("user_state", date=None) == n_users
     assert eng.count("user_state", date="~") >= n_users
+
+
+def test_dedup_stream_replayed_file(spark, sf_dir, tmp_path):
+    """At-least-once delivery simulated by dropping the same events file
+    twice into the source dir: the deduped stream must emit each event_id
+    exactly once; the raw stream emits it twice. Batch mode falls back to
+    dropDuplicates."""
+    import shutil
+
+    src_dir = tmp_path / "events_dup"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "b.parquet")
+
+    stream = ev.read_events_stream(spark, str(src_dir))
+    deduped = ev.dedup_stream(stream, keys=("event_id",), watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory").queryName("dd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dd").first()
+    assert got["n"] == got["d"] == n_unique
+
+    # batch fallback: same call, plain DataFrame
+    batch = spark.read.parquet(str(src_dir))
+    assert batch.count() == 2 * n_unique
+    assert ev.dedup_stream(batch, keys=("event_id",)).count() == n_unique
