@@ -120,6 +120,12 @@ def stamp(
     elif "_end" not in work.columns:
         work = work.withColumn("_end", F.lit(None).cast("timestamp"))
 
+    if "_e" not in work.columns:
+        # errors map always present post-ingest (reference field list pin,
+        # tests/test_cubes_builtin.py:42-44); NULL = no issues recorded
+        work = work.withColumn(
+            "_e", F.lit(None).cast("map<string,string>"))
+
     work = work.withColumn("_hash", content_hash(work))
     # gen_id (core_api.py:73-82): current → str(oid); closed → 'oid:start'
     work = work.withColumn(

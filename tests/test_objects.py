@@ -90,3 +90,24 @@ def test_assign_autoincrement_sparse_and_dense(spark):
     assert ids == list(range(100))                   # gapless 0..n-1
     # original columns survive both paths
     assert set(dense.columns) == {"v", "id"}
+
+
+def test_stamped_field_list_matches_reference_pin(spark, tmp_path):
+    """F1 fixture parity (FIXTURES.md; reference
+    test_cubes_builtin.py:42-44): the post-ingest field list for a CSV
+    cube is exactly __v__,_e,_end,_hash,_id,_oid,_start,_v + csv columns.
+    (The _hash VALUE intentionally differs — sha1-of-canonical-json, not
+    the reference's python-repr hash; see objects.py module docstring.)"""
+    from metrique_spark.objects import stamp
+    from metrique_spark.sources import files
+
+    p = tmp_path / "us-idx-eod.csv"
+    p.write_text("symbol,date,open,close\n"
+                 "$AJT,09/08/2008,17.84,18.15\n"
+                 "$BQX,09/08/2008,5.0,5.5\n")
+    df = stamp(files.load(spark, str(p), oid=F.monotonically_increasing_id()))
+    assert sorted(df.columns) == [
+        "__v__", "_e", "_end", "_hash", "_id", "_oid", "_start", "_v",
+        "close", "date", "open", "symbol"]
+    # date left unparsed as string, same as the reference
+    assert dict(df.dtypes)["date"] == "string"
