@@ -175,7 +175,7 @@ class Engine:
             ).alias("s"),
         ).first()
         if not tok["n"]:
-            return
+            return None
         token = f"n{tok['n']}x{tok['s']}"
         (
             closed.withColumn("_current", F.lit(False))
@@ -185,6 +185,7 @@ class Engine:
             .partitionBy("_current", "__batch")
             .parquet(path)
         )
+        return token
 
     def _write_open(self, new_open: DataFrame, path: str) -> None:
         """Dynamically overwrite the single open partition."""
@@ -196,6 +197,55 @@ class Engine:
             .partitionBy("_current", "__batch")
             .parquet(path)
         )
+
+    def compact(self, cube: str, target_partitions: int | None = None) -> int:
+        """Consolidate the history partition's per-upsert-batch directories.
+
+        Every snapshot upsert appends one token-keyed ``__batch``
+        directory of closed rows — correct and idempotent, but after
+        thousands of batches the history side is thousands of small
+        parquet directories (the classic small-files problem; at cluster
+        scale, NameNode/listing pressure and tiny scan tasks). ``compact``
+        rewrites ALL closed rows into one consolidated batch directory and
+        removes the originals. Returns the number of directories removed.
+
+        Crash-safe under the engine's single-writer assumption: the
+        consolidated directory's name is the same order-insensitive
+        content checksum the upsert commit uses, and rows are deduped by
+        ``_id`` on read — so a crash between write and delete leaves
+        duplicates that the NEXT compact (or any retry) collapses back;
+        re-running with no new data converges to the same directory."""
+        path = self._path(cube)
+        hist_root = os.path.join(path, "_current=false")
+        if not os.path.isdir(hist_root):
+            return 0
+        batches = sorted(
+            d for d in os.listdir(hist_root)
+            if d.startswith("__batch=")
+            and os.path.isdir(os.path.join(hist_root, d)))
+        if len(batches) <= 1:
+            return 0
+        closed = (
+            self._read(path).where(~F.col("_current"))
+            .drop("_current")
+            .dropDuplicates(["_id"])      # heals a crashed prior compact
+        )
+        if target_partitions:
+            closed = closed.repartition(target_partitions)
+        # localCheckpoint: the write below rewrites the directories this
+        # plan reads from
+        closed = closed.localCheckpoint(eager=True)
+        token = self._write_closed_batch(closed, path)
+        removed = 0
+        for d in batches:
+            full = os.path.join(hist_root, d)
+            # the consolidated dir may reuse one of the existing tokens
+            # (re-compacting identical content); never delete the one we
+            # just wrote
+            if d != f"__batch={token}" and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed += 1
+        return removed
 
     def insert(self, cube: str, df: DataFrame, stamped: bool = False, **stamp_kw) -> None:
         """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``)."""

@@ -169,3 +169,36 @@ def test_idempotency_token_is_distributed(spark, engine):
     # and the upsert semantics are intact: one closed + one open version
     assert engine.count("tok", date="~") == 2
     assert engine.count("tok") == 1
+
+
+def test_compact_consolidates_history_dirs(spark, engine, tmp_path):
+    """Three upserts leave >= 2 token-keyed history dirs (small-files at
+    scale); compact rewrites them into one, query results unchanged, and
+    a second compact is a no-op."""
+    import os
+
+    engine.upsert("cp", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    engine.upsert("cp", _objs(spark, [(1, 11), (2, 21)], "2014-02-01"),
+                  stamped=True)
+    engine.upsert("cp", _objs(spark, [(1, 12)], "2014-03-01"),
+                  stamped=True)
+    hist = os.path.join(engine.warehouse, "cp", "_current=false")
+    n_dirs = len([d for d in os.listdir(hist) if d.startswith("__batch=")])
+    assert n_dirs >= 2
+    before_all = sorted(
+        (r["_id"], r["col_1"]) for r in engine.find(
+            "cp", fields="col_1,_id", date="~").collect())
+    before_cur = engine.count("cp")
+
+    removed = engine.compact("cp")
+    assert removed >= 1
+    n_after = len([d for d in os.listdir(hist) if d.startswith("__batch=")])
+    assert n_after == 1
+    after_all = sorted(
+        (r["_id"], r["col_1"]) for r in engine.find(
+            "cp", fields="col_1,_id", date="~").collect())
+    assert after_all == before_all
+    assert engine.count("cp") == before_cur
+    # idempotent: nothing left to consolidate
+    assert engine.compact("cp") == 0
