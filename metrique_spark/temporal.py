@@ -338,9 +338,16 @@ def asof_join(
     left_ts: str,
     right_ts: str = "_start",
     payload: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """As-of join: for each ``left`` row, attach the latest ``right`` row
-    (per ``on`` key) whose ``right_ts`` <= ``left_ts``.
+    """As-of join: for each ``left`` row, attach the nearest ``right`` row
+    per ``on`` key — the latest with ``right_ts <= left_ts`` when
+    ``direction='backward'`` (ASOF semantics, tie → match), the earliest
+    with ``right_ts >= left_ts`` when ``'forward'``. ``tolerance`` (a
+    ``Column`` interval or SQL interval string like ``'2 hours'``) nulls
+    the payload when the matched row is further away than that — the
+    pandas ``merge_asof`` knobs on the distributed implementation.
 
     SURVEY §2.6 names this one of the two temporal join patterns to make
     first-class (the reference reaches it via ``on_date`` per date).
@@ -348,19 +355,23 @@ def asof_join(
     Implementation is the union+window trick, NOT a range join: tag and
     union both sides, sort within each ``on`` partition by (time,
     right-first), and carry the last seen right payload forward with
-    ``last_value(ignorenulls)``. One shuffle on the key, linear work —
-    no |left|×|versions| intermediate, which is what a naive range join
-    produces at 100 TB. Ties (right_ts == left_ts) resolve to the right
-    row, matching ASOF JOIN semantics (>= match).
+    ``last_value(ignorenulls)`` (forward = same machinery over the
+    descending order). One shuffle on the key, linear work — no
+    |left|×|versions| intermediate, which is what a naive range join
+    produces at 100 TB.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in (on, right_ts)
     ]
     lcols = [c for c in left.columns]
     # the payload rides as ONE struct so the carried values always come from
     # a single right row — per-column last(ignorenulls) would stitch
-    # together different rows when right columns are legitimately NULL
-    p_struct = F.struct(*[F.col(c) for c in payload])
+    # together different rows when right columns are legitimately NULL;
+    # the matched right_ts rides along for the tolerance check
+    p_struct = F.struct(*[F.col(c) for c in payload],
+                        F.col(right_ts).alias("__rts"))
     p_type = right.select(p_struct.alias("__p")).schema["__p"].dataType
     l = left.select(
         *lcols,
@@ -376,17 +387,32 @@ def asof_join(
         p_struct.alias("__p"),
     )
     unioned = l.unionByName(r)
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc()]
+    else:
+        # reversed scan: rights later in time come first; side still sorts
+        # right-before-left at equal times so ties match (>= semantics)
+        order = [F.col("__t").desc(), F.col("__side").asc()]
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
         *lcols,
+        "__t",
         "__side",
         F.last(F.col("__p"), ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.where(F.col("__side") == 1).select(
+    matched = filled.where(F.col("__side") == 1)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}") if isinstance(
+            tolerance, str) else tolerance
+        gap = (F.col("__t") - F.col("__p.__rts") if direction == "backward"
+               else F.col("__p.__rts") - F.col("__t"))
+        matched = matched.withColumn(
+            "__p", F.when(gap <= tol, F.col("__p")))
+    return matched.select(
         *lcols, *[F.col(f"__p.{c}").alias(c) for c in payload]
     )
 

@@ -51,3 +51,45 @@ def test_asof_preserves_left_rows_and_columns(spark):
     out = temporal.asof_join(left, right, on="k", left_ts="t", right_ts="rt")
     row = out.first()
     assert row["note"] == "extra" and row["v"] is None and out.count() == 1
+
+
+def test_asof_forward_direction(spark):
+    """forward = earliest right with right_ts >= left_ts; ties match."""
+    import datetime as dt
+
+    from metrique_spark.temporal import asof_join
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    right = spark.createDataFrame(
+        [(1, T(2), "a"), (1, T(5), "b"), (1, T(9), "c")],
+        "k long, ts timestamp, val string")
+    left = spark.createDataFrame(
+        [(1, T(1)), (1, T(5)), (1, T(6)), (1, T(10))],
+        "k long, t timestamp")
+    got = {r["t"].hour: r["val"]
+           for r in asof_join(left, right, "k", "t", "ts",
+                              direction="forward").collect()}
+    assert got == {1: "a", 5: "b", 6: "c", 10: None}
+
+
+def test_asof_tolerance(spark):
+    """matches further away than the tolerance null out (merge_asof
+    parity), both directions."""
+    import datetime as dt
+
+    from metrique_spark.temporal import asof_join
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    right = spark.createDataFrame(
+        [(1, T(2), "a"), (1, T(10), "b")], "k long, ts timestamp, val string")
+    left = spark.createDataFrame(
+        [(1, T(3)), (1, T(8))], "k long, t timestamp")
+    back = {r["t"].hour: r["val"]
+            for r in asof_join(left, right, "k", "t", "ts",
+                               tolerance="2 HOURS").collect()}
+    assert back == {3: "a", 8: None}           # 8 is 6h from 'a'
+    fwd = {r["t"].hour: r["val"]
+           for r in asof_join(left, right, "k", "t", "ts",
+                              direction="forward",
+                              tolerance="2 HOURS").collect()}
+    assert fwd == {3: None, 8: "b"}            # 3 is 7h from 'b'
