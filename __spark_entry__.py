@@ -714,6 +714,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
 
 
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketed k-NN JOIN between two large embedding tables (no broadcast
+    of either side): odd vec_ids query the even-vec_id corpus, top-3 by
+    cosine. Exact mode (nprobe=nlist) keeps the brute-force oracle valid;
+    the scale config probes nprobe<nlist buckets."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    left = e.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 200)
+    right = e.where(F.col("vec_id") % 2 == 0)
+    return similarity.ivf_knn_join(left, right, k=3, nlist=4, nprobe=4)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-duplicate pairs (exact, ≥ 0.45) through the
     SCALE path: IVF-bucketed candidate generation + per-bucket BLAS verify
@@ -878,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
+        "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
         "mm_frame_samples": mm_frame_samples,
@@ -1412,6 +1425,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
+        """,
+        # exact-mode knn join (nprobe = nlist) ⇒ brute-force cross oracle
+        "sim_knn_join": """
+            WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
+                       FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),
+            r AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS rv
+                  FROM embeddings WHERE vec_id % 2 = 0),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(lv, rv)
+                             / (sqrt(list_dot_product(lv, lv))
+                                * sqrt(list_dot_product(rv, rv))), 4) AS sim
+                FROM l, r
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 3
         """,
         "mm_binary_meta": """
             SELECT doc_id,

@@ -331,3 +331,62 @@ def ivf_topk(
         .where(F.col("__rk") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    nlist: int | None = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+    target_bucket_rows: int = 100_000,
+) -> DataFrame:
+    """k-NN JOIN for two LARGE embedding tables — the case
+    ``cosine_topk`` can't cover (it broadcasts the query side; fine for
+    10 queries, impossible for 100M). Both sides bucket against the same
+    IVF centroids: the right side is assigned to its nearest bucket, each
+    left vector probes its ``nprobe`` nearest buckets, candidates join on
+    the bucket id, and a per-left window keeps the top-k. Exact when
+    ``nprobe >= nlist``; otherwise recall follows the probe ratio.
+
+    Scale shape: the join key is the bucket id, so the candidate volume
+    is ~|L|·|R|·nprobe/nlist with both sides shuffled once — no broadcast
+    of either table, no cartesian. ``nlist=None`` auto-sizes from the
+    right-side count (``auto_nlist``). Output: (left id aliased
+    ``query_id``, ``neighbor_id``, ``sim``); a left row also present in
+    right does not match itself."""
+    if nlist is None:
+        nlist = auto_nlist(right.count(), target_bucket_rows)
+    assigned, centroids = ivf_assign(right, nlist, id_col, vec_col)
+    lvec = left.select(F.col(id_col).cast("long").alias("__vid"),
+                       _as_double(vec_col).alias("lv"))
+    if nprobe >= nlist:
+        probed = lvec.join(
+            F.broadcast(centroids.select(
+                F.col("centroid_id").alias("bucket")))
+        ).select(F.col("__vid").alias("query_id"), "lv", "bucket")
+    else:
+        probed = _nearest_buckets(lvec, centroids, "lv", nprobe).select(
+            F.col("__vid").alias("query_id"), "lv",
+            F.col("centroid_id").alias("bucket"))
+    cand = (
+        probed.join(
+            assigned.select(F.col(id_col).alias("neighbor_id"),
+                            F.col("v").alias("rv"), "bucket"),
+            "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("lv"), F.col("rv")),
+                                   decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", "sim")
+        .distinct()      # a pair can meet in several probed buckets
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

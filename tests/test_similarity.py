@@ -231,3 +231,29 @@ def test_ivf_train_iters_refine_centroids(spark):
     m0 = a0.groupBy("bucket").count().agg({"count": "max"}).first()[0]
     m2 = a2.groupBy("bucket").count().agg({"count": "max"}).first()[0]
     assert m2 <= m0 * 1.25                     # allow slack, forbid blowup
+
+
+def test_ivf_knn_join_exact_and_partial(spark):
+    from metrique_spark.functions.similarity import cosine_topk, ivf_knn_join
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    from pyspark.sql import functions as F
+    left = emb.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 60)
+    right = emb.where(F.col("vec_id") % 2 == 0)
+    # exact mode must equal brute-force top-k against the right corpus
+    exact = {(r["query_id"], r["neighbor_id"], r["sim"])
+             for r in ivf_knn_join(left, right, k=3, nlist=4,
+                                   nprobe=4).collect()}
+    brute = {(r["query_id"], r["neighbor_id"], r["sim"])
+             for r in cosine_topk(right, left, k=3).collect()}
+    assert exact == brute
+    # partial probing: every left id still gets answers, all of them true
+    # neighbors with correct sims (recall can drop, precision cannot)
+    part = ivf_knn_join(left, right, k=3, nlist=4, nprobe=2).collect()
+    part_ids = {r["query_id"] for r in part}
+    assert part_ids == {r["vec_id"] for r in left.collect()}
+    sims_ok = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in part}
+    full = {(r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in ivf_knn_join(left, right, k=10**6, nlist=4,
+                                  nprobe=4).collect()}
+    assert all(full[k] == v for k, v in sims_ok.items())
