@@ -582,7 +582,10 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document fingerprint + token count (SURVEY extensions; pure column
     expressions, whole-stage codegen)."""
     _utc(spark)
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group testdata scans as ONE task; spread so the regex
+    # work parallelizes (no-op when the input has real splits)
+    d = dedup.spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         text.fingerprint("text").alias("fp"),
@@ -593,7 +596,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality score, language id, punctuation ratio per document."""
     _utc(spark)
-    d = _t(spark, sf_dir, "documents")
+    d = dedup.spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     cc = text.char_classes("text")
     return d.select(
         "doc_id",

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
+    "sim_knn_join",
     "mm_frame_samples",
     "events_daily_rollup",
 ]
