@@ -25,7 +25,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Callable, Iterable, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrique_spark.mql import to_timestamp_lit

@@ -154,3 +154,24 @@ def test_shingle_expression_not_duplicated_below_exchange(spark):
         # inv has 1 input; jaccard 1; containment 2 (holdout + train)
         n_inputs = physical.count("FileScan")
         assert physical.count("regexp_extract_all") <= n_inputs
+
+
+def test_knn_join_no_cartesian_no_table_broadcast(spark):
+    """ivf_knn_join must never produce a cartesian or broadcast either
+    vector table — only the (tiny) centroid set broadcasts; candidates
+    join on the bucket id."""
+    from metrique_spark.functions.similarity import ivf_knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    left = emb.where(F.col("vec_id") % 2 == 1)
+    right = emb.where(F.col("vec_id") % 2 == 0)
+    q = ivf_knn_join(left, right, k=3, nlist=4, nprobe=2)
+    p = audit.executed_plan(q)
+    assert not audit.has_cartesian(p)
+    # the only nested-loop joins allowed are the centroid-scoring passes
+    # (broadcast of the nlist-row centroid set, one per side); the
+    # candidate join itself is keyed on the bucket id inside applyInPandas
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
