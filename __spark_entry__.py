@@ -660,6 +660,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ngrams").cast("long").alias("n_ngrams"))
 
 
+def text_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunking + sequence packing: 64-token chunks per document, packed
+    into 256-token training bins by contiguous fill within deterministic
+    pack groups."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d, chunk_tokens=64)
+    packed = text.pack_chunks(chunks, budget=256, n_groups=32)
+    return packed.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_group", "bin_idx")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic hash-based stratified sampling (language rebalance:
     keep 25% of en, 100% of zh, 50% of everything else) — pure scan-stage
@@ -888,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": text_contamination,
         "sample_stratified": sample_stratified,
         "text_repetition": text_repetition,
+        "text_chunks_packed": text_chunks_packed,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1342,6 +1357,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "text_chunks_packed": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 64)) AS st
+        FROM t WHERE len(toks) > 0
+    ),
+    c AS (
+        SELECT doc_id,
+               CAST((st - 1) / 64 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[st:st+63], ' ') AS chunk_text,
+               CAST(least(64, len(toks) - st + 1) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 32 AS BIGINT) AS pack_group
+        FROM s
+    )
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, pack_group,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY pack_group
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256) AS BIGINT) AS bin_idx
+    FROM c
+""",
         "text_repetition": r"""
     WITH t AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks

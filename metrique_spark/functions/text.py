@@ -12,7 +12,7 @@ fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"[^\W_]+"  # unicode word runs, BPE-ish pre-tokenization
@@ -181,4 +181,84 @@ def repetition_stats(
             F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
             F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into token-window chunks — the step that turns a
+    corpus into training-sequence candidates. ``stride`` < ``chunk_tokens``
+    gives overlapping windows (sliding); default is non-overlapping.
+    Output: (id, chunk_idx, chunk_text, n_tokens), empty docs emit nothing.
+
+    Pure column expressions: tokenize once, generate window starts with
+    ``sequence(step=stride)``, slice per start — the explode carries only
+    (id, start) pairs plus the chunk's own tokens, never the whole doc per
+    chunk."""
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    stride = stride or chunk_tokens
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    t = src.select("id", tokens("__t").alias("__toks"))
+    starts = F.when(
+        F.size("__toks") > 0,
+        F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    # explode_outer + null-drop: same InferFiltersFromGenerate footgun as
+    # the shingle paths (see dedup.jaccard_pairs)
+    chunks = (
+        t.select("id", "__toks", F.posexplode_outer(starts)
+                 .alias("chunk_idx", "__s"))
+        .where(F.col("__s").isNotNull())
+        .select(
+            "id", "chunk_idx",
+            F.slice("__toks", F.col("__s") + 1, chunk_tokens).alias("__c"),
+        )
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        F.array_join("__c", " ").alias("chunk_text"),
+        F.size("__c").alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 512,
+    n_groups: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training bins (sequence
+    packing). Contiguous fill: within each pack group, chunks are laid out
+    in (doc, chunk) order and a chunk lands in bin
+    ``floor(tokens_before / budget)`` — fully vectorized (one window sum),
+    deterministic, and SQL-expressible. A bin can overshoot the budget by
+    at most one chunk (the standard vectorized compromise; exact first-fit
+    is a sequential recurrence).
+
+    Scale shape: a single global ordering would serialize the window onto
+    one partition, so packing is sharded into ``n_groups`` deterministic
+    groups (``doc_id % n_groups``) and bins are keyed (pack_group,
+    bin_idx). Group count bounds window-partition size: size ≈
+    corpus/n_groups — raise it with the data."""
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col), F.col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn(
+            "pack_group", (F.col(id_col) % n_groups).cast("long"))
+        .withColumn("__before", F.coalesce(F.sum("n_tokens").over(w),
+                                           F.lit(0)))
+        .withColumn("bin_idx",
+                    F.floor(F.col("__before") / budget).cast("long"))
+        .drop("__before")
     )

@@ -75,3 +75,40 @@ def test_repetition_stats(spark):
     assert rows[2]["top_ngram_frac"] == 0.2
     assert rows[3]["n_ngrams"] == 0
     assert rows[3]["top_ngram_frac"] == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    from metrique_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks
+        (2, "a b c"),                                 # 3 toks
+        (3, ""),                                      # empty -> no chunks
+    ], ["doc_id", "text"])
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+         for r in chunk_documents(df, chunk_tokens=4).collect()))
+    assert [(d, i, n) for d, i, n, _ in rows] == [
+        (1, 0, 4), (1, 1, 4), (1, 2, 2), (2, 0, 3)]
+    assert rows[0][3] == "w0 w1 w2 w3"
+    assert rows[2][3] == "w8 w9"                      # tail chunk
+    # overlapping stride
+    over = chunk_documents(df.where("doc_id = 1"), chunk_tokens=4, stride=2)
+    assert over.count() == 5                          # starts 0,2,4,6,8
+
+
+def test_pack_chunks_contiguous_fill(spark):
+    from metrique_spark.functions.text import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "x", 100), (1, 1, "x", 100), (1, 2, "x", 100),
+         (1, 3, "x", 100), (2, 0, "x", 250)],
+        ["doc_id", "chunk_idx", "chunk_text", "n_tokens"])
+    out = pack_chunks(chunks, budget=256, n_groups=1)
+    bins = {(r["doc_id"], r["chunk_idx"]): r["bin_idx"]
+            for r in out.collect()}
+    # cumulative-before: 0,100,200,300,400 -> bins 0,0,0,1,1
+    assert bins == {(1, 0): 0, (1, 1): 0, (1, 2): 0, (1, 3): 1, (2, 0): 1}
+    # deterministic group sharding
+    sharded = pack_chunks(chunks, budget=256, n_groups=4)
+    assert {r["pack_group"] for r in sharded.collect()} == {1, 2}
