@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_components",
     "text_contamination",
     "text_repetition",
+    "text_chunks_packed",
     "sample_stratified",
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
