@@ -674,6 +674,29 @@ def text_chunks_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_group", "bin_idx")
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (corpus hygiene): deterministic synthetic emails/IPs are
+    injected per doc_id, then redacted — the oracle replays injection +
+    redaction in SQL, so the machinery is value-verified, not no-op'd."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    out = text.redact_pii(injected, kinds=("email", "ipv4"))
+    return out.select(
+        "doc_id",
+        F.md5("text_redacted").alias("redacted_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic hash-based stratified sampling (language rebalance:
     keep 25% of en, 100% of zh, 50% of everything else) — pure scan-stage
@@ -903,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
+        "text_pii_redaction": text_pii_redaction,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1357,6 +1381,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "text_pii_redaction": r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'))
+               AS redacted_md5,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+                '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4
+    FROM injected
+""",
         "text_chunks_packed": r"""
     WITH t AS (
         SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks

@@ -262,3 +262,41 @@ def pack_chunks(
                     F.floor(F.col("__before") / budget).cast("long"))
         .drop("__before")
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB/most engines) so redaction stays oracle-verifiable; the
+# phone pattern is looser and intentionally NOT part of the oracle gate
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Scrub PII-shaped spans from a text column (corpus hygiene before
+    training): each kind is replaced by its placeholder and counted.
+    Adds ``{out_col}`` (redacted text) and ``n_{kind}`` count columns.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` column expressions —
+    codegen, zero shuffle, runs inside the scan stage. Counts are taken
+    BEFORE replacement so overlapping kinds (an email containing digits)
+    report what each pattern actually matched in the original."""
+    out_col = out_col or f"{text_col}_redacted"
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k][0]), 0))
+        .alias(f"n_{k}")
+        for k in kinds
+    ]
+    red = c
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", *counts, red.alias(out_col))

@@ -112,3 +112,23 @@ def test_pack_chunks_contiguous_fill(spark):
     # deterministic group sharding
     sharded = pack_chunks(chunks, budget=256, n_groups=4)
     assert {r["pack_group"] for r in sharded.collect()} == {1, 2}
+
+
+def test_redact_pii(spark):
+    from metrique_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([
+        (1, "mail a.user+tag@example.co.uk or 10.0.0.1 or +1 (555) 123-4567"),
+        (2, "call 555-123-4567 x2"),
+        (3, "clean text, no pii"),
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = rows[1]["text_redacted"]
+    assert "<EMAIL>" in r1 and "<IP>" in r1
+    assert "example.co.uk" not in r1 and "10.0.0.1" not in r1
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[2]["n_phone"] == 1
+    assert "<PHONE>" in rows[2]["text_redacted"]
+    assert rows[3]["text_redacted"] == "clean text, no pii"
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) \
+        == (0, 0, 0)
