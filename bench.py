@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_contamination",
     "text_repetition",
     "text_chunks_packed",
+    "text_pii_redaction",
     "sample_stratified",
     "dedup_minhash_pairs",
     "dedup_embedding_pairs",
