@@ -463,6 +463,17 @@ def tmp_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "state_ts", "state_value")
 
 
+def events_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event correlation (stream-stream-join twin in batch mode): every
+    purchase attributed to the same user's clicks within the prior 30
+    minutes."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    from metrique_spark.streaming.events import correlate_events
+
+    return correlate_events(ev, "click", "purchase", within="30 minutes")
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gap-based sessionization via built-in session_window (30-min gap);
     value sums decimal-exact for oracle parity."""
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_history_forecast": tmp_history_forecast,
         "tmp_asof_join": tmp_asof_join,
         "events_sessionize": events_sessionize,
+        "events_correlate": events_correlate,
         "q_rollup_status": q_rollup_status,
         "deptree_regions": deptree_regions,
         # pipeline extensions
@@ -1240,6 +1252,18 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases l
             ASOF LEFT JOIN states r
               ON l.user_id = r.user_id AND l.ts >= r.state_ts
+        """,
+        "events_correlate": """
+            SELECT a.user_id,
+                   a.event_id AS click_id,
+                   b.event_id AS purchase_id,
+                   CAST(floor((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000)
+                        AS BIGINT) AS gap_seconds
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND a.ts <= b.ts
+             AND a.ts >= b.ts - INTERVAL 30 MINUTE
         """,
         "events_sessionize": """
             WITH o AS (

@@ -129,3 +129,55 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str):
             engine.upsert(cube, batch_df, stamped=True)
 
     return _sink
+
+
+def correlate_events(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event correlation — every (first, then) pair for the same user where
+    the ``then`` event follows a ``first`` event within ``within`` (e.g.
+    attribute each purchase to the clicks in the preceding hour).
+
+    One implementation, both modes. Batch: a plain self-join with the
+    interval condition (keyed by user, never a cartesian). Streaming: a
+    watermarked stream-stream inner join — BOTH sides carry watermarks and
+    the join condition bounds event-time distance, which is exactly what
+    lets Spark expire join state: a buffered ``first`` event can be
+    dropped once the watermark passes its ts + ``within``. Without the
+    time-range condition the state would grow forever."""
+    iv = F.expr(f"INTERVAL {within}")
+    # NTZ-proof: a raw TIMESTAMP_NTZ ts (the round-2 regression shape)
+    # can't cast to double for the gap; normalize to TimestampType first
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = events.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias(f"{first_type}_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    ).where(F.col("a_type") == first_type).drop("a_type")
+    b = events.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias(f"{then_type}_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    ).where(F.col("b_type") == then_type).drop("b_type")
+    if events.isStreaming:
+        a = a.withWatermark("a_ts", watermark)
+        b = b.withWatermark("b_ts", watermark)
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("a_ts") <= F.col("b_ts"))
+        & (F.col("a_ts") >= F.col("b_ts") - iv),
+    )
+    return joined.select(
+        F.col("a_user").alias("user_id"),
+        f"{first_type}_id",
+        f"{then_type}_id",
+        (F.col("b_ts").cast("double") - F.col("a_ts").cast("double"))
+        .cast("long").alias("gap_seconds"),
+    )

@@ -198,3 +198,33 @@ def test_dedup_stream_replayed_file(spark, sf_dir, tmp_path):
     batch = spark.read.parquet(str(src_dir))
     assert batch.count() == 2 * n_unique
     assert ev.dedup_stream(batch, keys=("event_id",)).count() == n_unique
+
+
+def test_correlate_events_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join: the streaming result over the full
+    (availableNow) input must equal the batch self-join twin."""
+    import shutil
+
+    src_dir = tmp_path / "events_corr"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+
+    batch = ev.correlate_events(
+        spark.read.parquet(str(src_dir)), within="30 minutes")
+    n_batch = batch.count()
+    assert n_batch > 0
+    # streaming twin — huge watermark so no full-input pair is dropped
+    stream = ev.read_events_stream(spark, str(src_dir))
+    q = (
+        ev.correlate_events(stream, within="30 minutes", watermark="400 days")
+        .writeStream.format("memory").queryName("corr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_corr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select count(*) n, count(distinct click_id || '-' || purchase_id) d"
+        " from corr").first()
+    assert got["n"] == got["d"] == n_batch
