@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "tmp_dfind",
     "tmp_asof_join",
     "events_sessionize",
+    "events_correlate",
     "q_rollup_status",
     "upsert_snapshot",
     "activity_reconstruct",

@@ -175,3 +175,16 @@ def test_knn_join_no_cartesian_no_table_broadcast(spark):
     # candidate join itself is keyed on the bucket id inside applyInPandas
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+
+
+def test_correlate_events_keyed_join_no_cartesian(spark):
+    """The interval self-join must stay keyed on user_id (hash/sort-merge
+    or broadcast on the equi-key) — the time-range condition rides as a
+    post-join filter, never degrading to a cartesian."""
+    from metrique_spark.streaming.events import correlate_events
+    from metrique_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF, "events")
+    p = audit.executed_plan(correlate_events(ev, within="30 minutes"))
+    assert not audit.has_cartesian(p)
+    assert "BroadcastNestedLoopJoin" not in p
