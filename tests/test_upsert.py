@@ -202,3 +202,36 @@ def test_compact_consolidates_history_dirs(spark, engine, tmp_path):
     assert engine.count("cp") == before_cur
     # idempotent: nothing left to consolidate
     assert engine.compact("cp") == 0
+
+
+def test_compact_crash_between_write_and_delete_heals(spark, engine,
+                                                      monkeypatch):
+    """Docstring guarantee: a crash after writing the consolidated dir but
+    before deleting the originals leaves duplicate closed rows on disk;
+    the next compact dedupes by _id and converges."""
+    import os
+    import shutil as _shutil
+
+    engine.upsert("ch", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    engine.upsert("ch", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    engine.upsert("ch", _objs(spark, [(1, 12)], "2014-03-01"), stamped=True)
+    before = engine.count("ch", date="~")
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(path, *a, **kw):
+        raise RuntimeError("injected crash before delete")
+
+    monkeypatch.setattr("metrique_spark.engine.shutil.rmtree", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        engine.compact("ch")
+    monkeypatch.setattr("metrique_spark.engine.shutil.rmtree", real_rmtree)
+
+    # duplicates exist on disk now (consolidated + originals), but queries
+    # after the NEXT compact are back to the true state
+    engine.compact("ch")
+    hist = os.path.join(engine.warehouse, "ch", "_current=false")
+    assert len([d for d in os.listdir(hist)
+                if d.startswith("__batch=")]) == 1
+    assert engine.count("ch", date="~") == before
+    assert engine.count("ch") == 1
