@@ -708,6 +708,20 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language data-card rollup: volume, token mass, mean quality,
+    exact-dup counts — one aggregation pass over the corpus."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = text.corpus_stats(d)
+    return out.select(
+        F.col("stratum").alias("lang"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens", "avg_quality",
+        F.col("n_unique_fp").cast("long").alias("n_unique_fp"),
+        "n_exact_dups")
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic hash-based stratified sampling (language rebalance:
     keep 25% of en, 100% of zh, 50% of everything else) — pure scan-stage
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
+        "corpus_summary": corpus_summary,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
@@ -1405,6 +1420,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "corpus_summary": r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '[^\W_]+')) AS n_tok,
+               round(0.5 * (CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+                     + 0.3 * least(greatest(length(text), 1) / 500.0, 1.0)
+                     + 0.2 * (1.0 - least(
+                         (CAST(length(regexp_replace(text,
+                              '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4
+                         + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 2, 1.0)), 4)
+                   AS quality,
+               md5(array_to_string(
+                   regexp_extract_all(lower(text), '[^\W_]+'), ' ')) AS fp
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(quality), 4) AS avg_quality,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM per_doc GROUP BY lang
+""",
         "text_pii_redaction": r"""
     WITH injected AS (
         SELECT doc_id,

@@ -300,3 +300,34 @@ def redact_pii(
         pat, repl = PII_PATTERNS[k]
         red = F.regexp_replace(red, pat, repl)
     return df.select("*", *counts, red.alias(out_col))
+
+
+def corpus_stats(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus summary (the data-card rollup: volume, token
+    mass, quality, exact-dup rate) in ONE aggregation pass — counts,
+    token totals, mean quality, and distinct-fingerprint counts are all
+    map-side-combinable aggregates over the same scan."""
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    src = spread_small_scan(df.select(
+        F.col(id_col).alias("id"), F.col(stratum_col).alias("stratum"),
+        F.col(text_col).alias("__t")))
+    per_doc = src.select(
+        "stratum",
+        token_count("__t").alias("__n_tok"),
+        quality_score("__t").alias("__q"),
+        fingerprint("__t").alias("__fp"),
+    )
+    return per_doc.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+        F.count_distinct("__fp").alias("n_unique_fp"),
+        (F.count("*") - F.count_distinct("__fp")).cast("long")
+        .alias("n_exact_dups"),
+    )

@@ -132,3 +132,20 @@ def test_redact_pii(spark):
     assert rows[3]["text_redacted"] == "clean text, no pii"
     assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) \
         == (0, 0, 0)
+
+
+def test_corpus_stats(spark):
+    from metrique_spark.functions.text import corpus_stats
+
+    df = spark.createDataFrame([
+        (1, "en", "hello world one"),
+        (2, "en", "hello world one"),          # exact dup of 1
+        (3, "en", "different text entirely"),
+        (4, "de", "hallo welt"),
+    ], ["doc_id", "lang", "text"])
+    rows = {r["stratum"]: r for r in corpus_stats(df).collect()}
+    assert rows["en"]["n_docs"] == 3
+    assert rows["en"]["n_tokens"] == 9
+    assert rows["en"]["n_unique_fp"] == 2
+    assert rows["en"]["n_exact_dups"] == 1
+    assert rows["de"]["n_docs"] == 1 and rows["de"]["n_exact_dups"] == 0
