@@ -125,3 +125,45 @@ def test_containment_matches_naive(spark, seed):
                 best = (c, tid)
         assert got[hid]["max_containment"] == best[0]
         assert got[hid]["train_id"] == best[1]
+
+
+@pytest.mark.parametrize("seed,direction", [(1, "backward"), (1, "forward"),
+                                            (9, "backward"), (9, "forward")])
+def test_asof_join_matches_pandas_merge_asof(spark, seed, direction):
+    """pandas merge_asof is the canonical as-of implementation — the
+    distributed union+window version must agree exactly, both directions,
+    with and without tolerance. Ties (equal timestamps) match in both."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts():
+        return base + dt.timedelta(minutes=rng.randint(0, 2000))
+
+    left = sorted({(rng.randint(1, 5), ts()) for _ in range(120)})
+    right = sorted({(k, t, f"v{i}") for i, (k, t) in enumerate(
+        {(rng.randint(1, 5), ts()) for _ in range(80)})})
+    ldf = spark.createDataFrame(left, "k long, t timestamp")
+    rdf = spark.createDataFrame(right, "k long, rts timestamp, val string")
+
+    for tol_str, tol_td in [(None, None),
+                            ("90 MINUTES", pd.Timedelta(minutes=90))]:
+        from metrique_spark.temporal import asof_join
+
+        got = {(r["k"], r["t"]): r["val"]
+               for r in asof_join(ldf, rdf, "k", "t", "rts",
+                                  payload=["val"], direction=direction,
+                                  tolerance=tol_str).collect()}
+        lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t")
+        rp = pd.DataFrame(right, columns=["k", "rts", "val"]).sort_values(
+            "rts")
+        exp = pd.merge_asof(lp, rp, left_on="t", right_on="rts", by="k",
+                            direction=direction, tolerance=tol_td,
+                            allow_exact_matches=True)
+        expected = {(r.k, r.t.to_pydatetime()):
+                    (None if pd.isna(r.val) else r.val)
+                    for r in exp.itertuples()}
+        assert got == expected, f"{direction} tol={tol_str}"
