@@ -17,8 +17,14 @@ genuinely can't express the semantics (always Arrow-batched).
 
 from metrique_spark.engine import Engine
 from metrique_spark.mql import compile_mql, date_range_predicate
+from metrique_spark.objects import assign_autoincrement, stamp, validate
 from metrique_spark.session import get_spark
+from metrique_spark.temporal import asof_join, deptree, dfind, history, on_date
 
 __version__ = "0.1.0"
 
-__all__ = ["Engine", "compile_mql", "date_range_predicate", "get_spark"]
+__all__ = [
+    "Engine", "compile_mql", "date_range_predicate", "get_spark",
+    "stamp", "validate", "assign_autoincrement",
+    "on_date", "history", "asof_join", "dfind", "deptree",
+]
