@@ -81,3 +81,51 @@ def test_mql_fuzz_matches_sql(spark, seed):
             f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {sql}"
         ).fetchall()))
         assert got == exp, f"seed={seed} i={i} mql={mql!r} sql={sql!r}"
+
+
+@pytest.mark.parametrize("seed", [4, 81])
+def test_date_range_fuzz_matches_sql(spark, seed):
+    """Random date ranges (point, open-left, open-right, closed, all,
+    current) through date_range_predicate vs an independent SQL rendering
+    of the reference boundary rules (strict < on _start, >= on _end)."""
+    from metrique_spark.mql import date_range_predicate
+    from metrique_spark.sources.testdata import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    ev = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        F.col("user_id").alias("_oid"), "event_type",
+        F.col("ts").alias("_start"), F.lead("ts").over(w).alias("_end"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    con.execute(
+        "CREATE VIEW v AS SELECT user_id AS _oid, event_type, "
+        "ts AS _start, lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS _end FROM events")
+
+    def d():
+        return f"2024-01-{rng.randint(1, 28):02d}"
+
+    for _ in range(10):
+        a, b = sorted((d(), d()))
+        kind = rng.choice(["point", "left", "right", "closed", "all", "cur"])
+        date = {"point": a, "left": f"~{b}", "right": f"{a}~",
+                "closed": f"{a}~{b}", "all": "~", "cur": None}[kind]
+        sql = {
+            "point": f"_start < TIMESTAMP '{a}' AND "
+                     f"(_end >= TIMESTAMP '{a}' OR _end IS NULL)",
+            "left": f"_start < TIMESTAMP '{b}'",
+            "right": f"(_end >= TIMESTAMP '{a}' OR _end IS NULL)",
+            "closed": f"_start < TIMESTAMP '{b}' AND "
+                      f"(_end >= TIMESTAMP '{a}' OR _end IS NULL)",
+            "all": "TRUE",
+            "cur": "_end IS NULL",
+        }[kind]
+        pred = date_range_predicate(date)
+        got = (v.where(pred) if pred is not None else v).count()
+        exp = con.execute(f"SELECT count(*) FROM v WHERE {sql}").fetchone()[0]
+        assert got == exp, f"seed={seed} date={date!r}"
