@@ -114,7 +114,16 @@ class Engine:
         if entry not in registry:
             registry.append(entry)
         if self.warehouse and os.path.isdir(self._path(cube)):
-            with open(self._index_meta_path(cube), "w") as fh:
+            # merge the persisted sidecar first: a fresh Engine starts with
+            # an empty registry, and a blind dump would drop declarations
+            # recorded by prior sessions
+            p = self._index_meta_path(cube)
+            if os.path.isfile(p):
+                with open(p) as fh:
+                    for e in json.load(fh):
+                        if e not in registry:
+                            registry.append(e)
+            with open(p, "w") as fh:
                 json.dump(registry, fh)
 
     def index_list(self) -> dict[str, list[dict]]:

@@ -514,11 +514,18 @@ def connected_components(
     )
 
     def _checksum(lbl: DataFrame):
-        # labels only ever decrease, so sum(component) is a monotone
-        # convergence witness: unchanged sum == fixpoint. One cheap
-        # aggregate job per round instead of a join + emptiness probe.
+        # Type-agnostic convergence witness: the vertex set is fixed and
+        # labels only ever decrease, so a round is a fixpoint iff the
+        # (id, component) multiset is unchanged — detected by an
+        # order-insensitive sum of per-row hashes. One cheap aggregate job
+        # per round instead of a join + emptiness probe. (A plain
+        # sum(component) only works for numeric ids: with string ids the
+        # cast throws under ANSI, or yields a NULL sum that ends the loop
+        # after one round under non-ANSI.) decimal(38,0) sum of 64-bit
+        # hashes can't overflow until ~1e19 rows.
         return lbl.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+            F.sum(F.xxhash64("id", "component").cast("decimal(38,0)"))
+        ).first()[0]
 
     prev_sum = _checksum(labels)
     try:
@@ -537,6 +544,14 @@ def connected_components(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        else:
+            # exhausting the round budget without hitting the fixpoint
+            # would silently return wrong (partially-propagated) labels
+            # for graphs with diameter > max_iter
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iter={max_iter} rounds (graph diameter exceeds the "
+                f"round budget); raise max_iter")
         return labels
     finally:
         edges.unpersist()
@@ -625,16 +640,19 @@ def containment_scores(
         .agg(F.count("*").alias("inter"))
         .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 4))
     )
-    # argmax as max-of-struct: struct comparison is field-order
-    # lexicographic, so (containment, -t_id) picks the best score with
-    # min train id on ties — one map-side-combinable aggregate, no window
+    # argmax as min-of-struct: struct comparison is field-order
+    # lexicographic, so (-containment, t_id) picks the best score with
+    # min train id on ties — one map-side-combinable aggregate, no
+    # window, and no arithmetic on the id (which may be a string; the
+    # earlier max(struct(containment, -t_id)) form negated the id and
+    # broke for non-numeric doc ids)
     best = inter.groupBy("h_id").agg(
-        F.max(F.struct("containment", (-F.col("t_id")).alias("neg")))
-        .alias("__best")
+        F.min(F.struct((-F.col("containment")).alias("negc"),
+                       F.col("t_id"))).alias("__best")
     ).select(
         "h_id",
-        F.col("__best.containment").alias("max_containment"),
-        (-F.col("__best.neg")).alias("train_id"),
+        (-F.col("__best.negc")).alias("max_containment"),
+        F.col("__best.t_id").alias("train_id"),
     )
     return (
         holdout.select(F.col(id_col).alias("h_id"))

@@ -149,6 +149,39 @@ def test_connected_components_chain_and_clique(spark):
     assert got_dist == expected
 
 
+def test_connected_components_string_ids_distributed(spark):
+    """the distributed loop's convergence witness must be type-agnostic:
+    string vertex ids broke the old sum(component) checksum (ANSI cast
+    error, or a NULL sum that ended the loop after one round)."""
+    from metrique_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),   # 4-chain, diameter 3
+         ("x", "y")],
+        ["id_a", "id_b"])
+    expected = {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+    got_driver = {r["id"]: r["component"]
+                  for r in connected_components(pairs).collect()}
+    got_dist = {r["id"]: r["component"]
+                for r in connected_components(
+                    pairs, driver_edge_threshold=0).collect()}
+    assert got_driver == expected
+    assert got_dist == expected
+
+
+def test_connected_components_max_iter_raises(spark):
+    """exhausting max_iter before the fixpoint must raise, not silently
+    return partially-propagated labels (chain diameter 3 > 1 round)."""
+    import pytest
+
+    from metrique_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1, driver_edge_threshold=0)
+
+
 def test_canonical_docs_decisions(spark):
     from metrique_spark.functions.dedup import canonical_docs
 
@@ -187,3 +220,21 @@ def test_containment_scores_and_decontaminate(spark):
     bad = {r["doc_id"] for r in
            decontaminate(train, holdout, threshold=0.8, n=3).collect()}
     assert bad == {1}
+
+
+def test_containment_scores_string_ids(spark):
+    """the tie-break argmax must be type-agnostic: the old
+    max(struct(containment, -t_id)) negated the train id, which breaks for
+    string doc ids (ANSI error / silent cast)."""
+    from metrique_spark.functions.dedup import containment_scores
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [("t-b", shared), ("t-a", shared),          # tie: both contain 100%
+         ("t-z", "unrelated words entirely here now")],
+        ["doc_id", "text"])
+    holdout = spark.createDataFrame([("h-1", shared)], ["doc_id", "text"])
+    rows = {r["doc_id"]: r
+            for r in containment_scores(train, holdout, n=3).collect()}
+    assert rows["h-1"]["max_containment"] == 1.0
+    assert rows["h-1"]["train_id"] == "t-a"    # min id on ties

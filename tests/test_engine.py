@@ -105,3 +105,9 @@ def test_index_and_index_list(spark, tmp_path):
                                                             "ix_custom"]
     # and does not pollute reads
     assert eng2.table("c1").count() == 1
+    # a fresh Engine's first index() call must MERGE with the persisted
+    # sidecar, not overwrite it (its in-memory registry starts empty)
+    eng2.index("c1", ["k", "v"], name="ix_new")
+    eng3 = Engine(spark, warehouse=str(tmp_path))
+    assert {e["name"] for e in eng3.index_list()["c1"]} == {
+        "ix_c1_k", "ix_custom", "ix_new"}
