@@ -158,6 +158,12 @@ def auto_nlist(n_rows: int, target_bucket_rows: int = 100_000) -> int:
     return max(2, math.ceil(max(0, n_rows) / max(1, target_bucket_rows)))
 
 
+def _n_blocks(count_col: str, cap: int) -> Column:
+    """Number of hash-blocks an oversized group splits into: ⌈n/cap⌉, ≥1."""
+    return F.greatest(
+        F.lit(1), F.ceil(F.col(count_col) / F.lit(cap))).cast("int")
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     threshold: float = 0.45,
@@ -167,6 +173,7 @@ def cosine_pairs_bucketed(
     vec_col: str = "embedding",
     decimals: int = 4,
     target_bucket_rows: int = 100_000,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: assign every vector to its
     ``nprobe`` nearest of ``nlist`` IVF buckets, generate candidates only
@@ -177,16 +184,30 @@ def cosine_pairs_bucketed(
     members share no probed bucket (raise ``nprobe`` to trade cost for
     recall). Same contract as ``cosine_pairs``.
 
-    MEMORY CONTRACT: each bucket group materializes as ONE pandas frame
-    inside ``applyInPandas`` — a bucket must fit in executor memory.
-    ``nlist=None`` sizes it automatically from the corpus count so the
-    expected bucket stays ≤ ``target_bucket_rows`` (hot buckets still
-    need headroom; lower ``target_bucket_rows`` for wide vectors). A
-    fixed ``nlist`` (like the test-gate's exact mode ``nlist=2,
-    nprobe=2``, where every vector lands in every bucket) is a
-    small-corpus/oracle configuration, NOT the scale configuration."""
+    MEMORY CONTRACT (hard, skew-proof): each ``applyInPandas`` task
+    materializes at most ~2×``max_bucket_rows`` rows (default:
+    ``target_bucket_rows``), whatever the data distribution.
+    ``auto_nlist`` only bounds the MEAN bucket — a dense embedding
+    cluster can concentrate far more than corpus/nlist rows in one
+    bucket — so oversized buckets are salted: a bucket of n rows splits
+    into S=⌈n/cap⌉ hash-blocks and every unordered block pair (i ≤ j)
+    becomes its own task (diagonal tasks do self-pairs, off-diagonal
+    tasks score block i × block j both ways). Every candidate pair still
+    meets in exactly one task per bucket, so output is IDENTICAL to the
+    unsalted plan; cost is the standard blocked-matmul S× replication of
+    only the oversized buckets' rows. Under-cap buckets get S=1 — the
+    exact unsalted plan."""
+    from pyspark import StorageLevel
+
+    cap = max_bucket_rows or target_bucket_rows
     if nlist is None:
-        nlist = auto_nlist(df.count(), target_bucket_rows)
+        n_rows = df.count()
+        nlist = auto_nlist(n_rows, target_bucket_rows)
+    else:
+        # guard probe, not a full count: at scale the limit short-circuits
+        # after ~cap rows instead of scanning the corpus just to decide
+        # whether salting is needed
+        n_rows = df.limit(cap + 1).count()
     _, centroids = ivf_assign(df, nlist, id_col, vec_col)
     vecs = df.select(F.col(id_col).cast("long").alias("__vid"),
                      _as_double(vec_col).alias("v"))
@@ -201,15 +222,70 @@ def cosine_pairs_bucketed(
         probed = _nearest_buckets(vecs, centroids, "v", nprobe).select(
             F.col("__vid").alias("id"), "v", F.col("centroid_id").alias("bucket"))
 
-    def per_bucket(pdf):
-        import numpy as np
+    if n_rows <= cap:
+        # no bucket can exceed the cap (a bucket holds at most the whole
+        # corpus): skip the counting/salting machinery entirely — zero
+        # extra jobs. This is every small corpus and the oracle-gate
+        # configuration; the salted path below is the scale regime.
+        def per_bucket(pdf):
+            import numpy as np
 
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        m = np.array(list(pdf["v"]), dtype=np.float64)
-        return _pairs_above(ids, m, ids, m, threshold, decimals)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            return _pairs_above(ids, m, ids, m, threshold, decimals)
+
+        return (
+            probed.groupBy("bucket")
+            .applyInPandas(per_bucket, schema=_PAIRS_SCHEMA)
+            .distinct()  # a pair can co-occur in several probed buckets
+        )
+
+    # per-bucket sizes drive the salting; persist so the (windowed) probe
+    # assignment isn't recomputed for the count pass — MEMORY_AND_DISK
+    # spills rather than OOMs, block released by LRU / session end
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = probed.groupBy("bucket").agg(F.count("*").alias("__bn"))
+    blocked = (
+        probed.join(F.broadcast(counts), "bucket")
+        .withColumn("__nb", _n_blocks("__bn", cap))
+        .withColumn("__blk",
+                    F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int"))
+        .withColumn("__j", F.explode(
+            F.sequence(F.lit(0), F.col("__nb") - 1)))
+        .withColumn("__blo", F.least("__blk", "__j"))
+        .withColumn("__bhi", F.greatest("__blk", "__j"))
+        .withColumn("__side",
+                    F.when(F.col("__blk") == F.col("__blo"), 0).otherwise(1))
+        .select("bucket", "__blo", "__bhi", "__side", "id", "v")
+    )
+
+    def per_task(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["__side"] == 0]
+        ida = a["id"].to_numpy(dtype=np.int64)
+        ma = np.array(list(a["v"]), dtype=np.float64)
+        if pdf["__blo"].iat[0] == pdf["__bhi"].iat[0]:
+            # diagonal task: all-pairs within one block
+            return _pairs_above(ida, ma, ida, ma, threshold, decimals)
+        b = pdf[pdf["__side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        idb = b["id"].to_numpy(dtype=np.int64)
+        mb = np.array(list(b["v"]), dtype=np.float64)
+        # cross task: both directions so every pair surfaces with
+        # id_a < id_b regardless of which block holds the smaller id
+        return pd.concat(
+            [_pairs_above(ida, ma, idb, mb, threshold, decimals),
+             _pairs_above(idb, mb, ida, ma, threshold, decimals)],
+            ignore_index=True)
 
     return (
-        probed.groupBy("bucket").applyInPandas(per_bucket, schema=_PAIRS_SCHEMA)
+        blocked.groupBy("bucket", "__blo", "__bhi")
+        .applyInPandas(per_task, schema=_PAIRS_SCHEMA)
         .distinct()  # a pair can co-occur in several probed buckets
     )
 
@@ -350,6 +426,7 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     decimals: int = 4,
     target_bucket_rows: int = 100_000,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """k-NN JOIN for two LARGE embedding tables — the case
     ``cosine_topk`` can't cover (it broadcasts the query side; fine for
@@ -364,9 +441,34 @@ def ivf_knn_join(
     of either table, no cartesian. ``nlist=None`` auto-sizes from the
     right-side count (``auto_nlist``). Output: (left id aliased
     ``query_id``, ``neighbor_id``, ``sim``); a left row also present in
-    right does not match itself."""
+    right does not match itself.
+
+    MEMORY CONTRACT (hard, skew-proof): a task holds at most
+    ~2×``max_bucket_rows`` rows (default: ``target_bucket_rows``).
+    Each side of an oversized bucket splits independently into
+    ⌈n/cap⌉ hash-blocks; the task key becomes (bucket, left-block,
+    right-block), left rows replicate across the right side's blocks and
+    vice versa — the standard blocked matmul, so a skewed (hot) bucket
+    costs replicated shuffle volume instead of an executor OOM. Every
+    (left, right) candidate meets in exactly one task per bucket, and
+    the per-task top-k unions remain a superset of the bucket-local
+    top-k, so the final window output is IDENTICAL to the unsalted
+    plan."""
+    from pyspark import StorageLevel
+    cap = max_bucket_rows or target_bucket_rows
     if nlist is None:
-        nlist = auto_nlist(right.count(), target_bucket_rows)
+        n_right = right.count()
+        nlist = auto_nlist(n_right, target_bucket_rows)
+        salted = n_right > cap or left.limit(cap + 1).count() > cap
+    else:
+        # one short-circuiting guard probe over both sides: a task holds
+        # rows from both, so combined ≤ cap ⇒ no bucket side can overflow.
+        # (Conservative the other way is harmless: salting an under-cap
+        # bucket yields one block per side — the identity grouping.)
+        salted = (
+            left.select(F.lit(1).alias("__x"))
+            .unionByName(right.select(F.lit(1).alias("__x")))
+            .limit(cap + 1).count() > cap)
     assigned, centroids = ivf_assign(right, nlist, id_col, vec_col)
     lvec = left.select(F.col(id_col).cast("long").alias("__vid"),
                        _as_double(vec_col).alias("lv"))
@@ -392,6 +494,40 @@ def ivf_knn_join(
     ).unionByName(assigned.select(
         "bucket", F.lit(0).alias("role"),
         F.col(id_col).cast("long").alias("id"), "v"))
+
+    # skew guard: when the guard probe showed everything fits under the
+    # cap, group on the bucket alone with zero extra jobs (every small
+    # input and the oracle-gate configuration). Above the cap, per-bucket
+    # counts drive independent blocking of each side; persist so the
+    # probe/assignment windows aren't recomputed for the count pass
+    # (MEMORY_AND_DISK spills rather than OOMs).
+    if salted:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = tagged.groupBy("bucket").agg(
+            F.sum("role").alias("__ln"),
+            F.sum(1 - F.col("role")).alias("__rn"))
+        tagged = (
+            tagged.join(F.broadcast(counts), "bucket")
+            .withColumn("__nl", _n_blocks("__ln", cap))
+            .withColumn("__nr", _n_blocks("__rn", cap))
+            # a row blocks within its own side...
+            .withColumn("__blk", F.pmod(
+                F.xxhash64(F.col("id")),
+                F.when(F.col("role") == 1,
+                       F.col("__nl")).otherwise(F.col("__nr"))
+            ).cast("int"))
+            # ...and replicates across the OTHER side's blocks
+            .withColumn("__ob", F.explode(F.sequence(
+                F.lit(0),
+                F.when(F.col("role") == 1, F.col("__nr"))
+                .otherwise(F.col("__nl")) - 1)))
+            .withColumn("__lb", F.when(F.col("role") == 1,
+                                       F.col("__blk")).otherwise(F.col("__ob")))
+            .withColumn("__rb", F.when(F.col("role") == 1,
+                                       F.col("__ob")).otherwise(F.col("__blk")))
+            .select("bucket", "__lb", "__rb", "role", "id", "v")
+        )
+    group_keys = ["bucket", "__lb", "__rb"] if salted else ["bucket"]
 
     def per_bucket(pdf):
         import numpy as np
@@ -429,7 +565,7 @@ def ivf_knn_join(
         return pd.DataFrame({"query_id": qi[keep], "neighbor_id": ni[keep],
                              "sim": sv[keep]})
 
-    cand = tagged.groupBy("bucket").applyInPandas(
+    cand = tagged.groupBy(*group_keys).applyInPandas(
         per_bucket, schema="query_id bigint, neighbor_id bigint, sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))

@@ -210,6 +210,59 @@ def test_cosine_pairs_bucketed_auto_nlist_runs(spark):
     assert auto == fixed and len(auto) > 0
 
 
+def _clustered(spark, n=80, dim=4, seed=3):
+    """one dense cluster — the worst case for IVF: every vector lands in
+    the same bucket however many buckets exist."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [1.0 + rnd.gauss(0, 0.01) for _ in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_pairs_bucketed_skew_salting_identical(spark):
+    """a bucket far over the per-task row cap is split into block-pair
+    tasks (~cap rows each); output must be IDENTICAL to the unsalted plan
+    — the hard memory cap costs replication, never pairs or sims. Covers
+    both the exact mode (nprobe>=nlist) and the windowed probe path."""
+    from metrique_spark.functions.similarity import cosine_pairs_bucketed
+
+    df = _clustered(spark)
+    for probe in (2, 1):   # exact mode, then partial-probe window path
+        unsalted = {(r.id_a, r.id_b): r.sim
+                    for r in cosine_pairs_bucketed(
+                        df, threshold=0.9, nlist=2, nprobe=probe).collect()}
+        salted = {(r.id_a, r.id_b): r.sim
+                  for r in cosine_pairs_bucketed(
+                      df, threshold=0.9, nlist=2, nprobe=probe,
+                      max_bucket_rows=7).collect()}
+        assert salted == unsalted
+        assert len(salted) > 1000   # the hot bucket really was all-pairs
+
+
+def test_ivf_knn_join_skew_salting_identical(spark):
+    """both sides of a hot bucket block independently; the blocked top-k
+    union must reproduce the unsalted join exactly (same neighbors, same
+    sims) in exact and partial-probe modes."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark.functions.similarity import ivf_knn_join
+
+    df = _clustered(spark, n=60)
+    left = df.where(F.col("vec_id") % 2 == 1)
+    right = df.where(F.col("vec_id") % 2 == 0)
+    for probe in (2, 1):
+        unsalted = {(r.query_id, r.neighbor_id, r.sim)
+                    for r in ivf_knn_join(left, right, k=3, nlist=2,
+                                          nprobe=probe).collect()}
+        salted = {(r.query_id, r.neighbor_id, r.sim)
+                  for r in ivf_knn_join(left, right, k=3, nlist=2,
+                                        nprobe=probe,
+                                        max_bucket_rows=5).collect()}
+        assert salted == unsalted and len(salted) > 0
+
+
 def test_ivf_train_iters_refine_centroids(spark):
     """Lloyd refinement: same bucket count, assignments still total, and
     partial-probe recall does not degrade versus the sampled init on the
