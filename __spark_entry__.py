@@ -593,10 +593,12 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """document fingerprint + token count (SURVEY extensions; pure column
     expressions, whole-stage codegen)."""
     _utc(spark)
-    # single-row-group testdata scans as ONE task; spread so the regex
-    # work parallelizes (no-op when the input has real splits)
-    d = dedup.spread_small_scan(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # NO spread_small_scan here: one regex pass + hash per row is cheap
+    # enough that the repartition exchange costs more than the
+    # parallelism buys on a single-row-group local scan (measured +48%
+    # at sf0.1); real-scale inputs arrive with splits anyway. The heavy
+    # shingle/explode/join paths keep the spread.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return d.select(
         "doc_id",
         text.fingerprint("text").alias("fp"),

@@ -72,7 +72,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract media rows via ``mapInPandas``.
 
     Iterator-of-batches form: payloads stream through in Arrow batches, so
-    a partition larger than memory still processes incrementally."""
+    a partition larger than memory still processes incrementally. Byte
+    length and content checksum are computed JVM-side (codegen ``length``/
+    ``md5``) BEFORE the Python stage — only the decode itself, the one
+    step a real media library would own, crosses into Python."""
+
+    pre = df.select(
+        "media_id", "kind", "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def _decode(payload):
@@ -81,24 +90,20 @@ def extract_features(df: DataFrame) -> DataFrame:
             except NotImplementedError:
                 return (None, None)
 
-        # Column-wise construction: per-element Python survives only at
-        # the hash/decode seam (md5 over bytes can't vectorize further);
-        # everything else is a pandas Series op over the Arrow batch.
+        # per-element Python survives only at the decode seam; everything
+        # else rides through from the JVM or is a vectorized Series op
         for pdf in batches:
-            payload = pdf["payload"]
-            wh = payload.map(_decode)
+            wh = pdf["payload"].map(_decode)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": payload.str.len(),
-                "checksum": payload.map(
-                    lambda p: hashlib.md5(p).hexdigest() if p is not None
-                    else None),
+                "n_bytes": pdf["n_bytes"],
+                "checksum": pdf["checksum"],
                 "width": wh.map(lambda t: t[0]),
                 "height": wh.map(lambda t: t[1]),
             })
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return pre.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType([

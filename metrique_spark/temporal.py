@@ -531,19 +531,29 @@ def deptree(
     # visited stays a lazy union of per-hop checkpointed fringes: each
     # fringe is cut from its lineage (otherwise the plan doubles every
     # iteration), while the union itself is k cheap checkpoint scans —
-    # linear in depth, never a rewrite of everything seen so far.
+    # linear in depth, never a rewrite of everything seen so far. A
+    # narrow fringe (previous hop's count, known on the driver, under
+    # 10k rows) coalesces to one partition before the cut: checkpointing
+    # 32 near-empty shuffle partitions costs ~32 task launches per hop
+    # for no benefit, and the count that replaces the emptiness probe is
+    # free on the checkpointed block. Wide fringes keep full parallelism
+    # — the coalesce gate rides the measured size, not a guess.
     fringe = seeds.localCheckpoint(eager=True)
     parts = [fringe]
     visited = fringe
     depth = 0
+    n_prev = len(set(oids))
     try:
         while level is None or depth < level:
             new_fringe = (
                 _deptree_hop(scoped, field, fringe)
                 .join(visited, "_oid", "anti")
-                .localCheckpoint(eager=True)
             )
-            if new_fringe.isEmpty():
+            if n_prev < 10_000:
+                new_fringe = new_fringe.coalesce(1)
+            new_fringe = new_fringe.localCheckpoint(eager=True)
+            n_prev = new_fringe.count()
+            if not n_prev:
                 break
             parts.append(new_fringe)
             visited = reduce(DataFrame.unionByName, parts)
