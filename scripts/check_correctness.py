@@ -65,6 +65,38 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def oracle_connection(sf_dir: str):
+    """DuckDB connection with the standard tables registered as views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def check_entry(name: str, spark, con, sf_dir: str) -> dict:
+    """Run ONE ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+    on DuckDB; returns {"status": ok|weak|fail, "rows": n, "problems": []}.
+    Shared by the CLI below and the ``pytest -m oracle`` sweep."""
+    import __spark_entry__ as entrymod
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        sdf = qs[name](spark, sf_dir).toPandas()
+    except Exception as e:
+        return {"status": "fail", "rows": None,
+                "problems": [f"spark error: {e}"]}
+    if name not in oracles:
+        return {"status": "weak", "rows": len(sdf), "problems": []}
+    try:
+        odf = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        return {"status": "fail", "rows": len(sdf),
+                "problems": [f"oracle error: {e}"]}
+    problems = compare(name, sdf, odf)
+    return {"status": "fail" if problems else "ok", "rows": len(sdf),
+            "problems": problems}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,43 +113,28 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = oracle_connection(sf_dir)
 
     import __spark_entry__ as entrymod
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_ok = n_bad = n_weak = 0
-    for name, fn in qs.items():
+    for name in entrymod.queries():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            n_bad += 1
-            continue
-        if name not in oracles:
-            print(f"weak {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
-            n_weak += 1
-            continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_bad += 1
-            continue
-        problems = compare(name, sdf, odf)
-        if problems:
-            n_bad += 1
-            print(f"FAIL {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
-            for p in problems:
-                print(f"    {p}")
-        else:
+        res = check_entry(name, spark, con, sf_dir)
+        took = f"[{time.time()-t0:.1f}s]"
+        if res["status"] == "ok":
             n_ok += 1
-            print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            print(f"ok   {name}: rows={res['rows']} {took}")
+        elif res["status"] == "weak":
+            n_weak += 1
+            print(f"weak {name}: rows={res['rows']} (no oracle) {took}")
+        else:
+            n_bad += 1
+            print(f"FAIL {name}: rows={res['rows']} {took}")
+            for p in res["problems"]:
+                print(f"    {p}")
     print(f"\n{n_ok} ok, {n_bad} fail, {n_weak} weak (rows-only)")
     return 1 if n_bad else 0
 

@@ -10,6 +10,13 @@ from metrique_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "oracle: full Spark-vs-DuckDB parity sweep over every queries() "
+        "entry (needs duckdb + driver testdata)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="metrique_spark_tests", shuffle_partitions=8)
