@@ -33,9 +33,17 @@ DEFAULT_FIELDS = ("_start", "_end", "_oid")
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None,
+                 auto_compact_batches: int | None = None):
         self.spark = spark
         self.warehouse = warehouse
+        # when set, a snapshot upsert that leaves more than this many
+        # __batch directories in a cube's history partition triggers
+        # compact() — bounds the small-files growth of long-running
+        # ingest (thousands of token-keyed batch dirs) without giving up
+        # the idempotent per-batch commit. Off by default: compaction
+        # rewrites all closed rows, which the caller may want to schedule.
+        self.auto_compact_batches = auto_compact_batches
         self._views: dict[str, DataFrame] = {}
         # advisory index registry: cube -> [{"name", "column_names"}]
         # (underscore-prefixed sidecar files are invisible to Spark's
@@ -300,6 +308,14 @@ class Engine:
             self._write_open(
                 tagged.where(~F.col("__closed")).drop("__closed"), path
             )
+            if self.auto_compact_batches:
+                hist_root = os.path.join(path, "_current=false")
+                if os.path.isdir(hist_root):
+                    n_batches = sum(
+                        1 for d in os.listdir(hist_root)
+                        if d.startswith("__batch="))
+                    if n_batches > self.auto_compact_batches:
+                        self.compact(cube)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)

@@ -111,3 +111,37 @@ def test_index_and_index_list(spark, tmp_path):
     eng3 = Engine(spark, warehouse=str(tmp_path))
     assert {e["name"] for e in eng3.index_list()["c1"]} == {
         "ix_c1_k", "ix_custom", "ix_new"}
+
+
+def test_auto_compact_hook(spark, tmp_path):
+    """auto_compact_batches: repeated snapshot upserts must not accumulate
+    one history directory per batch — the hook compacts once the count
+    exceeds the threshold, and no history rows are lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path), auto_compact_batches=2)
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(k, f"v{i}") for k in range(3)], ["k", "val"])
+        eng.upsert("c", df, oid="k",
+                   start=F.to_timestamp(F.lit(f"2024-0{i + 1}-01")))
+    hist_root = os.path.join(str(tmp_path), "c", "_current=false")
+    n_dirs = sum(1 for d in os.listdir(hist_root) if d.startswith("__batch="))
+    assert n_dirs <= 2
+    # nothing lost: 4 closed versions per key + 1 open = 15 rows
+    assert eng.count("c", date="~") == 15
+    assert eng.count("c", date=None) == 3
+    # un-hooked engine over the same sequence accumulates one dir per batch
+    eng2 = Engine(spark, warehouse=str(tmp_path / "wh2"))
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(k, f"v{i}") for k in range(3)], ["k", "val"])
+        eng2.upsert("c", df, oid="k",
+                    start=F.to_timestamp(F.lit(f"2024-0{i + 1}-01")))
+    hist2 = os.path.join(str(tmp_path / "wh2"), "c", "_current=false")
+    assert sum(1 for d in os.listdir(hist2)
+               if d.startswith("__batch=")) == 4

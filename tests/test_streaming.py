@@ -168,6 +168,106 @@ def test_stream_upsert_sink(spark, sf_dir, tmp_path):
     assert eng.count("user_state", date="~") >= n_users
 
 
+def test_stream_upsert_sink_replayed_batch_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink completion and
+    checkpoint commit re-delivers the SAME (batch_df, batch_id) on
+    restart. The temporal snapshot upsert must converge under that replay
+    — no double-closed versions, identical table state."""
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+    from metrique_spark.streaming.events import stream_upsert_sink
+
+    def batch(val, ts):
+        df = spark.createDataFrame(
+            [(i, val) for i in range(1, 6)], "k long, val string")
+        return stamp(df, oid="k", start=F.to_timestamp(F.lit(ts)))
+
+    def table_state(eng):
+        return sorted(
+            (r["_oid"], r["val"], r["_start"], r["_end"])
+            for r in eng.table("cube").collect())
+
+    b1 = batch("a", "2024-01-01 00:00:00")
+    b2 = batch("b", "2024-02-01 00:00:00")
+
+    # oracle: each batch delivered exactly once
+    oracle = Engine(spark, warehouse=str(tmp_path / "wh_once"))
+    sink_once = stream_upsert_sink(oracle, "cube", str(tmp_path / "ck0"))
+    sink_once(b1, 0)
+    sink_once(b2, 1)
+    expected = table_state(oracle)
+    # 5 closed (val a) + 5 open (val b)
+    assert len(expected) == 10
+
+    # replayed: batch 1 delivered twice (crash before commit), then batch
+    # 2 delivered twice
+    replayed = Engine(spark, warehouse=str(tmp_path / "wh_twice"))
+    sink_twice = stream_upsert_sink(replayed, "cube", str(tmp_path / "ck1"))
+    sink_twice(b1, 0)
+    sink_twice(b1, 0)   # replay of an unchanged snapshot: pure no-op
+    sink_twice(b2, 1)
+    sink_twice(b2, 1)   # replay after versions closed: must not re-close
+    assert table_state(replayed) == expected
+
+
+def test_stream_upsert_sink_kill_restart_continuation(spark, sf_dir, tmp_path):
+    """Kill/restart over one checkpoint: a first availableNow run ingests
+    file 1, the query stops (the 'kill'), a second file lands, and a
+    restarted query resumes from the checkpoint — the final warehouse
+    state must equal the one-shot batch upsert of both files."""
+    import shutil
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "events_src"
+    src_dir.mkdir()
+
+    events = load_table(spark, sf_dir, "events")
+
+    def run(eng):
+        stream = ev.read_events_stream(spark, str(src_dir))
+        objs = stream.select(
+            F.col("user_id").alias("_oid"), "event_type",
+            F.col("ts").alias("_start"))
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                eng.upsert("user_state", batch_df)
+
+        q = (objs.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    half = events.where(F.col("event_id") % 2 == 0)
+    rest = events.where(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    shutil.copy(next((tmp_path / "h1").glob("*.parquet")),
+                src_dir / "f1.parquet")
+    run(eng)            # run 1 ingests file 1, then terminates
+    n_after_1 = eng.count("user_state", date="~")
+    rest.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    shutil.copy(next((tmp_path / "h2").glob("*.parquet")),
+                src_dir / "f2.parquet")
+    run(eng)            # restart: same checkpoint picks up only file 2
+    assert eng.count("user_state", date="~") >= n_after_1
+
+    # batch oracle: same two batches through the same upsert path
+    oracle = Engine(spark, warehouse=str(tmp_path / "wh_oracle"))
+    for part in (half, rest):
+        objs = part.select(F.col("user_id").alias("_oid"), "event_type",
+                           F.col("ts").alias("_start"))
+        oracle.upsert("user_state", objs)
+    got = sorted((r["_oid"], r["event_type"], r["_start"], r["_end"])
+                 for r in eng.table("user_state").collect())
+    want = sorted((r["_oid"], r["event_type"], r["_start"], r["_end"])
+                  for r in oracle.table("user_state").collect())
+    assert got == want
+
+
 def test_dedup_stream_replayed_file(spark, sf_dir, tmp_path):
     """At-least-once delivery simulated by dropping the same events file
     twice into the source dir: the deduped stream must emit each event_id
