@@ -479,12 +479,16 @@ def dfind(df: DataFrame, fields: Iterable[str] | None = None) -> DataFrame:
     return out
 
 
-def _deptree_hop(scoped: DataFrame, field: str, fringe: DataFrame) -> DataFrame:
+def _deptree_hop(scoped: DataFrame, field: str, fringe: DataFrame,
+                 broadcast_fringe: bool = True) -> DataFrame:
     """One BFS hop: distinct children of the fringe oids. The fringe rides
-    as a broadcast semi-join — never a driver-side ``isin`` literal, so the
-    plan stays bounded however large the fringe grows."""
+    as a (broadcast) semi-join — never a driver-side ``isin`` literal, so
+    the plan stays bounded however large the fringe grows. Past the
+    broadcast comfort zone the caller drops the hint and AQE picks the
+    join strategy (shuffle-hash on oid, typically)."""
+    build = F.broadcast(fringe) if broadcast_fringe else fringe
     return (
-        scoped.join(F.broadcast(fringe), "_oid", "semi")
+        scoped.join(build, "_oid", "semi")
         .select(F.explode(F.col(field)).alias("_oid"))
         .where(F.col("_oid").isNotNull())
         .distinct()
@@ -497,18 +501,36 @@ def deptree(
     oids: Sequence,
     level: int | None = None,
     date: str | None = None,
+    driver_fringe_threshold: int = 100_000,
 ) -> list:
     """Recursive BFS from seed oids following a parent→children array field,
     up to ``level`` hops; returns the sorted visited oid list, seeds
     included (reference ``sqlalchemy.py:666-692`` returns
     ``sorted(checked)`` with the seeds in it).
 
-    Driver loop of distributed steps — but fringe and visited stay
-    DataFrames end-to-end: each hop is a broadcast semi-join + explode and
-    an anti-join against visited, with only a per-hop emptiness probe on
-    the driver. The full oid set is collected ONCE at the end, so a
-    millions-wide fringe never becomes a giant ``IN`` literal in the
-    plan."""
+    Hybrid driver loop of distributed hops, same shape as
+    ``connected_components``' union-find hybrid:
+
+    - While every hop's output stays under ``driver_fringe_threshold``
+      rows, the fringe lives on the driver: each hop is ONE Spark job (a
+      broadcast semi-join + explode + distinct with a short-circuiting
+      ``limit`` probe), the visited set and the anti-join are plain Python
+      set ops, and there is no per-hop checkpoint/count job. A fringe that
+      fits the broadcast-join build side (which the distributed hop needs
+      anyway) fits driver memory by the same argument, so this path costs
+      no extra memory — it only removes ~3 scheduled jobs per hop, which
+      is the entire cost on shallow/narrow graphs.
+    - The moment a hop's output exceeds the threshold, the loop switches
+      permanently to the distributed path: fringe and visited stay
+      DataFrames, each hop is a semi-join + explode and an anti-join
+      against visited, per-hop fringes are ``localCheckpoint``-ed (cutting
+      lineage so the plan can't double every iteration), and only an
+      emptiness count crosses to the driver. The full oid set is collected
+      ONCE at the end, so a millions-wide fringe never becomes a giant
+      ``IN`` literal in the plan. Wide fringes past the broadcast comfort
+      zone (10M rows) drop the broadcast hint and let AQE pick the join
+      strategy.
+    """
     from pyspark.sql import types as T
 
     from metrique_spark.mql import date_range_predicate
@@ -523,35 +545,59 @@ def deptree(
     # once (MEMORY_AND_DISK — spills rather than OOMs) instead of
     # recomputing the caller's upstream plan per hop.
     scoped = scoped.select("_oid", field).persist(StorageLevel.MEMORY_AND_DISK)
-    seeds = spark.createDataFrame(
-        [(o,) for o in oids],
-        T.StructType([T.StructField("_oid", oid_type)]),
-    ).distinct()
+    schema = T.StructType([T.StructField("_oid", oid_type)])
+    cap = driver_fringe_threshold
 
-    # visited stays a lazy union of per-hop checkpointed fringes: each
-    # fringe is cut from its lineage (otherwise the plan doubles every
-    # iteration), while the union itself is k cheap checkpoint scans —
-    # linear in depth, never a rewrite of everything seen so far. A
-    # narrow fringe (previous hop's count, known on the driver, under
-    # 10k rows) coalesces to one partition before the cut: checkpointing
-    # 32 near-empty shuffle partitions costs ~32 task launches per hop
-    # for no benefit, and the count that replaces the emptiness probe is
-    # free on the checkpointed block. Wide fringes keep full parallelism
-    # — the coalesce gate rides the measured size, not a guess.
-    fringe = seeds.localCheckpoint(eager=True)
-    parts = [fringe]
-    visited = fringe
+    visited_set = set(oids)
+    fringe_set = set(oids)
     depth = 0
-    n_prev = len(set(oids))
     try:
+        # Driver path: one Spark job per hop. The ``limit(cap + 1)`` probe
+        # short-circuits, so overflow detection never materializes a wide
+        # hop — it just hands the same fringe to the distributed loop.
+        while fringe_set and (level is None or depth < level):
+            if len(fringe_set) <= 1000:
+                # a small fringe is better as a literal predicate than a
+                # broadcast join: it pushes into the scan (parquet
+                # row-group / cached-batch pruning — at scale this skips
+                # most of the edge table instead of reading all of it)
+                # and the hop is one single-stage job. Bounded at 1000
+                # literals so the plan itself stays KB-sized; the
+                # dedup/anti-join happens in the driver sets below.
+                hop_df = (
+                    scoped.where(F.col("_oid").isin(sorted(fringe_set)))
+                    .select(F.explode(F.col(field)).alias("_oid"))
+                    .where(F.col("_oid").isNotNull())
+                )
+            else:
+                fringe_df = spark.createDataFrame(
+                    [(o,) for o in sorted(fringe_set)], schema)
+                hop_df = _deptree_hop(scoped, field, fringe_df)
+            rows = hop_df.limit(cap + 1).collect()
+            if len(rows) > cap:
+                break  # this hop is wide — redo it distributed
+            fringe_set = {r["_oid"] for r in rows} - visited_set
+            visited_set |= fringe_set
+            depth += 1
+        if not fringe_set or (level is not None and depth >= level):
+            return sorted(visited_set)
+
+        # Distributed path. visited stays a lazy union of per-hop
+        # checkpointed fringes: each fringe is cut from its lineage
+        # (otherwise the plan doubles every iteration), while the union
+        # itself is k cheap checkpoint scans — linear in depth, never a
+        # rewrite of everything seen so far.
+        fringe = spark.createDataFrame(
+            [(o,) for o in fringe_set], schema).localCheckpoint(eager=True)
+        visited = spark.createDataFrame(
+            [(o,) for o in visited_set], schema).localCheckpoint(eager=True)
+        parts = [visited]
+        n_prev = len(fringe_set)
         while level is None or depth < level:
-            new_fringe = (
-                _deptree_hop(scoped, field, fringe)
-                .join(visited, "_oid", "anti")
-            )
-            if n_prev < 10_000:
-                new_fringe = new_fringe.coalesce(1)
-            new_fringe = new_fringe.localCheckpoint(eager=True)
+            hop = _deptree_hop(scoped, field, fringe,
+                               broadcast_fringe=n_prev <= 10_000_000)
+            new_fringe = (hop.join(visited, "_oid", "anti")
+                          .localCheckpoint(eager=True))
             n_prev = new_fringe.count()
             if not n_prev:
                 break
