@@ -141,3 +141,33 @@ def test_deptree(spark):
     assert temporal.deptree(df, "children", [1], level=2) == [1, 2, 3, 4]
     # cycles terminate (6 -> 1 -> ... -> back pointers never re-expand)
     assert temporal.deptree(df, "children", [6]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_deptree_distributed_path_matches_driver(spark):
+    # driver_fringe_threshold=0 forces the first hop to overflow the
+    # limit probe and escalate to the distributed checkpoint loop; both
+    # paths must return the same visited set, level cut included
+    rows = [
+        (1, [2, 3]), (2, [4]), (3, []), (4, [5]), (5, []), (6, [1]),
+        (7, [1, 6]),
+    ]
+    df = spark.createDataFrame(rows, "_oid long, children array<long>")
+    df = df.withColumn("_start", F.to_timestamp(F.lit("2014-01-01"))).withColumn(
+        "_end", F.lit(None).cast("timestamp"))
+    for seeds, level in [([1], None), ([1], 1), ([1], 2), ([6], None), ([7], 1)]:
+        want = temporal.deptree(df, "children", seeds, level=level)
+        got = temporal.deptree(df, "children", seeds, level=level,
+                               driver_fringe_threshold=0)
+        assert got == want, (seeds, level)
+
+
+def test_deptree_mid_walk_escalation(spark):
+    # threshold between hop sizes: hop 1 (2 children) stays on the driver,
+    # hop 2 (3 children) overflows and is redone distributed — the
+    # handoff must not lose or duplicate visited oids
+    rows = [(1, [2, 3]), (2, [4, 5, 6]), (3, []), (4, []), (5, []), (6, [])]
+    df = spark.createDataFrame(rows, "_oid long, children array<long>")
+    df = df.withColumn("_start", F.to_timestamp(F.lit("2014-01-01"))).withColumn(
+        "_end", F.lit(None).cast("timestamp"))
+    assert temporal.deptree(df, "children", [1],
+                            driver_fringe_threshold=2) == [1, 2, 3, 4, 5, 6]
