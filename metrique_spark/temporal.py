@@ -110,14 +110,31 @@ def date_spine(
 
 def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFrame:
     """Count of live objects at each spine date (reference
-    ``result.py:182-195``) — one range join + one aggregation instead of a
-    per-date scan.
+    ``result.py:182-195``).
 
-    The spine is tiny (~300 points by the reference's 'auto' heuristic,
-    ``result.py:277-298``) so it is explicitly broadcast: the interval join
-    becomes a broadcast nested-loop over the versions scan — no shuffle of
-    the big side at any scale.
+    Two plans, picked by spine shape:
+
+    - **Uniform spine** (daily/weekly — fixed step between consecutive
+      points, probed with a short-circuiting ``limit`` so an unexpectedly
+      huge spine is never collected): difference-array/prefix-sum. Each
+      version row maps to its first/last covered spine index by integer
+      arithmetic (all codegen) and emits exactly TWO delta rows (+1 at
+      entry, −1 after exit); the live count per date is the running sum of
+      deltas over the tiny spine. Aggregation input is 2·|versions| rows
+      no matter how long the spine — versus |covered dates|·|versions| for
+      the interval join, a ~|spine|/2× reduction (150× on a 300-point
+      spine), and the big side still never shuffles (map-side combine
+      reduces to ≤|spine| rows per partition before the exchange).
+    - **Irregular spine** (monthly/quarterly/yearly/'maximum', or more
+      than 10k points): broadcast interval join — a broadcast nested-loop
+      over the versions scan, no shuffle of the big side at any scale.
     """
+    probe = spine.select("_date").distinct().limit(10_001).collect()
+    if 2 <= len(probe) <= 10_000:
+        dates = sorted(r["_date"] for r in probe)
+        steps = {dates[i + 1] - dates[i] for i in range(len(dates) - 1)}
+        if len(steps) == 1:
+            return _history_prefix_sum(df, dates, count_col)
     joined = df.join(
         F.broadcast(spine),
         (F.col("_start") <= F.col("_date"))
@@ -133,6 +150,55 @@ def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFr
     return (
         spine.join(counts, "_date", "left")
         .select("_date", F.coalesce(F.col(count_col), F.lit(0)).alias(count_col))
+        .orderBy("_date")
+    )
+
+
+def _history_prefix_sum(df: DataFrame, dates: list, count_col: str) -> DataFrame:
+    """Uniform-spine live counts via difference array. ``dates`` is the
+    sorted spine (driver-side, ≤10k by the caller's probe). A version
+    covers spine index i iff ``dates[i] >= _start AND dates[i] < _end``;
+    with a fixed step the first/last covered index is a ceil-division —
+    exact int64 micros arithmetic, no doubles, sub-second boundaries
+    included."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = len(dates)
+    step_us = int((dates[1] - dates[0]).total_seconds() * 1_000_000)
+    t0 = F.unix_micros(F.lit(dates[0]).cast("timestamp"))
+    rel = df.select(
+        (F.unix_micros(F.col("_start")) - t0).alias("__s"),
+        (F.unix_micros(F.col("_end")) - t0).alias("__e"),  # null stays null
+    )
+    # first covered index k = #{i : i*step < _start-t0} = ceil_div(s);
+    # exclusive end m = #{i : i*step < _end-t0} = ceil_div(e); open-ended
+    # versions cover through the last spine point
+    c = step_us - 1
+    idx = rel.select(
+        F.expr(f"CASE WHEN __s <= 0 THEN 0L ELSE (__s + {c}) DIV {step_us} END")
+        .alias("k"),
+        F.expr(f"CASE WHEN __e IS NULL THEN {n}L WHEN __e <= 0 THEN 0L "
+               f"ELSE least((__e + {c}) DIV {step_us}, {n}L) END").alias("m"),
+    ).where(F.col("k") < F.col("m"))
+    deltas = idx.select(
+        F.explode(F.array(
+            F.struct(F.col("k").alias("idx"), F.lit(1).alias("delta")),
+            F.struct(F.col("m").alias("idx"), F.lit(-1).alias("delta")),
+        )).alias("x")
+    ).select("x.idx", "x.delta")
+    sums = (deltas.groupBy("idx").agg(F.sum("delta").alias("__d"))
+            .where(F.col("idx") < n))
+    spine_idx = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(dates)],
+        T.StructType([T.StructField("idx", T.LongType()),
+                      T.StructField("_date", T.TimestampType())]),
+    )
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine_idx.join(sums, "idx", "left")
+        .withColumn("__d", F.coalesce("__d", F.lit(0)))
+        .select("_date", F.sum("__d").over(w).alias(count_col))
         .orderBy("_date")
     )
 
