@@ -738,6 +738,73 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def sample_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rebalance the corpus to a target language mixture (en 40%, de/fr/es
+    20% each): largest total N every stratum can supply, exact per-stratum
+    quota selection by hash order — deterministic and engine-portable."""
+    _utc(spark)
+    from metrique_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.mix_corpus(
+        d, "lang", {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+        key_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality-first selection under a total token budget: keep the
+    best-quality docs while the running token sum stays ≤ 12000 —
+    band-partitioned prefix locate, so only the boundary quality band
+    pays a window sort."""
+    _utc(spark)
+    from metrique_spark.functions import sampling, text
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        text.quality_score("text").alias("quality"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return sampling.select_by_token_budget(
+        scored, budget=12_000, quality_col="quality",
+        token_col="n_tokens", key_col="doc_id")
+
+
+def sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic hash-range sharding into 8 training shards with a
+    stable within-shard order — the final global-shuffle step before
+    writing a training corpus; assignment is a pure scan-stage CASE chain
+    over md5 hex thresholds (portable, zero shuffle), the rank one
+    window per shard."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from metrique_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    h = sampling.hash_bucket(F.col("doc_id"))
+    w = Window.partitionBy("shard").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id",
+                 sampling.shard_id(F.col("doc_id"), 8).cast("long")
+                 .alias("shard"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus token frequency table (vocabulary/BPE construction input):
+    occurrences + document frequency per token, min_count=5."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    out = text.token_frequencies(d, min_count=5)
+    return out.select("token", F.col("count").cast("long").alias("count"),
+                      F.col("doc_freq").cast("long").alias("doc_freq"))
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -952,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "text_contamination": text_contamination,
         "sample_stratified": sample_stratified,
+        "sample_mix_corpus": sample_mix_corpus,
+        "sample_token_budget": sample_token_budget,
+        "sample_shards": sample_shards,
+        "text_token_frequencies": text_token_frequencies,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1530,6 +1601,92 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN lang = 'en' THEN '40000000'
                WHEN lang = 'zh' THEN 'g'
                ELSE '80000000' END
+""",
+        "sample_mix_corpus": r"""
+    WITH counts AS (
+        SELECT lang, count(*) AS c FROM documents
+        WHERE lang IN ('de', 'en', 'es', 'fr') GROUP BY lang
+    ),
+    total AS (
+        SELECT min(c / CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.2 AS DOUBLE) END) AS n
+        FROM counts
+    ),
+    quotas AS (
+        SELECT lang,
+               CAST(floor((CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+                                ELSE CAST(0.2 AS DOUBLE) END)
+                          * (SELECT n FROM total)) AS BIGINT) AS q
+        FROM counts
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+        FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
+    )
+    SELECT doc_id, lang FROM ranked JOIN quotas USING (lang) WHERE rn <= q
+""",
+        "sample_token_budget": r"""
+    WITH scored AS (
+        SELECT doc_id,
+               round(0.5 * (CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+                     + 0.3 * least(greatest(length(text), 1) / 500.0, 1.0)
+                     + 0.2 * (1.0 - least(
+                         (CAST(length(regexp_replace(text,
+                              '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4
+                         + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 2, 1.0)), 4)
+                   AS quality,
+               CAST(len(regexp_extract_all(lower(text), '[^\W_]+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    run AS (
+        SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS c
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens FROM run WHERE c <= 12000
+""",
+        "sample_shards": r"""
+    WITH h AS (
+        SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hb
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN hb >= '20000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= '40000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= '60000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= '80000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= 'a0000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= 'c0000000' THEN 1 ELSE 0 END)
+              + (CASE WHEN hb >= 'e0000000' THEN 1 ELSE 0 END) AS BIGINT)
+               AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY (CASE WHEN hb >= '20000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= '40000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= '60000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= '80000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= 'a0000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= 'c0000000' THEN 1 ELSE 0 END)
+                          + (CASE WHEN hb >= 'e0000000' THEN 1 ELSE 0 END)
+               ORDER BY hb, doc_id) AS BIGINT) AS rank
+    FROM h
+""",
+        "text_token_frequencies": r"""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[^\W_]+')) AS token
+        FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM occ GROUP BY token HAVING count(*) >= 5
 """,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,

@@ -331,3 +331,36 @@ def corpus_stats(
         (F.count("*") - F.count_distinct("__fp")).cast("long")
         .alias("n_exact_dups"),
     )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token frequency table — the input to vocabulary/BPE
+    construction and stop-word lists: one row per token with total
+    occurrence count and document frequency, filtered to
+    ``count >= min_count``.
+
+    Scale shape: explode to (doc, token) rows, then one aggregation
+    keyed on token. The occurrence count is fully map-side combinable, so
+    stop-word skew ('the' in every doc) collapses to one partial row per
+    map partition before the shuffle; doc_freq is a count-distinct, which
+    Spark plans as a two-phase aggregate over (token, doc) — also
+    partially combined, since the explode already emits each (doc, token)
+    at most the token's per-doc count."""
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    src = spread_small_scan(df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    occ = src.select("id", F.explode_outer(tokens("__t")).alias("token")) \
+             .where(F.col("token").isNotNull())
+    out = occ.groupBy("token").agg(
+        F.count("*").alias("count"),
+        F.count_distinct("id").alias("doc_freq"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("count") >= min_count)
+    return out

@@ -57,3 +57,118 @@ def test_sample_is_scan_stage_predicate(spark, tmp_path):
         q._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _doc_corpus(spark, n=600):
+    langs = ["en", "en", "en", "de", "fr", "es"]
+    rows = [(i, langs[i % len(langs)]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mix_corpus_exact_quotas(spark):
+    df = _doc_corpus(spark)  # en 300, de/fr/es 100 each
+    out = sampling.mix_corpus(
+        df, "lang", {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+        key_col="doc_id")
+    by = {r["lang"]: r["count"]
+          for r in out.groupBy("lang").count().collect()}
+    # N limited by en: 300/0.4 = 750 -> quotas en 300, others 150 -> but
+    # de/fr/es only have 100 -> N limited by them: 100/0.2 = 500 ->
+    # quotas en 200, de/fr/es 100
+    assert by == {"en": 200, "de": 100, "fr": 100, "es": 100}
+
+
+def test_mix_corpus_deterministic_and_exact_top_by_hash(spark):
+    import hashlib
+
+    df = _doc_corpus(spark)
+    out1 = sorted(r["doc_id"] for r in sampling.mix_corpus(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id").collect())
+    out2 = sorted(r["doc_id"] for r in sampling.mix_corpus(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id").collect())
+    assert out1 == out2
+    # independently verify the en stratum is exactly its top-quota by md5
+    rows = df.where(F.col("lang") == "en").collect()
+    def hb(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+    # de limits: N = min(300/0.5, 100/0.5) = 200 -> en quota 100
+    want_en = sorted(
+        sorted((r["doc_id"] for r in rows), key=lambda i: (hb(i), i))[:100])
+    got_en = sorted(r["doc_id"] for r in sampling.mix_corpus(
+        df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id")
+        .where(F.col("lang") == "en").collect())
+    assert got_en == want_en
+
+
+def test_mix_corpus_shortfall_fallback_is_exact(spark):
+    # a hostile margin forces the pre-cut to undershoot every quota; the
+    # fallback must still return the exact top-quota selection
+    df = _doc_corpus(spark)
+    normal = sorted(r["doc_id"] for r in sampling.mix_corpus(
+        df, "lang", {"en": 0.4, "de": 0.6}, key_col="doc_id").collect())
+    forced = sorted(r["doc_id"] for r in sampling.mix_corpus(
+        df, "lang", {"en": 0.4, "de": 0.6}, key_col="doc_id",
+        margin_sigmas=-1e9).collect())
+    assert forced == normal
+
+
+def test_mix_corpus_missing_stratum_raises(spark):
+    df = _doc_corpus(spark)
+    with pytest.raises(ValueError, match="absent"):
+        sampling.mix_corpus(df, "lang", {"xx": 1.0}, key_col="doc_id")
+
+
+def test_select_by_token_budget_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, round(rng.random(), 4), rng.randint(1, 50))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+    for budget in [0, 3, 500, 2000, 10**9]:
+        got = sorted(r["doc_id"] for r in sampling.select_by_token_budget(
+            df, budget, "quality", "n_tokens", "doc_id").collect())
+        run, want = 0, []
+        for i, q, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            run += t
+            if run > budget:
+                break
+            want.append(i)
+        assert got == sorted(want), budget
+
+
+def test_shard_id_ranges_and_writer(spark, tmp_path):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = df.select("doc_id", sampling.shard_id(F.col("doc_id"), 8))
+    by = {r["shard"]: r["count"]
+          for r in out.groupBy("shard").count().collect()}
+    assert set(by) == set(range(8))           # every shard populated
+    assert sum(by.values()) == 2000           # total preserved
+    assert max(by.values()) < 2 * min(by.values())  # roughly balanced
+
+    p = str(tmp_path / "shards")
+    sampling.write_training_shards(df, p, 8, "doc_id")
+    back = spark.read.parquet(p)
+    assert back.count() == 2000
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} \
+        == set(range(8))
+    # shard membership matches the assignment expression (hash-disjoint)
+    joined = back.join(out.withColumnRenamed("shard", "want"), "doc_id")
+    assert joined.where(F.col("shard") != F.col("want")).count() == 0
+
+
+def test_token_frequencies_counts(spark):
+    from metrique_spark.functions import text
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "the cat sat"), (3, "a hat")],
+        "doc_id long, text string")
+    out = {r["token"]: (r["count"], r["doc_freq"])
+           for r in text.token_frequencies(df).collect()}
+    assert out["the"] == (3, 2)
+    assert out["cat"] == (2, 2)
+    assert out["hat"] == (2, 2)
+    assert out["a"] == (1, 1)
+    only2 = {r["token"] for r in
+             text.token_frequencies(df, min_count=2).collect()}
+    assert only2 == {"the", "cat", "hat"}
