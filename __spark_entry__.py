@@ -805,6 +805,20 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("doc_freq").cast("long").alias("doc_freq"))
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental dedup: new batch (doc_id % 10 == 0) against the LSH
+    index of the already-ingested corpus (the rest) — only the batch is
+    signed, corpus text is tokenized only for verified candidates."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    idx = dedup.minhash_index(corpus)
+    out = dedup.dedup_against_index(batch, idx, corpus, threshold=0.8)
+    return out.select("doc_id", F.col("dup_of").cast("long").alias("dup_of"),
+                      "jaccard")
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -1028,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": text_pii_redaction,
         "corpus_summary": corpus_summary,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_incremental": dedup_incremental,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1687,6 +1702,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, CAST(count(*) AS BIGINT) AS count,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
     FROM occ GROUP BY token HAVING count(*) >= 5
+""",
+        "dedup_incremental": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    g AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM t),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS tok FROM g),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    p AS (
+        SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS inter
+        FROM sh n JOIN sh c ON n.tok = c.tok
+        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+        GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT new_id, corpus_id,
+               round(inter / (x.sz + y.sz - inter), 4) AS jaccard
+        FROM p JOIN sz x ON x.doc_id = new_id
+               JOIN sz y ON y.doc_id = corpus_id
+        WHERE round(inter / (x.sz + y.sz - inter), 4) >= 0.8
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, corpus_id) AS rn
+        FROM v
+    )
+    SELECT new_id AS doc_id, corpus_id AS dup_of, jaccard FROM r WHERE rn = 1
 """,
         "dedup_minhash_pairs": _JACCARD_ORACLE,
         "dedup_simhash_md5_pairs": _SIMHASH_MD5_ORACLE,

@@ -190,30 +190,21 @@ def minhash_signature(text_col: str, num_hashes: int = 64, shingle_n: int = 3) -
     return signature_from_shingles(word_shingles(text_col, shingle_n), num_hashes)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    _shingles: DataFrame | None = None,
-) -> DataFrame:
-    """LSH candidate pairs: split the signature into ``bands`` rows of
-    ``num_hashes/bands``, hash each band, group by (band, hash). Returns
-    distinct (id_a, id_b) with id_a < id_b. ``_shingles`` lets a caller
-    share one (persisted) shingle table across candidate + verify stages."""
+def banded_hashes(sh: DataFrame, num_hashes: int = 64,
+                  bands: int = 16) -> DataFrame:
+    """(id, band, bh) LSH band rows from a ``shingle_table``. This is the
+    one place band hashing is defined, so an index built today and a batch
+    signed tomorrow agree bit-for-bit.
+
+    Signature via explode + hash-aggregate, NOT higher-order lambdas:
+    transform/aggregate lambdas are interpreted per element (no
+    whole-stage codegen), which measured ~10s for 5k docs. Exploding to
+    (id, shingle-hash) rows and taking ``num_hashes`` codegen'd min()
+    aggregates is the same math entirely inside Tungsten hash-agg —
+    map-side partial aggregation shrinks the shuffle to one row per doc.
+    explode_outer + null-drop: see ``jaccard_pairs`` — plain explode makes
+    the optimizer re-run the shingle expression below the exchange."""
     rows_per_band = num_hashes // bands
-    sh = (_shingles if _shingles is not None
-          else shingle_table(df, id_col, text_col, shingle_n))
-    # Signature via explode + hash-aggregate, NOT higher-order lambdas:
-    # transform/aggregate lambdas are interpreted per element (no
-    # whole-stage codegen), which measured ~10s for 5k docs. Exploding to
-    # (id, shingle-hash) rows and taking 64 codegen'd min() aggregates is
-    # the same math entirely inside Tungsten hash-agg — map-side partial
-    # aggregation shrinks the shuffle to one row per doc.
-    # explode_outer + null-drop: see jaccard_pairs — plain explode makes
-    # the optimizer re-run the shingle expression below the exchange
     hs = (sh.select("id", F.explode_outer("sh").alias("tok"))
           .where(F.col("tok").isNotNull())
           .select("id", F.xxhash64("tok").alias("h")))
@@ -231,9 +222,27 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows of
+    ``num_hashes/bands``, hash each band, group by (band, hash). Returns
+    distinct (id_a, id_b) with id_a < id_b. ``_shingles`` lets a caller
+    share one (persisted) shingle table across candidate + verify stages."""
+    sh = (_shingles if _shingles is not None
+          else shingle_table(df, id_col, text_col, shingle_n))
+    banded = banded_hashes(sh, num_hashes, bands)
     return (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -283,6 +292,82 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_index(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", num_hashes: int = 64,
+                  bands: int = 16, shingle_n: int = 3) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, band, bh) row per
+    band per document. Write it out (parquet, partitioned/bucketed by
+    ``(band, bh)`` for co-located probe joins) and incremental dedup never
+    re-reads corpus text except to verify candidates. Append new accepted
+    docs by indexing just the batch and unioning — signatures are
+    content-hashes, so index rows never change, only accumulate."""
+    return banded_hashes(shingle_table(df, id_col, text_col, shingle_n),
+                         num_hashes, bands)
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup: flag each batch document that near-duplicates an
+    already-ingested corpus (the recrawl case — dedup N new docs against
+    B indexed ones without the B×B work). Returns
+    ``(id_col, dup_of, jaccard)`` — the best corpus match ≥ ``threshold``
+    per batch doc (ties broken toward the smallest corpus id); batch docs
+    with no row are novel.
+
+    Scale shape: only the BATCH is signed (shingle + signature cost is
+    O(batch), not O(corpus)); candidates come from an equi-join of batch
+    band rows against the index on (band, bh) — shuffle of band-sized
+    rows only. Verification tokenizes exclusively the candidate corpus
+    docs (semi-join first), so corpus text is touched proportionally to
+    the duplicate rate, not the corpus size. Precision is exact
+    (jaccard-verified); recall follows the LSH band curve."""
+    from pyspark import StorageLevel
+
+    bsh = shingle_table(batch, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    bb = banded_hashes(bsh, num_hashes, bands)
+    cand = (
+        bb.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(index.select(F.col("id").alias("corpus_id"), "band", "bh"),
+              ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    cids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    csh = shingle_table(corpus.join(cids, id_col, "semi"),
+                        id_col, text_col, shingle_n)
+    verified = (
+        cand.join(bsh.select(F.col("id").alias("new_id"),
+                             F.col("sh").alias("sh_n")), "new_id")
+        .join(csh.select(F.col("id").alias("corpus_id"),
+                         F.col("sh").alias("sh_c")), "corpus_id")
+        .withColumn("jaccard", F.round(
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")), 4))
+        .where(F.col("jaccard") >= threshold)
+    )
+    # argmax without arithmetic on the id (string ids work): min over
+    # (-jaccard, corpus_id) structs = jaccard desc, id asc
+    best = (
+        verified.groupBy("new_id")
+        .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"),
+                            F.col("corpus_id").alias("i"))).alias("m"))
+        .select(F.col("new_id").alias(id_col),
+                F.col("m.i").alias("dup_of"),
+                (-F.col("m.nj")).alias("jaccard"))
+    )
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -238,3 +238,36 @@ def test_containment_scores_string_ids(spark):
             for r in containment_scores(train, holdout, n=3).collect()}
     assert rows["h-1"]["max_containment"] == 1.0
     assert rows["h-1"]["train_id"] == "t-a"    # min id on ties
+
+
+def test_dedup_against_index(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "entirely different content about spark and parquet files"),
+         (3, "some unrelated third document with its own words here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+         (12, "completely novel text that matches nothing in the corpus")],
+        "doc_id long, text string")
+    idx = dedup.minhash_index(corpus)
+    out = {r["doc_id"]: (r["dup_of"], r["jaccard"])
+           for r in dedup.dedup_against_index(
+               batch, idx, corpus, threshold=0.8).collect()}
+    assert out[10] == (1, 1.0)            # exact dup found with jaccard 1
+    assert out[11][0] == 1                # case-insensitive near-dup
+    assert 12 not in out                  # novel doc emits no row
+
+
+def test_minhash_index_is_appendable(spark):
+    # index(A) union index(B) must equal index(A union B) — signatures are
+    # per-doc content hashes, so incremental maintenance is a plain append
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(2, "eta theta iota kappa lambda mu")], "doc_id long, text string")
+    both = dedup.minhash_index(a.unionByName(b))
+    merged = dedup.minhash_index(a).unionByName(dedup.minhash_index(b))
+    k = lambda r: (r["id"], r["band"], r["bh"])
+    assert sorted(map(k, both.collect())) == sorted(map(k, merged.collect()))
