@@ -337,12 +337,18 @@ def dedup_against_index(
     bsh = shingle_table(batch, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
     bb = banded_hashes(bsh, num_hashes, bands)
+    # candidate pairs feed TWO consumers (the verify join and the
+    # corpus-id semi-join); persist the tiny pair set or lazy evaluation
+    # re-runs the whole index-probe subtree — including the index's
+    # signature aggregation when the index is passed as a plan rather
+    # than read from storage — once per consumer (measured 2× end-to-end)
     cand = (
         bb.select(F.col("id").alias("new_id"), "band", "bh")
         .join(index.select(F.col("id").alias("corpus_id"), "band", "bh"),
               ["band", "bh"])
         .select("new_id", "corpus_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     csh = shingle_table(corpus.join(cids, id_col, "semi"),
