@@ -46,7 +46,11 @@ BENCH_QUERIES = [
     "text_chunks_packed",
     "text_pii_redaction",
     "sample_stratified",
+    "sample_mix_corpus",
+    "sample_token_budget",
+    "text_token_frequencies",
     "dedup_minhash_pairs",
+    "dedup_incremental",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_knn_join",
