@@ -117,6 +117,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     n: int = 1,
     max_doc_freq: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """All-pairs word-set Jaccard via token inverted index (exact).
 
@@ -131,8 +132,19 @@ def jaccard_pairs(
     100 TB. Dropping them undercounts intersections slightly (Jaccard
     becomes a lower bound), which is the standard recall/cost trade;
     leave None for exact results.
+
+    ``persist_shingles``: the shingle table feeds the inverted index (both
+    self-join sides — exchange reuse covers those) AND the two broadcast
+    size joins, and each broadcast build re-runs the tokenize+shingle
+    subtree; materializing it once (MEMORY_AND_DISK — spills rather than
+    OOMs) removes the repeated tokenization, same trade as
+    ``minhash_dedup_pairs``.
     """
     sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("id", "sz")
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it below the repartition exchange, where
