@@ -819,6 +819,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "jaccard")
 
 
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-substring duplication signals: 16-token window fingerprints,
+    per-doc count/fraction of spans shared with other docs — the
+    long-window method that catches boilerplate and partial overlap
+    whole-doc Jaccard misses."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_window_stats(d, window=16)
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
     verified by exact Jaccard ≥ 0.8."""
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_summary": corpus_summary,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_incremental": dedup_incremental,
+        "dedup_substring_windows": dedup_substring_windows,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
         "sim_cosine_topk": sim_cosine_topk,
@@ -1702,6 +1713,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT token, CAST(count(*) AS BIGINT) AS count,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
     FROM occ GROUP BY token HAVING count(*) >= 5
+""",
+        "dedup_substring_windows": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - 14)) AS i
+        FROM t WHERE len(toks) >= 16
+    ),
+    s AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+15], ' ')) AS h
+        FROM g
+    ),
+    f AS (SELECT h, count(*) AS nd FROM s GROUP BY h),
+    d AS (
+        SELECT doc_id, count(*) AS n_windows,
+               sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM s JOIN f USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup AS BIGINT) AS n_dup_windows,
+           round(n_dup / n_windows, 4) AS dup_frac
+    FROM d
 """,
         "dedup_incremental": r"""
     WITH t AS (

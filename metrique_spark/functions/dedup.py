@@ -388,6 +388,69 @@ def dedup_against_index(
     return best
 
 
+def duplicate_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signals: fingerprint every ``window``-token
+    span (md5 over the space-joined tokens, ``stride`` positions apart) and
+    count, per document, how many of its distinct spans also occur in at
+    least ``min_docs - 1`` other documents. Returns
+    ``(id_col, n_windows, n_dup_windows, dup_frac)`` for every doc with at
+    least one full window — the long-window exact-substring method that
+    catches shared boilerplate and partial overlap whole-document Jaccard
+    misses (public technique: Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better" — re-expressed as fingerprint
+    joins rather than a suffix array, which is the standard
+    shuffle-friendly approximation).
+
+    Scale shape: the fingerprint stream is O(tokens/stride) rows of
+    (id, 32-hex md5); within-doc distinct + the doc-frequency aggregate
+    both shuffle on the hash with map-side partial aggregation, so a
+    boilerplate window occurring a billion times collapses per map
+    partition before the exchange. ``stride > 1`` trades recall of
+    sub-window-length overlaps for proportionally less volume — at 100 TB
+    run stride = window/2 (any duplicated region ≥ 1.5 windows still
+    fingerprints identically at some aligned position).
+    """
+    src = spread_small_scan(df.select(F.col(id_col).alias("id"),
+                                      F.col(text_col).alias("__text")))
+    t = src.select("id", tokens("__text").alias("__toks"))
+    idx = F.when(
+        F.size("__toks") >= window,
+        F.sequence(F.lit(0), F.size("__toks") - window, F.lit(stride)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = (
+        t.select("id", F.explode(F.transform(
+            idx,
+            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, window), " ")),
+        )).alias("h"))
+        .distinct()  # one row per (doc, span content)
+    )
+    from pyspark import StorageLevel
+
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = (spans.groupBy("h").agg(F.count("*").alias("__nd"))
+            .where(F.col("__nd") >= min_docs))
+    dup = (spans.join(freq.select("h"), "h", "semi")
+           .groupBy("id").agg(F.count("*").alias("n_dup_windows")))
+    per_doc = spans.groupBy("id").agg(F.count("*").alias("n_windows"))
+    return (
+        per_doc.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows"), 4).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -271,3 +271,27 @@ def test_minhash_index_is_appendable(spark):
     merged = dedup.minhash_index(a).unionByName(dedup.minhash_index(b))
     k = lambda r: (r["id"], r["band"], r["bh"])
     assert sorted(map(k, both.collect())) == sorted(map(k, merged.collect()))
+
+
+def test_duplicate_window_stats(spark):
+    boiler = " ".join(f"w{i}" for i in range(16))          # shared 16-token block
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_b = " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, boiler + " " + uniq_a),      # 17 windows, 1 duplicated
+         (2, boiler + " " + uniq_b),      # 17 windows, 1 duplicated
+         (3, uniq_a),                     # 1 window, shared with doc 1
+         (4, "short doc")],               # under one window -> no row
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+           for r in dedup.duplicate_window_stats(df, window=16).collect()}
+    assert out[1][0] == 17 and out[2][0] == 17
+    # doc1 shares the boiler window with doc2 AND its last window with doc3
+    assert out[1][1] == 2 and out[2][1] == 1
+    assert out[3] == (1, 1, 1.0)
+    assert 4 not in out
+    # stride=8 keeps aligned positions only, halving the stream volume
+    strided = {r["doc_id"]: r["n_windows"]
+               for r in dedup.duplicate_window_stats(
+                   df, window=16, stride=8).collect()}
+    assert strided[1] == 3                 # positions 0, 8, 16
