@@ -188,3 +188,41 @@ def test_correlate_events_keyed_join_no_cartesian(spark):
     p = audit.executed_plan(correlate_events(ev, within="30 minutes"))
     assert not audit.has_cartesian(p)
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_shard_assignment_is_scan_stage(spark):
+    # hash-range shard assignment must stay a pure scan-stage expression:
+    # no exchange, no Python eval — at 100 TB the assignment IS the read
+    p = _plan(spark, "sample_shards")
+    # the only exchange allowed is the rank window's shuffle on shard
+    assert audit.count_exchanges(p) <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert not audit.has_cartesian(p)
+
+
+def test_token_frequencies_two_phase_agg(spark):
+    # vocabulary build: explode + aggregate, no joins at all; the
+    # count-distinct expands to a two-phase aggregate (2 hash exchanges);
+    # the third exchange is spread_small_scan's round-robin, a no-op on
+    # real multi-split inputs
+    p = _plan(spark, "text_token_frequencies")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert audit.count_exchanges(p) <= 3
+    assert not audit.has_cartesian(p)
+    assert audit.broadcast_join_count(p) == 0
+
+
+def test_dedup_incremental_no_cartesian_no_corpus_broadcast(spark):
+    # candidates come from the (band, bh) equi-join; corpus text must
+    # ride a semi-join, never a broadcast of the full corpus or a
+    # cartesian verify
+    p = _plan(spark, "dedup_incremental")
+    assert not audit.has_cartesian(p)
+
+
+def test_substring_windows_no_join_of_texts(spark):
+    # fingerprint joins only move (id, md5) rows; the verify is a
+    # hash semi-join — no cartesian, no text-by-text comparison
+    p = _plan(spark, "dedup_substring_windows")
+    assert not audit.has_cartesian(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
