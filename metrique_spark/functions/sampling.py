@@ -205,18 +205,53 @@ def select_by_token_budget(
     kept = df.where(band_of.isin(keep_bands) if keep_bands else F.lit(False))
     if boundary is None:
         return kept
+    return kept.unionByName(
+        _prefix_under_budget(df.where(band_of == boundary), budget - prefix,
+                             quality_col, token_col, key_col))
 
+
+def _prefix_under_budget(
+    band: DataFrame, remaining: int,
+    quality_col: str, token_col: str, key_col: str,
+) -> DataFrame:
+    """Exact running-sum prefix of one quality band under ``remaining``
+    tokens, without a single-task global sort: the band is range-partitioned
+    on the selection order (so partition i sorts wholly before partition
+    i+1 — the (quality, key) tuple is unique per row), per-partition token
+    sums become driver-side prefix offsets (one tiny collect of
+    #partitions rows), and each partition then runs its own window cumsum
+    plus its offset. Fully parallel at any band size; the band-level
+    quantization upstream already bounded this to one band's rows."""
     from pyspark.sql import Window
 
-    w = (Window.orderBy(q.desc(), F.col(key_col))
+    q = F.col(quality_col)
+    nparts = band.sparkSession.sparkContext.defaultParallelism
+    # persist is CORRECTNESS here, not an optimization: the offsets
+    # collect and the final cumsum must see the same range boundaries,
+    # and two independent executions of repartitionByRange each run
+    # their own boundary-sampling job
+    from pyspark import StorageLevel
+
+    ranged = (band.repartitionByRange(nparts, q.desc(), F.col(key_col))
+              .withColumn("__pid", F.spark_partition_id())
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    psums = {r["__pid"]: r["t"] for r in
+             ranged.groupBy("__pid").agg(F.sum(token_col).alias("t"))
+             .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off = F.lit(0)
+    for pid, o in sorted(offsets.items()):
+        off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
+    w = (Window.partitionBy("__pid").orderBy(q.desc(), F.col(key_col))
          .rowsBetween(Window.unboundedPreceding, 0))
-    edge = (
-        df.where(band_of == boundary)
-        .withColumn("__run", F.sum(token_col).over(w) + F.lit(prefix))
-        .where(F.col("__run") <= budget)
-        .drop("__run")
+    return (
+        ranged.withColumn("__run", F.sum(token_col).over(w) + off)
+        .where(F.col("__run") <= remaining)
+        .drop("__run", "__pid")
     )
-    return kept.unionByName(edge)
 
 
 def shard_boundaries(n_shards: int) -> list[str]:
