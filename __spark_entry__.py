@@ -911,6 +911,25 @@ def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=16)
 
 
+def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage-backed ANN: write the IVF index (bucket-partitioned
+    vectors + centroids) to disk, read it back, search it at full probe —
+    the index-once/search-many path, value-checked against the same
+    brute-force oracle as sim_ivf_fullprobe. Probes on the partitioned
+    layout prune at the directory level."""
+    import tempfile
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    path = os.path.join(tempfile.gettempdir(),
+                        "metrique_spark_entry", "ivf_index")
+    similarity.write_ivf_index(e, path, nlist=16)
+    assigned, centroids = similarity.read_ivf_index(spark, path)
+    return similarity.ivf_topk_indexed(assigned, centroids, q, k=5,
+                                       nprobe=16)
+
+
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal plumbing: opaque binary column + typed metadata (byte
     length, content digest) — the decode step itself is stubbed per
@@ -1059,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
+        "sim_ivf_indexed": sim_ivf_indexed,
         "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
@@ -1800,24 +1820,9 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
         """,
         # full-probe IVF is exact ⇒ same oracle as brute force
-        "sim_ivf_fullprobe": """
-            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id < 10),
-            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-                  FROM embeddings),
-            scored AS (
-                SELECT query_id, neighbor_id,
-                       round(list_dot_product(qv, cv)
-                             / (sqrt(list_dot_product(qv, qv))
-                                * sqrt(list_dot_product(cv, cv))), 4) AS sim
-                FROM q, c WHERE query_id <> neighbor_id
-            ), ranked AS (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                                             ORDER BY sim DESC, neighbor_id) AS rk
-                FROM scored
-            )
-            SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
-        """,
+        "sim_ivf_fullprobe": _IVF_FULLPROBE_ORACLE,
+        # the storage-backed index at full probe is exact too — same oracle
+        "sim_ivf_indexed": _IVF_FULLPROBE_ORACLE,
         # exact-mode knn join (nprobe = nlist) ⇒ brute-force cross oracle
         "sim_knn_join": """
             WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
@@ -1978,6 +1983,25 @@ _CONTAMINATION_ORACLE = r"""
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.h_id = d.doc_id
     WHERE d.doc_id % 7 = 0
 """
+
+_IVF_FULLPROBE_ORACLE = """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) AS sim
+                FROM q, c WHERE query_id <> neighbor_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
+        """
 
 _JACCARD_ORACLE = r"""
     WITH t AS (

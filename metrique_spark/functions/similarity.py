@@ -394,6 +394,50 @@ def ivf_topk(
     query. Same output contract as ``cosine_topk``; probes touch
     ~``nprobe/nlist`` of the corpus instead of all of it."""
     assigned, centroids = ivf_assign(corpus, nlist, id_col, vec_col)
+    return ivf_topk_indexed(assigned, centroids, queries, k, nprobe,
+                            id_col, vec_col, decimals)
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+) -> None:
+    """Materialize the IVF index on storage: bucket assignments written
+    partitioned by ``bucket`` (so probes prune at the partition level)
+    plus the centroid table. Index once, search many — searches never
+    re-assign the corpus."""
+    assigned, centroids = ivf_assign(df, nlist, id_col, vec_col,
+                                     train_iters)
+    (assigned.write.partitionBy("bucket").mode("overwrite")
+     .parquet(path + "/vectors"))
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple:
+    """(assigned, centroids) back from ``write_ivf_index`` output."""
+    return (spark.read.parquet(path + "/vectors"),
+            spark.read.parquet(path + "/centroids"))
+
+
+def ivf_topk_indexed(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Top-k against a prebuilt IVF index (in-plan from ``ivf_assign`` or
+    storage-backed from ``read_ivf_index``). Probing a bucket-partitioned
+    stored index turns the bucket equi-join into dynamic partition
+    pruning: only the ~``nprobe``·|queries| probed bucket directories are
+    read at all — the scan cost rides the probe count, not the corpus."""
     q = queries.select(F.col(id_col).alias("__vid"),
                        _as_double(vec_col).alias("qv"))
     q_probed = (

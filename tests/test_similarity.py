@@ -310,3 +310,39 @@ def test_ivf_knn_join_exact_and_partial(spark):
             for r in ivf_knn_join(left, right, k=10**6, nlist=4,
                                   nprobe=4).collect()}
     assert all(full[k] == v for k, v in sims_ok.items())
+
+
+def test_ivf_index_roundtrip_and_partition_pruned_search(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 5)
+
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(df, path, nlist=8)
+    assigned, centroids = sim.read_ivf_index(spark, path)
+
+    # full-probe search over the stored index == in-plan exact search
+    stored = sorted(map(tuple, sim.ivf_topk_indexed(
+        assigned, centroids, q, k=3, nprobe=8).collect()))
+    inplan = sorted(map(tuple, sim.ivf_topk(
+        df, q, k=3, nlist=8, nprobe=8).collect()))
+    assert stored == inplan
+
+    # layout: one directory per bucket (partition-level pruning surface)
+    import os
+
+    bucket_dirs = [d for d in os.listdir(path + "/vectors")
+                   if d.startswith("bucket=")]
+    assert len(bucket_dirs) == 8
+
+    # a partial probe reads only probed bucket partitions: the scan's
+    # partition filters mention the bucket column
+    out = sim.ivf_topk_indexed(assigned, centroids, q, k=3, nprobe=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "bucket" in plan
+    assert out.count() > 0
