@@ -819,6 +819,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "jaccard")
 
 
+def text_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language quality quantiles (p25/p50/p75/p95) for filter
+    threshold calibration — exact type-7 interpolated quantiles computed
+    distributively (rank + floor/ceil join), never a per-group value
+    buffer."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", text.quality_score("text").alias("quality"))
+    return text.stratum_quantiles(scored, "lang", "quality")
+
+
 def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplication signals: 16-token window fingerprints,
     per-doc count/fraction of spans shared with other docs — the
@@ -1066,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": sample_token_budget,
         "sample_shards": sample_shards,
         "text_token_frequencies": text_token_frequencies,
+        "text_quality_quantiles": text_quality_quantiles,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1723,6 +1737,40 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN hb >= 'e0000000' THEN 1 ELSE 0 END)
                ORDER BY hb, doc_id) AS BIGINT) AS rank
     FROM h
+""",
+        "text_quality_quantiles": r"""
+    WITH scored AS (
+        SELECT lang,
+               round(0.5 * (CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+                     + 0.3 * least(greatest(length(text), 1) / 500.0, 1.0)
+                     + 0.2 * (1.0 - least(
+                         (CAST(length(regexp_replace(text,
+                              '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4
+                         + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 2, 1.0)), 4) AS v
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang AS stratum, v,
+               row_number() OVER (PARTITION BY lang ORDER BY v) AS r
+        FROM scored
+    ),
+    counts AS (SELECT stratum, count(*) AS n FROM ranked GROUP BY stratum),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+    targets AS (
+        SELECT stratum, q,
+               1.0 + (n - 1) * q AS p,
+               CAST(floor(1.0 + (n - 1) * q) AS BIGINT) AS rf,
+               CAST(ceil(1.0 + (n - 1) * q) AS BIGINT) AS rc
+        FROM counts, qs
+    )
+    SELECT t.stratum, t.q,
+           round(lo.v + (t.p - t.rf) * (hi.v - lo.v), 4) AS value
+    FROM targets t
+    JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
+    JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
 """,
         "text_token_frequencies": r"""
     WITH occ AS (

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "text_token_frequencies",
     "dedup_minhash_pairs",
     "dedup_incremental",
+    "dedup_substring_windows",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_knn_join",

@@ -364,3 +364,52 @@ def token_frequencies(
     if min_count > 1:
         out = out.where(F.col("count") >= min_count)
     return out
+
+
+def stratum_quantiles(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of ``value_col`` per stratum —
+    quality-threshold calibration for filter pipelines (e.g. "keep docs
+    above the per-language p25"). One row per (stratum, q).
+
+    Spark's builtin exact ``percentile`` collects each group's values into
+    one aggregation buffer — memory-bound on a 100 TB group. This is the
+    distributed form: rank rows within each stratum (one shuffle + window
+    sort, spillable), then for target position ``p = 1 + (n-1)*q`` join
+    the floor/ceil ranks and interpolate — constant memory per task, and
+    the quantile definition (type-7 / linear interpolation) matches
+    NumPy/DuckDB ``quantile_cont`` so results are engine-portable."""
+    from pyspark.sql import Window
+
+    ranked = (
+        df.select(F.col(stratum_col).alias("stratum"),
+                  F.col(value_col).cast("double").alias("v"))
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("stratum").orderBy("v")))
+    )
+    counts = ranked.groupBy("stratum").agg(F.count("*").alias("n"))
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    targets = (
+        counts.crossJoin(F.broadcast(qdf))
+        .withColumn("p", F.lit(1.0) + (F.col("n") - 1) * F.col("q"))
+        .withColumn("rf", F.floor("p").cast("long"))
+        .withColumn("rc", F.ceil("p").cast("long"))
+    )
+    lo = ranked.select("stratum", F.col("r").alias("rf"),
+                       F.col("v").alias("vf"))
+    hi = ranked.select("stratum", F.col("r").alias("rc"),
+                       F.col("v").alias("vc"))
+    return (
+        targets.join(lo, ["stratum", "rf"]).join(hi, ["stratum", "rc"])
+        .select(
+            "stratum", "q",
+            F.round(F.col("vf") + (F.col("p") - F.col("rf"))
+                    * (F.col("vc") - F.col("vf")), decimals).alias("value"),
+        )
+    )

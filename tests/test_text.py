@@ -149,3 +149,20 @@ def test_corpus_stats(spark):
     assert rows["en"]["n_unique_fp"] == 2
     assert rows["en"]["n_exact_dups"] == 1
     assert rows["de"]["n_docs"] == 1 and rows["de"]["n_exact_dups"] == 0
+
+
+def test_stratum_quantiles_match_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [("a", float(v)) for v in rng.random(101)] + \
+           [("b", float(v)) for v in rng.random(40)] + \
+           [("c", 0.5)]                       # single-row stratum
+    df = spark.createDataFrame(rows, "lang string, quality double")
+    out = {(r["stratum"], r["q"]): r["value"]
+           for r in tx.stratum_quantiles(df, "lang", "quality").collect()}
+    for lang in ("a", "b", "c"):
+        vals = np.array([v for s, v in rows if s == lang])
+        for q in (0.25, 0.5, 0.75, 0.95):
+            want = round(float(np.quantile(vals, q)), 4)  # type-7 linear
+            assert abs(out[(lang, q)] - want) < 1e-9, (lang, q)
