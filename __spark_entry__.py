@@ -1758,7 +1758,10 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
     ),
     counts AS (SELECT stratum, count(*) AS n FROM ranked GROUP BY stratum),
-    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+    -- CAST to DOUBLE: DuckDB parses bare decimal literals as DECIMAL and
+    -- (n-1)*q would be exact where Spark's double math is not, flipping
+    -- floor/ceil at near-integer target ranks
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
     targets AS (
         SELECT stratum, q,
                1.0 + (n - 1) * q AS p,
@@ -1767,7 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         FROM counts, qs
     )
     SELECT t.stratum, t.q,
-           round(lo.v + (t.p - t.rf) * (hi.v - lo.v), 4) AS value
+           round(lo.v + (t.p - t.rf) * (hi.v - lo.v), 6) AS value
     FROM targets t
     JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
     JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc

@@ -371,7 +371,7 @@ def stratum_quantiles(
     stratum_col: str,
     value_col: str,
     quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
-    decimals: int = 4,
+    decimals: int = 6,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``value_col`` per stratum —
     quality-threshold calibration for filter pipelines (e.g. "keep docs
@@ -383,7 +383,13 @@ def stratum_quantiles(
     sort, spillable), then for target position ``p = 1 + (n-1)*q`` join
     the floor/ceil ranks and interpolate — constant memory per task, and
     the quantile definition (type-7 / linear interpolation) matches
-    NumPy/DuckDB ``quantile_cont`` so results are engine-portable."""
+    NumPy/DuckDB ``quantile_cont`` so results are engine-portable.
+
+    ``decimals`` defaults to 6, not 4: with 4-decimal inputs the q=0.5
+    interpolation lands exactly on a 4th-decimal rounding boundary
+    (x.xxxx5), where HALF_UP (Spark) and float rounding (other engines)
+    disagree; at 6 decimals every interpolation output sits >=5e-7 from
+    a boundary, so a 1-ulp cross-engine drift cannot flip the digit."""
     from pyspark.sql import Window
 
     ranked = (
