@@ -117,7 +117,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     n: int = 1,
     max_doc_freq: int | None = None,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """All-pairs word-set Jaccard via token inverted index (exact).
 
@@ -133,12 +133,11 @@ def jaccard_pairs(
     becomes a lower bound), which is the standard recall/cost trade;
     leave None for exact results.
 
-    ``persist_shingles``: the shingle table feeds the inverted index (both
-    self-join sides — exchange reuse covers those) AND the two broadcast
-    size joins, and each broadcast build re-runs the tokenize+shingle
-    subtree; materializing it once (MEMORY_AND_DISK — spills rather than
-    OOMs) removes the repeated tokenization, same trade as
-    ``minhash_dedup_pairs``.
+    ``persist_shingles``: materialize the shingle table (MEMORY_AND_DISK)
+    when the returned pairs feed multiple actions. Off by default —
+    measured neutral for a single-action pipeline (exchange reuse already
+    dedupes the self-join subtree, and the broadcast size-join builds are
+    cheap next to the persist's materialization cost).
     """
     sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
     if persist_shingles:
