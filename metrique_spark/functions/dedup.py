@@ -328,6 +328,8 @@ def dedup_against_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_band_bucket: int | None = 10_000,
+    max_candidates_per_doc: int | None = 1_000,
 ) -> DataFrame:
     """Incremental dedup: flag each batch document that near-duplicates an
     already-ingested corpus (the recrawl case — dedup N new docs against
@@ -342,12 +344,39 @@ def dedup_against_index(
     rows only. Verification tokenizes exclusively the candidate corpus
     docs (semi-join first), so corpus text is touched proportionally to
     the duplicate rate, not the corpus size. Precision is exact
-    (jaccard-verified); recall follows the LSH band curve."""
+    (jaccard-verified); recall follows the LSH band curve.
+
+    Skew guards (the text-LSH analog of hot IVF buckets — measured
+    unbounded on a synthetic corpus where 10% of docs share a boilerplate
+    prefix, where every batch doc collided with the ~100k-doc cluster in
+    some band and candidate volume went |cluster|×|batch|):
+
+    - ``max_band_bucket`` drops (band, bh) buckets holding more index
+      entries than the cap before the probe join. A bucket that hot is a
+      near-identical cluster. Matches through a dropped bucket are lost
+      unless the pair also collides in a cooler band — so the cap trades
+      recall ON DEGENERATE CLUSTERS ONLY for bounded cost; a >cap-sized
+      exact-duplicate cluster (every band hot) should not exist in a
+      pipeline that runs ``dedup_exact`` upstream, which is the intended
+      order.
+    - ``max_candidates_per_doc`` verifies only the top-K candidates per
+      batch doc ranked by matched-band count (a monotone proxy for
+      jaccard under the LSH collision model) — exact-jaccard verification
+      cost is then ≤ K·|batch| regardless of cluster density. Both caps
+      sit far above anything a healthy corpus produces; at gate scale the
+      output is bit-identical to the uncapped plan."""
     from pyspark import StorageLevel
 
     bsh = shingle_table(batch, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
     bb = banded_hashes(bsh, num_hashes, bands)
+    idx = index.select(F.col("id").alias("corpus_id"), "band", "bh")
+    if max_band_bucket is not None:
+        hot = (idx.groupBy("band", "bh")
+               .agg(F.count("*").alias("__n"))
+               .where(F.col("__n") > max_band_bucket)
+               .select("band", "bh"))
+        idx = idx.join(hot, ["band", "bh"], "anti")
     # candidate pairs feed TWO consumers (the verify join and the
     # corpus-id semi-join); persist the tiny pair set or lazy evaluation
     # re-runs the whole index-probe subtree — including the index's
@@ -355,12 +384,19 @@ def dedup_against_index(
     # than read from storage — once per consumer (measured 2× end-to-end)
     cand = (
         bb.select(F.col("id").alias("new_id"), "band", "bh")
-        .join(index.select(F.col("id").alias("corpus_id"), "band", "bh"),
-              ["band", "bh"])
-        .select("new_id", "corpus_id")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .join(idx, ["band", "bh"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("__nb"))
     )
+    if max_candidates_per_doc is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("new_id").orderBy(
+            F.col("__nb").desc(), F.col("corpus_id"))
+        cand = (cand.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= max_candidates_per_doc)
+                .drop("__rk"))
+    cand = cand.drop("__nb").persist(StorageLevel.MEMORY_AND_DISK)
     cids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     csh = shingle_table(corpus.join(cids, id_col, "semi"),
                         id_col, text_col, shingle_n)

@@ -184,6 +184,14 @@ def select_by_token_budget(
     Requires non-negative token counts (the running sum must be monotone
     for the prefix cut to be exact).
     """
+    from pyspark import StorageLevel
+
+    # three passes read the input (band aggregate, whole-band keep,
+    # boundary-band cumsum); persist so a caller handing in a scored
+    # projection with expression-heavy columns (quality regexes) pays
+    # the compute once. The expected input is the NARROW scored table
+    # (key, quality, tokens) — at scale that is GBs, not the corpus.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     q = F.col(quality_col)
     band_of = F.floor(q * 1000).cast("int")
     per_band = sorted(

@@ -295,3 +295,41 @@ def test_duplicate_window_stats(spark):
                for r in dedup.duplicate_window_stats(
                    df, window=16, stride=8).collect()}
     assert strided[1] == 3                 # positions 0, 8, 16
+
+
+def test_dedup_against_index_band_cap_semantics(spark):
+    # a hot (band, bh) bucket — here a 40-doc exact-dup cluster — is
+    # dropped by max_band_bucket, so a batch doc matching ONLY the
+    # cluster is missed (the documented recall trade on degenerate
+    # clusters), while a match colliding in cool buckets survives
+    cluster_text = "identical cluster document repeated verbatim many times over"
+    pair_text = "a genuinely unique document about spark range joins and prefix sums"
+    corpus_rows = [(i, cluster_text) for i in range(40)] + [(100, pair_text)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(200, cluster_text), (201, pair_text)], "doc_id long, text string")
+    idx = dedup.minhash_index(corpus)
+    capped = {r["doc_id"]: r["dup_of"] for r in dedup.dedup_against_index(
+        batch, idx, corpus, threshold=0.8, max_band_bucket=5).collect()}
+    assert capped.get(201) == 100          # cool-bucket match survives
+    assert 200 not in capped               # hot-cluster match traded away
+    # without the cap the cluster match is found
+    full = {r["doc_id"]: r["dup_of"] for r in dedup.dedup_against_index(
+        batch, idx, corpus, threshold=0.8, max_band_bucket=None).collect()}
+    assert full.get(200) == 0 and full.get(201) == 100
+
+
+def test_dedup_against_index_candidate_cap_keeps_best(spark):
+    # top-K candidate ranking by matched-band count must keep the true
+    # best match when K=1 and the best match collides in every band
+    best = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta NOPE"
+    corpus = spark.createDataFrame(
+        [(1, best), (2, near)], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, best)], "doc_id long, text string")
+    idx = dedup.minhash_index(corpus)
+    out = {r["doc_id"]: (r["dup_of"], r["jaccard"])
+           for r in dedup.dedup_against_index(
+               batch, idx, corpus, threshold=0.5,
+               max_candidates_per_doc=1).collect()}
+    assert out[10] == (1, 1.0)
