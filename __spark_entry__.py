@@ -814,7 +814,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0)
     idx = dedup.minhash_index(corpus)
-    out = dedup.dedup_against_index(batch, idx, corpus, threshold=0.8)
+    # caps disabled for the parity gate: the oracle below is exact
+    # all-pairs Jaccard, which models neither the hot-bucket drop nor the
+    # top-K-candidates cut — with caps on, a data refresh that produced a
+    # >cap cluster would fail the gate without any code bug. (The LSH
+    # band recall itself remains unmodeled: at 64 hashes / 16 bands a
+    # 0.8-jaccard pair is missed with p ≈ 2e-4 — accepted, deterministic
+    # on the gate corpus.)
+    out = dedup.dedup_against_index(batch, idx, corpus, threshold=0.8,
+                                    max_band_bucket=None,
+                                    max_candidates_per_doc=None)
     return out.select("doc_id", F.col("dup_of").cast("long").alias("dup_of"),
                       "jaccard")
 
@@ -895,7 +904,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     left = e.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 200)
     right = e.where(F.col("vec_id") % 2 == 0)
-    return similarity.ivf_knn_join(left, right, k=3, nlist=4, nprobe=4)
+    # n_rows: parquet-footer upper bound on left+right — skips the
+    # skew-guard probe job (the footer total bounds any filtered subset)
+    from metrique_spark.sources.files import parquet_row_count
+
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_knn_join(left, right, k=3, nlist=4, nprobe=4,
+                                   n_rows=n)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,7 +923,13 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (cosine_pairs) remains the small-data convenience API."""
     _utc(spark)
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_bucketed(e, threshold=0.45, nlist=2, nprobe=2)
+    from metrique_spark.sources.files import parquet_row_count
+
+    # footer-metadata row bound: the skew guard decides salting with zero
+    # extra Spark jobs
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_pairs_bucketed(e, threshold=0.45, nlist=2,
+                                            nprobe=2, n_rows=n)
 
 
 def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -305,17 +305,73 @@ def minhash_dedup_pairs(
     )
 
 
+_MINHASH_PARAMS_ATTR = "_minhash_params"
+_MINHASH_SIDECAR = "_minhash_params.json"
+
+
 def minhash_index(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", num_hashes: int = 64,
                   bands: int = 16, shingle_n: int = 3) -> DataFrame:
     """The persistable LSH index of a corpus: one (id, band, bh) row per
-    band per document. Write it out (parquet, partitioned/bucketed by
-    ``(band, bh)`` for co-located probe joins) and incremental dedup never
-    re-reads corpus text except to verify candidates. Append new accepted
-    docs by indexing just the batch and unioning — signatures are
-    content-hashes, so index rows never change, only accumulate."""
-    return banded_hashes(shingle_table(df, id_col, text_col, shingle_n),
-                         num_hashes, bands)
+    band per document. Write it out (``write_minhash_index`` — parquet
+    plus a params sidecar) and incremental dedup never re-reads corpus
+    text except to verify candidates. Append new accepted docs by
+    indexing just the batch and unioning — signatures are content-hashes,
+    so index rows never change, only accumulate.
+
+    The signing parameters ride along as a ``_minhash_params`` attribute
+    (and in the storage sidecar): an index signed with non-default
+    parameters but probed with defaults would produce near-zero-recall
+    band collisions SILENTLY — ``dedup_against_index`` validates them
+    instead."""
+    out = banded_hashes(shingle_table(df, id_col, text_col, shingle_n),
+                        num_hashes, bands)
+    setattr(out, _MINHASH_PARAMS_ATTR,
+            {"num_hashes": num_hashes, "bands": bands,
+             "shingle_n": shingle_n})
+    return out
+
+
+def write_minhash_index(index: DataFrame, path: str,
+                        mode: str = "overwrite") -> None:
+    """Persist an LSH index: parquet on (id, band, bh) plus a
+    ``_minhash_params.json`` sidecar recording the signing parameters, so
+    a reader can never probe with mismatched (num_hashes, bands,
+    shingle_n). ``mode="append"`` extends an existing index — the sidecar
+    must already match (validated; appending rows signed differently
+    would silently poison every probe)."""
+    import json
+    import os
+
+    params = getattr(index, _MINHASH_PARAMS_ATTR, None)
+    side = os.path.join(path, _MINHASH_SIDECAR)
+    if mode == "append" and os.path.exists(side):
+        with open(side) as fh:
+            existing = json.load(fh)
+        if params is not None and params != existing:
+            raise ValueError(
+                f"minhash index at {path} was signed with {existing}; "
+                f"refusing to append rows signed with {params}")
+        params = existing
+    index.write.mode(mode).parquet(path)
+    if params is not None:
+        with open(side, "w") as fh:
+            json.dump(params, fh)
+
+
+def read_minhash_index(spark, path: str) -> DataFrame:
+    """Read a persisted LSH index, reattaching the signing parameters
+    from the sidecar (if present) so ``dedup_against_index`` can validate
+    them."""
+    import json
+    import os
+
+    out = spark.read.parquet(path)
+    side = os.path.join(path, _MINHASH_SIDECAR)
+    if os.path.exists(side):
+        with open(side) as fh:
+            setattr(out, _MINHASH_PARAMS_ATTR, json.load(fh))
+    return out
 
 
 def dedup_against_index(
@@ -364,8 +420,26 @@ def dedup_against_index(
       jaccard under the LSH collision model) — exact-jaccard verification
       cost is then ≤ K·|batch| regardless of cluster density. Both caps
       sit far above anything a healthy corpus produces; at gate scale the
-      output is bit-identical to the uncapped plan."""
+      output is bit-identical to the uncapped plan.
+
+    Cache lifetime: the returned plan reads two persisted intermediates
+    (the batch shingle table and the candidate-pair set). The caller owns
+    them — materialize the result, then ``functions.cache.release(result)``
+    to free the blocks (otherwise they live until LRU eviction or session
+    end)."""
     from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+
+    idx_params = getattr(index, _MINHASH_PARAMS_ATTR, None)
+    if idx_params is not None:
+        mine = {"num_hashes": num_hashes, "bands": bands,
+                "shingle_n": shingle_n}
+        if idx_params != mine:
+            raise ValueError(
+                f"index was signed with {idx_params} but the probe uses "
+                f"{mine} — band hashes would never collide (near-zero "
+                "recall); pass the index's parameters")
 
     bsh = shingle_table(batch, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
@@ -420,7 +494,7 @@ def dedup_against_index(
                 F.col("m.i").alias("dup_of"),
                 (-F.col("m.nj")).alias("jaccard"))
     )
-    return best
+    return track(best, bsh, cand)
 
 
 def duplicate_window_stats(
@@ -474,7 +548,9 @@ def duplicate_window_stats(
     dup = (spans.join(freq.select("h"), "h", "semi")
            .groupBy("id").agg(F.count("*").alias("n_dup_windows")))
     per_doc = spans.groupBy("id").agg(F.count("*").alias("n_windows"))
-    return (
+    from metrique_spark.functions.cache import track
+
+    return track(
         per_doc.join(dup, "id", "left")
         .select(
             F.col("id").alias(id_col),
@@ -482,7 +558,8 @@ def duplicate_window_stats(
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
             F.round(F.coalesce("n_dup_windows", F.lit(0))
                     / F.col("n_windows"), 4).alias("dup_frac"),
-        )
+        ),
+        spans,
     )
 
 

@@ -84,6 +84,138 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col)) < thr)
 
 
+def _offsets_df(spark, cnt_rows, stratum_type: str):
+    """Driver prefix offsets from per-(partition, stratum) counts: the
+    rank offset of (pid, s) is the total count of s in earlier pids.
+    Returns (offsets DataFrame ``__opid int, __s <t>, __off long``,
+    per-stratum totals dict)."""
+    acc: dict = {}
+    offs = []
+    for r in sorted(cnt_rows, key=lambda r: r["__pid"]):
+        offs.append((r["__pid"], r["__s"], acc.get(r["__s"], 0)))
+        acc[r["__s"]] = acc.get(r["__s"], 0) + r["__c"]
+    return (
+        spark.createDataFrame(offs, f"__opid int, __s {stratum_type}, __off long"),
+        acc,
+    )
+
+
+def hash_ranked_within_strata(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    rank_col: str = "__rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank of every row within its stratum by the deterministic
+    selection order ``(md5-bucket(key), key)`` — fully parallel AND
+    sampling-free. Because the order key is a uniform content hash, the
+    range-partition id is a pure scan-stage expression
+    (``floor(hash_int · nparts / 16^8)`` — monotone in the hash, balanced
+    by md5 uniformity whatever the stratum skew), so unlike
+    ``ranked_within_strata`` there is no boundary-sampling job and no
+    persist: every pass recomputes identical partition ids from content.
+    Two tiny jobs total (per-(pid, stratum) counts → driver offsets), then
+    per-(pid, stratum) windows rank ~|stratum|/nparts rows each."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    stratum = F.col(stratum_col)
+    h = hash_bucket(F.col(key_col))
+    # hash_int < 16^8 = 2^32 and nparts ≤ ~10^4: the product stays well
+    # under 2^53, so the double division inside floor() is exact
+    pid = F.floor((F.conv(h, 16, 10).cast("long") * F.lit(nparts))
+                  / F.lit(16 ** _PREC)).cast("int")
+    withpid = df.withColumn("__pid", pid)
+    cnt = (withpid.groupBy("__pid", stratum.alias("__s"))
+           .agg(F.count("*").alias("__c")).collect())
+    off_df, acc = _offsets_df(
+        spark, cnt, df.schema[stratum_col].dataType.simpleString())
+    w = Window.partitionBy("__pid", stratum_col).orderBy(
+        h, F.col(key_col))
+    out = (
+        withpid.join(F.broadcast(off_df),
+                     (F.col("__pid") == F.col("__opid"))
+                     & (stratum == F.col("__s")))
+        .drop("__opid", "__s")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__off")
+    )
+    out._stratum_totals = dict(acc)
+    return out
+
+
+def ranked_within_strata(
+    df: DataFrame,
+    stratum_col: str,
+    order_cols: list[Column],
+    rank_col: str = "__rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank of every row WITHIN its stratum by ``order_cols``,
+    without ever sorting a whole stratum in one task. Returns the input
+    plus ``rank_col`` (1-based) and a ``__pid`` range-partition id
+    (callers drop it).
+
+    This is the distributed-selection shape shared by ``mix_corpus``,
+    ``stratum_quantiles`` and ``_prefix_under_budget``: a single-task
+    ``row_number() OVER (PARTITION BY stratum)`` serializes each stratum
+    onto one executor — at 100 TB with a handful of language strata that
+    one window IS the job's wall clock. Instead:
+
+    1. ``repartitionByRange(stratum, *order_cols)`` — every partition
+       holds a contiguous slice of the sort order, sized by data volume
+       (a 90%-of-corpus stratum spreads over ~90% of partitions);
+    2. one tiny aggregate collects per-(partition, stratum) row counts
+       (≤ partitions × strata rows) and the driver turns them into
+       prefix offsets;
+    3. each partition ranks ONLY its own rows (parallel window) and adds
+       its offset via a broadcast join — never a literal CASE chain,
+       which would not scale past a few hundred (partition, stratum)
+       pairs.
+
+    The persist is CORRECTNESS, not tuning: ``repartitionByRange``
+    samples boundaries per execution, so the offsets collect and the
+    final rank job must see the SAME partitioning. The caller owns the
+    block — the result is ``cache``-tracked; ``release()`` it after
+    materializing. Rows tied on ``order_cols`` get arbitrary-but-
+    consistent distinct ranks (range partitioning may split ties across
+    partitions; every rank still maps to a correctly-sorted value)."""
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    stratum = F.col(stratum_col)
+    ranged = (
+        df.repartitionByRange(nparts, stratum, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnt = ranged.groupBy("__pid", stratum.alias("__s")) \
+                .agg(F.count("*").alias("__c")).collect()
+    off_df, acc = _offsets_df(
+        spark, cnt, df.schema[stratum_col].dataType.simpleString())
+    w = Window.partitionBy("__pid", stratum_col).orderBy(*order_cols)
+    out = (
+        ranged.join(F.broadcast(off_df),
+                    (F.col("__pid") == F.col("__opid"))
+                    & (stratum == F.col("__s")))
+        .drop("__opid", "__s")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
+        .drop("__off")
+    )
+    out = track(out, ranged)
+    # per-stratum totals fall out of the same aggregate — callers that
+    # need group sizes (quantile targets) read them here instead of
+    # paying a second count pass
+    out._stratum_totals = dict(acc)
+    return out
+
+
 def mix_corpus(
     df: DataFrame,
     stratum_col: str,
@@ -101,11 +233,15 @@ def mix_corpus(
     Scale shape: one tiny count aggregation decides the per-stratum quotas
     on the driver; the exact top-``n_s``-by-hash selection then runs on a
     hash-threshold PRE-CUT of each stratum (quota fraction plus a
-    ``margin_sigmas``-sigma binomial margin), so the per-stratum
-    row_number window sorts ~n_s rows, not the whole stratum. The pre-cut
-    is verified: any stratum whose cut undershoots its quota (probability
-    ~3e-5 at 4 sigma) falls back to ranking the full stratum, keeping the
-    result exact rather than probabilistic.
+    ``margin_sigmas``-sigma binomial margin), so the exact ranking sees
+    ~n_s rows, not the whole stratum — and the ranking itself is
+    distributed (``hash_ranked_within_strata``: hash-range partition ids
+    as pure scan-stage expressions, per-partition counts → driver prefix
+    offsets, parallel per-partition windows), so no stratum's quota ever
+    sorts in a single task, with no sampling job and no persist. The
+    pre-cut is verified: any stratum whose cut undershoots its quota
+    (probability ~3e-5 at 4 sigma) falls back to ranking the full
+    stratum, keeping the result exact rather than probabilistic.
     """
     import math
 
@@ -138,28 +274,26 @@ def mix_corpus(
             sorted(quotas), F.lit("0"),
         )
     )
-    got = {r["s"]: r["c"]
-           for r in pre.groupBy(stratum.alias("s"))
-           .agg(F.count("*").alias("c")).collect()}
+    # the selection order is the uniform md5 hash, so the distributed
+    # rank needs no sampling job and no persist (hash-range partition
+    # ids are scan-stage expressions). Shortfall check rides the
+    # helper's per-partition counts — no extra pass over the pre-cut;
+    # undershoot (p ~3e-5 at 4 sigma) falls back to ranking the short
+    # strata in full, keeping the result exact.
+    ranked = hash_ranked_within_strata(pre, stratum_col, key_col)
+    got = ranked._stratum_totals
     short = [s for s, n in quotas.items() if got.get(s, 0) < n]
     if short:
         pre = pre.unionByName(
             df.where(stratum.isin(short)).join(
                 pre.where(stratum.isin(short)), [key_col], "anti"))
+        ranked = hash_ranked_within_strata(pre, stratum_col, key_col)
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(stratum_col).orderBy(
-        hash_bucket(F.col(key_col)), F.col(key_col))
     quota_col = reduce(
         lambda acc, s: F.when(stratum == s, F.lit(quotas[s])).otherwise(acc),
         sorted(quotas), F.lit(0),
     )
-    return (
-        pre.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= quota_col)
-        .drop("__rn")
-    )
+    return ranked.where(F.col("__rn") <= quota_col).drop("__rn", "__pid")
 
 
 def select_by_token_budget(
@@ -181,10 +315,16 @@ def select_by_token_budget(
     boundary band on the driver, whole bands above it are kept with a
     scan-stage predicate (no shuffle), and only the boundary band (one
     band's rows) pays a window sort with the carried-in prefix offset.
-    Requires non-negative token counts (the running sum must be monotone
-    for the prefix cut to be exact).
+    Requires non-null quality and non-negative, non-null token counts
+    (the running sum must be monotone for the prefix cut to be exact) —
+    violations raise ``ValueError`` from the band aggregate, at no extra
+    job cost. Cache lifetime: the returned plan reads the persisted
+    scored input; ``functions.cache.release(result)`` after
+    materializing.
     """
     from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
 
     # three passes read the input (band aggregate, whole-band keep,
     # boundary-band cumsum); persist so a caller handing in a scored
@@ -194,12 +334,31 @@ def select_by_token_budget(
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     q = F.col(quality_col)
     band_of = F.floor(q * 1000).cast("int")
-    per_band = sorted(
-        ((r["b"], r["t"]) for r in
-         df.groupBy(band_of.alias("b"))
-         .agg(F.sum(token_col).alias("t")).collect()),
-        key=lambda x: -x[0],
-    )
+    # min/null-count ride the same tiny aggregate that finds the bands:
+    # a null quality shows up as a NULL band key, a null token count as
+    # count(*) != count(token), a negative one in the min — fail fast
+    # with a real error instead of a TypeError (null band) or a silently
+    # non-monotone running sum (null/negative tokens)
+    stats = (df.groupBy(band_of.alias("b"))
+             .agg(F.sum(token_col).alias("t"),
+                  F.min(token_col).alias("mn"),
+                  (F.count("*") - F.count(token_col)).alias("nulls"))
+             .collect())
+    null_q = any(r["b"] is None for r in stats)
+    null_t = any(r["nulls"] for r in stats)
+    neg_t = any(r["mn"] is not None and r["mn"] < 0 for r in stats)
+    if null_q or null_t or neg_t:
+        df.unpersist(blocking=False)
+        problems = [p for p, hit in (
+            (f"{quality_col} contains nulls", null_q),
+            (f"{token_col} contains nulls", null_t),
+            (f"{token_col} contains negative values", neg_t)) if hit]
+        raise ValueError(
+            "select_by_token_budget: " + "; ".join(problems)
+            + " — the quality-band prefix cut requires non-null quality "
+              "and non-null, non-negative token counts; filter or score "
+              "those rows first")
+    per_band = sorted(((r["b"], r["t"]) for r in stats), key=lambda x: -x[0])
     prefix = 0
     boundary = None
     keep_bands: list[int] = []
@@ -212,10 +371,13 @@ def select_by_token_budget(
             break
     kept = df.where(band_of.isin(keep_bands) if keep_bands else F.lit(False))
     if boundary is None:
-        return kept
-    return kept.unionByName(
-        _prefix_under_budget(df.where(band_of == boundary), budget - prefix,
-                             quality_col, token_col, key_col))
+        return track(kept, df)
+    tail = _prefix_under_budget(df.where(band_of == boundary),
+                                budget - prefix,
+                                quality_col, token_col, key_col)
+    # track(…, tail) chains tail's own tracked intermediate (the
+    # range-partitioned band persist) onto the unioned plan
+    return track(kept.unionByName(tail), df, tail)
 
 
 def _prefix_under_budget(
@@ -255,10 +417,13 @@ def _prefix_under_budget(
         off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
     w = (Window.partitionBy("__pid").orderBy(q.desc(), F.col(key_col))
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (
+    from metrique_spark.functions.cache import track
+
+    return track(
         ranged.withColumn("__run", F.sum(token_col).over(w) + off)
         .where(F.col("__run") <= remaining)
-        .drop("__run", "__pid")
+        .drop("__run", "__pid"),
+        ranged,
     )
 
 

@@ -174,6 +174,7 @@ def cosine_pairs_bucketed(
     decimals: int = 4,
     target_bucket_rows: int = 100_000,
     max_bucket_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: assign every vector to its
     ``nprobe`` nearest of ``nlist`` IVF buckets, generate candidates only
@@ -196,18 +197,27 @@ def cosine_pairs_bucketed(
     meets in exactly one task per bucket, so output is IDENTICAL to the
     unsalted plan; cost is the standard blocked-matmul S× replication of
     only the oversized buckets' rows. Under-cap buckets get S=1 — the
-    exact unsalted plan."""
+    exact unsalted plan.
+
+    ``n_rows``: optional caller-supplied UPPER BOUND on ``df``'s row
+    count (e.g. the parquet footer total of the source table, even when
+    ``df`` filters it) — skips the guard-probe job entirely. An
+    over-estimate is safe: it can only push the plan into the salted
+    branch, which is output-identical; an under-estimate would break the
+    memory contract, so never pass a guess that could be low."""
     from pyspark import StorageLevel
 
     cap = max_bucket_rows or target_bucket_rows
+    if n_rows is None:
+        if nlist is None:
+            n_rows = df.count()
+        else:
+            # guard probe, not a full count: at scale the limit
+            # short-circuits after ~cap rows instead of scanning the
+            # corpus just to decide whether salting is needed
+            n_rows = df.limit(cap + 1).count()
     if nlist is None:
-        n_rows = df.count()
         nlist = auto_nlist(n_rows, target_bucket_rows)
-    else:
-        # guard probe, not a full count: at scale the limit short-circuits
-        # after ~cap rows instead of scanning the corpus just to decide
-        # whether salting is needed
-        n_rows = df.limit(cap + 1).count()
     _, centroids = ivf_assign(df, nlist, id_col, vec_col)
     vecs = df.select(F.col(id_col).cast("long").alias("__vid"),
                      _as_double(vec_col).alias("v"))
@@ -471,6 +481,7 @@ def ivf_knn_join(
     decimals: int = 4,
     target_bucket_rows: int = 100_000,
     max_bucket_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """k-NN JOIN for two LARGE embedding tables — the case
     ``cosine_topk`` can't cover (it broadcasts the query side; fine for
@@ -497,10 +508,20 @@ def ivf_knn_join(
     (left, right) candidate meets in exactly one task per bucket, and
     the per-task top-k unions remain a superset of the bucket-local
     top-k, so the final window output is IDENTICAL to the unsalted
-    plan."""
+    plan.
+
+    ``n_rows``: optional caller-supplied UPPER BOUND on the COMBINED
+    left+right row count (e.g. parquet footer totals) — skips the
+    guard-probe job. Over-estimates are safe (they only engage the
+    output-identical salted branch); never pass a bound that could be
+    low."""
     from pyspark import StorageLevel
     cap = max_bucket_rows or target_bucket_rows
-    if nlist is None:
+    if n_rows is not None:
+        salted = n_rows > cap
+        if nlist is None:
+            nlist = auto_nlist(n_rows, target_bucket_rows)
+    elif nlist is None:
         n_right = right.count()
         nlist = auto_nlist(n_right, target_bucket_rows)
         salted = n_right > cap or left.limit(cap + 1).count() > cap

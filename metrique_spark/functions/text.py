@@ -379,43 +379,66 @@ def stratum_quantiles(
 
     Spark's builtin exact ``percentile`` collects each group's values into
     one aggregation buffer — memory-bound on a 100 TB group. This is the
-    distributed form: rank rows within each stratum (one shuffle + window
-    sort, spillable), then for target position ``p = 1 + (n-1)*q`` join
-    the floor/ceil ranks and interpolate — constant memory per task, and
-    the quantile definition (type-7 / linear interpolation) matches
-    NumPy/DuckDB ``quantile_cont`` so results are engine-portable.
+    distributed form: global in-stratum ranks come from
+    ``sampling.ranked_within_strata`` (range-partition on (stratum, v),
+    per-partition counts → driver prefix offsets, PARALLEL per-partition
+    windows — never a full-stratum sort in one task, so a 90%-of-corpus
+    language stratum costs ~90% of the partitions, not one serialized
+    executor); the target positions ``p = 1 + (n-1)*q`` are computed on
+    the driver from the same counts, and only the floor/ceil boundary
+    rows per (stratum, q) are joined (broadcast of |strata|·|quantiles|
+    target rows against the ranked scan) and interpolated. The quantile
+    definition (type-7 / linear interpolation) matches NumPy/DuckDB
+    ``quantile_cont`` so results are engine-portable.
 
     ``decimals`` defaults to 6, not 4: with 4-decimal inputs the q=0.5
     interpolation lands exactly on a 4th-decimal rounding boundary
     (x.xxxx5), where HALF_UP (Spark) and float rounding (other engines)
     disagree; at 6 decimals every interpolation output sits >=5e-7 from
-    a boundary, so a 1-ulp cross-engine drift cannot flip the digit."""
-    from pyspark.sql import Window
+    a boundary, so a 1-ulp cross-engine drift cannot flip the digit.
 
-    ranked = (
-        df.select(F.col(stratum_col).alias("stratum"),
-                  F.col(value_col).cast("double").alias("v"))
-        .withColumn("r", F.row_number().over(
-            Window.partitionBy("stratum").orderBy("v")))
-    )
-    counts = ranked.groupBy("stratum").agg(F.count("*").alias("n"))
-    qdf = ranked.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double")
-    targets = (
-        counts.crossJoin(F.broadcast(qdf))
-        .withColumn("p", F.lit(1.0) + (F.col("n") - 1) * F.col("q"))
-        .withColumn("rf", F.floor("p").cast("long"))
-        .withColumn("rc", F.ceil("p").cast("long"))
-    )
-    lo = ranked.select("stratum", F.col("r").alias("rf"),
-                       F.col("v").alias("vf"))
-    hi = ranked.select("stratum", F.col("r").alias("rc"),
-                       F.col("v").alias("vc"))
-    return (
-        targets.join(lo, ["stratum", "rf"]).join(hi, ["stratum", "rc"])
+    Cache lifetime: the returned plan reads one persisted
+    range-partitioned intermediate; ``functions.cache.release(result)``
+    after materializing."""
+    import math
+
+    from metrique_spark.functions.cache import track
+    from metrique_spark.functions.sampling import ranked_within_strata
+
+    src = df.select(F.col(stratum_col).alias("stratum"),
+                    F.col(value_col).cast("double").alias("v"))
+    ranked = ranked_within_strata(src, "stratum", [F.col("v")],
+                                  rank_col="r")
+    totals = ranked._stratum_totals
+    # driver-side targets: identical IEEE-double arithmetic to the
+    # previous in-plan form (1.0 + (n-1)*q, floor/ceil), so values are
+    # bit-stable across the rewrite
+    sdt = src.schema["stratum"].dataType.simpleString()
+    rows = []
+    for s, n in totals.items():
+        for q in quantiles:
+            p = 1.0 + (n - 1) * float(q)
+            rows.append((s, float(q), p, math.floor(p), math.ceil(p)))
+    tdf = ranked.sparkSession.createDataFrame(
+        rows, f"__ts {sdt}, q double, p double, rf long, rc long")
+    # ONE pass over the ranked scan: each boundary row (floor or ceil
+    # rank) joins its target(s), then a tiny |strata|·|quantiles|-group
+    # aggregate pivots the two boundary values back onto one row
+    hits = ranked.join(
+        F.broadcast(tdf),
+        (F.col("stratum") == F.col("__ts"))
+        & ((F.col("r") == F.col("rf")) | (F.col("r") == F.col("rc"))))
+    return track(
+        hits.groupBy("stratum", "q")
+        .agg(
+            F.first("p").alias("p"), F.first("rf").alias("rf"),
+            F.min(F.when(F.col("r") == F.col("rf"), F.col("v"))).alias("vf"),
+            F.min(F.when(F.col("r") == F.col("rc"), F.col("v"))).alias("vc"),
+        )
         .select(
             "stratum", "q",
             F.round(F.col("vf") + (F.col("p") - F.col("rf"))
                     * (F.col("vc") - F.col("vf")), decimals).alias("value"),
-        )
+        ),
+        ranked,
     )

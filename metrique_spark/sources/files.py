@@ -168,3 +168,13 @@ def load_json(spark: SparkSession, path: str, orient_index: bool = False, **kw) 
         ).alias("kv")
     )
     return stacked.select(F.col("kv._key").alias("_key"), F.col("kv._rec.*"))
+
+
+def parquet_row_count(path: str) -> int:
+    """Total row count of a parquet file/dataset from FOOTER metadata —
+    no data pages read, no Spark job. The cheap upper-bound hint for
+    skew-guard decisions (``similarity.cosine_pairs_bucketed(n_rows=…)``):
+    any filtered subset of the table is bounded by the footer total."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()

@@ -129,12 +129,22 @@ def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFr
       than 10k points): broadcast interval join — a broadcast nested-loop
       over the versions scan, no shuffle of the big side at any scale.
     """
-    probe = spine.select("_date").distinct().limit(10_001).collect()
+    # probe collects unix micros alongside the timestamp: uniformity must
+    # be judged on the real-time axis (epoch micros), not on collected
+    # naive datetimes — a spine that looks uniform in a DST driver
+    # timezone but isn't in real time would otherwise pass the check with
+    # wrong index arithmetic
+    probe = (
+        spine.select("_date", F.unix_micros(F.col("_date")).alias("__us"))
+        .distinct().limit(10_001).collect()
+    )
     if 2 <= len(probe) <= 10_000:
-        dates = sorted(r["_date"] for r in probe)
-        steps = {dates[i + 1] - dates[i] for i in range(len(dates) - 1)}
+        rows = sorted(probe, key=lambda r: r["__us"])
+        micros = [r["__us"] for r in rows]
+        steps = {micros[i + 1] - micros[i] for i in range(len(micros) - 1)}
         if len(steps) == 1:
-            return _history_prefix_sum(df, dates, count_col)
+            return _history_prefix_sum(
+                df, [r["_date"] for r in rows], micros, count_col)
     joined = df.join(
         F.broadcast(spine),
         (F.col("_start") <= F.col("_date"))
@@ -154,19 +164,23 @@ def history(df: DataFrame, spine: DataFrame, count_col: str = "count") -> DataFr
     )
 
 
-def _history_prefix_sum(df: DataFrame, dates: list, count_col: str) -> DataFrame:
+def _history_prefix_sum(
+    df: DataFrame, dates: list, micros: list, count_col: str
+) -> DataFrame:
     """Uniform-spine live counts via difference array. ``dates`` is the
-    sorted spine (driver-side, ≤10k by the caller's probe). A version
-    covers spine index i iff ``dates[i] >= _start AND dates[i] < _end``;
-    with a fixed step the first/last covered index is a ceil-division —
-    exact int64 micros arithmetic, no doubles, sub-second boundaries
+    sorted spine (driver-side, ≤10k by the caller's probe) and ``micros``
+    its Spark-computed epoch-microsecond values. A version covers spine
+    index i iff ``dates[i] >= _start AND dates[i] < _end``; with a fixed
+    step the first/last covered index is a ceil-division — exact int64
+    micros arithmetic (step taken directly from the epoch-micros
+    deltas, never through a float), no doubles, sub-second boundaries
     included."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     n = len(dates)
-    step_us = int((dates[1] - dates[0]).total_seconds() * 1_000_000)
-    t0 = F.unix_micros(F.lit(dates[0]).cast("timestamp"))
+    step_us = micros[1] - micros[0]
+    t0 = F.lit(micros[0])
     rel = df.select(
         (F.unix_micros(F.col("_start")) - t0).alias("__s"),
         (F.unix_micros(F.col("_end")) - t0).alias("__e"),  # null stays null

@@ -333,3 +333,59 @@ def test_dedup_against_index_candidate_cap_keeps_best(spark):
                batch, idx, corpus, threshold=0.5,
                max_candidates_per_doc=1).collect()}
     assert out[10] == (1, 1.0)
+
+
+def test_minhash_index_params_validated(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i}") for i in range(20)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dog 3")],
+        "doc_id long, text string")
+    idx = dedup.minhash_index(corpus, num_hashes=32, bands=8)
+    assert idx._minhash_params == {"num_hashes": 32, "bands": 8,
+                                   "shingle_n": 3}
+    # probing with mismatched parameters must be an error, not silent
+    # near-zero recall
+    with pytest.raises(ValueError, match="signed with"):
+        dedup.dedup_against_index(batch, idx, corpus)
+    # params survive the storage round-trip via the sidecar
+    p = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(idx, p)
+    back = dedup.read_minhash_index(spark, p)
+    assert back._minhash_params == idx._minhash_params
+    with pytest.raises(ValueError, match="signed with"):
+        dedup.dedup_against_index(batch, back, corpus)
+    # matching parameters probe fine
+    out = dedup.dedup_against_index(batch, back, corpus,
+                                    num_hashes=32, bands=8)
+    assert out.columns == ["doc_id", "dup_of", "jaccard"]
+    out.collect()
+    # appending rows signed differently is refused
+    other = dedup.minhash_index(corpus)  # defaults: 64/16
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup.write_minhash_index(other, p, mode="append")
+    # appending identically-signed rows works and keeps the sidecar
+    more = dedup.minhash_index(batch, num_hashes=32, bands=8)
+    dedup.write_minhash_index(more, p, mode="append")
+    again = dedup.read_minhash_index(spark, p)
+    assert again._minhash_params == idx._minhash_params
+    assert again.count() == idx.count() + more.count()
+
+
+def test_dedup_against_index_release_frees_caches(spark):
+    from metrique_spark.functions import cache
+
+    corpus = spark.createDataFrame(
+        [(i, f"some shared boilerplate text number {i} here") for i in range(10)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(99, "some shared boilerplate text number 3 here")],
+        "doc_id long, text string")
+    out = dedup.dedup_against_index(batch, dedup.minhash_index(corpus),
+                                    corpus)
+    out.collect()
+    owned = list(getattr(out, "_metrique_cached_intermediates"))
+    assert any(f.is_cached for f in owned)
+    cache.release(out)
+    assert not any(f.is_cached for f in owned)

@@ -226,3 +226,16 @@ def test_substring_windows_no_join_of_texts(spark):
     p = _plan(spark, "dedup_substring_windows")
     assert not audit.has_cartesian(p)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+@pytest.mark.parametrize("name", ["sample_mix_corpus",
+                                  "text_quality_quantiles"])
+def test_curation_windows_never_partition_by_stratum_alone(spark, name):
+    """The round-4 scale debt: exact-quota selection / quantile ranking
+    must never run row_number over (PARTITION BY stratum) — that
+    serializes a whole stratum onto one task. The distributed form
+    partitions every window by (__pid, stratum)."""
+    p = _plan(spark, name)
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line

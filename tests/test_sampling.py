@@ -172,3 +172,98 @@ def test_token_frequencies_counts(spark):
     only2 = {r["token"] for r in
              text.token_frequencies(df, min_count=2).collect()}
     assert only2 == {"the", "cat", "hat"}
+
+
+def test_ranked_within_strata_matches_driver_sort(spark):
+    # skewed corpus: 'en' holds 90% of rows — the exact shape where a
+    # per-stratum window would serialize onto one task
+    import collections
+
+    rows = [(i, "de" if i % 10 == 0 else "en") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    ranked = sampling.ranked_within_strata(
+        df, "lang", [F.col("doc_id")], rank_col="r", n_partitions=8)
+    got = {(r["lang"], r["r"]): r["doc_id"] for r in ranked.collect()}
+    by = collections.defaultdict(list)
+    for i, lang in rows:
+        by[lang].append(i)
+    for lang, ids in by.items():
+        for rk, i in enumerate(sorted(ids), 1):
+            assert got[(lang, rk)] == i, (lang, rk)
+    # bounded per-task input: no range partition holds the whole skewed
+    # stratum — it spreads across partitions by volume
+    per_pid = [r["c"] for r in ranked.groupBy("__pid")
+               .agg(F.count("*").alias("c")).collect()]
+    assert len(per_pid) >= 4
+    assert max(per_pid) < len(by["en"])  # strictly smaller than the stratum
+    from metrique_spark.functions import cache
+
+    cache.release(ranked)
+
+
+def test_select_by_token_budget_rejects_null_quality(spark):
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, 0.5, 10)],
+        "doc_id long, quality double, n_tokens long")
+    with pytest.raises(ValueError, match="quality contains nulls"):
+        sampling.select_by_token_budget(df, 100)
+
+
+def test_select_by_token_budget_rejects_bad_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 0.4, None), (2, 0.5, 10)],
+        "doc_id long, quality double, n_tokens long")
+    with pytest.raises(ValueError, match="n_tokens contains nulls"):
+        sampling.select_by_token_budget(df, 100)
+    df2 = spark.createDataFrame(
+        [(1, 0.4, -5), (2, 0.5, 10)],
+        "doc_id long, quality double, n_tokens long")
+    with pytest.raises(ValueError, match="negative"):
+        sampling.select_by_token_budget(df2, 100)
+
+
+def test_cache_release_frees_tracked_intermediates(spark):
+    from metrique_spark.functions import cache
+
+    df = spark.createDataFrame(
+        [(i, round(0.1 + (i % 7) / 10, 2), 10 + i % 5)
+         for i in range(200)],
+        "doc_id long, quality double, n_tokens long")
+    out = sampling.select_by_token_budget(df, 700)
+    out.collect()
+    owned = list(getattr(out, "_metrique_cached_intermediates"))
+    assert owned and any(f.is_cached for f in owned)
+    released = cache.release(out)
+    assert released == len(owned)
+    assert not any(f.is_cached for f in owned)
+    assert cache.release(out) == 0  # idempotent
+
+
+def test_hash_ranked_within_strata_matches_driver_sort(spark):
+    # skewed corpus again, via the sampling-free hash-range variant: rank
+    # within stratum by (md5-bucket, key) must match a driver-side sort,
+    # and the scan-stage partition ids must spread the 90% stratum
+    import collections
+    import hashlib
+
+    rows = [(i, "de" if i % 10 == 0 else "en") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    ranked = sampling.hash_ranked_within_strata(
+        df, "lang", "doc_id", rank_col="r", n_partitions=8)
+    got = {(r["lang"], r["r"]): r["doc_id"] for r in ranked.collect()}
+
+    def hb(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+
+    by = collections.defaultdict(list)
+    for i, lang in rows:
+        by[lang].append(i)
+    for lang, ids in by.items():
+        for rk, i in enumerate(sorted(ids, key=lambda x: (hb(x), x)), 1):
+            assert got[(lang, rk)] == i, (lang, rk)
+    per_pid = [r["c"] for r in ranked.groupBy("__pid")
+               .agg(F.count("*").alias("c")).collect()]
+    assert len(per_pid) >= 4
+    assert max(per_pid) < len(by["en"])
+    # sampling-free: nothing persisted, nothing to release
+    assert not getattr(ranked, "_metrique_cached_intermediates", [])

@@ -171,3 +171,28 @@ def test_deptree_mid_walk_escalation(spark):
         "_end", F.lit(None).cast("timestamp"))
     assert temporal.deptree(df, "children", [1],
                             driver_fringe_threshold=2) == [1, 2, 3, 4, 5, 6]
+
+
+def test_history_sub_second_uniform_spine_exact(spark):
+    # a 1001-microsecond-step spine is uniform in real time; the
+    # prefix-sum path must take the step EXACTLY from epoch-micros deltas
+    # (int(total_seconds()*1e6) float-truncates 1001us to 1000us and
+    # silently mis-indexes every version)
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    dates = [base + i * 1001 * us for i in range(10)]
+    spine = spark.createDataFrame([(d,) for d in dates], "_date timestamp")
+    intervals = [(0, 2000), (500, 5005), (3003, None), (9009, 9010)]
+    df = spark.createDataFrame(
+        [(base + a * us, base + b * us if b is not None else None)
+         for a, b in intervals],
+        "_start timestamp, _end timestamp")
+    got = {r["_date"]: r["count"]
+           for r in temporal.history(df, spine).collect()}
+    for i, d in enumerate(dates):
+        t = i * 1001
+        want = sum(1 for a, b in intervals
+                   if a <= t and (b is None or b > t))
+        assert got[d] == want, (i, got[d], want)
