@@ -841,6 +841,42 @@ def text_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratum_quantiles(scored, "lang", "quality")
 
 
+def _skewed_lang(d):
+    """Skew-stress stratum: collapse 90% of rows (doc_id % 10 != 0) into
+    'en' so one stratum dominates — the distribution that serialized the
+    round-4 per-stratum windows onto a single task. Bench + parity-gate
+    coverage for the distributed per-stratum selection."""
+    return d.withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, F.col("lang"))
+                 .otherwise(F.lit("en")))
+
+
+def sample_mix_corpus_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture rebalance under adversarial stratum skew (one stratum holds
+    ~90% of the corpus): exact per-stratum quota selection must spread the
+    fat stratum across hash-range partitions instead of sorting it in one
+    task."""
+    _utc(spark)
+    from metrique_spark.functions import sampling
+
+    d = _skewed_lang(_t(spark, sf_dir, "documents"))
+    out = sampling.mix_corpus(
+        d, "lang", {"en": 0.8, "de": 0.1, "fr": 0.1}, key_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+def text_quality_quantiles_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-stratum exact quantiles under adversarial stratum skew — the
+    ranking must range-partition the 90% stratum rather than externally
+    sort it on one task."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _skewed_lang(_t(spark, sf_dir, "documents"))
+    scored = d.select("lang", text.quality_score("text").alias("quality"))
+    return text.stratum_quantiles(scored, "lang", "quality")
+
+
 def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring duplication signals: 16-token window fingerprints,
     per-doc count/fraction of spans shared with other docs — the
@@ -1101,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shards": sample_shards,
         "text_token_frequencies": text_token_frequencies,
         "text_quality_quantiles": text_quality_quantiles,
+        "sample_mix_corpus_skew": sample_mix_corpus_skew,
+        "text_quality_quantiles_skew": text_quality_quantiles_skew,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1782,6 +1820,72 @@ def oracle_sql() -> dict[str, str]:
     -- CAST to DOUBLE: DuckDB parses bare decimal literals as DECIMAL and
     -- (n-1)*q would be exact where Spark's double math is not, flipping
     -- floor/ceil at near-integer target ranks
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
+    targets AS (
+        SELECT stratum, q,
+               1.0 + (n - 1) * q AS p,
+               CAST(floor(1.0 + (n - 1) * q) AS BIGINT) AS rf,
+               CAST(ceil(1.0 + (n - 1) * q) AS BIGINT) AS rc
+        FROM counts, qs
+    )
+    SELECT t.stratum, t.q,
+           round(lo.v + (t.p - t.rf) * (hi.v - lo.v), 6) AS value
+    FROM targets t
+    JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
+    JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
+""",
+        "sample_mix_corpus_skew": r"""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN lang ELSE 'en' END AS lang
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, count(*) AS c FROM src
+        WHERE lang IN ('de', 'en', 'fr') GROUP BY lang
+    ),
+    total AS (
+        SELECT min(c / CASE WHEN lang = 'en' THEN CAST(0.8 AS DOUBLE)
+                            ELSE CAST(0.1 AS DOUBLE) END) AS n
+        FROM counts
+    ),
+    quotas AS (
+        SELECT lang,
+               CAST(floor((CASE WHEN lang = 'en' THEN CAST(0.8 AS DOUBLE)
+                                ELSE CAST(0.1 AS DOUBLE) END)
+                          * (SELECT n FROM total)) AS BIGINT) AS q
+        FROM counts
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+        FROM src WHERE lang IN ('de', 'en', 'fr')
+    )
+    SELECT doc_id, lang FROM ranked JOIN quotas USING (lang) WHERE rn <= q
+""",
+        "text_quality_quantiles_skew": r"""
+    WITH scored AS (
+        SELECT CASE WHEN doc_id % 10 = 0 THEN lang ELSE 'en' END AS lang,
+               round(0.5 * (CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+                     + 0.3 * least(greatest(length(text), 1) / 500.0, 1.0)
+                     + 0.2 * (1.0 - least(
+                         (CAST(length(regexp_replace(text,
+                              '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4
+                         + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 2, 1.0)), 4) AS v
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang AS stratum, v,
+               row_number() OVER (PARTITION BY lang ORDER BY v) AS r
+        FROM scored
+    ),
+    counts AS (SELECT stratum, count(*) AS n FROM ranked GROUP BY stratum),
     qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q),
     targets AS (
         SELECT stratum, q,

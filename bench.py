@@ -47,7 +47,11 @@ BENCH_QUERIES = [
     "text_pii_redaction",
     "sample_stratified",
     "sample_mix_corpus",
+    "sample_mix_corpus_skew",
+    "sample_shards",
     "sample_token_budget",
+    "text_quality_quantiles",
+    "text_quality_quantiles_skew",
     "text_token_frequencies",
     "dedup_minhash_pairs",
     "dedup_incremental",

@@ -32,6 +32,15 @@ from metrique_spark.objects import stamp, validate
 DEFAULT_FIELDS = ("_start", "_end", "_oid")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a mutating operation on a cube whose
+    advisory write lock is held. The commit protocol is crash-safe but
+    single-writer: two interleaved snapshot merges could each read the
+    open partition, close different version sets, and overwrite each
+    other's open rewrite — silently corrupting version chains. Fail fast
+    instead."""
+
+
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str | None = None,
                  auto_compact_batches: int | None = None):
@@ -49,6 +58,9 @@ class Engine:
         # (underscore-prefixed sidecar files are invisible to Spark's
         # parquet discovery, so _indexes.json can live inside the cube dir)
         self._indexes: dict[str, list[dict]] = {}
+        # cubes whose write lock THIS engine currently holds (reentrancy:
+        # upsert's auto-compact runs inside the upsert's lock)
+        self._held_locks: set[str] = set()
 
     # -- catalog ------------------------------------------------------------
 
@@ -100,7 +112,8 @@ class Engine:
         self._views.pop(cube, None)
         self.spark.catalog.dropTempView(cube)
         if self.warehouse and os.path.isdir(self._path(cube)):
-            shutil.rmtree(self._path(cube))
+            with self._write_lock(cube):
+                shutil.rmtree(self._path(cube))
 
     def _index_meta_path(self, cube: str) -> str:
         return os.path.join(self._path(cube), "_indexes.json")
@@ -155,6 +168,66 @@ class Engine:
         return out
 
     # -- writes -------------------------------------------------------------
+
+    def _write_lock(self, cube: str):
+        """Advisory per-cube writer lock (the parquet-warehouse analog of
+        the reference's SQLite same-host guard, ``sqlalchemy.py:869-875``):
+        a ``.<cube>.lock`` file created with ``O_CREAT|O_EXCL`` — atomic
+        on POSIX local filesystems — holding the writer's pid. A second
+        writer fails fast with ``ConcurrentWriteError`` instead of
+        interleaving snapshot merges; a lock whose recorded pid is no
+        longer alive (holder crashed before cleanup) is reclaimed once.
+        Same-host advisory only — on a shared object store, route writes
+        through one committer or an external lock service."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            if not self.warehouse or cube in self._held_locks:
+                yield
+                return
+            os.makedirs(self.warehouse, exist_ok=True)
+            lock = os.path.join(self.warehouse, f".{cube}.lock")
+            fd = None
+            for attempt in (0, 1):
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    holder = None
+                    try:
+                        with open(lock) as fh:
+                            holder = int(fh.read().strip() or 0)
+                    except (OSError, ValueError):
+                        pass
+                    alive = False
+                    if holder:
+                        try:
+                            os.kill(holder, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists under another user
+                    if alive or attempt:
+                        raise ConcurrentWriteError(
+                            f"cube {cube!r} is locked by writer pid "
+                            f"{holder} ({lock}); concurrent upserts would "
+                            "interleave snapshot merges — retry after the "
+                            "other writer finishes")
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock)  # stale: holder died
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                self._held_locks.add(cube)
+                yield
+            finally:
+                self._held_locks.discard(cube)
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+
+        return _cm()
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True
@@ -232,6 +305,10 @@ class Engine:
         ``_id`` on read — so a crash between write and delete leaves
         duplicates that the NEXT compact (or any retry) collapses back;
         re-running with no new data converges to the same directory."""
+        with self._write_lock(cube):
+            return self._compact_locked(cube, target_partitions)
+
+    def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
         path = self._path(cube)
         hist_root = os.path.join(path, "_current=false")
         if not os.path.isdir(hist_root):
@@ -268,7 +345,8 @@ class Engine:
         """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``)."""
         obj = df if stamped else stamp(df, **stamp_kw)
         validate(obj)
-        self._write_partitioned(obj, self._path(cube), "append")
+        with self._write_lock(cube):
+            self._write_partitioned(obj, self._path(cube), "append")
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, **stamp_kw) -> None:
@@ -277,6 +355,10 @@ class Engine:
         incoming = df if stamped else stamp(df, **stamp_kw)
         validate(incoming)
         path = self._path(cube)
+        with self._write_lock(cube):
+            self._upsert_locked(cube, path, incoming, autosnap)
+
+    def _upsert_locked(self, cube, path, incoming, autosnap):
         if autosnap is None:
             autosnap = _upsert.detect_autosnap(incoming)
         if autosnap:

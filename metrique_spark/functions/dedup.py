@@ -730,6 +730,65 @@ def _components_driver(edge_rows) -> list[tuple]:
     return [(v, find(v)) for v in parent]
 
 
+def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star / small-star connected components (public
+    algorithm: Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the escalation for graphs whose diameter exceeds the
+    min-label round budget. Label propagation needs diameter-many rounds
+    (a 10k-vertex path graph = 10k rounds); the alternating algorithm
+    contracts any graph in O(log² n) rounds:
+
+    - large-star: every vertex connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every vertex connects its smaller neighbors (and
+      itself) to that minimum.
+
+    Each half-round is one groupBy-min + one join on the symmetric edge
+    set — shuffle volume rides the (shrinking) edge count, never a
+    collect. At the fixpoint every component is a star centered at its
+    minimum id, so the final per-vertex ``least(id, min(neighbor))`` map
+    IS the label table. ``edges`` must hold both orientations of every
+    pair (u ≠ v); ids may be any orderable type (strings label by
+    lexicographic min, matching the propagation and driver paths)."""
+    e = edges
+    prev = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            g = (e.groupBy("src").agg(F.min("dst").alias("__mn"))
+                 .select("src", F.least("src", "__mn").alias("__m")))
+            j = e.join(g, "src")
+            if large:
+                out = (j.where(F.col("dst") > F.col("src"))
+                       .select(F.col("dst").alias("a"),
+                               F.col("__m").alias("b")))
+            else:
+                out = (j.where(F.col("dst") < F.col("src"))
+                       .select(F.col("dst").alias("a"),
+                               F.col("__m").alias("b"))
+                       .unionByName(g.select(F.col("src").alias("a"),
+                                             F.col("__m").alias("b"))))
+            out = out.where(F.col("a") != F.col("b")).distinct()
+            e = (out.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                 .unionByName(out.select(F.col("b").alias("src"),
+                                         F.col("a").alias("dst")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        cur = e.agg(F.sum(
+            F.xxhash64("src", "dst").cast("decimal(38,0)"))).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"alternating-star components did not converge within "
+            f"{max_rounds} rounds — not expected for any graph with "
+            f"< 2^{max_rounds} vertices; the edge set is likely being "
+            "regenerated nondeterministically between rounds")
+    return (e.groupBy("src").agg(F.min("dst").alias("__mn"))
+            .select(F.col("src").alias("id"),
+                    F.least("src", "__mn").alias("component")))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -823,13 +882,12 @@ def connected_components(
                 break
             prev_sum = new_sum
         else:
-            # exhausting the round budget without hitting the fixpoint
-            # would silently return wrong (partially-propagated) labels
-            # for graphs with diameter > max_iter
-            raise RuntimeError(
-                f"connected_components did not converge within "
-                f"max_iter={max_iter} rounds (graph diameter exceeds the "
-                f"round budget); raise max_iter")
+            # diameter > max_iter: propagation would need diameter-many
+            # rounds (silently-wrong labels if truncated), so escalate to
+            # the alternating-star algorithm — O(log² n) rounds on any
+            # graph shape, at higher per-round volume. The common
+            # shallow near-dup graph never reaches this.
+            return _star_components(edges)
         return labels
     finally:
         edges.unpersist()

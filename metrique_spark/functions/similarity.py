@@ -433,6 +433,34 @@ def read_ivf_index(spark, path: str) -> tuple:
             spark.read.parquet(path + "/centroids"))
 
 
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a stored IVF index with a new batch — the ANN analog of the
+    appendable MinHash text index: assign the batch against the STORED
+    centroids (frozen, so bucket semantics never shift under readers) and
+    append the slim (id, v, bucket) rows into the bucket-partitioned
+    layout. Cost is O(batch)·nlist centroid scoring + one partitioned
+    append — the existing corpus is never re-read or re-assigned, and
+    ``ivf_topk_indexed`` probes see old and new vectors identically.
+    Centroids drifting from the data distribution degrade recall, not
+    correctness; re-run ``write_ivf_index`` when bucket sizes skew."""
+    spark = batch.sparkSession
+    centroids = spark.read.parquet(path + "/centroids")
+    vecs = batch.select(F.col(id_col).alias("__vid"),
+                        _as_double(vec_col).alias("v"))
+    assigned = (
+        _nearest_buckets(vecs, centroids, "v", 1)
+        .select(F.col("__vid").alias(id_col), "v",
+                F.col("centroid_id").alias("bucket"))
+    )
+    (assigned.write.partitionBy("bucket").mode("append")
+     .parquet(path + "/vectors"))
+
+
 def ivf_topk_indexed(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -232,8 +232,9 @@ def chunk_documents(
 def pack_chunks(
     chunks: DataFrame,
     budget: int = 512,
-    n_groups: int = 1024,
+    n_groups: int | None = None,
     id_col: str = "doc_id",
+    target_group_rows: int = 100_000,
 ) -> DataFrame:
     """Assign chunks to fixed-token-budget training bins (sequence
     packing). Contiguous fill: within each pack group, chunks are laid out
@@ -247,7 +248,16 @@ def pack_chunks(
     one partition, so packing is sharded into ``n_groups`` deterministic
     groups (``doc_id % n_groups``) and bins are keyed (pack_group,
     bin_idx). Group count bounds window-partition size: size ≈
-    corpus/n_groups — raise it with the data."""
+    corpus/n_groups. ``n_groups=None`` (default) derives it from the
+    chunk count so the bound holds at any scale without a manual knob
+    (the ``auto_nlist`` pattern: ``⌈n/target_group_rows⌉``, min 32 —
+    costs one count job; pass an explicit ``n_groups`` to skip it and
+    pin the grouping, e.g. for cross-engine reproducibility)."""
+    if n_groups is None:
+        import math
+
+        n_groups = max(
+            32, math.ceil(chunks.count() / max(1, target_group_rows)))
     w = (
         Window.partitionBy("pack_group")
         .orderBy(F.col(id_col), F.col("chunk_idx"))

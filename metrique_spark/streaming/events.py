@@ -131,6 +131,116 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str):
     return _sink
 
 
+def stream_dedup_sink(
+    index_path: str,
+    corpus_path: str,
+    flags_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_band_bucket: int | None = 10_000,
+    max_candidates_per_doc: int | None = 1_000,
+):
+    """Continuous-ingest near-dedup — the ``foreachBatch`` composition of
+    the incremental LSH path a training-data pipeline actually runs: each
+    micro-batch is flagged against the PERSISTED MinHash index (the base
+    corpus plus every earlier accepted batch), accepted docs append to
+    the corpus store and their signatures to the index, and flagged
+    dupes are recorded with their best match:
+
+    - ``index_path``:  (id, band, bh) signature rows + params sidecar
+    - ``corpus_path``: accepted (id, text) rows (candidate verification
+      re-reads text only for candidates, via the semi-join inside
+      ``dedup_against_index``)
+    - ``flags_path``:  (id, dup_of, jaccard) per flagged doc
+
+    Replay-idempotent under foreachBatch's at-least-once contract: every
+    write is keyed by ``batch={batch_id}`` (a replay OVERWRITES its own
+    directories, never appends duplicates). Commit detection rides the
+    ``_SUCCESS`` marker of the batch's INDEX directory — the LAST of the
+    three writes — so a fully-committed batch replays as a pure no-op,
+    and a crash anywhere earlier reprocesses the whole batch into the
+    same directories and converges; the probe reads exclude the batch's
+    OWN partition, so a half-written prior attempt can never make a
+    batch match itself. Doc ids should be unique across the stream (a
+    re-sent id verifies against its earlier self at jaccard 1.0 and gets
+    flagged). Near-dupes WITHIN one batch are all accepted (each batch
+    probes the index as of the previous batch); run ``dedup_exact`` /
+    ``minhash_dedup_pairs`` upstream or accept per-batch granularity —
+    the standard trade at streaming batch sizes."""
+    from metrique_spark.functions import dedup as _dedup
+    from metrique_spark.functions.cache import release
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        import glob as _glob
+        import json
+        import os
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(
+                index_path, f"batch={batch_id}", "_SUCCESS")):
+            return  # fully committed earlier: replay is a no-op
+        batch = batch_df.select(F.col(id_col), F.col(text_col))
+        prior = [d for d in _glob.glob(os.path.join(index_path, "batch=*"))
+                 if not d.endswith(f"batch={batch_id}")
+                 and os.path.exists(os.path.join(d, "_SUCCESS"))]
+        if prior:
+            raw = _dedup.read_minhash_index(spark, index_path)
+            idx = raw.where(F.col("batch") != batch_id).drop("batch")
+            if hasattr(raw, _dedup._MINHASH_PARAMS_ATTR):
+                # the where/drop lose the attribute; keep validation alive
+                setattr(idx, _dedup._MINHASH_PARAMS_ATTR,
+                        getattr(raw, _dedup._MINHASH_PARAMS_ATTR))
+            corpus = (spark.read.parquet(corpus_path)
+                      .where(F.col("batch") != batch_id)
+                      .select(id_col, text_col))
+            flags = _dedup.dedup_against_index(
+                batch, idx, corpus, id_col=id_col, text_col=text_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n, max_band_bucket=max_band_bucket,
+                max_candidates_per_doc=max_candidates_per_doc,
+            ).localCheckpoint(eager=True)
+            release(flags)
+        else:
+            flags = spark.createDataFrame(
+                [], f"{id_col} {batch.schema[id_col].dataType.simpleString()},"
+                    f" dup_of {batch.schema[id_col].dataType.simpleString()},"
+                    " jaccard double")
+        accepted = batch.join(flags.select(id_col), id_col, "anti")
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"batch={batch_id}"))
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"batch={batch_id}"))
+        rows = _dedup.minhash_index(
+            accepted, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+        rows.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch={batch_id}"))
+        # top-level params sidecar: same validation story as
+        # write_minhash_index (mismatched probes error, never silently
+        # produce zero recall)
+        side = os.path.join(index_path, _dedup._MINHASH_SIDECAR)
+        params = {"num_hashes": num_hashes, "bands": bands,
+                  "shingle_n": shingle_n}
+        if os.path.exists(side):
+            with open(side) as fh:
+                existing = json.load(fh)
+            if existing != params:
+                raise ValueError(
+                    f"stream index at {index_path} was signed with "
+                    f"{existing}; this sink uses {params}")
+        else:
+            with open(side, "w") as fh:
+                json.dump(params, fh)
+
+    return _sink
+
+
 def correlate_events(
     events: DataFrame,
     first_type: str = "click",

@@ -389,3 +389,29 @@ def test_dedup_against_index_release_frees_caches(spark):
     assert any(f.is_cached for f in owned)
     cache.release(out)
     assert not any(f.is_cached for f in owned)
+
+
+def test_connected_components_long_path_escalates_to_star(spark):
+    # adversarial diameter: a 10k-vertex path graph. Min-label
+    # propagation would need 10k rounds; exhausting max_iter must
+    # escalate to alternating large-star/small-star (O(log^2 n) rounds)
+    # and still produce exact components.
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = dedup.connected_components(pairs, max_iter=3,
+                                     driver_edge_threshold=0)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_star_components_string_ids_and_multiple_components(spark):
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("y", "z"), ("m", "n")],
+        "id_a string, id_b string")
+    out = dedup.connected_components(pairs, max_iter=0,
+                                     driver_edge_threshold=0)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x", "m": "m", "n": "m"}

@@ -145,3 +145,50 @@ def test_auto_compact_hook(spark, tmp_path):
     hist2 = os.path.join(str(tmp_path / "wh2"), "c", "_current=false")
     assert sum(1 for d in os.listdir(hist2)
                if d.startswith("__batch=")) == 4
+
+
+def test_concurrent_writer_fails_fast(spark, tmp_path):
+    import os
+
+    from metrique_spark.engine import ConcurrentWriteError, Engine
+
+    wh = str(tmp_path / "wh_lock")
+    e1 = Engine(spark, warehouse=wh)
+    df = spark.createDataFrame(
+        [(1, "a", "2014-01-01", None)],
+        "_oid long, val string, _start string, _end string")
+    from pyspark.sql import functions as F
+
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    e1.upsert("c", stamped)
+
+    # a LIVE competing writer (this very pid) holds the lock -> the
+    # second upsert must fail fast, not interleave snapshot merges
+    lock = os.path.join(wh, ".c.lock")
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    e2 = Engine(spark, warehouse=wh)
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError, match="locked by writer"):
+        e2.upsert("c", stamped)
+    os.unlink(lock)
+
+    # a STALE lock (holder pid no longer exists) is reclaimed: the
+    # upsert proceeds and leaves the lock released afterwards
+    with open(lock, "w") as fh:
+        fh.write("999999999")
+    e2.upsert("c", stamped)
+    assert not os.path.exists(lock)
+
+    # reentrancy: auto-compact inside upsert acquires the same cube lock
+    e3 = Engine(spark, warehouse=wh, auto_compact_batches=1)
+    for day in ["2014-02-01", "2014-03-01", "2014-04-01"]:
+        batch = spark.createDataFrame(
+            [(1, f"v{day}", day, None)],
+            "_oid long, val string, _start string, _end string")
+        e3.upsert("c", batch
+                  .withColumn("_start", F.col("_start").cast("timestamp"))
+                  .withColumn("_end", F.col("_end").cast("timestamp")))
+    assert not os.path.exists(lock)

@@ -346,3 +346,42 @@ def test_ivf_index_roundtrip_and_partition_pruned_search(spark, tmp_path):
         out._jdf.queryExecution(), "formatted")
     assert "bucket" in plan
     assert out.count() > 0
+
+
+def test_ivf_index_append_and_search(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(100)]
+    extra = [(1000 + i, rng.standard_normal(8).astype("float32").tolist())
+             for i in range(30)]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    batch = spark.createDataFrame(extra,
+                                  "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "ivf_app")
+    sim.write_ivf_index(df, path, nlist=4)
+    sim.append_to_ivf_index(batch, path)
+
+    assigned, centroids = sim.read_ivf_index(spark, path)
+    assert assigned.count() == 130  # old corpus untouched, batch added
+
+    # appended vectors are searchable: full-probe over the extended
+    # stored index == exact in-plan search over the unioned corpus with
+    # the SAME centroids (assignment must use the stored ones — frozen
+    # bucket semantics)
+    q = df.where(F.col("vec_id") < 3)
+    stored = sorted(map(tuple, sim.ivf_topk_indexed(
+        assigned, centroids, q, k=4, nprobe=4).collect()))
+    both = df.unionByName(batch)
+    exact = sorted(map(tuple, sim.cosine_topk(both, q, k=4).collect()))
+    assert stored == exact
+
+    # append lands inside existing bucket partitions (no new dirs beyond
+    # nlist)
+    import os
+
+    bucket_dirs = [d for d in os.listdir(path + "/vectors")
+                   if d.startswith("bucket=")]
+    assert len(bucket_dirs) == 4

@@ -328,3 +328,75 @@ def test_correlate_events_stream_equals_batch(spark, sf_dir, tmp_path):
         "select count(*) n, count(distinct click_id || '-' || purchase_id) d"
         " from corr").first()
     assert got["n"] == got["d"] == n_batch
+
+
+def test_stream_dedup_sink_flags_and_replay(spark, tmp_path):
+    """Continuous-ingest dedup: batches flag against the base corpus AND
+    earlier batches, accepted docs join the index, and a replayed batch
+    (at-least-once foreachBatch) is a no-op."""
+    import os
+
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    idx_p = str(tmp_path / "idx")
+    cor_p = str(tmp_path / "cor")
+    flg_p = str(tmp_path / "flg")
+    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = mk([(i, f"{base_text} variant number {i}") for i in range(10)])
+    sink(b0, 0)
+    # batch 0 had no index yet: everything accepted
+    assert spark.read.parquet(cor_p).count() == 10
+    assert spark.read.parquet(flg_p).count() == 0
+
+    # batch 1: one near-dup of a BASE doc, one novel doc
+    b1 = mk([(100, f"{base_text} variant number 3"),   # dup of doc 3
+             (101, "completely different content about databases here")])
+    sink(b1, 1)
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in spark.read.parquet(flg_p).collect()}
+    assert flags == {100: 3}
+    assert spark.read.parquet(cor_p).count() == 11  # 10 + novel 101
+
+    # batch 2: near-dup of an EARLIER BATCH's accepted doc (101)
+    b2 = mk([(200, "completely different content about databases here"),
+             (201, "yet another unrelated snippet of text entirely")])
+    sink(b2, 2)
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in spark.read.parquet(flg_p).collect()}
+    assert flags == {100: 3, 200: 101}
+    assert spark.read.parquet(cor_p).count() == 12
+
+    # replay batch 2 (crash before checkpoint commit): identical state
+    sink(b2, 2)
+    flags2 = {r["doc_id"]: r["dup_of"]
+              for r in spark.read.parquet(flg_p).collect()}
+    assert flags2 == flags
+    assert spark.read.parquet(cor_p).count() == 12
+    # index holds signatures for every ACCEPTED doc (10 + 101 + 201)
+    assert (spark.read.parquet(idx_p).select("id").distinct().count()
+            == 12)
+    # params sidecar written once at the index root
+    assert os.path.exists(os.path.join(idx_p, "_minhash_params.json"))
+
+
+def test_stream_dedup_sink_param_mismatch_errors(spark, tmp_path):
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    idx_p = str(tmp_path / "idx2")
+    sink = stream_dedup_sink(idx_p, str(tmp_path / "c2"),
+                             str(tmp_path / "f2"))
+    df = spark.createDataFrame(
+        [(1, "some document text for the stream here")],
+        "doc_id long, text string")
+    sink(df, 0)
+    other = stream_dedup_sink(idx_p, str(tmp_path / "c2"),
+                              str(tmp_path / "f2"), num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="signed with"):
+        other(spark.createDataFrame(
+            [(2, "more text that will never get probed safely")],
+            "doc_id long, text string"), 1)

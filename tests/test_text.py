@@ -166,3 +166,28 @@ def test_stratum_quantiles_match_numpy(spark):
         for q in (0.25, 0.5, 0.75, 0.95):
             want = round(float(np.quantile(vals, q)), 6)  # type-7 linear
             assert abs(out[(lang, q)] - want) < 1e-7, (lang, q)
+
+
+def test_pack_chunks_auto_groups_bound_partition_size(spark):
+    from metrique_spark.functions.text import pack_chunks
+
+    # n_groups=None derives the group count from the chunk count, so the
+    # per-window partition stays bounded as input grows
+    chunks = spark.createDataFrame(
+        [(i, 0, "w " * 10, 10) for i in range(1000)],
+        "doc_id long, chunk_idx int, chunk_text string, n_tokens int")
+    out = pack_chunks(chunks, budget=64, target_group_rows=100)
+    sizes = [r["c"] for r in out.groupBy("pack_group")
+             .agg(F.count("*").alias("c")).collect()]
+    # ceil(1000/100) = 10 -> min-32 floor kicks in: 32 groups
+    assert len(sizes) == 32
+    assert max(sizes) <= 2 * (1000 // 32 + 1)
+    # doubling the corpus doubles groups (auto), not group size
+    chunks2 = spark.createDataFrame(
+        [(i, 0, "w " * 10, 10) for i in range(10_000)],
+        "doc_id long, chunk_idx int, chunk_text string, n_tokens int")
+    out2 = pack_chunks(chunks2, budget=64, target_group_rows=100)
+    sizes2 = [r["c"] for r in out2.groupBy("pack_group")
+              .agg(F.count("*").alias("c")).collect()]
+    assert len(sizes2) == 100
+    assert max(sizes2) <= 2 * (10_000 // 100 + 1)
