@@ -123,7 +123,13 @@ def main() -> None:
             # release dead checkpoint/persist blocks from earlier queries
             # OUTSIDE the timer — otherwise the first heavy query after a
             # long session pays a one-time ~15s synchronous cleanup
-            # (measured on dedup_components; standard bench hygiene)
+            # (measured on dedup_components; standard bench hygiene).
+            # clearCache first: persist() registers plans in the SQL
+            # CacheManager, which holds strong refs GC can never collect —
+            # without it every cache-owning query leaves blocks behind for
+            # the whole session AND slows later plan compilation (the
+            # cache-reuse lookup walks all cached plans)
+            spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

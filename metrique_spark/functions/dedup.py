@@ -136,21 +136,27 @@ def jaccard_pairs(
     ``persist_shingles``: materialize the shingle table (MEMORY_AND_DISK)
     when the returned pairs feed multiple actions. Off by default —
     measured neutral for a single-action pipeline (exchange reuse already
-    dedupes the self-join subtree, and the broadcast size-join builds are
-    cheap next to the persist's materialization cost).
+    dedupes the self-join subtree).
+
+    Set sizes ride the inverted index: each exploded (id, tok) row
+    carries its doc's distinct-shingle count, so the pair aggregation
+    produces intersection AND both union terms in one pass — one int per
+    index row through the shuffle. The alternative (join pair ids back
+    to a per-doc size table) either broadcasts one row PER DOCUMENT —
+    a multi-GB broadcast at 1B docs, a hard scale wall — or adds two
+    more shuffles, and re-runs tokenization once per join build.
     """
     sh = shingle_table(df, id_col, text_col, n).withColumn("sz", F.size("sh"))
     if persist_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.select("id", "sz")
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it below the repartition exchange, where
     # it re-runs the whole tokenize+shingle expression inside the
     # single-task scan stage (measured 5s of 6 at sf0.1). explode_outer
     # infers nothing; dropping the null slot afterwards is identical.
-    inv = (sh.select("id", F.explode_outer("sh").alias("tok"))
+    inv = (sh.select("id", "sz", F.explode_outer("sh").alias("tok"))
            .where(F.col("tok").isNotNull()))
     if max_doc_freq is not None:
         freq = inv.groupBy("tok").agg(F.count("*").alias("__df"))
@@ -162,14 +168,12 @@ def jaccard_pairs(
         .join(inv.alias("b"), (F.col("a.tok") == F.col("b.tok"))
               & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter"),
+             F.min("a.sz").alias("sz_a"),   # constant within the group
+             F.min("b.sz").alias("sz_b"))
     )
     out = (
-        pairs.join(F.broadcast(sizes.withColumnRenamed("id", "id_a")
-                               .withColumnRenamed("sz", "sz_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b")
-                          .withColumnRenamed("sz", "sz_b")), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )

@@ -169,17 +169,18 @@ def test_connected_components_string_ids_distributed(spark):
     assert got_dist == expected
 
 
-def test_connected_components_max_iter_raises(spark):
-    """exhausting max_iter before the fixpoint must raise, not silently
-    return partially-propagated labels (chain diameter 3 > 1 round)."""
-    import pytest
-
+def test_connected_components_max_iter_escalates_exactly(spark):
+    """exhausting max_iter before the fixpoint must never return
+    partially-propagated labels: the loop escalates to alternating
+    large-star/small-star and still yields exact components (chain
+    diameter 3 > 1 round)."""
     from metrique_spark.functions.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1, driver_edge_threshold=0)
+    out = connected_components(pairs, max_iter=1, driver_edge_threshold=0)
+    assert {(r["id"], r["component"]) for r in out.collect()} == {
+        (1, 1), (2, 1), (3, 1), (4, 1)}
 
 
 def test_canonical_docs_decisions(spark):
