@@ -949,6 +949,36 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    n_rows=n)
 
 
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """majority-vote kNN classification: odd vec_ids predicted from the 5
+    nearest even-vec_id labeled neighbors (exact mode so the brute-force
+    SQL oracle is a value check) — the standard embedding-quality eval."""
+    _utc(spark)
+    from metrique_spark.functions.similarity import knn_classify
+    from metrique_spark.sources.files import parquet_row_count
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 200)
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    return knn_classify(queries, corpus, k=5, nlist=4, nprobe=4, n_rows=n) \
+        .select("query_id", F.col("pred_label").cast("long").alias("pred_label"),
+                "votes")
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram log-probability
+    under the corpus's own unigram LM — the quality signal that separates
+    fluent text from token soup; two map-side-combinable shuffles."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    out = text.unigram_logprob_scores(d)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "mean_logprob")
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-duplicate pairs (exact, ≥ 0.45) through the
     SCALE path: IVF-bucketed candidate generation + per-bucket BLAS verify
@@ -1139,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_quantiles": text_quality_quantiles,
         "sample_mix_corpus_skew": sample_mix_corpus_skew,
         "text_quality_quantiles_skew": text_quality_quantiles_skew,
+        "sim_knn_classify": sim_knn_classify,
+        "text_unigram_logprob": text_unigram_logprob,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1833,6 +1865,49 @@ def oracle_sql() -> dict[str, str]:
     FROM targets t
     JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
     JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
+""",
+        "sim_knn_classify": """
+            WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
+                       FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),
+            r AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS rv,
+                         label
+                  FROM embeddings WHERE vec_id % 2 = 0),
+            scored AS (
+                SELECT query_id, neighbor_id, label,
+                       round(list_dot_product(lv, rv)
+                             / (sqrt(list_dot_product(lv, lv))
+                                * sqrt(list_dot_product(rv, rv))), 4) AS sim
+                FROM l, r
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored
+            ), votes AS (
+                SELECT query_id, label, count(*) AS votes
+                FROM ranked WHERE rk <= 5 GROUP BY query_id, label
+            ), best AS (
+                SELECT query_id, label, votes,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, label) AS vr
+                FROM votes
+            )
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(votes AS BIGINT) AS votes
+            FROM best WHERE vr = 1
+        """,
+        "text_unigram_logprob": r"""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[^\W_]+')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+    total AS (SELECT sum(c) AS n FROM freq),
+    logp AS (SELECT token, ln(c) - ln((SELECT n FROM total)) AS lp FROM freq)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS mean_logprob
+    FROM occ JOIN logp USING (token)
+    GROUP BY doc_id
 """,
         "sample_mix_corpus_skew": r"""
     WITH src AS (

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "text_quality_quantiles",
     "text_quality_quantiles_skew",
     "text_token_frequencies",
+    "text_unigram_logprob",
+    "sim_knn_classify",
     "dedup_minhash_pairs",
     "dedup_incremental",
     "dedup_substring_windows",

@@ -668,3 +668,45 @@ def ivf_knn_join(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    nlist: int | None = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Majority-vote k-NN classification over an embedding column — the
+    standard label-propagation / embedding-quality eval (predict each
+    query's label from its k nearest labeled neighbors). Returns
+    ``(query_id, pred_label, votes)``; ties break toward the smallest
+    label for determinism. Exact when ``nprobe >= nlist``; otherwise
+    recall follows the probe ratio.
+
+    Pure composition: neighbors from ``ivf_knn_join`` (both sides large,
+    bucketed, no broadcast of either table), labels joined on the
+    neighbor id, then a per-query majority via one map-side-combinable
+    count aggregate + a min-of-struct argmax — no window over the
+    candidate stream."""
+    nn = ivf_knn_join(queries, corpus, k=k, nlist=nlist, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col, n_rows=n_rows)
+    labels = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(label_col).alias("__lbl"))
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(F.count("*").alias("votes"))
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(F.min(F.struct((-F.col("votes")).alias("nv"),
+                            F.col("__lbl").alias("l"))).alias("m"))
+        .select("query_id",
+                F.col("m.l").alias("pred_label"),
+                (-F.col("m.nv")).cast("long").alias("votes"))
+    )

@@ -459,3 +459,43 @@ def stratum_quantiles(
         ),
         ranked,
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the perplexity-proxy quality signal of CCNet-style
+    filtering (public technique: Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"; a full KenLM
+    is out of scope, but the unigram score already separates fluent text
+    from token soup and is fully SQL-expressible, hence oracle-checkable).
+    Returns ``(id_col, n_tokens, mean_logprob)`` for docs with ≥1 token;
+    higher (closer to 0) = more typical of the corpus.
+
+    Scale shape: one token-frequency aggregate (map-side combined — the
+    stop-word skew collapses per map partition), then the exploded
+    (doc, token) stream joins token→logprob and re-aggregates per doc.
+    Both shuffles are keyed on token/doc with partial aggregation; the
+    frequency table is NOT broadcast (a 100 TB corpus has a billion-type
+    vocabulary — it shuffles like any fact-fact join, and AQE broadcasts
+    it when it is actually small). Every token is in-vocabulary by
+    construction (the LM is self-trained), so no smoothing term touches
+    the score."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    occ = (src.select("id", F.explode_outer(tokens("__t")).alias("token"))
+           .where(F.col("token").isNotNull()))
+    freq = occ.groupBy("token").agg(F.count("*").alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__n"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "token", (F.log(F.col("__c")) - F.log(F.col("__n"))).alias("__lp"))
+    return (
+        occ.join(logp, "token")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("__lp"), decimals).alias("mean_logprob"))
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )

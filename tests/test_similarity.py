@@ -385,3 +385,23 @@ def test_ivf_index_append_and_search(spark, tmp_path):
     bucket_dirs = [d for d in os.listdir(path + "/vectors")
                    if d.startswith("bucket=")]
     assert len(bucket_dirs) == 4
+
+
+def test_knn_classify_majority_and_ties(spark):
+    # 4 corpus vectors in two tight clusters with labels; query sits in
+    # cluster A -> majority label A; tie case breaks to smallest label
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7), (2, [0.99, 0.1, 0.0], 7),
+        (4, [0.0, 1.0, 0.0], 3), (6, [0.1, 0.99, 0.0], 3),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame(
+        [(1, [0.95, 0.05, 0.0]), (3, [0.5, 0.5, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["query_id"]: (r["pred_label"], r["votes"])
+           for r in sim.knn_classify(q, corpus, k=2, nlist=2, nprobe=2)
+           .collect()}
+    assert out[1] == (7, 2)        # both nearest are label 7
+    assert out[3][0] == 3          # 1-1 tie between 7 and 3 -> smaller label
+    assert out[3][1] == 1

@@ -191,3 +191,22 @@ def test_pack_chunks_auto_groups_bound_partition_size(spark):
               .agg(F.count("*").alias("c")).collect()]
     assert len(sizes2) == 100
     assert max(sizes2) <= 2 * (10_000 // 100 + 1)
+
+
+def test_unigram_logprob_scores_exact(spark):
+    import math
+
+    from metrique_spark.functions.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in unigram_logprob_scores(df).collect()}
+    # corpus counts: a=2, b=2, c=1, total=5
+    lp = {t: math.log(c / 5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[1] == (3, round((2 * lp["a"] + lp["b"]) / 3, 4))
+    assert out[2] == (2, round((lp["b"] + lp["c"]) / 2, 4))
+    assert 3 not in out    # empty doc emits nothing
+    # the common-word doc scores higher (closer to 0) than the rare-word doc
+    assert out[1][1] > out[2][1]
