@@ -979,6 +979,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mean_logprob")
 
 
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact-substring removal (the application of the window
+    fingerprints): every 16-token span also present in a smaller-id doc
+    is cut from the token stream; the first occurrence survives verbatim.
+    Overlapping spans merge via gaps-and-islands before cutting."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, window=16)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-duplicate pairs (exact, ≥ 0.45) through the
     SCALE path: IVF-bucketed candidate generation + per-bucket BLAS verify
@@ -1171,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_quantiles_skew": text_quality_quantiles_skew,
         "sim_knn_classify": sim_knn_classify,
         "text_unigram_logprob": text_unigram_logprob,
+        "dedup_remove_spans": dedup_remove_spans,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1908,6 +1919,55 @@ def oracle_sql() -> dict[str, str]:
            round(avg(lp), 4) AS mean_logprob
     FROM occ JOIN logp USING (token)
     GROUP BY doc_id
+""",
+        "dedup_remove_spans": r"""
+    WITH t AS (
+        SELECT doc_id,
+               coalesce(regexp_extract_all(lower(text), '[^\W_]+'),
+                        []) AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 15)) AS s
+        FROM t WHERE len(toks) >= 16
+    ),
+    sp AS (
+        SELECT doc_id, s, md5(array_to_string(toks[s+1:s+16], ' ')) AS h
+        FROM g
+    ),
+    own AS (SELECT h, min(doc_id) AS owner FROM sp GROUP BY h),
+    dup AS (SELECT doc_id, s FROM sp JOIN own USING (h) WHERE owner < doc_id),
+    i0 AS (
+        SELECT doc_id, s,
+               max(s + 16) OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pme
+        FROM dup
+    ),
+    i1 AS (SELECT doc_id, s,
+                  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+           FROM i0),
+    i2 AS (SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s)
+                  AS isl
+           FROM i1),
+    isl AS (SELECT doc_id, min(s) AS st, max(s) + 16 AS en
+            FROM i2 GROUP BY doc_id, isl),
+    agg AS (SELECT doc_id, list(struct_pack(st := st, en := en)) AS islands
+            FROM isl GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+               list_transform(
+                   list_filter(range(0, len(toks)),
+                       p -> len(list_filter(coalesce(islands, []),
+                                i -> p >= i.st AND p < i.en)) = 0),
+                   p -> toks[p + 1]),
+               ' '), '') AS clean_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(list_filter(range(0, len(toks)),
+                       p -> len(list_filter(coalesce(islands, []),
+                                i -> p >= i.st AND p < i.en)) = 0)) AS BIGINT)
+               AS n_removed_tokens
+    FROM t LEFT JOIN agg USING (doc_id)
 """,
         "sample_mix_corpus_skew": r"""
     WITH src AS (

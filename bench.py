@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_incremental",
     "dedup_substring_windows",
+    "dedup_remove_spans",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_knn_join",

@@ -1025,3 +1025,100 @@ def decontaminate(
                 "max_containment")
         .distinct()
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """Exact-substring DEDUP REMOVAL — the application step of the
+    ``duplicate_window_stats`` fingerprints (Lee et al. 2021: delete
+    repeated substrings from the corpus, keeping one copy): every
+    ``window``-token span that also occurs in a SMALLER-id document is
+    cut from this document's token stream, so the first (minimum-id)
+    occurrence survives verbatim and later ones lose exactly the shared
+    spans. Returns ``(id_col, clean_text, n_tokens, n_removed_tokens)``
+    over the canonical token stream (lowercased, punctuation-split — the
+    standard implementations also operate post-tokenization, not on raw
+    bytes).
+
+    Scale shape: stride-1 fingerprints are O(tokens) slim (id, start,
+    md5) rows; ownership is one map-side-combinable min-aggregate on the
+    hash; duplicated starts per doc collapse into covered INTERVALS via
+    a gaps-and-islands window (partitioned by doc — a doc's spans are
+    bounded by its own length, so no skew), and the final cut is a pure
+    column expression: filter the token-position sequence against the
+    islands array. No doc's text is ever joined against another doc's
+    text; everything meets on 32-hex hashes."""
+    from pyspark.sql import Window
+
+    src = spread_small_scan(df.select(F.col(id_col).alias("id"),
+                                      F.col(text_col).alias("__text")))
+    # null text → empty token array: keeps every doc in the output with
+    # clean_text '' / n_tokens 0 (and keeps the position sequence below
+    # from underflowing into a DESCENDING range on size 0)
+    t = src.select("id", F.coalesce(
+        tokens("__text"),
+        F.expr("array()").cast("array<string>")).alias("__toks"))
+    starts = F.when(
+        F.size("__toks") >= window,
+        F.sequence(F.lit(0), F.size("__toks") - window),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    # (start, hash) structs built INSIDE transform, then exploded — the
+    # token array is never duplicated per span row and no self-join is
+    # needed to slice it (explode_outer + null-drop: the usual
+    # InferFiltersFromGenerate guard, see jaccard_pairs)
+    span_structs = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("s"),
+            F.md5(F.array_join(F.slice("__toks", i + 1, window), " "))
+            .alias("h")))
+    spans = (
+        t.select("id", F.explode_outer(span_structs).alias("x"))
+        .where(F.col("x").isNotNull())
+        .select("id", F.col("x.s").alias("s"), F.col("x.h").alias("h"))
+    )
+    owner = spans.groupBy("h").agg(F.min("id").alias("__own"))
+    dup = (spans.join(owner, "h")
+           .where(F.col("__own") < F.col("id"))
+           .select("id", "s"))
+    w_ord = Window.partitionBy("id").orderBy("s")
+    prev_end = F.max(F.col("s") + window).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        dup.withColumn("__ni", F.when(
+            prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0))
+        .withColumn("__isl", F.sum("__ni").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "__isl")
+        .agg(F.min("s").alias("st"), (F.max("s") + window).alias("en"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("st", "en")))
+             .alias("__islands"))
+    )
+    cut = (
+        t.join(isl, "id", "left")
+        .withColumn("__islands", F.coalesce(
+            "__islands",
+            F.expr("array()").cast("array<struct<st:int,en:long>>")))
+        .withColumn("__keep", F.filter(
+            F.when(F.size("__toks") > 0,
+                   F.sequence(F.lit(0), F.size("__toks") - 1))
+            .otherwise(F.expr("array()").cast("array<int>")),
+            lambda p: ~F.exists(
+                "__islands",
+                lambda i: (p >= i["st"]) & (p < i["en"]))))
+    )
+    return cut.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform("__keep",
+                        lambda p: F.element_at("__toks", p + 1)),
+            " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size("__keep")).cast("long")
+        .alias("n_removed_tokens"),
+    )

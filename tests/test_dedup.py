@@ -416,3 +416,37 @@ def test_star_components_string_ids_and_multiple_components(spark):
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x", "m": "m", "n": "m"}
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    # doc 1 owns the span; doc 2 repeats it inside other text; doc 3 is
+    # clean. window=4 over the token stream.
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, f"{shared} more words here"),
+         (2, f"intro words {shared} tail content words"),
+         (3, "totally unrelated text with enough tokens")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, window=4).collect()}
+    # owner keeps its full (canonical-token) text
+    assert out[1]["clean_text"] == "alpha beta gamma delta more words here"
+    assert out[1]["n_removed_tokens"] == 0
+    # the repeater loses exactly the shared 4-token span
+    assert out[2]["clean_text"] == "intro words tail content words"
+    assert out[2]["n_removed_tokens"] == 4
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[3]["clean_text"] == "totally unrelated text with enough tokens"
+
+
+def test_remove_duplicate_spans_merges_overlaps(spark):
+    # two overlapping duplicated windows in doc 2 must merge into ONE
+    # covered island, not double-count removals
+    a = "one two three four five"         # doc1 owns w=4 spans at 0 and 1
+    df = spark.createDataFrame(
+        [(1, a), (2, f"start {a} end")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, window=4).collect()}
+    assert out[2]["clean_text"] == "start end"
+    assert out[2]["n_removed_tokens"] == 5   # merged [0,4)+[1,5) -> 5 tokens
