@@ -151,9 +151,13 @@ def test_shingle_expression_not_duplicated_below_exchange(spark):
             q._jdf.queryExecution(), "extended")
         physical = p.split("== Physical Plan ==")[-1]
         # one tokenize per distinct document input in the physical plan:
-        # inv has 1 input; jaccard 1; containment 2 (holdout + train)
+        # inv has 1 input; jaccard 1; containment 2 (holdout + train).
+        # the tokenizer is now split-based — count its marker (and keep
+        # the old regexp marker at zero so a revert is also caught)
         n_inputs = physical.count("FileScan")
-        assert physical.count("regexp_extract_all") <= n_inputs
+        n_tok = physical.count("split(lower") + physical.count(
+            "regexp_extract_all")
+        assert 1 <= n_tok <= n_inputs, (n_tok, n_inputs)
 
 
 def test_knn_join_no_cartesian_no_table_broadcast(spark):
