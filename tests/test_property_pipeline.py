@@ -167,3 +167,71 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed, direction):
                     (None if pd.isna(r.val) else r.val)
                     for r in exp.itertuples()}
         assert got == expected, f"{direction} tol={tol_str}"
+
+
+@pytest.mark.parametrize("seed", [2, 13, 99])
+def test_mix_corpus_matches_naive_oracle(spark, seed):
+    """Randomized strata/weights: mix_corpus must equal the brute-force
+    selection (largest feasible N, per-stratum quota = floor(w*N), top
+    quota rows by (md5-prefix, key)) — exercising the distributed
+    hash-range ranking end to end."""
+    from metrique_spark.functions import sampling
+
+    rng = random.Random(seed)
+    langs = ["en", "de", "fr"]
+    rows = [(i, rng.choice(langs)) for i in range(rng.randrange(200, 500))]
+    # random weights summing to 1
+    raw_w = [rng.random() + 0.1 for _ in langs]
+    weights = {l: w / sum(raw_w) for l, w in zip(langs, raw_w)}
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    total = min(counts[s] / w for s, w in weights.items())
+    quotas = {s: int(w * total) for s, w in weights.items()}
+
+    def hb(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+
+    want = set()
+    for lang in langs:
+        ids = [i for i, l in rows if l == lang]
+        want.update(sorted(ids, key=lambda i: (hb(i), i))[:quotas[lang]])
+
+    got = {r["doc_id"] for r in
+           sampling.mix_corpus(df, "lang", weights, key_col="doc_id")
+           .collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+def test_ranked_within_strata_random_values(spark, seed):
+    """Random (stratum, value) rows with ties: ranks from the
+    range-partitioned helper must be a valid dense 1..n assignment per
+    stratum whose value order matches a driver sort (ties may permute
+    within equal values — any rank maps to a correctly-sorted value)."""
+    from collections import defaultdict
+
+    from metrique_spark.functions import sampling
+
+    rng = random.Random(seed)
+    rows = [(i, rng.choice("ab"), rng.randrange(10))
+            for i in range(rng.randrange(100, 300))]
+    df = spark.createDataFrame(rows, "k long, s string, v long")
+    ranked = sampling.ranked_within_strata(
+        df, "s", [F.col("v"), F.col("k")], rank_col="r", n_partitions=6)
+    got = defaultdict(dict)
+    for r in ranked.collect():
+        got[r["s"]][r["r"]] = (r["v"], r["k"])
+    from metrique_spark.functions import cache
+
+    cache.release(ranked)
+    by = defaultdict(list)
+    for k, s, v in rows:
+        by[s].append((v, k))
+    for s, vals in by.items():
+        want = sorted(vals)
+        assert sorted(got[s]) == list(range(1, len(want) + 1))
+        for rk, vk in got[s].items():
+            assert vk == want[rk - 1]   # (v, k) unique -> exact position
