@@ -243,3 +243,17 @@ def test_curation_windows_never_partition_by_stratum_alone(spark, name):
     for line in p.splitlines():
         if "windowspecdefinition(" in line:
             assert "__pid" in line, line
+
+
+@pytest.mark.parametrize("name,max_ex", [
+    ("dedup_remove_spans", 5),
+    ("sim_knn_classify", 6),
+    ("text_unigram_logprob", 4),
+])
+def test_round5_entries_bounded_no_cartesian(spark, name, max_ex):
+    """New round-5 operators: no cartesian products, bounded exchange
+    count (hash/owner joins may legitimately be AQE-broadcast at gate
+    scale and sort-merge at 100 TB — neither is a cartesian)."""
+    p = _plan(spark, name)
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= max_ex, audit.count_exchanges(p)
