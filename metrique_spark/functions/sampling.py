@@ -179,9 +179,15 @@ def ranked_within_strata(
     samples boundaries per execution, so the offsets collect and the
     final rank job must see the SAME partitioning. The caller owns the
     block — the result is ``cache``-tracked; ``release()`` it after
-    materializing. Rows tied on ``order_cols`` get arbitrary-but-
-    consistent distinct ranks (range partitioning may split ties across
-    partitions; every rank still maps to a correctly-sorted value)."""
+    materializing. On a multi-executor cluster, note that a LOST cached
+    block recomputes through a fresh boundary-sampling pass — if
+    executor loss is in play, write the ranged intermediate to reliable
+    storage first, or use ``hash_ranked_within_strata`` (content-hash
+    partition ids, fully deterministic, no persist) whenever the order
+    key is the md5 bucket. Rows tied on ``order_cols`` get arbitrary-
+    but-consistent distinct ranks (range partitioning may split ties
+    across partitions; every rank still maps to a correctly-sorted
+    value)."""
     from pyspark import StorageLevel
 
     from metrique_spark.functions.cache import track

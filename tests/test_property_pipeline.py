@@ -235,3 +235,18 @@ def test_ranked_within_strata_random_values(spark, seed):
         assert sorted(got[s]) == list(range(1, len(want) + 1))
         for rk, vk in got[s].items():
             assert vk == want[rk - 1]   # (v, k) unique -> exact position
+
+
+@pytest.mark.parametrize("seed", [1, 42])
+def test_star_components_match_naive_oracle(spark, seed):
+    """The alternating large-star/small-star escalation must agree with
+    the naive oracle on arbitrary random graphs (max_iter=0 forces it)."""
+    from metrique_spark.functions.dedup import connected_components
+
+    raw = [(a, b) for a, b in _random_pairs(seed) if a != b]
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    expected = _naive_components(raw)
+    got = {r["id"]: r["component"]
+           for r in connected_components(
+               pairs, max_iter=0, driver_edge_threshold=0).collect()}
+    assert got == expected
