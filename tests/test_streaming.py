@@ -400,3 +400,50 @@ def test_stream_dedup_sink_param_mismatch_errors(spark, tmp_path):
         other(spark.createDataFrame(
             [(2, "more text that will never get probed safely")],
             "doc_id long, text string"), 1)
+
+
+def test_stream_dedup_sink_end_to_end_filestream(spark, tmp_path):
+    """Real Structured Streaming wiring: a file-source stream drives
+    stream_dedup_sink through foreachBatch with availableNow triggers and
+    one checkpoint across a stop/restart — new files dedup against
+    everything accepted before them."""
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    idx_p, cor_p, flg_p = (str(tmp_path / d) for d in ("i", "c", "f"))
+    ck = str(tmp_path / "ck")
+    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8)
+    base = "the quick brown fox jumps over the lazy dog once more today"
+
+    def run_stream():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(str(src)))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    import shutil
+
+    def land(rows, name):
+        tmp = tmp_path / ("stage_" + name)
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.parquet(str(tmp))
+        shutil.copy(next(tmp.glob("*.parquet")), src / name)
+
+    land([(i, f"{base} variant {i}") for i in range(8)], "f1.parquet")
+    run_stream()
+    assert spark.read.parquet(cor_p).count() == 8
+
+    # second file lands AFTER the first query stopped; the restarted
+    # query resumes from the checkpoint and sees only the new file
+    land([(100, f"{base} variant 5"),     # near-dup of accepted doc 5
+          (101, "entirely different material about query planners")],
+         "f2.parquet")
+    run_stream()
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in spark.read.parquet(flg_p).collect()}
+    assert flags == {100: 5}
+    assert spark.read.parquet(cor_p).count() == 9
+    assert spark.read.parquet(idx_p).select("id").distinct().count() == 9
