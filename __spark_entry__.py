@@ -984,6 +984,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mean_logprob")
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnowing fingerprints (Schleimer et al. 2003 / MOSS): min hash of
+    each window of consecutive 5-gram hashes — guarantees any >=8-token
+    match between docs shares a fingerprint, at ~2/(w+1) density."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.winnowed_fingerprints(d, k=5, window=4)
+
+
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring removal (the application of the window
     fingerprints): every 16-token span also present in a smaller-id doc
@@ -1187,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_classify": sim_knn_classify,
         "text_unigram_logprob": text_unigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1924,6 +1936,29 @@ def oracle_sql() -> dict[str, str]:
            round(avg(lp), 4) AS mean_logprob
     FROM occ JOIN logp USING (token)
     GROUP BY doc_id
+""",
+        "text_winnow_fingerprints": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) - 4 >= 1 THEN
+                   list_transform(range(0, len(toks) - 4),
+                       i -> md5(array_to_string(toks[i+1:i+5], ' ')))
+               ELSE [] END AS hs
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) - 3 >= 1 THEN
+                   list_transform(range(0, len(hs) - 3),
+                       j -> list_aggregate(hs[j+1:j+4], 'min'))
+               ELSE hs END AS fps
+        FROM h
+    )
+    SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM f
 """,
         "dedup_remove_spans": r"""
     WITH t AS (

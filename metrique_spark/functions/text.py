@@ -499,3 +499,49 @@ def unigram_logprob_scores(
              F.round(F.avg("__lp"), decimals).alias("mean_logprob"))
         .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (public technique: Schleimer,
+    Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS scheme): hash every ``k``-gram of the
+    token stream, then keep the MINIMUM hash of each ``window`` of
+    consecutive k-gram hashes. The selected set is a ~2/(window+1)
+    density sample with the winnowing guarantee: any match of at least
+    ``window + k - 1`` tokens between two documents shares at least one
+    selected fingerprint — unlike fixed-stride sampling, which can
+    misalign and miss. Returns one row per distinct (doc, fingerprint);
+    group by ``fp`` for the inverted index that finds partial overlaps.
+
+    Everything is a column expression over the token array (k-gram
+    md5s and per-window minima inside ``transform`` — no explode until
+    the final distinct), so cost rides the token count, all codegen."""
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("__t"))
+    t = src.select("id", tokens("__t").alias("__toks"))
+    n_grams = F.size("__toks") - (k - 1)
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " "))),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    h = t.select("id", hs.alias("__hs"))
+    n_win = F.size("__hs") - (window - 1)
+    fps = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda j: F.array_min(F.slice("__hs", j + 1, window))),
+    ).otherwise(F.col("__hs"))  # short docs: every k-gram hash survives
+    return (
+        h.select("id", F.explode_outer(F.array_distinct(fps)).alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .select(F.col("id").alias(id_col), "fp")
+    )

@@ -210,3 +210,25 @@ def test_unigram_logprob_scores_exact(spark):
     assert 3 not in out    # empty doc emits nothing
     # the common-word doc scores higher (closer to 0) than the rare-word doc
     assert out[1][1] > out[2][1]
+
+
+def test_winnowing_guarantee(spark):
+    """Any match of >= window + k - 1 tokens must share at least one
+    selected fingerprint (the winnowing theorem) — checked on two docs
+    sharing an 8-token run (k=5, w=4), plus a short-doc edge case."""
+    from metrique_spark.functions.text import winnowed_fingerprints
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{shared} tail words here apply"),
+         (2, f"lead tokens go first {shared}"),
+         (3, "tiny doc"),                      # < k tokens: no k-grams
+         (4, "exactly five tokens right here now")],  # k-grams, < w windows
+        "doc_id long, text string")
+    out = winnowed_fingerprints(df, k=5, window=4)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[2]          # guaranteed shared fingerprint
+    assert 3 not in by            # no k-gram -> no fingerprints
+    assert by[4]                  # short doc keeps its k-gram hashes
