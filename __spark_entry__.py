@@ -995,6 +995,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowed_fingerprints(d, k=5, window=4)
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel conversion view -> click -> purchase: users whose first
+    click follows their first view, and first purchase follows that
+    click — every stage a per-user min aggregate joined on the user id,
+    no per-user ordered replay."""
+    _utc(spark)
+    from metrique_spark.streaming.events import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, steps=("view", "click", "purchase"))
+
+
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring removal (the application of the window
     fingerprints): every 16-token span also present in a smaller-id doc
@@ -1199,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
+        "events_funnel": events_funnel,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1936,6 +1949,30 @@ def oracle_sql() -> dict[str, str]:
            round(avg(lp), 4) AS mean_logprob
     FROM occ JOIN logp USING (token)
     GROUP BY doc_id
+""",
+        "events_funnel": """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, 1 AS step_idx,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM s3
 """,
         "text_winnow_fingerprints": r"""
     WITH t AS (

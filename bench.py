@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "mm_frame_samples",
     "events_daily_rollup",
+    "events_funnel",
 ]
 
 

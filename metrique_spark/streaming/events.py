@@ -291,3 +291,46 @@ def correlate_events(
         (F.col("b_ts").cast("double") - F.col("a_ts").cast("double"))
         .cast("long").alias("gap_seconds"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion: how many users performed step 1, then step 2
+    STRICTLY AFTER their first step 1, then step 3 after that, … (each
+    stage anchored at the user's earliest qualifying timestamp — the
+    standard product-analytics funnel). Returns one row per step:
+    ``(step, step_idx, n_users)``, counts monotonically non-increasing.
+
+    Scale shape: stage i is a per-user min-timestamp aggregate of the
+    events filtered to step i joined against stage i-1's anchor — every
+    aggregate and join keys on the user id, so all |steps| passes share
+    one partitioning (map-side-combined min, no window over a user's
+    full event list, no ordered collect). The per-stage outputs are one
+    slim (user, ts) row per converting user."""
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("timestamp").alias("t"),
+                       F.col(type_col).alias("et"))
+    stage = (ev.where(F.col("et") == steps[0])
+             .groupBy("u").agg(F.min("t").alias("t")))
+    stages = [stage]
+    for step in steps[1:]:
+        nxt = (ev.where(F.col("et") == step)
+               .withColumnRenamed("t", "t2")
+               .join(stage, "u")
+               .where(F.col("t2") > F.col("t"))
+               .groupBy("u").agg(F.min("t2").alias("t")))
+        stages.append(nxt)
+        stage = nxt
+    out = None
+    for i, (step, s) in enumerate(zip(steps, stages), start=1):
+        row = s.agg(
+            F.lit(step).alias("step"),
+            F.lit(i).alias("step_idx"),
+            F.count("*").cast("long").alias("n_users"))
+        out = row if out is None else out.unionByName(row)
+    return out

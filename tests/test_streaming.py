@@ -447,3 +447,32 @@ def test_stream_dedup_sink_end_to_end_filestream(spark, tmp_path):
     assert flags == {100: 5}
     assert spark.read.parquet(cor_p).count() == 9
     assert spark.read.parquet(idx_p).select("id").distinct().count() == 9
+
+
+def test_funnel_strict_ordering(spark):
+    import datetime as dt
+
+    from metrique_spark.streaming.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, t_off, et):
+        return (i, base + dt.timedelta(minutes=t_off), u, et, 1.0, "")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 9, "purchase"),
+        # user 2: purchase BEFORE click -> converts only 2 stages
+        ev(4, 2, 0, "view"), ev(5, 2, 3, "purchase"), ev(6, 2, 7, "click"),
+        # user 3: click before any view -> only stage 1 (its later view
+        # has no subsequent click)
+        ev(7, 3, 0, "click"), ev(8, 3, 2, "view"),
+        # user 4: never viewed
+        ev(9, 4, 1, "click"), ev(10, 4, 2, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["step"]: (r["step_idx"], r["n_users"])
+           for r in funnel(events).collect()}
+    assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
