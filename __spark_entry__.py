@@ -1007,6 +1007,28 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(e, steps=("view", "click", "purchase"))
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weekly cohort retention triangle: users bucketed by the week of
+    their first event, distinct active users per (cohort, week offset)."""
+    _utc(spark)
+    from metrique_spark.streaming.events import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e, period="week")
+
+
+def text_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-language quality-score histogram (20 fixed bins on [0,1]) —
+    the data-card distribution view; one scan-stage bin assignment +
+    one aggregation."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("lang", text.quality_score("text").alias("q"))
+    return text.value_histogram(scored, "q", stratum_col="lang", bins=20)
+
+
 def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-substring removal (the application of the window
     fingerprints): every 16-token span also present in a smaller-id doc
@@ -1212,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "text_quality_histogram": text_quality_histogram,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
@@ -1949,6 +1973,42 @@ def oracle_sql() -> dict[str, str]:
            round(avg(lp), 4) AS mean_logprob
     FROM occ JOIN logp USING (token)
     GROUP BY doc_id
+""",
+        "events_retention": """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT cohort,
+           CAST(floor((epoch(date_trunc('week', e.ts)) - epoch(cohort))
+                      / 604800) AS BIGINT) AS period_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+""",
+        "text_quality_histogram": r"""
+    WITH scored AS (
+        SELECT lang,
+               round(0.5 * (CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1))
+                     + 0.3 * least(greatest(length(text), 1) / 500.0, 1.0)
+                     + 0.2 * (1.0 - least(
+                         (CAST(length(regexp_replace(text,
+                              '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4
+                         + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(length(text), 1)) * 2, 1.0)), 4) AS q
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang AS stratum,
+               least(19, greatest(0, CAST(floor(q / 0.05) AS INTEGER)))
+                   AS bin_idx
+        FROM scored WHERE q IS NOT NULL
+    )
+    SELECT stratum, bin_idx, round(bin_idx * 0.05, 6) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1, 2
 """,
         "events_funnel": """
     WITH s1 AS (

@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "mm_frame_samples",
     "events_daily_rollup",
     "events_funnel",
+    "events_retention",
+    "text_quality_histogram",
 ]
 
 

@@ -545,3 +545,34 @@ def winnowed_fingerprints(
         .where(F.col("fp").isNotNull())
         .select(F.col("id").alias(id_col), "fp")
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str | None = None,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Fixed-bin histogram of a value column, optionally per stratum —
+    the data-card companion to ``stratum_quantiles`` (quantiles answer
+    "where are the thresholds", the histogram answers "what does the
+    distribution look like"). Bin i covers [lo + i·w, lo + (i+1)·w) with
+    w = (hi-lo)/bins; values at or beyond the edges clamp into the first/
+    last bin so mass is never silently dropped. Returns
+    ``(stratum?, bin_idx, bin_lo, n)`` — one aggregation pass, bin
+    assignment a pure scan-stage expression (map-side combinable: at
+    100 TB the shuffle carries ≤ strata·bins rows per map partition)."""
+    v = F.col(value_col).cast("double")
+    w = (hi - lo) / bins
+    idx = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(
+        (v - F.lit(lo)) / F.lit(w)).cast("int")))
+    keys = ([F.col(stratum_col).alias("stratum")] if stratum_col else []) \
+        + [idx.alias("bin_idx")]
+    out = (df.where(v.isNotNull()).groupBy(*keys)
+           .agg(F.count("*").cast("long").alias("n")))
+    return out.withColumn(
+        "bin_lo", F.round(F.lit(lo) + F.col("bin_idx") * F.lit(w), 6)
+    ).select(*(["stratum"] if stratum_col else []),
+             "bin_idx", "bin_lo", "n")

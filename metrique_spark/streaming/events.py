@@ -334,3 +334,33 @@ def funnel(
             F.count("*").cast("long").alias("n_users"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: bucket each user into the period of their FIRST
+    event (the cohort), then count how many distinct cohort members are
+    active 0, 1, 2, … periods later — the standard retention triangle.
+    Returns ``(cohort, period_offset, n_users)``.
+
+    Scale shape: one per-user min aggregate (map-side combined) for the
+    cohort assignment, one join back on the user id, one distinct-count
+    aggregate on (cohort, offset) — no window over a user's history, no
+    per-period scans."""
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("timestamp").alias("t"))
+    first = ev.groupBy("u").agg(
+        F.date_trunc(period, F.min("t")).alias("cohort"))
+    per = {"week": 7 * 86400, "day": 86400}[period]
+    return (
+        ev.join(first, "u")
+        .withColumn("period_offset", F.floor(
+            (F.unix_timestamp(F.date_trunc(period, F.col("t")))
+             - F.unix_timestamp("cohort")) / F.lit(per)).cast("long"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+    )

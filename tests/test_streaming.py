@@ -476,3 +476,27 @@ def test_funnel_strict_ordering(spark):
     got = {r["step"]: (r["step_idx"], r["n_users"])
            for r in funnel(events).collect()}
     assert got == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    from metrique_spark.streaming.events import retention_cohorts
+
+    mon = dt.datetime(2024, 1, 1)   # a Monday (week start)
+
+    def ev(i, u, days):
+        return (i, mon + dt.timedelta(days=days), u, "view", 1.0, "")
+
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 8),            # user1: week0 + week1
+        ev(3, 2, 1), ev(4, 2, 2),            # user2: twice in week0
+        ev(5, 3, 7), ev(6, 3, 21),           # user3: cohort week1, back wk3
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["cohort"], r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(events).collect()}
+    wk0, wk1 = mon, mon + dt.timedelta(days=7)
+    assert got == {(wk0, 0): 2, (wk0, 1): 1, (wk1, 0): 1, (wk1, 2): 1}

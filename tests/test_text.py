@@ -232,3 +232,20 @@ def test_winnowing_guarantee(spark):
     assert by[1] & by[2]          # guaranteed shared fingerprint
     assert 3 not in by            # no k-gram -> no fingerprints
     assert by[4]                  # short doc keeps its k-gram hashes
+
+
+def test_value_histogram_bins_and_clamping(spark):
+    from metrique_spark.functions.text import value_histogram
+
+    df = spark.createDataFrame(
+        [("a", -0.5), ("a", 0.0), ("a", 0.04), ("a", 0.96), ("a", 1.7),
+         ("b", 0.5), ("b", None)],
+        "lang string, q double")
+    got = {(r["stratum"], r["bin_idx"]): (r["bin_lo"], r["n"])
+           for r in value_histogram(df, "q", stratum_col="lang",
+                                    bins=20).collect()}
+    # -0.5 clamps to bin 0; 1.7 and 0.96 clamp/fall into bin 19; null dropped
+    assert got[("a", 0)] == (0.0, 3)
+    assert got[("a", 19)] == (0.95, 2)
+    assert got[("b", 10)] == (0.5, 1)
+    assert sum(n for _, n in got.values()) == 6
