@@ -450,3 +450,20 @@ def test_remove_duplicate_spans_merges_overlaps(spark):
            dedup.remove_duplicate_spans(df, window=4).collect()}
     assert out[2]["clean_text"] == "start end"
     assert out[2]["n_removed_tokens"] == 5   # merged [0,4)+[1,5) -> 5 tokens
+
+
+def test_jaccard_prefix_matches_plain(spark, sf_dir):
+    """Prefix filtering is EXACT (Bayardo et al. guarantee): at any
+    threshold the prefix-filtered pairs must equal the full
+    inverted-index pairs on real corpus data."""
+    from metrique_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for thr in (0.5, 0.8):
+        plain = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs(
+                     docs, threshold=thr, n=3).collect()}
+        pref = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.jaccard_pairs_prefix(
+                    docs, threshold=thr, n=3).collect()}
+        assert pref == plain, thr
