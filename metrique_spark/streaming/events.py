@@ -310,20 +310,30 @@ def funnel(
     events filtered to step i joined against stage i-1's anchor — every
     aggregate and join keys on the user id, so all |steps| passes share
     one partitioning (map-side-combined min, no window over a user's
-    full event list, no ordered collect). The per-stage outputs are one
-    slim (user, ts) row per converting user."""
+    full event list, no ordered collect). Each stage's slim (user, ts)
+    anchor table is persisted: stage i feeds BOTH stage i+1's lineage
+    and its own count row, and without the persist stage 1 would
+    recompute once per downstream stage — O(|steps|²) event scans.
+    Cache lifetime: ``functions.cache.release(result)`` after
+    materializing."""
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(ts_col).cast("timestamp").alias("t"),
                        F.col(type_col).alias("et"))
     stage = (ev.where(F.col("et") == steps[0])
-             .groupBy("u").agg(F.min("t").alias("t")))
+             .groupBy("u").agg(F.min("t").alias("t"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     stages = [stage]
     for step in steps[1:]:
         nxt = (ev.where(F.col("et") == step)
                .withColumnRenamed("t", "t2")
                .join(stage, "u")
                .where(F.col("t2") > F.col("t"))
-               .groupBy("u").agg(F.min("t2").alias("t")))
+               .groupBy("u").agg(F.min("t2").alias("t"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
         stages.append(nxt)
         stage = nxt
     out = None
@@ -333,7 +343,7 @@ def funnel(
             F.lit(i).alias("step_idx"),
             F.count("*").cast("long").alias("n_users"))
         out = row if out is None else out.unionByName(row)
-    return out
+    return track(out, *stages)
 
 
 def retention_cohorts(
