@@ -905,14 +905,21 @@ def canonical_docs(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Keep/drop decision table from near-dup pairs: every document gets a
     ``component_id`` (its near-dup cluster's min doc id; singletons get
     their own id) and ``is_canonical`` (true for the one kept doc per
-    cluster — the min id, a deterministic arbitrary choice; swap in a
-    quality-score argmax for production). This is the step that turns any
-    pair-producing dedup (jaccard/minhash/simhash/embedding) into an
-    actionable filter: ``where is_canonical`` IS the deduplicated corpus.
+    cluster). This is the step that turns any pair-producing dedup
+    (jaccard/minhash/simhash/embedding) into an actionable filter:
+    ``where is_canonical`` IS the deduplicated corpus.
+
+    The kept doc is the min id by default (deterministic arbitrary
+    choice); pass ``quality_col`` to keep each cluster's BEST-quality
+    member instead (ties → min id) — the production configuration, where
+    dedup should discard the worse copy. The quality argmax is one
+    map-side-combinable min-of-struct aggregate per component, never a
+    window over the cluster's rows.
 
     The decoration join is left to AQE: the components table only holds
     docs that appear in some pair, so it usually broadcasts — but a
@@ -920,15 +927,29 @@ def canonical_docs(
     where a forced broadcast would OOM the executors."""
     comp = connected_components(pairs, id_a, id_b).withColumnRenamed(
         "id", id_col)
-    return (
-        df.select(id_col)
+    base = (
+        df.select(id_col, *( [quality_col] if quality_col else [] ))
         .join(comp, id_col, "left")
         .select(
             id_col,
+            *( [quality_col] if quality_col else [] ),
             F.coalesce("component", F.col(id_col)).alias("component_id"),
-            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
-            .alias("is_canonical"),
         )
+    )
+    if quality_col is None:
+        return base.select(
+            id_col, "component_id",
+            (F.col("component_id") == F.col(id_col)).alias("is_canonical"))
+    best = (
+        base.groupBy("component_id")
+        .agg(F.min(F.struct((-F.col(quality_col)).alias("nq"),
+                            F.col(id_col).alias("i"))).alias("m"))
+        .select("component_id", F.col("m.i").alias("__keep"))
+    )
+    return (
+        base.join(best, "component_id")
+        .select(id_col, "component_id",
+                (F.col(id_col) == F.col("__keep")).alias("is_canonical"))
     )
 
 

@@ -467,3 +467,20 @@ def test_jaccard_prefix_matches_plain(spark, sf_dir):
                 for r in dedup.jaccard_pairs_prefix(
                     docs, threshold=thr, n=3).collect()}
         assert pref == plain, thr
+
+
+def test_canonical_docs_quality_argmax(spark):
+    from metrique_spark.functions.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in canonical_docs(
+        docs, pairs, quality_col="quality").collect()}
+    # cluster {1,2,3}: best quality 0.9 tied between 2 and 3 -> keep 2
+    assert rows[2]["is_canonical"] and not rows[1]["is_canonical"] \
+        and not rows[3]["is_canonical"]
+    assert all(rows[i]["component_id"] == 1 for i in (1, 2, 3))
+    # singletons keep themselves
+    assert rows[4]["is_canonical"] and rows[5]["is_canonical"]
