@@ -137,7 +137,7 @@ def hash_ranked_within_strata(
     out = (
         withpid.join(F.broadcast(off_df),
                      (F.col("__pid") == F.col("__opid"))
-                     & (stratum == F.col("__s")))
+                     & stratum.eqNullSafe(F.col("__s")))
         .drop("__opid", "__s")
         .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
         .drop("__off")
@@ -209,7 +209,9 @@ def ranked_within_strata(
     out = (
         ranged.join(F.broadcast(off_df),
                     (F.col("__pid") == F.col("__opid"))
-                    & (stratum == F.col("__s")))
+                    # null-safe: a NULL stratum is a legitimate group and
+                    # must not be silently dropped by the offset join
+                    & stratum.eqNullSafe(F.col("__s")))
         .drop("__opid", "__s")
         .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
         .drop("__off")

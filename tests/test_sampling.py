@@ -267,3 +267,25 @@ def test_hash_ranked_within_strata_matches_driver_sort(spark):
     assert max(per_pid) < len(by["en"])
     # sampling-free: nothing persisted, nothing to release
     assert not getattr(ranked, "_metrique_cached_intermediates", [])
+
+
+def test_ranked_within_strata_null_stratum_kept(spark):
+    # a NULL stratum is a real group: rows must rank within it, not
+    # vanish through a null-unsafe offset join
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a")],
+        "k long, s string")
+    for fn, order in [
+        (sampling.ranked_within_strata, [F.col("k")]),
+    ]:
+        ranked = fn(df, "s", order, rank_col="r", n_partitions=2)
+        got = {(r["s"], r["r"]): r["k"] for r in ranked.collect()}
+        assert got == {("a", 1): 1, ("a", 2): 4,
+                       (None, 1): 2, (None, 2): 3}
+        from metrique_spark.functions import cache
+
+        cache.release(ranked)
+    h = sampling.hash_ranked_within_strata(df, "s", "k", rank_col="r",
+                                           n_partitions=2)
+    vals = {(r["s"], r["r"]) for r in h.collect()}
+    assert len(vals) == 4 and sum(1 for s, _ in vals if s is None) == 2
