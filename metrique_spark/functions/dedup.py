@@ -32,7 +32,14 @@ from metrique_spark.functions.text import fingerprint, tokens
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of exact duplicates by canonical-token fingerprint: one row
-    per duplicated fingerprint with the sorted member ids."""
+    per duplicated fingerprint with the sorted member ids.
+
+    The member-id list is DIAGNOSTIC output (inspection/reporting): it
+    materializes one array per fingerprint, so a pathological cluster (a
+    page crawled a billion times) concentrates in one aggregation
+    buffer. The dedup DECISION path never needs the list — use
+    ``dedup_exact`` (min + semi-join, fully map-side-combinable) to drop
+    duplicates at scale."""
     return (
         df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
@@ -44,12 +51,24 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id representative per fingerprint (deterministic)."""
-    from pyspark.sql import Window
+    """Keep the lowest-id representative per fingerprint (deterministic).
 
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
-    return df.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") == 1).drop("__rn")
+    min-aggregate + semi-join rather than a per-fingerprint window: the
+    aggregate combines map-side, so a degenerate cluster (a boilerplate
+    page crawled a billion times — one fingerprint) costs shuffle volume
+    proportional to map partitions, where the window form would sort the
+    whole cluster in ONE task."""
+    keep = (
+        df.select(fingerprint(text_col).alias("__kfp"),
+                  F.col(id_col).alias("__kid"))
+        .groupBy("__kfp").agg(F.min("__kid").alias("__kid"))
+    )
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .join(keep, F.col("__fp").eqNullSafe(F.col("__kfp"))
+              & (F.col(id_col) == F.col("__kid")), "semi")
+        .drop("__fp")
+    )
 
 
 # ---------------------------------------------------------------------------
