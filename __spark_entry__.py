@@ -789,19 +789,18 @@ def sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     over md5 hex thresholds (portable, zero shuffle), the rank one
     window per shard."""
     _utc(spark)
-    from pyspark.sql import Window
-
     from metrique_spark.functions import sampling
 
     d = _t(spark, sf_dir, "documents")
-    h = sampling.hash_bucket(F.col("doc_id"))
-    w = Window.partitionBy("shard").orderBy(h, F.col("doc_id"))
-    return (
-        d.select("doc_id",
-                 sampling.shard_id(F.col("doc_id"), 8).cast("long")
-                 .alias("shard"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-    )
+    assigned = d.select(
+        "doc_id",
+        sampling.shard_id(F.col("doc_id"), 8).cast("long").alias("shard"))
+    # within-shard rank via the distributed hash-rank helper — a plain
+    # window PARTITION BY shard would sort corpus/8 rows in one task
+    ranked = sampling.hash_ranked_within_strata(
+        assigned, "shard", "doc_id", rank_col="rank")
+    return ranked.select("doc_id", "shard",
+                         F.col("rank").cast("long").alias("rank"))
 
 
 def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
