@@ -257,3 +257,11 @@ def test_round5_entries_bounded_no_cartesian(spark, name, max_ex):
     p = _plan(spark, name)
     assert not audit.has_cartesian(p)
     assert audit.count_exchanges(p) <= max_ex, audit.count_exchanges(p)
+
+
+def test_jaccard_prefix_no_cartesian_bounded(spark):
+    p = _plan(spark, "dedup_jaccard_prefix")
+    assert not audit.has_cartesian(p)
+    # inverted-index candidate join + freq join + two verify joins: all
+    # equi-joins; exchange count bounded
+    assert audit.count_exchanges(p) <= 8, audit.count_exchanges(p)
