@@ -143,6 +143,7 @@ def stream_dedup_sink(
     shingle_n: int = 3,
     max_band_bucket: int | None = 10_000,
     max_candidates_per_doc: int | None = 1_000,
+    dedup_within_batch: bool = True,
 ):
     """Continuous-ingest near-dedup — the ``foreachBatch`` composition of
     the incremental LSH path a training-data pipeline actually runs: each
@@ -167,10 +168,14 @@ def stream_dedup_sink(
     OWN partition, so a half-written prior attempt can never make a
     batch match itself. Doc ids should be unique across the stream (a
     re-sent id verifies against its earlier self at jaccard 1.0 and gets
-    flagged). Near-dupes WITHIN one batch are all accepted (each batch
-    probes the index as of the previous batch); run ``dedup_exact`` /
-    ``minhash_dedup_pairs`` upstream or accept per-batch granularity —
-    the standard trade at streaming batch sizes."""
+    flagged). Near-dupes WITHIN one batch are handled too
+    (``dedup_within_batch``, on by default): after the index probe, the
+    remaining novel docs run MinHash-verified pair generation + canonical
+    selection among themselves — only each cluster's min-id member is
+    accepted/indexed; the rest are flagged with ``dup_of`` = their
+    cluster's canonical id and ``jaccard`` = their strongest verified
+    pair link. Corpus flags take priority over within-batch flags when a
+    doc duplicates both."""
     from metrique_spark.functions import dedup as _dedup
     from metrique_spark.functions.cache import release
 
@@ -211,7 +216,29 @@ def stream_dedup_sink(
                 [], f"{id_col} {batch.schema[id_col].dataType.simpleString()},"
                     f" dup_of {batch.schema[id_col].dataType.simpleString()},"
                     " jaccard double")
-        accepted = batch.join(flags.select(id_col), id_col, "anti")
+        novel = batch.join(flags.select(id_col), id_col, "anti")
+        if dedup_within_batch:
+            novel = novel.localCheckpoint(eager=True)
+            pairs = _dedup.minhash_dedup_pairs(
+                novel, id_col=id_col, text_col=text_col,
+                threshold=threshold, num_hashes=num_hashes, bands=bands,
+                shingle_n=shingle_n)
+            decisions = _dedup.canonical_docs(novel, pairs, id_col=id_col)
+            # strongest verified link per flagged doc (either pair side)
+            links = (pairs.select(F.col("id_a").alias(id_col),
+                                  F.col("jaccard"))
+                     .unionByName(pairs.select(
+                         F.col("id_b").alias(id_col), F.col("jaccard")))
+                     .groupBy(id_col)
+                     .agg(F.max("jaccard").alias("jaccard")))
+            batch_flags = (
+                decisions.where(~F.col("is_canonical"))
+                .select(id_col, F.col("component_id").alias("dup_of"))
+                .join(links, id_col)
+                .select(id_col, "dup_of", "jaccard"))
+            flags = flags.unionByName(batch_flags).localCheckpoint(
+                eager=True)
+        accepted = novel.join(flags.select(id_col), id_col, "anti")
         flags.write.mode("overwrite").parquet(
             os.path.join(flags_path, f"batch={batch_id}"))
         accepted.write.mode("overwrite").parquet(

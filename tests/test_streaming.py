@@ -341,7 +341,10 @@ def test_stream_dedup_sink_flags_and_replay(spark, tmp_path):
     idx_p = str(tmp_path / "idx")
     cor_p = str(tmp_path / "cor")
     flg_p = str(tmp_path / "flg")
-    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8)
+    # within-batch dedup off: this test pins the INDEX-probe/replay
+    # machinery, and its batch-0 docs are intentionally mutual near-dups
+    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8,
+                             dedup_within_batch=False)
 
     def mk(rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
@@ -413,7 +416,8 @@ def test_stream_dedup_sink_end_to_end_filestream(spark, tmp_path):
     src.mkdir()
     idx_p, cor_p, flg_p = (str(tmp_path / d) for d in ("i", "c", "f"))
     ck = str(tmp_path / "ck")
-    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8)
+    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8,
+                             dedup_within_batch=False)
     base = "the quick brown fox jumps over the lazy dog once more today"
 
     def run_stream():
@@ -500,3 +504,36 @@ def test_retention_cohorts_offsets(spark):
            for r in retention_cohorts(events).collect()}
     wk0, wk1 = mon, mon + dt.timedelta(days=7)
     assert got == {(wk0, 0): 2, (wk0, 1): 1, (wk1, 0): 1, (wk1, 2): 1}
+
+
+def test_stream_dedup_sink_within_batch(spark, tmp_path):
+    """A batch containing near-identical docs accepts only the cluster's
+    canonical (min-id) member; the rest are flagged with their cluster
+    head and strongest verified link. Corpus flags still take priority."""
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    sink = stream_dedup_sink(str(tmp_path / "i"), str(tmp_path / "c"),
+                             str(tmp_path / "f"), threshold=0.8)
+    base = "the quick brown fox jumps over the lazy dog again today"
+    b0 = spark.createDataFrame(
+        [(1, f"{base} variant one"),
+         (2, f"{base} variant one"),       # exact twin of 1 in SAME batch
+         (3, "a completely different document about engines")],
+        "doc_id long, text string")
+    sink(b0, 0)
+    flags = {r["doc_id"]: (r["dup_of"], r["jaccard"])
+             for r in spark.read.parquet(str(tmp_path / "f")).collect()}
+    assert flags == {2: (1, 1.0)}
+    accepted = {r["doc_id"]
+                for r in spark.read.parquet(str(tmp_path / "c")).collect()}
+    assert accepted == {1, 3}
+    # next batch: dup of corpus doc 1 AND of a batch-mate -> corpus wins
+    b1 = spark.createDataFrame(
+        [(10, f"{base} variant one"),
+         (11, "another unique snippet entirely its own")],
+        "doc_id long, text string")
+    sink(b1, 1)
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in spark.read.parquet(str(tmp_path / "f")).collect()}
+    assert flags == {2: 1, 10: 1}
+    assert spark.read.parquet(str(tmp_path / "c")).count() == 3  # +11
