@@ -1049,6 +1049,17 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(d, window=16)
 
 
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """radius search: every neighbor with cosine >= 0.4 for 10 query
+    vectors — a zero-shuffle broadcast scan (no top-k window)."""
+    _utc(spark)
+    from metrique_spark.functions.similarity import cosine_range_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return cosine_range_search(e, q, min_sim=0.4)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding-cosine near-duplicate pairs (exact, ≥ 0.45) through the
     SCALE path: IVF-bucketed candidate generation + per-bucket BLAS verify
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_corpus_skew": sample_mix_corpus_skew,
         "text_quality_quantiles_skew": text_quality_quantiles_skew,
         "sim_knn_classify": sim_knn_classify,
+        "sim_range_search": sim_range_search,
         "text_unigram_logprob": text_unigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -1943,6 +1955,21 @@ def oracle_sql() -> dict[str, str]:
     JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
     JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
 """,
+        "sim_range_search": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings)
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 4) AS sim
+            FROM q, c
+            WHERE query_id <> neighbor_id
+              AND round(list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv))), 4) >= 0.4
+        """,
         "sim_knn_classify": """
             WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
                        FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),

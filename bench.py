@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_remove_spans",
     "dedup_embedding_pairs",
     "sim_cosine_topk",
+    "sim_range_search",
     "sim_knn_join",
     "mm_frame_samples",
     "events_daily_rollup",

@@ -710,3 +710,35 @@ def knn_classify(
                 F.col("m.l").alias("pred_label"),
                 (-F.col("m.nv")).cast("long").alias("votes"))
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_sim: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Radius search: ALL corpus neighbors with cosine ≥ ``min_sim`` per
+    query (the query type top-k can't answer — "everything this close",
+    not "the k closest"). Same broadcast shape as ``cosine_topk`` minus
+    the ranking window: the corpus is scanned once, queries broadcast,
+    and the threshold filter runs inside the scan stage — NO shuffle at
+    all, so at 100 TB this is a single pass whose output is just the
+    matches. Returns (query_id, neighbor_id, sim), self-matches
+    excluded."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    q = q.select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("cv"))
+    c = c.select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            decimals))
+        .where(F.col("sim") >= min_sim)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -405,3 +405,14 @@ def test_knn_classify_majority_and_ties(spark):
     assert out[1] == (7, 2)        # both nearest are label 7
     assert out[3][0] == 3          # 1-1 tie between 7 and 3 -> smaller label
     assert out[3][1] == 1
+
+
+def test_cosine_range_search_threshold(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = {(r["query_id"], r["neighbor_id"]): r["sim"]
+           for r in sim.cosine_range_search(df, q, min_sim=0.7).collect()}
+    assert set(got) == {(0, 1), (0, 3)}     # 2 is orthogonal; no self
+    assert all(v >= 0.7 for v in got.values())
