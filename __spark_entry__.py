@@ -1017,6 +1017,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(e, steps=("view", "click", "purchase"))
 
 
+def events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling-z-score error-rate anomalies per hourly window (trailing
+    6-window mean/stddev, z>2 flags) — the aggregate collapses to one
+    row per time window before the rolling stats."""
+    _utc(spark)
+    from metrique_spark.streaming.events import error_rate_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return error_rate_anomalies(e, window="1 hour", lookback=6, z=2.0)
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weekly cohort retention triangle: users bucketed by the week of
     their first event, distinct active users per (cohort, week offset)."""
@@ -1258,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
@@ -2012,6 +2024,36 @@ def oracle_sql() -> dict[str, str]:
            round(avg(lp), 4) AS mean_logprob
     FROM occ JOIN logp USING (token)
     GROUP BY doc_id
+""",
+        "events_error_anomalies": """
+    WITH per AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT *, round(n_errors / CAST(n AS DOUBLE), 6) AS rate FROM per
+    ),
+    s AS (
+        SELECT *,
+               avg(rate) OVER w AS m,
+               stddev_samp(rate) OVER w AS sd,
+               count(rate) OVER w AS c
+        FROM r
+        WINDOW w AS (ORDER BY window_start
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, n, n_errors, rate,
+           CASE WHEN c >= 6 AND sd > 0
+                THEN round((rate - m) / sd, 4) END AS zscore,
+           coalesce(CASE WHEN c >= 6 AND sd > 0
+                         THEN round((rate - m) / sd, 4) END > 2.0,
+                    false)
+           OR coalesce(c >= 6 AND sd = 0 AND rate > m + 1e-9, false)
+               AS is_anomaly
+    FROM s
 """,
         "events_retention": """
     WITH first AS (

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_daily_rollup",
     "events_funnel",
     "events_retention",
+    "events_error_anomalies",
     "text_quality_histogram",
 ]
 

@@ -401,3 +401,59 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("u").cast("long").alias("n_users"))
     )
+
+
+def error_rate_anomalies(
+    events: DataFrame,
+    window: str = "1 hour",
+    error_type: str = "error",
+    lookback: int = 6,
+    z: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed error-rate anomaly detection: bucket events into tumbling
+    windows, compute each window's error rate, and flag windows whose
+    rate exceeds the trailing ``lookback``-window mean by more than
+    ``z`` sample standard deviations (rolling z-score — the standard
+    ops-monitoring rule). Returns
+    ``(window_start, n, n_errors, rate, zscore, is_anomaly)``; the first
+    windows (no full trailing frame) carry NULL zscore and never flag.
+
+    Scale shape: the per-window aggregate is map-side combined down to
+    ONE row per time window, so the rolling window function runs over
+    #windows rows — bounded by the time span (a year of hours is 8.8k
+    rows), not the event volume; its single-task sort is a few KB."""
+    from pyspark.sql import Window
+
+    per = (
+        events.select(F.window(F.col(ts_col).cast("timestamp"), window)
+                      .alias("w"), F.col(type_col).alias("et"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("et") == error_type, 1).otherwise(0))
+             .cast("long").alias("n_errors"))
+        .select(F.col("w.start").alias("window_start"), "n", "n_errors",
+                F.round(F.col("n_errors") / F.col("n"), 6).alias("rate"))
+    )
+    wf = (Window.orderBy("window_start")
+          .rowsBetween(-lookback, -1))
+    mean = F.avg("rate").over(wf)
+    sd = F.stddev_samp("rate").over(wf)
+    cnt = F.count("rate").over(wf)
+    zscore = F.when((cnt >= lookback) & (sd > 0),
+                    F.round((F.col("rate") - mean) / sd, 4))
+    # a zero-variance trailing frame gives no z-score, but a rate ABOVE
+    # the (perfectly stable) mean is the clearest anomaly there is —
+    # flag it rather than hiding behind the undefined deviation
+    # epsilon guards float-summation noise: avg of six 0.1s can land one
+    # ulp off 0.1, which must not read as an exceedance (1e-9 sits far
+    # above double noise and far below any real rate change)
+    flat_spike = ((cnt >= lookback) & (sd == 0)
+                  & (F.col("rate") > mean + F.lit(1e-9)))
+    return (
+        per.withColumn("zscore", zscore)
+        .withColumn("is_anomaly",
+                    F.coalesce(F.col("zscore") > z, F.lit(False))
+                    | F.coalesce(flat_spike, F.lit(False)))
+    )

@@ -537,3 +537,35 @@ def test_stream_dedup_sink_within_batch(spark, tmp_path):
              for r in spark.read.parquet(str(tmp_path / "f")).collect()}
     assert flags == {2: 1, 10: 1}
     assert spark.read.parquet(str(tmp_path / "c")).count() == 3  # +11
+
+
+def test_error_rate_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    from metrique_spark.streaming.events import error_rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 8 hourly windows: steady 10% error rate, then a 60% spike in the last
+    for h in range(8):
+        n_err = 6 if h == 7 else 1
+        for i in range(10):
+            eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i),
+                         1, "error" if i < n_err else "view", 1.0, ""))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["window_start"]: r for r in
+           error_rate_anomalies(events, lookback=6, z=2.0).collect()}
+    spike = got[base + dt.timedelta(hours=7)]
+    # zero-variance baseline: no z-score, but the flat-spike rule flags
+    assert spike["is_anomaly"]
+    assert spike["zscore"] is None
+    # steady windows with a full trailing frame but zero variance carry
+    # NULL zscore (sd=0) and never flag
+    mid = got[base + dt.timedelta(hours=6)]
+    assert not mid["is_anomaly"]
+    # warm-up windows (incomplete frame) never flag
+    assert not got[base]["is_anomaly"]
