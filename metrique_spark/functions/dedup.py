@@ -268,15 +268,37 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_band_bucket: int | None = 100_000,
     _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` rows of
     ``num_hashes/bands``, hash each band, group by (band, hash). Returns
     distinct (id_a, id_b) with id_a < id_b. ``_shingles`` lets a caller
-    share one (persisted) shingle table across candidate + verify stages."""
+    share one (persisted) shingle table across candidate + verify stages.
+
+    ``max_band_bucket`` drops (band, bh) buckets larger than the cap
+    before the self-join — the batch-mode twin of the incremental path's
+    guard. The blowup regime is real corpora, not an edge case: a
+    TEMPLATED cluster sitting just UNDER the verify threshold (half the
+    shingles shared — boilerplate pages, generated docs) collides in
+    some band with probability ~(j^(hashes/bands))·bands per pair, and a
+    50k-doc template cluster then emits ~10^9 candidate pairs that
+    verification rejects one by one (measured: a 50k-doc batch of
+    j≈0.5 template docs DID NOT FINISH in 10 min unguarded; ~150 s
+    through the full streaming-dedup sink with the cap). A
+    dropped bucket only loses pairs that never share a cooler band —
+    sub-threshold template noise by construction; genuinely identical
+    docs should be removed by ``dedup_exact`` upstream, which remains
+    the intended order."""
     sh = (_shingles if _shingles is not None
           else shingle_table(df, id_col, text_col, shingle_n))
     banded = banded_hashes(sh, num_hashes, bands)
+    if max_band_bucket is not None:
+        hot = (banded.groupBy("band", "bh")
+               .agg(F.count("*").alias("__n"))
+               .where(F.col("__n") > max_band_bucket)
+               .select("band", "bh"))
+        banded = banded.join(hot, ["band", "bh"], "anti")
     return (
         banded.alias("a")
         .join(banded.alias("b"),
@@ -297,6 +319,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 1,
     persist_shingles: bool = True,
+    max_band_bucket: int | None = 100_000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
     Precision is exact (verification step); recall follows the LSH band
@@ -315,7 +338,8 @@ def minhash_dedup_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                  shingle_n, _shingles=sh)
+                                  shingle_n, max_band_bucket=max_band_bucket,
+                                  _shingles=sh)
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     return (

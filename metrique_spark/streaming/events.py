@@ -222,7 +222,7 @@ def stream_dedup_sink(
             pairs = _dedup.minhash_dedup_pairs(
                 novel, id_col=id_col, text_col=text_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
-                shingle_n=shingle_n)
+                shingle_n=shingle_n, max_band_bucket=max_band_bucket)
             decisions = _dedup.canonical_docs(novel, pairs, id_col=id_col)
             # strongest verified link per flagged doc (either pair side)
             links = (pairs.select(F.col("id_a").alias(id_col),
