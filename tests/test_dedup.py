@@ -484,3 +484,26 @@ def test_canonical_docs_quality_argmax(spark):
     assert all(rows[i]["component_id"] == 1 for i in (1, 2, 3))
     # singletons keep themselves
     assert rows[4]["is_canonical"] and rows[5]["is_canonical"]
+
+
+def test_minhash_batch_band_cap_semantics(spark):
+    """The batch-path hot-bucket cap: capped candidates are a subset of
+    the uncapped ones, the sub-threshold template cluster's buckets are
+    dropped, and genuinely-duplicate pairs that share a cooler band
+    survive."""
+    tmpl = "common template words repeated across the whole cluster here"
+    # 10 identical docs: every one of their band buckets holds all 10
+    rows = [(i, tmpl) for i in range(10)]
+    rows += [(100, "a genuinely distinct pair of documents one"),
+             (101, "a genuinely distinct pair of documents one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+        df, shingle_n=1, max_band_bucket=None).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+        df, shingle_n=1, max_band_bucket=5).collect()}
+    assert capped <= full
+    assert (100, 101) in capped        # small-bucket pair survives
+    # the 10-doc cluster's buckets (all size 10 > 5) are dropped entirely
+    assert {p for p in full if p[0] < 100} == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert not {p for p in capped if p[0] < 100}
