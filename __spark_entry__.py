@@ -904,10 +904,15 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates (64 hashes / 16 bands over 3-gram shingles)
-    verified by exact Jaccard ≥ 0.8."""
+    verified by exact Jaccard ≥ 0.8. Hot-bucket cap disabled for the
+    parity gate (same reasoning as dedup_incremental: the oracle is
+    exact-recall LSH and the gate corpus has no template clusters); the
+    production default keeps the cap, and the streaming sink always
+    passes one."""
     _utc(spark)
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_pairs(d, threshold=0.8, shingle_n=3)
+    return dedup.minhash_dedup_pairs(d, threshold=0.8, shingle_n=3,
+                                     max_band_bucket=None)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

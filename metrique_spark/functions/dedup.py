@@ -290,23 +290,35 @@ def minhash_lsh_candidates(
     sub-threshold template noise by construction; genuinely identical
     docs should be removed by ``dedup_exact`` upstream, which remains
     the intended order."""
+    from metrique_spark.functions.cache import track
+
     sh = (_shingles if _shingles is not None
           else shingle_table(df, id_col, text_col, shingle_n))
     banded = banded_hashes(sh, num_hashes, bands)
+    persisted = []
     if max_band_bucket is not None:
+        # the hot-bucket count is a different plan shape from the
+        # self-join, so exchange reuse does NOT dedupe the (expensive)
+        # signature aggregation beneath both — persist the slim
+        # (id, band, bh) rows instead of computing signatures twice
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(banded)
         hot = (banded.groupBy("band", "bh")
                .agg(F.count("*").alias("__n"))
                .where(F.col("__n") > max_band_bucket)
                .select("band", "bh"))
         banded = banded.join(hot, ["band", "bh"], "anti")
-    return (
+    return track(
         banded.alias("a")
         .join(banded.alias("b"),
               (F.col("a.band") == F.col("b.band"))
               & (F.col("a.bh") == F.col("b.bh"))
               & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .distinct(),
+        *persisted,
     )
 
 
@@ -337,18 +349,21 @@ def minhash_dedup_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    from metrique_spark.functions.cache import track
+
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                   shingle_n, max_band_bucket=max_band_bucket,
                                   _shingles=sh)
     a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
-    return (
+    return track(
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 4))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        cand,
     )
 
 
