@@ -238,6 +238,9 @@ def stream_dedup_sink(
                 .select(id_col, "dup_of", "jaccard"))
             flags = flags.unionByName(batch_flags).localCheckpoint(
                 eager=True)
+            # the checkpoint above materialized everything downstream of
+            # the pair generation; free its tracked persists now
+            release(pairs)
         accepted = novel.join(flags.select(id_col), id_col, "anti")
         flags.write.mode("overwrite").parquet(
             os.path.join(flags_path, f"batch={batch_id}"))
