@@ -215,8 +215,22 @@ class Engine:
                             f"{holder} ({lock}); concurrent upserts would "
                             "interleave snapshot merges — retry after the "
                             "other writer finishes")
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock)  # stale: holder died
+                    # ATOMIC stale reclaim: rename-then-delete. A bare
+                    # unlink races — two writers could both judge the
+                    # lock stale, writer A unlinks + recreates, writer B's
+                    # already-decided unlink then deletes A's FRESH lock
+                    # and both proceed. rename succeeds for exactly one
+                    # reclaimer (the loser gets FileNotFoundError and
+                    # retries the O_EXCL create against whatever lock the
+                    # winner installed).
+                    stale = f"{lock}.reclaimed.{os.getpid()}"
+                    try:
+                        os.rename(lock, stale)
+                    except FileNotFoundError:
+                        pass  # another writer reclaimed it first
+                    else:
+                        with contextlib.suppress(OSError):
+                            os.unlink(stale)
             try:
                 os.write(fd, str(os.getpid()).encode())
                 os.close(fd)

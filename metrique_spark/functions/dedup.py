@@ -345,10 +345,12 @@ def minhash_dedup_pairs(
     by LRU eviction / session end; pass False for one-shot pipelines that
     must not hold executor storage."""
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    tracked = []
     if persist_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        tracked.append(sh)
     from metrique_spark.functions.cache import track
 
     cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
@@ -363,7 +365,7 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
-        cand,
+        cand, *tracked,
     )
 
 
@@ -998,9 +1000,14 @@ def canonical_docs(
         return base.select(
             id_col, "component_id",
             (F.col("component_id") == F.col(id_col)).alias("is_canonical"))
+    # null quality coalesces to -inf: struct min orders a NULL negated
+    # field FIRST, so an unscored doc would otherwise beat every scored
+    # clustermate — the exact inversion of "keep the best copy"
+    q = F.coalesce(F.col(quality_col).cast("double"),
+                   F.lit(float("-inf")))
     best = (
         base.groupBy("component_id")
-        .agg(F.min(F.struct((-F.col(quality_col)).alias("nq"),
+        .agg(F.min(F.struct((-q).alias("nq"),
                             F.col(id_col).alias("i"))).alias("m"))
         .select("component_id", F.col("m.i").alias("__keep"))
     )
@@ -1244,11 +1251,16 @@ def jaccard_pairs_prefix(
            .where(F.col("tok").isNotNull()))
     freq = inv.groupBy("tok").agg(F.count("*").alias("__f"))
     w = Window.partitionBy("id").orderBy("__f", "tok")
+    # prefix length floor((1-t)·|d|)+1 (= |d| - ceil(t·|d|) + 1): the
+    # +1e-9 guards float representation — (1-0.8) is 0.19999…96 and
+    # would floor one short at |d| multiples of 5, silently losing
+    # exactly-at-threshold pairs. Erring LONGER is always safe (only
+    # extra candidates), erring shorter breaks the exactness guarantee.
     prefix = (
         inv.join(freq, "tok")
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <=
-               F.floor((1.0 - threshold) * F.col("sz")) + 1)
+               F.floor((1.0 - threshold) * F.col("sz") + F.lit(1e-9)) + 1)
         .select("id", "sz", "tok")
     )
     cand = (
@@ -1257,9 +1269,11 @@ def jaccard_pairs_prefix(
               (F.col("a.tok") == F.col("b.tok"))
               & (F.col("a.id") < F.col("b.id"))
               # size filter: |a∩b| ≤ min(|a|,|b|) and jaccard ≥ t forces
-              # t·max(|a|,|b|) ≤ min(|a|,|b|)
+              # t·max(|a|,|b|) ≤ min(|a|,|b|); -1e-9 keeps float noise
+              # from dropping equal-size pairs sitting exactly on the
+              # bound
               & (F.least("a.sz", "b.sz")
-                 >= threshold * F.greatest("a.sz", "b.sz")))
+                 >= threshold * F.greatest("a.sz", "b.sz") - F.lit(1e-9)))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -190,6 +190,25 @@ def stream_dedup_sink(
         if os.path.exists(os.path.join(
                 index_path, f"batch={batch_id}", "_SUCCESS")):
             return  # fully committed earlier: replay is a no-op
+        # params sidecar FIRST, before any write: a misconfigured sink
+        # must fail before it can commit wrongly-signed rows into the
+        # index (validated again at probe time via read_minhash_index),
+        # and a crash after the index commit can no longer leave the
+        # sidecar missing
+        params = {"num_hashes": num_hashes, "bands": bands,
+                  "shingle_n": shingle_n}
+        side = os.path.join(index_path, _dedup._MINHASH_SIDECAR)
+        if os.path.exists(side):
+            with open(side) as fh:
+                existing = json.load(fh)
+            if existing != params:
+                raise ValueError(
+                    f"stream index at {index_path} was signed with "
+                    f"{existing}; this sink uses {params}")
+        else:
+            os.makedirs(index_path, exist_ok=True)
+            with open(side, "w") as fh:
+                json.dump(params, fh)
         batch = batch_df.select(F.col(id_col), F.col(text_col))
         prior = [d for d in _glob.glob(os.path.join(index_path, "batch=*"))
                  if not d.endswith(f"batch={batch_id}")
@@ -204,13 +223,16 @@ def stream_dedup_sink(
             corpus = (spark.read.parquet(corpus_path)
                       .where(F.col("batch") != batch_id)
                       .select(id_col, text_col))
-            flags = _dedup.dedup_against_index(
+            raw_flags = _dedup.dedup_against_index(
                 batch, idx, corpus, id_col=id_col, text_col=text_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
                 shingle_n=shingle_n, max_band_bucket=max_band_bucket,
                 max_candidates_per_doc=max_candidates_per_doc,
-            ).localCheckpoint(eager=True)
-            release(flags)
+            )
+            # checkpoint returns a NEW frame without the cache-tracking
+            # attribute — release must target the pre-checkpoint object
+            flags = raw_flags.localCheckpoint(eager=True)
+            release(raw_flags)
         else:
             flags = spark.createDataFrame(
                 [], f"{id_col} {batch.schema[id_col].dataType.simpleString()},"
@@ -218,7 +240,26 @@ def stream_dedup_sink(
                     " jaccard double")
         novel = batch.join(flags.select(id_col), id_col, "anti")
         if dedup_within_batch:
-            novel = novel.localCheckpoint(eager=True)
+            # EXACT dedup first (fingerprint groupBy — skew-safe at any
+            # cluster size): a bit-identical cluster larger than the LSH
+            # hot-bucket cap would otherwise lose every band bucket and
+            # sail through unflagged, poisoning all future probes of
+            # that content
+            from metrique_spark.functions.text import fingerprint
+
+            fp = fingerprint(text_col)
+            keep = (novel.select(fp.alias("__fp"),
+                                 F.col(id_col).alias("__kid"))
+                    .groupBy("__fp").agg(F.min("__kid").alias("__kid")))
+            exact_flags = (
+                novel.withColumn("__fp", fp)
+                .join(keep, "__fp")
+                .where(F.col(id_col) != F.col("__kid"))
+                .select(F.col(id_col), F.col("__kid").alias("dup_of"),
+                        F.lit(1.0).alias("jaccard")))
+            flags = flags.unionByName(exact_flags)
+            novel = (novel.join(flags.select(id_col), id_col, "anti")
+                     .localCheckpoint(eager=True))
             pairs = _dedup.minhash_dedup_pairs(
                 novel, id_col=id_col, text_col=text_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
@@ -251,22 +292,6 @@ def stream_dedup_sink(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
         rows.write.mode("overwrite").parquet(
             os.path.join(index_path, f"batch={batch_id}"))
-        # top-level params sidecar: same validation story as
-        # write_minhash_index (mismatched probes error, never silently
-        # produce zero recall)
-        side = os.path.join(index_path, _dedup._MINHASH_SIDECAR)
-        params = {"num_hashes": num_hashes, "bands": bands,
-                  "shingle_n": shingle_n}
-        if os.path.exists(side):
-            with open(side) as fh:
-                existing = json.load(fh)
-            if existing != params:
-                raise ValueError(
-                    f"stream index at {index_path} was signed with "
-                    f"{existing}; this sink uses {params}")
-        else:
-            with open(side, "w") as fh:
-                json.dump(params, fh)
 
     return _sink
 
@@ -391,16 +416,27 @@ def retention_cohorts(
     cohort assignment, one join back on the user id, one distinct-count
     aggregate on (cohort, offset) — no window over a user's history, no
     per-period scans."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"retention_cohorts: unsupported period {period!r} "
+            "(day, week, month)")
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(ts_col).cast("timestamp").alias("t"))
     first = ev.groupBy("u").agg(
         F.date_trunc(period, F.min("t")).alias("cohort"))
-    per = {"week": 7 * 86400, "day": 86400}[period]
+    tp = F.date_trunc(period, F.col("t"))
+    # CALENDAR arithmetic, not epoch-seconds: an epoch difference divided
+    # by a fixed 604800/86400 mis-bins any week/day spanning a DST
+    # transition in a non-UTC session timezone (601,200-second weeks)
+    if period == "day":
+        off = F.datediff(tp, F.col("cohort"))
+    elif period == "week":
+        off = F.floor(F.datediff(tp, F.col("cohort")) / 7)
+    else:  # month
+        off = F.months_between(tp, F.col("cohort"))
     return (
         ev.join(first, "u")
-        .withColumn("period_offset", F.floor(
-            (F.unix_timestamp(F.date_trunc(period, F.col("t")))
-             - F.unix_timestamp("cohort")) / F.lit(per)).cast("long"))
+        .withColumn("period_offset", off.cast("long"))
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("u").cast("long").alias("n_users"))
     )

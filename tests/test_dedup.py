@@ -507,3 +507,37 @@ def test_minhash_batch_band_cap_semantics(spark):
     assert {p for p in full if p[0] < 100} == {
         (a, b) for a in range(10) for b in range(a + 1, 10)}
     assert not {p for p in capped if p[0] < 100}
+
+
+def test_jaccard_prefix_knife_edge_threshold(spark):
+    """Exactly-at-threshold pair with the worst-case prefix: doc a has 10
+    unigram shingles, doc b holds 8 of them (J = 8/10 = 0.8). Float noise
+    in (1-0.8)*10 used to shorten a's prefix to 2 — if a's two rarest
+    shingles are its two non-shared ones, the pair vanished from the
+    'exact' output."""
+    # a's unique tokens (u1, u2) appear ONLY in a -> globally rarest ->
+    # they are a's prefix; b shares the other 8
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    filler = "w1 w2 w3 w4 w5 w6 w7 w8"      # boost shared tokens' freq
+    df = spark.createDataFrame(
+        [(1, f"u1 u2 {shared}"), (2, shared), (3, filler), (4, filler)],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs_prefix(
+               df, threshold=0.8, n=1).collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(df, threshold=0.8, n=1).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0.8
+    assert got == want
+
+
+def test_canonical_docs_null_quality_never_wins(spark):
+    from metrique_spark.functions.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 0.3), (3, None)],
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r["is_canonical"] for r in canonical_docs(
+        docs, pairs, quality_col="quality").collect()}
+    assert rows == {1: False, 2: True, 3: False}  # only scored doc wins
