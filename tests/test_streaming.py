@@ -569,3 +569,28 @@ def test_error_rate_anomalies_flags_spike(spark):
     assert not mid["is_anomaly"]
     # warm-up windows (incomplete frame) never flag
     assert not got[base]["is_anomaly"]
+
+
+def test_stream_dedup_sink_identical_cluster_beyond_lsh_cap(spark, tmp_path):
+    """A bit-identical cluster LARGER than the LSH hot-bucket cap must
+    still collapse to one accepted copy: the exact fingerprint pass runs
+    before the capped LSH, so the cap (which drops every band bucket of
+    such a cluster) cannot let the copies sail through."""
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    sink = stream_dedup_sink(str(tmp_path / "i"), str(tmp_path / "c"),
+                             str(tmp_path / "f"), threshold=0.8,
+                             max_band_bucket=10)
+    same = "identical boilerplate page crawled many many times over again"
+    b = spark.createDataFrame(
+        [(i, same) for i in range(30)]
+        + [(100, "one genuinely unique document in the batch here")],
+        "doc_id long, text string")
+    sink(b, 0)
+    flags = {r["doc_id"]: (r["dup_of"], r["jaccard"]) for r in
+             spark.read.parquet(str(tmp_path / "f")).collect()}
+    assert set(flags) == set(range(1, 30))
+    assert all(v == (0, 1.0) for v in flags.values())
+    accepted = {r["doc_id"] for r in
+                spark.read.parquet(str(tmp_path / "c")).collect()}
+    assert accepted == {0, 100}
