@@ -986,6 +986,32 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "votes")
 
 
+def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-quality eval as one number: kNN label-vote predictions
+    for the odd vectors against their TRUE labels — per-label precision
+    rollup (n_queries, n_correct, accuracy)."""
+    _utc(spark)
+    from metrique_spark.functions.similarity import knn_classify
+    from metrique_spark.sources.files import parquet_row_count
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 2 == 1).where(F.col("vec_id") < 200)
+    corpus = e.where(F.col("vec_id") % 2 == 0)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    pred = knn_classify(queries, corpus, k=5, nlist=4, nprobe=4, n_rows=n)
+    truth = queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").cast("long").alias("label"))
+        .agg(F.count("*").cast("long").alias("n_queries"),
+             F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1)
+                   .otherwise(0)).cast("long").alias("n_correct"))
+        .withColumn("accuracy",
+                    F.round(F.col("n_correct") / F.col("n_queries"), 4))
+    )
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity proxy: per-doc mean unigram log-probability
     under the corpus's own unigram LM — the quality signal that separates
@@ -1269,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_quantiles_skew": text_quality_quantiles_skew,
         "sim_knn_classify": sim_knn_classify,
         "sim_range_search": sim_range_search,
+        "sim_knn_accuracy": sim_knn_accuracy,
         "text_unigram_logprob": text_unigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -1972,6 +1999,40 @@ def oracle_sql() -> dict[str, str]:
     JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
     JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
 """,
+        "sim_knn_accuracy": """
+            WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv,
+                              label AS true_label
+                       FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),
+            r AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS rv,
+                         label
+                  FROM embeddings WHERE vec_id % 2 = 0),
+            scored AS (
+                SELECT query_id, neighbor_id, label, true_label,
+                       round(list_dot_product(lv, rv)
+                             / (sqrt(list_dot_product(lv, lv))
+                                * sqrt(list_dot_product(rv, rv))), 4) AS sim
+                FROM l, r
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored
+            ), votes AS (
+                SELECT query_id, true_label, label, count(*) AS votes
+                FROM ranked WHERE rk <= 5 GROUP BY query_id, true_label, label
+            ), best AS (
+                SELECT query_id, true_label, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, label) AS vr
+                FROM votes
+            )
+            SELECT CAST(true_label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   round(sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) AS accuracy
+            FROM best WHERE vr = 1 GROUP BY true_label
+        """,
         "sim_range_search": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 10),
