@@ -1025,6 +1025,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "mean_logprob")
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """control-char strip + whitespace collapse + trim — the
+    normalization pass that runs before any content hashing."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.normalize_text(d).select("doc_id", "norm_text",
+                                         "n_changed_chars")
+
+
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """winnowing fingerprints (Schleimer et al. 2003 / MOSS): min hash of
     each window of consecutive 5-gram hashes — guarantees any >=8-token
@@ -1299,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": text_unigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
+        "text_normalize": text_normalize,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
@@ -2180,6 +2192,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM s2
     UNION ALL
     SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM s3
+""",
+        "text_normalize": r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(text) - length(trim(regexp_replace(
+               regexp_replace(text,
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g'))) AS BIGINT) AS n_changed_chars
+    FROM documents
 """,
         "text_winnow_fingerprints": r"""
     WITH t AS (

@@ -576,3 +576,32 @@ def value_histogram(
         "bin_lo", F.round(F.lit(lo) + F.col("bin_idx") * F.lit(w), 6)
     ).select(*(["stratum"] if stratum_col else []),
              "bin_idx", "bin_lo", "n")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Deterministic text normalization — the first step of a curation
+    pipeline, applied before any hashing/dedup so trivially-different
+    encodings of the same content collapse: strip control characters
+    (except newline/tab, which become spaces), collapse all whitespace
+    runs to single spaces, trim. Returns the input plus ``out_col`` and
+    ``n_changed_chars`` (length delta — a cheap corruption signal:
+    documents losing many characters here were control-char soup).
+
+    Pure ``regexp_replace`` column expressions, codegen end to end; the
+    character classes are chosen to behave identically under Java regex
+    (Spark) and RE2-style engines so the step stays oracle-verifiable.
+    Unicode canonicalization (NFC/NFKC) needs ICU and is intentionally
+    out of scope — at that point you want a real Unicode library behind
+    a pandas UDF, not a regex."""
+    c = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+            r"\s+", " "))
+    return df.withColumn(out_col, cleaned).withColumn(
+        "n_changed_chars",
+        (F.length(c) - F.length(F.col(out_col))).cast("long"))

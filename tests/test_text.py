@@ -249,3 +249,20 @@ def test_value_histogram_bins_and_clamping(spark):
     assert got[("a", 19)] == (0.95, 2)
     assert got[("b", 10)] == (0.5, 1)
     assert sum(n for _, n in got.values()) == 6
+
+
+def test_normalize_text_control_chars_and_whitespace(spark):
+    from metrique_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "hello\x00world\x07 with\t\tweird   spacing \n\n end "),
+         (2, "already clean"),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["norm_text"], r["n_changed_chars"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("helloworld with weird spacing end",
+                      len("hello\x00world\x07 with\t\tweird   spacing \n\n end ")
+                      - len("helloworld with weird spacing end"))
+    assert got[2] == ("already clean", 0)
+    assert got[3] == ("", 0)
