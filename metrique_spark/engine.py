@@ -215,22 +215,16 @@ class Engine:
                             f"{holder} ({lock}); concurrent upserts would "
                             "interleave snapshot merges — retry after the "
                             "other writer finishes")
-                    # ATOMIC stale reclaim: rename-then-delete. A bare
-                    # unlink races — two writers could both judge the
-                    # lock stale, writer A unlinks + recreates, writer B's
-                    # already-decided unlink then deletes A's FRESH lock
-                    # and both proceed. rename succeeds for exactly one
-                    # reclaimer (the loser gets FileNotFoundError and
-                    # retries the O_EXCL create against whatever lock the
-                    # winner installed).
-                    stale = f"{lock}.reclaimed.{os.getpid()}"
-                    try:
-                        os.rename(lock, stale)
-                    except FileNotFoundError:
-                        pass  # another writer reclaimed it first
-                    else:
-                        with contextlib.suppress(OSError):
-                            os.unlink(stale)
+                    # Stale reclaim under a RECLAIM GUARD. Neither a bare
+                    # unlink nor rename-then-delete is safe: two writers
+                    # that both judged the lock stale can each remove the
+                    # other's freshly-created lock. The guard (its own
+                    # O_EXCL file) serializes reclaimers: only the guard
+                    # holder re-verifies the lock is STILL the dead pid's
+                    # and unlinks it. Two LIVE writers can never both
+                    # hold the guard; a crashed guard holder's guard is
+                    # itself reclaimed by the same dead-pid test.
+                    self._reclaim_stale_lock(lock, holder)
             try:
                 os.write(fd, str(os.getpid()).encode())
                 os.close(fd)
@@ -242,6 +236,54 @@ class Engine:
                     os.unlink(lock)
 
         return _cm()
+
+    def _reclaim_stale_lock(self, lock: str, dead_pid) -> None:
+        """Remove ``lock`` only if it still belongs to ``dead_pid``,
+        serialized by a guard file so concurrent reclaimers cannot delete
+        each other's fresh locks. Raises ``ConcurrentWriteError`` when a
+        LIVE competitor holds the guard."""
+        import contextlib
+
+        guard = lock + ".reclaim"
+        for g_attempt in (0, 1):
+            try:
+                gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                g_holder = None
+                with contextlib.suppress(OSError, ValueError):
+                    with open(guard) as fh:
+                        g_holder = int(fh.read().strip() or 0)
+                g_alive = False
+                if g_holder:
+                    try:
+                        os.kill(g_holder, 0)
+                        g_alive = True
+                    except ProcessLookupError:
+                        g_alive = False
+                    except PermissionError:
+                        g_alive = True
+                if g_alive or g_attempt:
+                    raise ConcurrentWriteError(
+                        f"lock reclaim for {lock} already in progress "
+                        f"(guard pid {g_holder})")
+                with contextlib.suppress(OSError):
+                    os.unlink(guard)  # crashed reclaimer
+        try:
+            os.write(gfd, str(os.getpid()).encode())
+            os.close(gfd)
+            # re-verify under the guard: only delete the lock if it is
+            # STILL the dead holder's file (not a competitor's fresh one)
+            current = None
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock) as fh:
+                    current = int(fh.read().strip() or 0)
+            if current == dead_pid:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(guard)
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True

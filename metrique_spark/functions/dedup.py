@@ -1252,15 +1252,18 @@ def jaccard_pairs_prefix(
     freq = inv.groupBy("tok").agg(F.count("*").alias("__f"))
     w = Window.partitionBy("id").orderBy("__f", "tok")
     # prefix length floor((1-t)·|d|)+1 (= |d| - ceil(t·|d|) + 1): the
-    # +1e-9 guards float representation — (1-0.8) is 0.19999…96 and
+    # epsilon guards float representation — (1-0.8) is 0.19999…96 and
     # would floor one short at |d| multiples of 5, silently losing
-    # exactly-at-threshold pairs. Erring LONGER is always safe (only
+    # exactly-at-threshold pairs; the sz-relative term keeps the guard
+    # above rounding error at any document size (absolute error of
+    # (1-t)·sz scales with sz). Erring LONGER is always safe (only
     # extra candidates), erring shorter breaks the exactness guarantee.
     prefix = (
         inv.join(freq, "tok")
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <=
-               F.floor((1.0 - threshold) * F.col("sz") + F.lit(1e-9)) + 1)
+               F.floor((1.0 - threshold) * F.col("sz")
+                       + F.col("sz") * F.lit(1e-12) + F.lit(1e-9)) + 1)
         .select("id", "sz", "tok")
     )
     cand = (
@@ -1273,7 +1276,8 @@ def jaccard_pairs_prefix(
               # from dropping equal-size pairs sitting exactly on the
               # bound
               & (F.least("a.sz", "b.sz")
-                 >= threshold * F.greatest("a.sz", "b.sz") - F.lit(1e-9)))
+                 >= threshold * F.greatest("a.sz", "b.sz")
+                 - F.greatest("a.sz", "b.sz") * F.lit(1e-12) - F.lit(1e-9)))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -202,9 +202,20 @@ def stream_dedup_sink(
             with open(side) as fh:
                 existing = json.load(fh)
             if existing != params:
-                raise ValueError(
-                    f"stream index at {index_path} was signed with "
-                    f"{existing}; this sink uses {params}")
+                committed = any(
+                    os.path.exists(os.path.join(d, "_SUCCESS"))
+                    for d in _glob.glob(
+                        os.path.join(index_path, "batch=*")))
+                if committed:
+                    raise ValueError(
+                        f"stream index at {index_path} was signed with "
+                        f"{existing}; this sink uses {params}")
+                # the sidecar signed ZERO committed rows (first batch
+                # crashed before its index commit, or the sink was
+                # reconfigured before anything landed) — replace it
+                # rather than permanently pinning an empty index
+                with open(side, "w") as fh:
+                    json.dump(params, fh)
         else:
             os.makedirs(index_path, exist_ok=True)
             with open(side, "w") as fh:
@@ -257,7 +268,11 @@ def stream_dedup_sink(
                 .where(F.col(id_col) != F.col("__kid"))
                 .select(F.col(id_col), F.col("__kid").alias("dup_of"),
                         F.lit(1.0).alias("jaccard")))
-            flags = flags.unionByName(exact_flags)
+            # checkpoint ONCE here: both the novel anti-join and the
+            # final union read this frame — without it the fingerprint
+            # groupBy+join would materialize twice per micro-batch
+            flags = flags.unionByName(exact_flags).localCheckpoint(
+                eager=True)
             novel = (novel.join(flags.select(id_col), id_col, "anti")
                      .localCheckpoint(eager=True))
             pairs = _dedup.minhash_dedup_pairs(
@@ -277,8 +292,21 @@ def stream_dedup_sink(
                 .select(id_col, F.col("component_id").alias("dup_of"))
                 .join(links, id_col)
                 .select(id_col, "dup_of", "jaccard"))
-            flags = flags.unionByName(batch_flags).localCheckpoint(
-                eager=True)
+            # remap exact flags whose target was itself flagged as a
+            # near-dup: dup_of must always point at a doc that survives
+            # into the corpus (the cluster's accepted canonical), never
+            # at another dropped copy
+            redirect = batch_flags.select(
+                F.col(id_col).alias("dup_of"),
+                F.col("dup_of").alias("__final"))
+            flags = (
+                flags.join(redirect, "dup_of", "left")
+                .select(id_col,
+                        F.coalesce("__final", F.col("dup_of"))
+                        .alias("dup_of"),
+                        "jaccard")
+                .unionByName(batch_flags)
+                .localCheckpoint(eager=True))
             # the checkpoint above materialized everything downstream of
             # the pair generation; free its tracked persists now
             release(pairs)

@@ -594,3 +594,28 @@ def test_stream_dedup_sink_identical_cluster_beyond_lsh_cap(spark, tmp_path):
     accepted = {r["doc_id"] for r in
                 spark.read.parquet(str(tmp_path / "c")).collect()}
     assert accepted == {0, 100}
+
+
+def test_stream_dedup_sink_exact_target_remapped_to_canonical(spark, tmp_path):
+    """An exact twin whose keeper is ITSELF flagged as a near-dup must be
+    remapped to the cluster's accepted canonical — dup_of always resolves
+    against the corpus."""
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    sink = stream_dedup_sink(str(tmp_path / "i"), str(tmp_path / "c"),
+                             str(tmp_path / "f"), threshold=0.8)
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "variant number")
+    b = spark.createDataFrame(
+        [(3, f"{base} three"),
+         (5, f"{base} five"),          # near-dup of 3 (one token differs)
+         (9, f"{base} five")],         # bit-identical to 5
+        "doc_id long, text string")
+    sink(b, 0)
+    flags = {r["doc_id"]: r["dup_of"] for r in
+             spark.read.parquet(str(tmp_path / "f")).collect()}
+    accepted = {r["doc_id"] for r in
+                spark.read.parquet(str(tmp_path / "c")).collect()}
+    assert accepted == {3}
+    # 9's exact keeper (5) was near-dup-flagged to 3 -> remapped
+    assert flags == {5: 3, 9: 3}
