@@ -622,10 +622,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact-duplicate groups by canonical fingerprint (hash-groupBy), one
-    output row per (group, member)."""
+    output row per (group, member). The sf0.01 corpus has no exact
+    duplicates (the entry used to pass vacuously on 0 == 0 rows), so
+    deterministic duplicates are INJECTED per doc_id — every 50th doc is
+    re-sent under a shifted id — and the oracle replays the same
+    injection in SQL, value-verifying the grouping machinery."""
     _utc(spark)
-    d = _t(spark, sf_dir, "documents")
-    groups = dedup.exact_duplicates(d)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    groups = dedup.exact_duplicates(d.unionByName(dup))
     return groups.select(
         "fp", F.explode("ids").alias("doc_id"), F.col("n").cast("long").alias("n")
     )
@@ -1781,7 +1787,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "dedup_exact_groups": f"""
-            WITH fps AS (SELECT doc_id, {_FP} AS fp FROM documents),
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 50 = 3
+            ),
+            fps AS (SELECT doc_id, {_FP} AS fp FROM docs),
             g AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp HAVING count(*) > 1)
             SELECT g.fp, f.doc_id, g.n FROM fps f JOIN g ON f.fp = g.fp
         """,

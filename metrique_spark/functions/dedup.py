@@ -837,8 +837,16 @@ def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                                          F.col("a").alias("dst")))
                  .distinct()
                  .localCheckpoint(eager=True))
-        cur = e.agg(F.sum(
-            F.xxhash64("src", "dst").cast("decimal(38,0)"))).first()[0]
+        # fixpoint = unchanged (edge_count, order-independent hash sum)
+        # PAIR: the count comes free from the same aggregate, makes the
+        # empty-edge-set short-circuit explicit (0 == 0, not None == None)
+        # and removes the (astronomically unlikely) cross-round collision
+        # of the bare sum stopping iteration on a non-star edge set
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        cur = (row["n"], row["s"])
         if cur == prev:
             break
         prev = cur

@@ -201,10 +201,14 @@ def cosine_pairs_bucketed(
 
     ``n_rows``: optional caller-supplied UPPER BOUND on ``df``'s row
     count (e.g. the parquet footer total of the source table, even when
-    ``df`` filters it) — skips the guard-probe job entirely. An
-    over-estimate is safe: it can only push the plan into the salted
-    branch, which is output-identical; an under-estimate would break the
-    memory contract, so never pass a guess that could be low."""
+    ``df`` filters it) — skips the guard-probe job entirely. With an
+    EXPLICIT ``nlist`` an over-estimate is safe: it can only push the
+    plan into the salted branch, which is output-identical; an
+    under-estimate would break the memory contract, so never pass a
+    guess that could be low. With ``nlist=None`` the same ``n_rows``
+    also feeds ``auto_nlist``, so an over-estimate raises the bucket
+    count and therefore changes RECALL (not precision) — pass the exact
+    count, or pin ``nlist``, when the output must be reproducible."""
     from pyspark import StorageLevel
 
     cap = max_bucket_rows or target_bucket_rows

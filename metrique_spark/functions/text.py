@@ -560,7 +560,10 @@ def value_histogram(
     "where are the thresholds", the histogram answers "what does the
     distribution look like"). Bin i covers [lo + i·w, lo + (i+1)·w) with
     w = (hi-lo)/bins; values at or beyond the edges clamp into the first/
-    last bin so mass is never silently dropped. Returns
+    last bin so finite mass is never silently dropped. NULL and NaN
+    values are EXCLUDED from the histogram (NaN has no orderable bin;
+    clamping it to bin 0 would silently misplace it — count NaNs
+    separately if they are a signal). Returns
     ``(stratum?, bin_idx, bin_lo, n)`` — one aggregation pass, bin
     assignment a pure scan-stage expression (map-side combinable: at
     100 TB the shuffle carries ≤ strata·bins rows per map partition)."""
@@ -570,7 +573,7 @@ def value_histogram(
         (v - F.lit(lo)) / F.lit(w)).cast("int")))
     keys = ([F.col(stratum_col).alias("stratum")] if stratum_col else []) \
         + [idx.alias("bin_idx")]
-    out = (df.where(v.isNotNull()).groupBy(*keys)
+    out = (df.where(v.isNotNull() & ~F.isnan(v)).groupBy(*keys)
            .agg(F.count("*").cast("long").alias("n")))
     return out.withColumn(
         "bin_lo", F.round(F.lit(lo) + F.col("bin_idx") * F.lit(w), 6)

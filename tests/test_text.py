@@ -251,6 +251,19 @@ def test_value_histogram_bins_and_clamping(spark):
     assert sum(n for _, n in got.values()) == 6
 
 
+def test_value_histogram_excludes_nan(spark):
+    # NaN passes isNotNull but has no orderable bin — it must be
+    # EXCLUDED, not silently clamped into bin 0 (the least/greatest
+    # NULL-skip path used to land all NaN mass there)
+    from metrique_spark.functions.text import value_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (float("nan",),), (None,), (0.5,)], "q double")
+    got = {r["bin_idx"]: r["n"]
+           for r in value_histogram(df, "q", bins=10).collect()}
+    assert got == {0: 1, 5: 1}
+
+
 def test_normalize_text_control_chars_and_whitespace(spark):
     from metrique_spark.functions.text import normalize_text
 
