@@ -16,14 +16,13 @@ filter pushdown and column pruning reach the parquet scan).
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metrique_spark import temporal, upsert as _upsert
+from metrique_spark.fs import FileSystem, LeaseHeldError, LeaseLock, LocalFS
 from metrique_spark.mql import compile_mql, date_range_predicate, parse_fields
 from metrique_spark.objects import stamp, validate
 
@@ -43,9 +42,19 @@ class ConcurrentWriteError(RuntimeError):
 
 class Engine:
     def __init__(self, spark: SparkSession, warehouse: str | None = None,
-                 auto_compact_batches: int | None = None):
+                 auto_compact_batches: int | None = None,
+                 fs: FileSystem | None = None,
+                 lock_ttl: float | None = None):
         self.spark = spark
         self.warehouse = warehouse
+        # control-plane storage backend (catalog listings, sidecars,
+        # writer leases). Data-plane parquet I/O always goes through
+        # Spark's own Hadoop FileSystem on the same paths. ``lock_ttl``
+        # bounds how long a crashed remote writer's lease blocks others
+        # on backends where pid liveness can't be probed (object stores);
+        # None = never expire (same-host pid probing still reclaims).
+        self.fs = fs or LocalFS()
+        self.lock_ttl = lock_ttl
         # when set, a snapshot upsert that leaves more than this many
         # __batch directories in a cube's history partition triggers
         # compact() — bounds the small-files growth of long-running
@@ -67,7 +76,7 @@ class Engine:
     def _path(self, cube: str) -> str:
         if not self.warehouse:
             raise ValueError("no warehouse directory configured")
-        return os.path.join(self.warehouse, cube)
+        return self.fs.join(self.warehouse, cube)
 
     def register(self, cube: str, df: DataFrame) -> None:
         """Register a read-only DataFrame as a cube (temp-view analog)."""
@@ -92,16 +101,16 @@ class Engine:
     def ls(self) -> list[str]:
         """List cubes (reference ``sqlalchemy.py:877-888``)."""
         names = set(self._views)
-        if self.warehouse and os.path.isdir(self.warehouse):
+        if self.warehouse:
             names.update(
-                d for d in os.listdir(self.warehouse)
-                if os.path.isdir(os.path.join(self.warehouse, d))
+                d for d in self.fs.listdir(self.warehouse)
+                if self.fs.isdir(self.fs.join(self.warehouse, d))
             )
         return sorted(names)
 
     def exists(self, cube: str) -> bool:
         return cube in self._views or (
-            self.warehouse is not None and os.path.isdir(self._path(cube))
+            self.warehouse is not None and self.fs.isdir(self._path(cube))
         )
 
     def columns(self, cube: str) -> list[str]:
@@ -111,12 +120,12 @@ class Engine:
         """Drop a cube (reference ``sqlalchemy.py:723-747``)."""
         self._views.pop(cube, None)
         self.spark.catalog.dropTempView(cube)
-        if self.warehouse and os.path.isdir(self._path(cube)):
+        if self.warehouse and self.fs.isdir(self._path(cube)):
             with self._write_lock(cube):
-                shutil.rmtree(self._path(cube))
+                self.fs.delete_dir(self._path(cube))
 
     def _index_meta_path(self, cube: str) -> str:
-        return os.path.join(self._path(cube), "_indexes.json")
+        return self.fs.join(self._path(cube), "_indexes.json")
 
     def index(self, cube: str, fields, name: str | None = None) -> None:
         """Register an advisory index (reference ``index``,
@@ -134,18 +143,16 @@ class Engine:
         registry = self._indexes.setdefault(cube, [])
         if entry not in registry:
             registry.append(entry)
-        if self.warehouse and os.path.isdir(self._path(cube)):
+        if self.warehouse and self.fs.isdir(self._path(cube)):
             # merge the persisted sidecar first: a fresh Engine starts with
             # an empty registry, and a blind dump would drop declarations
             # recorded by prior sessions
             p = self._index_meta_path(cube)
-            if os.path.isfile(p):
-                with open(p) as fh:
-                    for e in json.load(fh):
-                        if e not in registry:
-                            registry.append(e)
-            with open(p, "w") as fh:
-                json.dump(registry, fh)
+            if self.fs.isfile(p):
+                for e in json.loads(self.fs.read_text(p)):
+                    if e not in registry:
+                        registry.append(e)
+            self.fs.write_text(p, json.dumps(registry))
 
     def index_list(self) -> dict[str, list[dict]]:
         """All advisory indexes per cube (reference ``index_list``,
@@ -157,28 +164,28 @@ class Engine:
         out: dict[str, list[dict]] = {c: [] for c in self.ls()}
         for cube, entries in self._indexes.items():
             out.setdefault(cube, []).extend(entries)
-        if self.warehouse and os.path.isdir(self.warehouse):
+        if self.warehouse:
             for cube in list(out):
-                p = os.path.join(self.warehouse, cube, "_indexes.json")
-                if os.path.isfile(p):
-                    with open(p) as fh:
-                        for e in json.load(fh):
-                            if e not in out[cube]:
-                                out[cube].append(e)
+                p = self.fs.join(self.warehouse, cube, "_indexes.json")
+                if self.fs.isfile(p):
+                    for e in json.loads(self.fs.read_text(p)):
+                        if e not in out[cube]:
+                            out[cube].append(e)
         return out
 
     # -- writes -------------------------------------------------------------
 
     def _write_lock(self, cube: str):
-        """Advisory per-cube writer lock (the parquet-warehouse analog of
+        """Advisory per-cube writer lease (the parquet-warehouse analog of
         the reference's SQLite same-host guard, ``sqlalchemy.py:869-875``):
-        a ``.<cube>.lock`` file created with ``O_CREAT|O_EXCL`` — atomic
-        on POSIX local filesystems — holding the writer's pid. A second
-        writer fails fast with ``ConcurrentWriteError`` instead of
-        interleaving snapshot merges; a lock whose recorded pid is no
-        longer alive (holder crashed before cleanup) is reclaimed once.
-        Same-host advisory only — on a shared object store, route writes
-        through one committer or an external lock service."""
+        a ``.<cube>.lock`` object holding a JSON lease record, acquired
+        with a conditional PUT and reclaimed from a dead holder with a
+        single compare-and-swap (see ``fs.LeaseLock`` — rename-free, so
+        the same protocol runs on an object store). A second writer fails
+        fast with ``ConcurrentWriteError`` instead of interleaving
+        snapshot merges; a same-host holder whose (pid, start-time) no
+        longer exists is reclaimed, and on backends without pid probing a
+        ``lock_ttl`` bounds how long a crashed holder blocks writers."""
         import contextlib
 
         @contextlib.contextmanager
@@ -186,104 +193,24 @@ class Engine:
             if not self.warehouse or cube in self._held_locks:
                 yield
                 return
-            os.makedirs(self.warehouse, exist_ok=True)
-            lock = os.path.join(self.warehouse, f".{cube}.lock")
-            fd = None
-            for attempt in (0, 1):
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    holder = None
-                    try:
-                        with open(lock) as fh:
-                            holder = int(fh.read().strip() or 0)
-                    except (OSError, ValueError):
-                        pass
-                    alive = False
-                    if holder:
-                        try:
-                            os.kill(holder, 0)
-                            alive = True
-                        except ProcessLookupError:
-                            alive = False
-                        except PermissionError:
-                            alive = True  # exists under another user
-                    if alive or attempt:
-                        raise ConcurrentWriteError(
-                            f"cube {cube!r} is locked by writer pid "
-                            f"{holder} ({lock}); concurrent upserts would "
-                            "interleave snapshot merges — retry after the "
-                            "other writer finishes")
-                    # Stale reclaim under a RECLAIM GUARD. Neither a bare
-                    # unlink nor rename-then-delete is safe: two writers
-                    # that both judged the lock stale can each remove the
-                    # other's freshly-created lock. The guard (its own
-                    # O_EXCL file) serializes reclaimers: only the guard
-                    # holder re-verifies the lock is STILL the dead pid's
-                    # and unlinks it. Two LIVE writers can never both
-                    # hold the guard; a crashed guard holder's guard is
-                    # itself reclaimed by the same dead-pid test.
-                    self._reclaim_stale_lock(lock, holder)
+            lease = LeaseLock(
+                self.fs, self.fs.join(self.warehouse, f".{cube}.lock"),
+                ttl=self.lock_ttl)
             try:
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self._held_locks.add(cube)
+                lease.acquire()
+            except LeaseHeldError as exc:
+                raise ConcurrentWriteError(
+                    f"cube {cube!r} is locked by writer — concurrent "
+                    "upserts would interleave snapshot merges; retry "
+                    f"after the other writer finishes ({exc})") from exc
+            self._held_locks.add(cube)
+            try:
                 yield
             finally:
                 self._held_locks.discard(cube)
-                with contextlib.suppress(OSError):
-                    os.unlink(lock)
+                lease.release()
 
         return _cm()
-
-    def _reclaim_stale_lock(self, lock: str, dead_pid) -> None:
-        """Remove ``lock`` only if it still belongs to ``dead_pid``,
-        serialized by a guard file so concurrent reclaimers cannot delete
-        each other's fresh locks. Raises ``ConcurrentWriteError`` when a
-        LIVE competitor holds the guard."""
-        import contextlib
-
-        guard = lock + ".reclaim"
-        for g_attempt in (0, 1):
-            try:
-                gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                g_holder = None
-                with contextlib.suppress(OSError, ValueError):
-                    with open(guard) as fh:
-                        g_holder = int(fh.read().strip() or 0)
-                g_alive = False
-                if g_holder:
-                    try:
-                        os.kill(g_holder, 0)
-                        g_alive = True
-                    except ProcessLookupError:
-                        g_alive = False
-                    except PermissionError:
-                        g_alive = True
-                if g_alive or g_attempt:
-                    raise ConcurrentWriteError(
-                        f"lock reclaim for {lock} already in progress "
-                        f"(guard pid {g_holder})")
-                with contextlib.suppress(OSError):
-                    os.unlink(guard)  # crashed reclaimer
-        try:
-            os.write(gfd, str(os.getpid()).encode())
-            os.close(gfd)
-            # re-verify under the guard: only delete the lock if it is
-            # STILL the dead holder's file (not a competitor's fresh one)
-            current = None
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock) as fh:
-                    current = int(fh.read().strip() or 0)
-            if current == dead_pid:
-                with contextlib.suppress(OSError):
-                    os.unlink(lock)
-        finally:
-            with contextlib.suppress(OSError):
-                os.unlink(guard)
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True
@@ -366,13 +293,13 @@ class Engine:
 
     def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
         path = self._path(cube)
-        hist_root = os.path.join(path, "_current=false")
-        if not os.path.isdir(hist_root):
+        hist_root = self.fs.join(path, "_current=false")
+        if not self.fs.isdir(hist_root):
             return 0
         batches = sorted(
-            d for d in os.listdir(hist_root)
+            d for d in self.fs.listdir(hist_root)
             if d.startswith("__batch=")
-            and os.path.isdir(os.path.join(hist_root, d)))
+            and self.fs.isdir(self.fs.join(hist_root, d)))
         if len(batches) <= 1:
             return 0
         closed = (
@@ -388,12 +315,12 @@ class Engine:
         token = self._write_closed_batch(closed, path)
         removed = 0
         for d in batches:
-            full = os.path.join(hist_root, d)
+            full = self.fs.join(hist_root, d)
             # the consolidated dir may reuse one of the existing tokens
             # (re-compacting identical content); never delete the one we
             # just wrote
-            if d != f"__batch={token}" and os.path.isdir(full):
-                shutil.rmtree(full)
+            if d != f"__batch={token}" and self.fs.isdir(full):
+                self.fs.delete_dir(full)
                 removed += 1
         return removed
 
@@ -421,7 +348,7 @@ class Engine:
             # last write wins within a snapshot batch (the reference's
             # container buffer is keyed by _id, core_api.py:537-540)
             incoming = _upsert.latest_per_oid(incoming)
-        if not os.path.isdir(path):
+        if not self.fs.isdir(path):
             self._write_partitioned(incoming, path, "errorifexists")
             return
         table = self._read(path)
@@ -447,13 +374,12 @@ class Engine:
                 tagged.where(~F.col("__closed")).drop("__closed"), path
             )
             if self.auto_compact_batches:
-                hist_root = os.path.join(path, "_current=false")
-                if os.path.isdir(hist_root):
-                    n_batches = sum(
-                        1 for d in os.listdir(hist_root)
-                        if d.startswith("__batch="))
-                    if n_batches > self.auto_compact_batches:
-                        self.compact(cube)
+                hist_root = self.fs.join(path, "_current=false")
+                n_batches = sum(
+                    1 for d in self.fs.listdir(hist_root)
+                    if d.startswith("__batch="))
+                if n_batches > self.auto_compact_batches:
+                    self.compact(cube)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)

@@ -397,21 +397,25 @@ def minhash_index(df: DataFrame, id_col: str = "doc_id",
 
 
 def write_minhash_index(index: DataFrame, path: str,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite", fs=None) -> None:
     """Persist an LSH index: parquet on (id, band, bh) plus a
     ``_minhash_params.json`` sidecar recording the signing parameters, so
     a reader can never probe with mismatched (num_hashes, bands,
     shingle_n). ``mode="append"`` extends an existing index — the sidecar
     must already match (validated; appending rows signed differently
-    would silently poison every probe)."""
+    would silently poison every probe). Sidecar I/O goes through the
+    control-plane ``fs`` backend (default ``LocalFS``) — puts are atomic,
+    so a crash can never leave a truncated sidecar that kills every
+    subsequent reader."""
     import json
-    import os
 
+    from metrique_spark.fs import LocalFS
+
+    fs = fs or LocalFS()
     params = getattr(index, _MINHASH_PARAMS_ATTR, None)
-    side = os.path.join(path, _MINHASH_SIDECAR)
-    if mode == "append" and os.path.exists(side):
-        with open(side) as fh:
-            existing = json.load(fh)
+    side = fs.join(path, _MINHASH_SIDECAR)
+    if mode == "append" and fs.isfile(side):
+        existing = json.loads(fs.read_text(side))
         if params is not None and params != existing:
             raise ValueError(
                 f"minhash index at {path} was signed with {existing}; "
@@ -419,22 +423,22 @@ def write_minhash_index(index: DataFrame, path: str,
         params = existing
     index.write.mode(mode).parquet(path)
     if params is not None:
-        with open(side, "w") as fh:
-            json.dump(params, fh)
+        fs.write_text(side, json.dumps(params))
 
 
-def read_minhash_index(spark, path: str) -> DataFrame:
+def read_minhash_index(spark, path: str, fs=None) -> DataFrame:
     """Read a persisted LSH index, reattaching the signing parameters
     from the sidecar (if present) so ``dedup_against_index`` can validate
     them."""
     import json
-    import os
 
+    from metrique_spark.fs import LocalFS
+
+    fs = fs or LocalFS()
     out = spark.read.parquet(path)
-    side = os.path.join(path, _MINHASH_SIDECAR)
-    if os.path.exists(side):
-        with open(side) as fh:
-            setattr(out, _MINHASH_PARAMS_ATTR, json.load(fh))
+    side = fs.join(path, _MINHASH_SIDECAR)
+    if fs.isfile(side):
+        setattr(out, _MINHASH_PARAMS_ATTR, json.loads(fs.read_text(side)))
     return out
 
 

@@ -144,6 +144,7 @@ def stream_dedup_sink(
     max_band_bucket: int | None = 10_000,
     max_candidates_per_doc: int | None = 1_000,
     dedup_within_batch: bool = True,
+    fs=None,
 ):
     """Continuous-ingest near-dedup — the ``foreachBatch`` composition of
     the incremental LSH path a training-data pipeline actually runs: each
@@ -175,21 +176,38 @@ def stream_dedup_sink(
     accepted/indexed; the rest are flagged with ``dup_of`` = their
     cluster's canonical id and ``jaccard`` = their strongest verified
     pair link. Corpus flags take priority over within-batch flags when a
-    doc duplicates both."""
+    doc duplicates both.
+
+    All control-plane I/O (the ``_SUCCESS`` commit probing, the params
+    sidecar) rides the ``fs`` backend (default ``LocalFS``) — sidecar
+    puts are atomic whole-object writes, so a crash mid-write can never
+    leave a truncated JSON that kills every later batch, and the probing
+    is LIST/GET-only, so the sink runs unchanged on an object store. A
+    sidecar that is unreadable/unparseable while ZERO batches have
+    committed is replaced like the mismatch case (it signed nothing)."""
     from metrique_spark.functions import dedup as _dedup
     from metrique_spark.functions.cache import release
+    from metrique_spark.fs import LocalFS
+
+    fs = fs or LocalFS()
 
     def _sink(batch_df: DataFrame, batch_id: int):
-        import glob as _glob
         import json
-        import os
 
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        if os.path.exists(os.path.join(
-                index_path, f"batch={batch_id}", "_SUCCESS")):
+        if fs.exists(fs.join(index_path, f"batch={batch_id}", "_SUCCESS")):
             return  # fully committed earlier: replay is a no-op
+
+        def _batch_dirs():
+            return [d for d in fs.listdir(index_path)
+                    if d.startswith("batch=")]
+
+        def _any_committed():
+            return any(fs.exists(fs.join(index_path, d, "_SUCCESS"))
+                       for d in _batch_dirs())
+
         # params sidecar FIRST, before any write: a misconfigured sink
         # must fail before it can commit wrongly-signed rows into the
         # index (validated again at probe time via read_minhash_index),
@@ -197,35 +215,31 @@ def stream_dedup_sink(
         # sidecar missing
         params = {"num_hashes": num_hashes, "bands": bands,
                   "shingle_n": shingle_n}
-        side = os.path.join(index_path, _dedup._MINHASH_SIDECAR)
-        if os.path.exists(side):
-            with open(side) as fh:
-                existing = json.load(fh)
+        side = fs.join(index_path, _dedup._MINHASH_SIDECAR)
+        if fs.isfile(side):
+            try:
+                existing = json.loads(fs.read_text(side))
+            except ValueError:
+                existing = None  # truncated/corrupt legacy sidecar
             if existing != params:
-                committed = any(
-                    os.path.exists(os.path.join(d, "_SUCCESS"))
-                    for d in _glob.glob(
-                        os.path.join(index_path, "batch=*")))
-                if committed:
+                if _any_committed():
                     raise ValueError(
                         f"stream index at {index_path} was signed with "
                         f"{existing}; this sink uses {params}")
                 # the sidecar signed ZERO committed rows (first batch
-                # crashed before its index commit, or the sink was
-                # reconfigured before anything landed) — replace it
-                # rather than permanently pinning an empty index
-                with open(side, "w") as fh:
-                    json.dump(params, fh)
+                # crashed before its index commit, the sink was
+                # reconfigured before anything landed, or the file is
+                # corrupt) — replace it rather than permanently pinning
+                # an empty index
+                fs.write_text(side, json.dumps(params))
         else:
-            os.makedirs(index_path, exist_ok=True)
-            with open(side, "w") as fh:
-                json.dump(params, fh)
+            fs.write_text(side, json.dumps(params))
         batch = batch_df.select(F.col(id_col), F.col(text_col))
-        prior = [d for d in _glob.glob(os.path.join(index_path, "batch=*"))
-                 if not d.endswith(f"batch={batch_id}")
-                 and os.path.exists(os.path.join(d, "_SUCCESS"))]
+        prior = [d for d in _batch_dirs()
+                 if d != f"batch={batch_id}"
+                 and fs.exists(fs.join(index_path, d, "_SUCCESS"))]
         if prior:
-            raw = _dedup.read_minhash_index(spark, index_path)
+            raw = _dedup.read_minhash_index(spark, index_path, fs=fs)
             idx = raw.where(F.col("batch") != batch_id).drop("batch")
             if hasattr(raw, _dedup._MINHASH_PARAMS_ATTR):
                 # the where/drop lose the attribute; keep validation alive
@@ -312,14 +326,14 @@ def stream_dedup_sink(
             release(pairs)
         accepted = novel.join(flags.select(id_col), id_col, "anti")
         flags.write.mode("overwrite").parquet(
-            os.path.join(flags_path, f"batch={batch_id}"))
+            fs.join(flags_path, f"batch={batch_id}"))
         accepted.write.mode("overwrite").parquet(
-            os.path.join(corpus_path, f"batch={batch_id}"))
+            fs.join(corpus_path, f"batch={batch_id}"))
         rows = _dedup.minhash_index(
             accepted, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
         rows.write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch={batch_id}"))
+            fs.join(index_path, f"batch={batch_id}"))
 
     return _sink
 

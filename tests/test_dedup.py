@@ -541,3 +541,33 @@ def test_canonical_docs_null_quality_never_wins(spark):
     rows = {r["doc_id"]: r["is_canonical"] for r in canonical_docs(
         docs, pairs, quality_col="quality").collect()}
     assert rows == {1: False, 2: True, 3: False}  # only scored doc wins
+
+
+def test_minhash_index_on_object_store_backend(spark, tmp_path):
+    # index write/read/append through the object-store control-plane
+    # shim: the sidecar protocol must survive without POSIX rename/O_EXCL
+    from metrique_spark.fs import ObjectStoreFS
+
+    store = ObjectStoreFS()
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i}") for i in range(8)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dog 3")],
+        "doc_id long, text string")
+    p = str(tmp_path / "mh_obj")
+    idx = dedup.minhash_index(corpus, num_hashes=32, bands=8)
+    dedup.write_minhash_index(idx, p, fs=store)
+    back = dedup.read_minhash_index(spark, p, fs=store)
+    assert back._minhash_params == {"num_hashes": 32, "bands": 8,
+                                    "shingle_n": 3}
+    other = dedup.minhash_index(corpus)  # defaults: mismatch
+    with pytest.raises(ValueError, match="refusing to append"):
+        dedup.write_minhash_index(other, p, mode="append", fs=store)
+    more = dedup.minhash_index(batch, num_hashes=32, bands=8)
+    dedup.write_minhash_index(more, p, mode="append", fs=store)
+    again = dedup.read_minhash_index(spark, p, fs=store)
+    assert again.count() == idx.count() + more.count()
+    out = dedup.dedup_against_index(batch, again, corpus,
+                                    num_hashes=32, bands=8)
+    assert [r["dup_of"] for r in out.collect()] == [3]

@@ -163,11 +163,22 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
                .withColumn("_end", F.col("_end").cast("timestamp")))
     e1.upsert("c", stamped)
 
-    # a LIVE competing writer (this very pid) holds the lock -> the
+    # a LIVE competing writer (this very pid) holds the lease -> the
     # second upsert must fail fast, not interleave snapshot merges
+    import json
+    import socket
+
+    from metrique_spark.fs import _pid_start_time
+
     lock = os.path.join(wh, ".c.lock")
+
+    def _lease(pid, pid_start):
+        return json.dumps({"owner": "x", "pid": pid, "pid_start": pid_start,
+                           "host": socket.gethostname(),
+                           "acquired_at": 1.0})
+
     with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
+        fh.write(_lease(os.getpid(), _pid_start_time(os.getpid())))
     e2 = Engine(spark, warehouse=wh)
     import pytest as _pytest
 
@@ -175,10 +186,17 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
         e2.upsert("c", stamped)
     os.unlink(lock)
 
-    # a STALE lock (holder pid no longer exists) is reclaimed: the
-    # upsert proceeds and leaves the lock released afterwards
+    # a STALE lease (holder pid no longer exists) is reclaimed: the
+    # upsert proceeds and leaves the lease released afterwards
     with open(lock, "w") as fh:
-        fh.write("999999999")
+        fh.write(_lease(999999999, 12345))
+    e2.upsert("c", stamped)
+    assert not os.path.exists(lock)
+
+    # a RECYCLED pid (live pid, wrong start time) is dead, not held
+    # forever: the recorded start time can't match the current process
+    with open(lock, "w") as fh:
+        fh.write(_lease(os.getpid(), -1))
     e2.upsert("c", stamped)
     assert not os.path.exists(lock)
 
@@ -192,3 +210,74 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
                   .withColumn("_start", F.col("_start").cast("timestamp"))
                   .withColumn("_end", F.col("_end").cast("timestamp")))
     assert not os.path.exists(lock)
+
+
+def test_engine_full_protocol_on_object_store(spark, tmp_path):
+    """The whole warehouse protocol over the object-store control-plane
+    shim: autotable, snapshot upsert, history import, compact, index
+    sidecars, catalog listing, lease locking with ttl reclaim, drop —
+    nothing may touch POSIX rename/O_EXCL/lockfile semantics."""
+    import os
+
+    from metrique_spark.engine import ConcurrentWriteError, Engine
+    from metrique_spark.fs import ObjectStoreFS
+
+    store = ObjectStoreFS()
+    wh = str(tmp_path / "objwh")
+    eng = Engine(spark, warehouse=wh, fs=store, lock_ttl=3600)
+
+    def batch(day, vals):
+        df = spark.createDataFrame(
+            [(k, v, day, None) for k, v in vals],
+            "_oid long, val string, _start string, _end string")
+        return (df.withColumn("_start", F.col("_start").cast("timestamp"))
+                .withColumn("_end", F.col("_end").cast("timestamp")))
+
+    eng.upsert("c", batch("2024-01-01", [(1, "a"), (2, "b")]))
+    eng.upsert("c", batch("2024-02-01", [(1, "a2"), (3, "c")]))
+    assert eng.count("c", date=None) == 3          # open rows: 1,2,3
+    assert eng.count("c", date="~") == 4           # + closed v1 of oid 1
+    assert eng.ls() == ["c"]
+    assert eng.exists("c")
+
+    # another engine on the same store: lease blocks concurrent writes
+    import json as _json
+    lock = store.join(wh, ".c.lock")
+    held = store.read_text if store.isfile(lock) else None
+    assert held is None  # released after upsert
+    # simulate a crashed remote holder; ttl=0 reclaims, ttl=None blocks
+    store.write_text(lock, _json.dumps(
+        {"owner": "x", "pid": 1, "pid_start": 1, "host": "elsewhere",
+         "acquired_at": 1.0}))
+    blocked = Engine(spark, warehouse=wh, fs=store, lock_ttl=None)
+    with pytest.raises(ConcurrentWriteError, match="locked by writer"):
+        blocked.upsert("c", batch("2024-03-01", [(2, "b2")]))
+    eng.upsert("c", batch("2024-03-01", [(2, "b2")]))  # ttl reclaim
+    assert not store.exists(lock)
+
+    # compact consolidates history batch dirs through the fs backend
+    hist = store.join(wh, "c", "_current=false")
+    assert sum(1 for d in store.listdir(hist)
+               if d.startswith("__batch=")) == 2
+    assert eng.compact("c") == 2
+    assert sum(1 for d in store.listdir(hist)
+               if d.startswith("__batch=")) == 1
+    assert eng.count("c", date="~") == 5
+
+    # history import (full-history replace per oid)
+    hist_df = spark.createDataFrame(
+        [(9, "h1", "2023-01-01", "2023-06-01"),
+         (9, "h2", "2023-06-01", None)],
+        "_oid long, val string, _start string, _end string")
+    hist_df = (hist_df
+               .withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("c", hist_df, autosnap=False)
+    assert eng.count("c", "_oid == 9", date="~") == 2
+
+    # index sidecar via fs, catalog roundtrip, drop
+    eng.index("c", ["val"])
+    assert eng.index_list()["c"][0]["column_names"] == ["val"]
+    eng.drop("c")
+    assert not eng.exists("c")
+    assert not os.path.isdir(os.path.join(wh, "c"))

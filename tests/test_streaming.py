@@ -330,12 +330,16 @@ def test_correlate_events_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got["n"] == got["d"] == n_batch
 
 
-def test_stream_dedup_sink_flags_and_replay(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["local", "objectstore"])
+def test_stream_dedup_sink_flags_and_replay(spark, tmp_path, backend):
     """Continuous-ingest dedup: batches flag against the base corpus AND
     earlier batches, accepted docs join the index, and a replayed batch
-    (at-least-once foreachBatch) is a no-op."""
+    (at-least-once foreachBatch) is a no-op. Runs against BOTH
+    control-plane backends: the objectstore run proves the sink's commit
+    probing and sidecar protocol never need POSIX rename/O_EXCL."""
     import os
 
+    from metrique_spark.fs import ObjectStoreFS
     from metrique_spark.streaming.events import stream_dedup_sink
 
     idx_p = str(tmp_path / "idx")
@@ -343,8 +347,9 @@ def test_stream_dedup_sink_flags_and_replay(spark, tmp_path):
     flg_p = str(tmp_path / "flg")
     # within-batch dedup off: this test pins the INDEX-probe/replay
     # machinery, and its batch-0 docs are intentionally mutual near-dups
-    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8,
-                             dedup_within_batch=False)
+    sink = stream_dedup_sink(
+        idx_p, cor_p, flg_p, threshold=0.8, dedup_within_batch=False,
+        fs=ObjectStoreFS() if backend == "objectstore" else None)
 
     def mk(rows):
         return spark.createDataFrame(rows, "doc_id long, text string")
