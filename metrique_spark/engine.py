@@ -44,7 +44,8 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse: str | None = None,
                  auto_compact_batches: int | None = None,
                  fs: FileSystem | None = None,
-                 lock_ttl: float | None = None):
+                 lock_ttl: float | None = None,
+                 oid_buckets: int = 16):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -55,6 +56,17 @@ class Engine:
         # None = never expire (same-host pid probing still reclaims).
         self.fs = fs or LocalFS()
         self.lock_ttl = lock_ttl
+        # second-level ``__obucket = pmod(xxhash64(_oid), N)`` partition
+        # key for NEW cubes: a history import (upsert autosnap=False)
+        # rewrites only the bucket directories containing incoming oids
+        # (the reference deletes only the incoming oids' versions,
+        # sqlalchemy.py:955-963 — at 100 TB a full-table rewrite per
+        # import is the difference between minutes and days). The count
+        # is recorded per cube in a ``_layout.json`` sidecar at first
+        # write, so every later writer — whatever ITS default — buckets
+        # identically; raise it (e.g. 1024) for cubes whose history is
+        # genuinely huge.
+        self.oid_buckets = oid_buckets
         # when set, a snapshot upsert that leaves more than this many
         # __batch directories in a cube's history partition triggers
         # compact() — bounds the small-files growth of long-running
@@ -83,14 +95,21 @@ class Engine:
         self._views[cube] = df
         df.createOrReplaceTempView(cube)
 
-    def _read(self, path: str) -> DataFrame:
+    def _read_raw(self, path: str) -> DataFrame:
+        """Cube read KEEPING the internal partition columns (``__batch``,
+        ``__obucket``) — the bounded history import needs them to rewrite
+        kept rows back into their own directories."""
         df = self.spark.read.parquet(path)
         if "_current" in df.columns:
             # partition-value inference yields string; restore boolean
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
-        if "__batch" in df.columns:  # internal commit-batch key, not data
-            df = df.drop("__batch")
         return df
+
+    def _read(self, path: str) -> DataFrame:
+        df = self._read_raw(path)
+        # internal commit-batch / oid-bucket keys, not data
+        return df.drop(*[c for c in ("__batch", "__obucket")
+                         if c in df.columns])
 
     def table(self, cube: str) -> DataFrame:
         """The cube as a DataFrame (reference ``get_table``)."""
@@ -212,8 +231,42 @@ class Engine:
 
         return _cm()
 
+    _LAYOUT_SIDECAR = "_layout.json"
+
+    def _cube_buckets(self, path: str) -> int | None:
+        """The cube's recorded oid-bucket count, or None for the legacy
+        unbucketed ``(_current, __batch)`` layout. Writers must use the
+        RECORDED value — bucketing with a different modulus would prune
+        the wrong directories on a later history import."""
+        import json
+
+        p = self.fs.join(path, self._LAYOUT_SIDECAR)
+        if self.fs.isfile(p):
+            try:
+                return json.loads(self.fs.read_text(p)).get("oid_buckets")
+            except ValueError:
+                return None
+        return None
+
+    def _write_layout(self, path: str, buckets: int) -> None:
+        import json
+
+        self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
+                           json.dumps({"oid_buckets": buckets}))
+
+    @staticmethod
+    def _obucket(buckets: int):
+        """Scan-stage oid-bucket expression — stable content hash, so the
+        same oid always lands in the same directory whatever the batch."""
+        return F.pmod(F.xxhash64(F.col("_oid")), F.lit(buckets)).cast("int")
+
+    def _partition_keys(self, buckets: int | None) -> list[str]:
+        return (["_current", "__obucket", "__batch"] if buckets
+                else ["_current", "__batch"])
+
     def _write_partitioned(
-        self, df: DataFrame, path: str, mode: str, dynamic: bool = True
+        self, df: DataFrame, path: str, mode: str, dynamic: bool = True,
+        buckets: int | None = None,
     ) -> None:
         out = df.withColumn("_current", F.col("_end").isNull())
         # second-level __batch partition key: open rows live in one fixed
@@ -224,22 +277,22 @@ class Engine:
             "__batch",
             F.when(F.col("_current"), F.lit("open")).otherwise(F.lit("hist")),
         )
+        if buckets:
+            out = out.withColumn("__obucket", self._obucket(buckets))
         (
             out.write.mode(mode)
-            .partitionBy("_current", "__batch")
+            .partitionBy(*self._partition_keys(buckets))
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
 
-    def _write_closed_batch(self, closed: DataFrame, path: str) -> None:
-        """Append newly-closed rows into a history partition keyed by a
-        deterministic content token: retrying the same merge overwrites the
-        SAME directory instead of appending duplicates."""
-        # Order-insensitive distributed checksum: sum of per-row xxhash64
-        # aggregates map-side with constant memory per task (the earlier
-        # collect_list token held every closed _id in ONE aggregation
-        # buffer — gigabytes at a 100 TB-scale batch). decimal(38,0) sum
-        # can't overflow under ANSI until ~1e19 rows.
+    def _batch_token(self, closed: DataFrame) -> str | None:
+        """Deterministic content token for a closed-row batch, or None
+        when the batch is empty. Order-insensitive distributed checksum:
+        sum of per-row xxhash64 aggregates map-side with constant memory
+        per task (a collect_list token would hold every closed _id in ONE
+        aggregation buffer — gigabytes at a 100 TB-scale batch).
+        decimal(38,0) sum can't overflow under ANSI until ~1e19 rows."""
         tok = closed.agg(
             F.count("*").alias("n"),
             F.sum(
@@ -249,25 +302,39 @@ class Engine:
         ).first()
         if not tok["n"]:
             return None
-        token = f"n{tok['n']}x{tok['s']}"
+        return f"n{tok['n']}x{tok['s']}"
+
+    def _write_closed_batch(self, closed: DataFrame, path: str,
+                            buckets: int | None = None) -> str | None:
+        """Append newly-closed rows into a history partition keyed by a
+        deterministic content token: retrying the same merge overwrites the
+        SAME directory instead of appending duplicates."""
+        token = self._batch_token(closed)
+        if token is None:
+            return None
+        out = (closed.withColumn("_current", F.lit(False))
+               .withColumn("__batch", F.lit(token)))
+        if buckets:
+            out = out.withColumn("__obucket", self._obucket(buckets))
         (
-            closed.withColumn("_current", F.lit(False))
-            .withColumn("__batch", F.lit(token))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_current", "__batch")
+            .partitionBy(*self._partition_keys(buckets))
             .parquet(path)
         )
         return token
 
-    def _write_open(self, new_open: DataFrame, path: str) -> None:
-        """Dynamically overwrite the single open partition."""
+    def _write_open(self, new_open: DataFrame, path: str,
+                    buckets: int | None = None) -> None:
+        """Dynamically overwrite the open partition(s)."""
+        out = (new_open.withColumn("_current", F.lit(True))
+               .withColumn("__batch", F.lit("open")))
+        if buckets:
+            out = out.withColumn("__obucket", self._obucket(buckets))
         (
-            new_open.withColumn("_current", F.lit(True))
-            .withColumn("__batch", F.lit("open"))
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_current", "__batch")
+            .partitionBy(*self._partition_keys(buckets))
             .parquet(path)
         )
 
@@ -293,14 +360,10 @@ class Engine:
 
     def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
         path = self._path(cube)
-        hist_root = self.fs.join(path, "_current=false")
-        if not self.fs.isdir(hist_root):
-            return 0
-        batches = sorted(
-            d for d in self.fs.listdir(hist_root)
-            if d.startswith("__batch=")
-            and self.fs.isdir(self.fs.join(hist_root, d)))
-        if len(batches) <= 1:
+        batches = self._closed_batch_dirs(path)
+        # compaction consolidates per-upsert TOKENS; under the bucketed
+        # layout one token spans several bucket dirs, so count tokens
+        if len({d.rsplit("/", 1)[-1] for d in batches}) <= 1:
             return 0
         closed = (
             self._read(path).where(~F.col("_current"))
@@ -312,14 +375,15 @@ class Engine:
         # localCheckpoint: the write below rewrites the directories this
         # plan reads from
         closed = closed.localCheckpoint(eager=True)
-        token = self._write_closed_batch(closed, path)
+        token = self._write_closed_batch(closed, path,
+                                         buckets=self._cube_buckets(path))
         removed = 0
-        for d in batches:
-            full = self.fs.join(hist_root, d)
+        for full in batches:
             # the consolidated dir may reuse one of the existing tokens
             # (re-compacting identical content); never delete the one we
             # just wrote
-            if d != f"__batch={token}" and self.fs.isdir(full):
+            if (full.rsplit("/", 1)[-1] != f"__batch={token}"
+                    and self.fs.isdir(full)):
                 self.fs.delete_dir(full)
                 removed += 1
         return removed
@@ -328,8 +392,13 @@ class Engine:
         """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``)."""
         obj = df if stamped else stamp(df, **stamp_kw)
         validate(obj)
+        path = self._path(cube)
         with self._write_lock(cube):
-            self._write_partitioned(obj, self._path(cube), "append")
+            new_cube = not self.fs.isdir(path)
+            buckets = self.oid_buckets if new_cube else self._cube_buckets(path)
+            self._write_partitioned(obj, path, "append", buckets=buckets)
+            if new_cube:
+                self._write_layout(path, buckets)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, **stamp_kw) -> None:
@@ -349,8 +418,11 @@ class Engine:
             # container buffer is keyed by _id, core_api.py:537-540)
             incoming = _upsert.latest_per_oid(incoming)
         if not self.fs.isdir(path):
-            self._write_partitioned(incoming, path, "errorifexists")
+            self._write_partitioned(incoming, path, "errorifexists",
+                                    buckets=self.oid_buckets)
+            self._write_layout(path, self.oid_buckets)
             return
+        buckets = self._cube_buckets(path)
         table = self._read(path)
         cols = [c for c in table.columns if c != "_current"]
         if autosnap:
@@ -368,28 +440,111 @@ class Engine:
             # and converges to the crash-free state. The old order lost
             # the closed versions (a history gap) with no recovery path.
             self._write_closed_batch(
-                tagged.where(F.col("__closed")).drop("__closed"), path
+                tagged.where(F.col("__closed")).drop("__closed"), path,
+                buckets=buckets,
             )
             self._write_open(
-                tagged.where(~F.col("__closed")).drop("__closed"), path
+                tagged.where(~F.col("__closed")).drop("__closed"), path,
+                buckets=buckets,
             )
             if self.auto_compact_batches:
-                hist_root = self.fs.join(path, "_current=false")
-                n_batches = sum(
-                    1 for d in self.fs.listdir(hist_root)
-                    if d.startswith("__batch="))
-                if n_batches > self.auto_compact_batches:
+                tokens = {d.rsplit("/", 1)[-1]
+                          for d in self._closed_batch_dirs(path)}
+                if len(tokens) > self.auto_compact_batches:
                     self.compact(cube)
+        elif buckets:
+            self._history_replace_bucketed(path, incoming.select(*cols),
+                                           cols, buckets)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
             ).localCheckpoint(eager=True)
-            # static overwrite: the history import must rewrite BOTH
-            # partitions (reference deletes ALL versions of the replaced
-            # oids, sqlalchemy.py:955-963) — dynamic mode would leave a
-            # _current partition absent from the result untouched on disk,
-            # letting stale versions survive
+            # legacy unbucketed layout: static overwrite — the history
+            # import must rewrite BOTH partitions (reference deletes ALL
+            # versions of the replaced oids, sqlalchemy.py:955-963) —
+            # dynamic mode would leave a _current partition absent from
+            # the result untouched on disk, letting stale versions survive
             self._write_partitioned(replaced, path, "overwrite", dynamic=False)
+
+    def _history_replace_bucketed(self, path: str, incoming: DataFrame,
+                                  cols: list[str], buckets: int) -> None:
+        """Bounded history import: rewrite ONLY the oid-bucket directories
+        containing incoming oids (reference semantics — delete every
+        stored version of the incoming oids, insert the supplied full
+        history, ``sqlalchemy.py:955-963`` — without the full-table
+        rewrite). Untouched buckets are never read OR written: the scan
+        below partition-prunes to the hit buckets, and the dynamic
+        partition overwrite touches only directories present in its
+        output.
+
+        Crash-convergent under the single-writer lease: the union write
+        is deterministic from (stored state minus incoming oids) +
+        incoming — a retry recomputes the identical directories — and the
+        trailing sweep deletes directories whose rows were ALL replaced
+        (dynamic overwrite cannot rewrite a partition that has no output
+        rows). A crash between write and sweep leaves stale rows of
+        replaced oids that the retried import removes again. NOT
+        snapshot-isolated: concurrent readers may transiently see both
+        old and new versions of a replaced oid, exactly like the snapshot
+        upsert's two-step commit."""
+        ob = self._obucket(buckets)
+        hit = sorted(r["b"] for r in
+                     incoming.select(ob.alias("b")).distinct().collect())
+        raw = self._read_raw(path)
+        pruned = raw.where(F.col("__obucket").isin(hit))
+        keys = incoming.select("_oid").distinct()
+        kept = pruned.join(F.broadcast(keys), "_oid", "left_anti")
+        inc = _upsert._regen_id(incoming)
+        token = self._batch_token(inc.where(F.col("_end").isNotNull()))
+        part_cols = ["_current", "__obucket", "__batch"]
+        inc_part = (
+            inc.withColumn("_current", F.col("_end").isNull())
+            .withColumn("__obucket", ob)
+            .withColumn("__batch", F.when(F.col("_current"), F.lit("open"))
+                        .otherwise(F.lit(token)))
+        )
+        union = (
+            kept.select(*cols, *part_cols)
+            .unionByName(inc_part.select(*cols, *part_cols))
+            .localCheckpoint(eager=True)  # the write rewrites its inputs
+        )
+        (
+            union.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        # sweep: directories in the hit buckets whose content was all
+        # replaced are absent from the output and must be deleted
+        survivors = {
+            (r["_current"], r["__obucket"], r["__batch"])
+            for r in union.select(*part_cols).distinct().collect()
+        }
+        for cur in (True, False):
+            for b in hit:
+                broot = self.fs.join(
+                    path, f"_current={str(cur).lower()}", f"__obucket={b}")
+                for d in self.fs.listdir(broot):
+                    if not d.startswith("__batch="):
+                        continue
+                    if (cur, b, d[len("__batch="):]) not in survivors:
+                        self.fs.delete_dir(self.fs.join(broot, d))
+
+    def _closed_batch_dirs(self, path: str) -> list[str]:
+        """Full paths of every history ``__batch=`` directory, bucketed
+        or legacy layout."""
+        out = []
+        hist = self.fs.join(path, "_current=false")
+        for d in self.fs.listdir(hist):
+            full = self.fs.join(hist, d)
+            if d.startswith("__batch=") and self.fs.isdir(full):
+                out.append(full)
+            elif d.startswith("__obucket=") and self.fs.isdir(full):
+                out.extend(
+                    self.fs.join(full, b) for b in self.fs.listdir(full)
+                    if b.startswith("__batch=")
+                    and self.fs.isdir(self.fs.join(full, b)))
+        return out
 
     # -- queries (reference sqlalchemy.py:641-803) ---------------------------
 

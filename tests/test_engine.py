@@ -129,9 +129,11 @@ def test_auto_compact_hook(spark, tmp_path):
             [(k, f"v{i}") for k in range(3)], ["k", "val"])
         eng.upsert("c", df, oid="k",
                    start=F.to_timestamp(F.lit(f"2024-0{i + 1}-01")))
-    hist_root = os.path.join(str(tmp_path), "c", "_current=false")
-    n_dirs = sum(1 for d in os.listdir(hist_root) if d.startswith("__batch="))
-    assert n_dirs <= 2
+    def tokens(e, cube):
+        return {d.rsplit("/", 1)[-1]
+                for d in e._closed_batch_dirs(e._path(cube))}
+
+    assert len(tokens(eng, "c")) <= 2
     # nothing lost: 4 closed versions per key + 1 open = 15 rows
     assert eng.count("c", date="~") == 15
     assert eng.count("c", date=None) == 3
@@ -142,9 +144,7 @@ def test_auto_compact_hook(spark, tmp_path):
             [(k, f"v{i}") for k in range(3)], ["k", "val"])
         eng2.upsert("c", df, oid="k",
                     start=F.to_timestamp(F.lit(f"2024-0{i + 1}-01")))
-    hist2 = os.path.join(str(tmp_path / "wh2"), "c", "_current=false")
-    assert sum(1 for d in os.listdir(hist2)
-               if d.startswith("__batch=")) == 4
+    assert len(tokens(eng2, "c")) == 4
 
 
 def test_concurrent_writer_fails_fast(spark, tmp_path):
@@ -256,12 +256,13 @@ def test_engine_full_protocol_on_object_store(spark, tmp_path):
     assert not store.exists(lock)
 
     # compact consolidates history batch dirs through the fs backend
-    hist = store.join(wh, "c", "_current=false")
-    assert sum(1 for d in store.listdir(hist)
-               if d.startswith("__batch=")) == 2
-    assert eng.compact("c") == 2
-    assert sum(1 for d in store.listdir(hist)
-               if d.startswith("__batch=")) == 1
+    def tokens():
+        return {d.rsplit("/", 1)[-1]
+                for d in eng._closed_batch_dirs(eng._path("c"))}
+
+    assert len(tokens()) == 2
+    assert eng.compact("c") >= 1
+    assert len(tokens()) == 1
     assert eng.count("c", date="~") == 5
 
     # history import (full-history replace per oid)

@@ -18,6 +18,13 @@ def _objs(spark, rows, start):
     return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
 
 
+def _batch_tokens(engine, cube):
+    """Distinct history commit tokens on disk (one per un-compacted
+    upsert batch), layout-agnostic."""
+    return {d.rsplit("/", 1)[-1]
+            for d in engine._closed_batch_dirs(engine._path(cube))}
+
+
 def test_snapshot_upsert_lifecycle(spark, engine):
     # v1: two objects
     engine.upsert("kitchen", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
@@ -113,7 +120,7 @@ def test_crash_between_closed_and_open_writes_recovers(spark, engine, monkeypatc
     engine.upsert("cr", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
 
     # inject a crash AFTER the closed-row write, BEFORE the open overwrite
-    def boom(self, df, path):
+    def boom(self, df, path, buckets=None):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_write_open", boom)
@@ -183,9 +190,7 @@ def test_compact_consolidates_history_dirs(spark, engine, tmp_path):
                   stamped=True)
     engine.upsert("cp", _objs(spark, [(1, 12)], "2014-03-01"),
                   stamped=True)
-    hist = os.path.join(engine.warehouse, "cp", "_current=false")
-    n_dirs = len([d for d in os.listdir(hist) if d.startswith("__batch=")])
-    assert n_dirs >= 2
+    assert len(_batch_tokens(engine, "cp")) >= 2
     before_all = sorted(
         (r["_id"], r["col_1"]) for r in engine.find(
             "cp", fields="col_1,_id", date="~").collect())
@@ -193,8 +198,7 @@ def test_compact_consolidates_history_dirs(spark, engine, tmp_path):
 
     removed = engine.compact("cp")
     assert removed >= 1
-    n_after = len([d for d in os.listdir(hist) if d.startswith("__batch=")])
-    assert n_after == 1
+    assert len(_batch_tokens(engine, "cp")) == 1
     after_all = sorted(
         (r["_id"], r["col_1"]) for r in engine.find(
             "cp", fields="col_1,_id", date="~").collect())
@@ -217,21 +221,84 @@ def test_compact_crash_between_write_and_delete_heals(spark, engine,
     engine.upsert("ch", _objs(spark, [(1, 12)], "2014-03-01"), stamped=True)
     before = engine.count("ch", date="~")
 
-    real_rmtree = _shutil.rmtree
-
-    def boom(path, *a, **kw):
+    def boom(path):
         raise RuntimeError("injected crash before delete")
 
-    monkeypatch.setattr("metrique_spark.engine.shutil.rmtree", boom)
+    monkeypatch.setattr(engine.fs, "delete_dir", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
         engine.compact("ch")
-    monkeypatch.setattr("metrique_spark.engine.shutil.rmtree", real_rmtree)
+    monkeypatch.undo()
 
     # duplicates exist on disk now (consolidated + originals), but queries
     # after the NEXT compact are back to the true state
     engine.compact("ch")
-    hist = os.path.join(engine.warehouse, "ch", "_current=false")
-    assert len([d for d in os.listdir(hist)
-                if d.startswith("__batch=")]) == 1
+    assert len(_batch_tokens(engine, "ch")) == 1
     assert engine.count("ch", date="~") == before
     assert engine.count("ch") == 1
+
+
+def test_history_import_rewrites_only_hit_buckets(spark, tmp_path):
+    """Bounded history import: a cube partitioned by oid bucket rewrites
+    ONLY the bucket directories containing incoming oids — every parquet
+    file in untouched buckets is byte-identical (same path, size, mtime)
+    after the import. At 100 TB this is the difference between rewriting
+    a few directories and rewriting the table."""
+    import os
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    eng.upsert("b", _objs(spark, [(i, i) for i in range(40)],
+                          "2014-01-01"), stamped=True)
+    eng.upsert("b", _objs(spark, [(i, i + 100) for i in range(40)],
+                          "2014-02-01"), stamped=True)
+    assert eng.count("b", date="~") == 80
+
+    # which bucket does oid 7 land in? (same expression the engine uses)
+    hit = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8))
+        .cast("int").alias("b")).first()["b"]
+
+    def snapshot(exclude_bucket):
+        out = {}
+        root = eng._path("b")
+        for dirpath, _, files in os.walk(root):
+            if f"__obucket={exclude_bucket}" in dirpath:
+                continue
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(hit)
+    hist = spark.createDataFrame(
+        [(7, 999, "2013-01-01", "2013-06-01"), (7, 1000, "2013-06-01", None)],
+        "oid long, col_1 long, s string, e string")
+    eng.upsert("b", stamp(hist, oid="oid", start="s", end="e"),
+               autosnap=False, stamped=True)
+    assert snapshot(hit) == before  # untouched buckets byte-identical
+
+    # semantics: oid 7 has exactly its new 2-version history, all other
+    # oids keep theirs
+    assert eng.count("b", "_oid == 7", date="~") == 2
+    assert eng.find("b", "_oid == 7").first()["col_1"] == 1000
+    assert eng.count("b", date="~") == 80  # 78 others + 2 new
+    assert eng.count("b") == 40
+
+
+def test_history_import_sweeps_emptied_batch_dirs(spark, tmp_path):
+    """A history import that replaces EVERY row of some (bucket, batch)
+    directory must delete it — dynamic overwrite can't rewrite a
+    partition absent from its output, and leaving the directory behind
+    would resurrect the replaced versions."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4)
+    eng.upsert("s", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    eng.upsert("s", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    assert eng.count("s", date="~") == 2
+    # open-only replacement: the closed dir held only oid 1's old version
+    only_open = spark.createDataFrame([(1, 12, "2014-06-01")],
+                                      "oid long, col_1 long, s string")
+    eng.upsert("s", stamp(only_open, oid="oid", start="s"),
+               autosnap=False, stamped=True)
+    assert eng.count("s", date="~") == 1
+    assert eng.find("s").first()["col_1"] == 12
+    assert _batch_tokens(eng, "s") == set()  # emptied history dir swept
