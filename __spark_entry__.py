@@ -2226,8 +2226,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN len(toks) - 4 >= 1 THEN
                    list_transform(range(0, len(toks) - 4),
-                       i -> md5(array_to_string(toks[i+1:i+5], ' ')))
-               ELSE [] END AS hs
+                       i -> ('0x' || substr(md5(
+                           array_to_string(toks[i+1:i+5], ' ')),
+                           1, 15))::BIGINT)
+               ELSE CAST([] AS BIGINT[]) END AS hs
         FROM t
     ),
     f AS (
@@ -2252,7 +2254,9 @@ def oracle_sql() -> dict[str, str]:
         FROM t WHERE len(toks) >= 16
     ),
     sp AS (
-        SELECT doc_id, s, md5(array_to_string(toks[s+1:s+16], ' ')) AS h
+        SELECT doc_id, s,
+               ('0x' || substr(md5(array_to_string(toks[s+1:s+16], ' ')),
+                               1, 15))::BIGINT AS h
         FROM g
     ),
     own AS (SELECT h, min(doc_id) AS owner FROM sp GROUP BY h),
@@ -2375,7 +2379,9 @@ def oracle_sql() -> dict[str, str]:
         FROM t WHERE len(toks) >= 16
     ),
     s AS (
-        SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+15], ' ')) AS h
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(toks[i:i+15], ' ')),
+                               1, 15))::BIGINT AS h
         FROM g
     ),
     f AS (SELECT h, count(*) AS nd FROM s GROUP BY h),

@@ -586,14 +586,19 @@ def duplicate_window_stats(
     shuffle-friendly approximation).
 
     Scale shape: the fingerprint stream is O(tokens/stride) rows of
-    (id, 32-hex md5); within-doc distinct + the doc-frequency aggregate
-    both shuffle on the hash with map-side partial aggregation, so a
-    boilerplate window occurring a billion times collapses per map
-    partition before the exchange. ``stride > 1`` trades recall of
-    sub-window-length overlaps for proportionally less volume — at 100 TB
-    run stride = window/2 (any duplicated region ≥ 1.5 windows still
-    fingerprints identically at some aligned position).
+    (id, 60-bit long) — ``md5_long`` keys shuffle ~4× fewer bytes than
+    the 32-hex md5 string this used to carry, with collision odds far
+    below the statistic's noise floor (see ``text.md5_long``); within-doc
+    distinct + the doc-frequency aggregate both shuffle on the hash with
+    map-side partial aggregation, so a boilerplate window occurring a
+    billion times collapses per map partition before the exchange.
+    ``stride > 1`` trades recall of sub-window-length overlaps for
+    proportionally less volume — at 100 TB run stride = window/2 (any
+    duplicated region ≥ 1.5 windows still fingerprints identically at
+    some aligned position).
     """
+    from metrique_spark.functions.text import md5_long
+
     src = spread_small_scan(df.select(F.col(id_col).alias("id"),
                                       F.col(text_col).alias("__text")))
     t = src.select("id", tokens("__text").alias("__toks"))
@@ -604,7 +609,7 @@ def duplicate_window_stats(
     spans = (
         t.select("id", F.explode(F.transform(
             idx,
-            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, window), " ")),
+            lambda i: md5_long(F.array_join(F.slice("__toks", i + 1, window), " ")),
         )).alias("h"))
         .distinct()  # one row per (doc, span content)
     )
@@ -1143,14 +1148,19 @@ def remove_duplicate_spans(
     bytes).
 
     Scale shape: stride-1 fingerprints are O(tokens) slim (id, start,
-    md5) rows; ownership is one map-side-combinable min-aggregate on the
-    hash; duplicated starts per doc collapse into covered INTERVALS via
-    a gaps-and-islands window (partitioned by doc — a doc's spans are
-    bounded by its own length, so no skew), and the final cut is a pure
-    column expression: filter the token-position sequence against the
-    islands array. No doc's text is ever joined against another doc's
-    text; everything meets on 32-hex hashes."""
+    60-bit long) rows (``md5_long`` — ~4× fewer shuffle bytes than the
+    32-hex strings this used to carry; a collision cuts one bounded span
+    from one doc, see ``text.md5_long``); ownership is one
+    map-side-combinable min-aggregate on the hash; duplicated starts per
+    doc collapse into covered INTERVALS via a gaps-and-islands window
+    (partitioned by doc — a doc's spans are bounded by its own length,
+    so no skew), and the final cut is a pure column expression: filter
+    the token-position sequence against the islands array. No doc's text
+    is ever joined against another doc's text; everything meets on the
+    hash keys."""
     from pyspark.sql import Window
+
+    from metrique_spark.functions.text import md5_long
 
     src = spread_small_scan(df.select(F.col(id_col).alias("id"),
                                       F.col(text_col).alias("__text")))
@@ -1172,7 +1182,7 @@ def remove_duplicate_spans(
         starts,
         lambda i: F.struct(
             i.alias("s"),
-            F.md5(F.array_join(F.slice("__toks", i + 1, window), " "))
+            md5_long(F.array_join(F.slice("__toks", i + 1, window), " "))
             .alias("h")))
     spans = (
         t.select("id", F.explode_outer(span_structs).alias("x"))

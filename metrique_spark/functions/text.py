@@ -111,6 +111,21 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(tokens(text), " "))
 
 
+def md5_long(col: Column) -> Column:
+    """60-bit bigint fingerprint: the top 15 hex digits of md5, base-16
+    decoded. The hot-key workhorse for per-token-window hashing
+    (substring dedup, winnowing): an 8-byte long shuffles ~4× fewer
+    bytes than the 32-hex md5 string and compares/aggregates without
+    string semantics, while staying cross-engine reproducible (DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``). Birthday bound:
+    p ≈ n²/2^61, so a billion distinct keys see one collision with
+    p≈0.4 — one spurious window pair among 10^9 is noise for
+    duplication statistics/span removal (bounded, per-window damage);
+    keep the full md5 (``fingerprint``) where a false merge must be
+    impossible (whole-document identity)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection with all text-analysis columns."""
     cc = char_classes(text_col)
@@ -518,9 +533,12 @@ def winnowed_fingerprints(
     selected fingerprint — unlike fixed-stride sampling, which can
     misalign and miss. Returns one row per distinct (doc, fingerprint);
     group by ``fp`` for the inverted index that finds partial overlaps.
+    Fingerprints are 60-bit longs (``md5_long`` — the window minimum is
+    a numeric min; ~4× fewer shuffle bytes than the 32-hex strings the
+    first version carried, same winnowing guarantee).
 
     Everything is a column expression over the token array (k-gram
-    md5s and per-window minima inside ``transform`` — no explode until
+    hashes and per-window minima inside ``transform`` — no explode until
     the final distinct), so cost rides the token count, all codegen."""
     src = df.select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("__t"))
@@ -530,8 +548,8 @@ def winnowed_fingerprints(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, k), " "))),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+            lambda i: md5_long(F.array_join(F.slice("__toks", i + 1, k), " "))),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
     h = t.select("id", hs.alias("__hs"))
     n_win = F.size("__hs") - (window - 1)
     fps = F.when(
