@@ -152,6 +152,7 @@ def ranked_within_strata(
     order_cols: list[Column],
     rank_col: str = "__rn",
     n_partitions: int | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Global rank of every row WITHIN its stratum by ``order_cols``,
     without ever sorting a whole stratum in one task. Returns the input
@@ -179,12 +180,18 @@ def ranked_within_strata(
     samples boundaries per execution, so the offsets collect and the
     final rank job must see the SAME partitioning. The caller owns the
     block — the result is ``cache``-tracked; ``release()`` it after
-    materializing. On a multi-executor cluster, note that a LOST cached
-    block recomputes through a fresh boundary-sampling pass — if
-    executor loss is in play, write the ranged intermediate to reliable
-    storage first, or use ``hash_ranked_within_strata`` (content-hash
-    partition ids, fully deterministic, no persist) whenever the order
-    key is the md5 bucket. Rows tied on ``order_cols`` get arbitrary-
+    materializing. On a multi-executor cluster a LOST cached block
+    recomputes through a fresh boundary-sampling pass with DIFFERENT
+    partition ids — silently wrong ranks. When executor loss is in play,
+    pass ``reliable_dir``: the ranged intermediate (WITH its materialized
+    partition ids) is written to that storage path once and every
+    downstream job reads the immutable copy — executor loss re-reads
+    parquet instead of re-sampling, at the cost of one extra write+read
+    of the data (the standard reliability trade; the caller owns the
+    directory's lifetime, no persist/``release`` involved). Or use
+    ``hash_ranked_within_strata`` (content-hash partition ids, fully
+    deterministic, no persist and no spill) whenever the order key is
+    the md5 bucket. Rows tied on ``order_cols`` get arbitrary-
     but-consistent distinct ranks (range partitioning may split ties
     across partitions; every rank still maps to a correctly-sorted
     value)."""
@@ -199,8 +206,12 @@ def ranked_within_strata(
     ranged = (
         df.repartitionByRange(nparts, stratum, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if reliable_dir is not None:
+        ranged.write.mode("overwrite").parquet(reliable_dir)
+        ranged = spark.read.parquet(reliable_dir)
+    else:
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     cnt = ranged.groupBy("__pid", stratum.alias("__s")) \
                 .agg(F.count("*").alias("__c")).collect()
     off_df, acc = _offsets_df(
@@ -216,7 +227,8 @@ def ranked_within_strata(
         .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
         .drop("__off")
     )
-    out = track(out, ranged)
+    if reliable_dir is None:
+        out = track(out, ranged)  # caller releases the cached block
     # per-stratum totals fall out of the same aggregate — callers that
     # need group sizes (quantile targets) read them here instead of
     # paying a second count pass

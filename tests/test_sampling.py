@@ -289,3 +289,37 @@ def test_ranked_within_strata_null_stratum_kept(spark):
                                            n_partitions=2)
     vals = {(r["s"], r["r"]) for r in h.collect()}
     assert len(vals) == 4 and sum(1 for s, _ in vals if s is None) == 2
+
+
+def test_ranked_within_strata_reliable_dir_survives_cache_loss(spark, tmp_path):
+    """Executor-loss safety: with reliable_dir the ranged intermediate
+    (including its partition ids) lives in immutable storage, so losing
+    every cached block between the offsets job and the rank job — the
+    failure that silently re-samples range boundaries on the persisted
+    path — changes nothing. Ranks stay exact and repeatable."""
+    import collections
+
+    rows = [(i, "de" if i % 10 == 0 else "en") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rd = str(tmp_path / "ranged")
+    ranked = sampling.ranked_within_strata(
+        df, "lang", [F.col("doc_id")], rank_col="r", n_partitions=8,
+        reliable_dir=rd)
+    # simulate total cache loss mid-plan: the offsets were already
+    # collected inside ranked_within_strata; everything cached is gone
+    spark.catalog.clearCache()
+    first = {(r["lang"], r["r"]): r["doc_id"] for r in ranked.collect()}
+    by = collections.defaultdict(list)
+    for i, lang in rows:
+        by[lang].append(i)
+    for lang, ids in by.items():
+        for rk, i in enumerate(sorted(ids), 1):
+            assert first[(lang, rk)] == i, (lang, rk)
+    # a second execution (fresh jobs, nothing cached) is bit-identical —
+    # the parquet copy pins the partition assignment
+    spark.catalog.clearCache()
+    again = {(r["lang"], r["r"]): r["doc_id"] for r in ranked.collect()}
+    assert again == first
+    # no cache tracking in this mode: nothing for the caller to release
+    from metrique_spark.functions import cache
+    assert not getattr(ranked, cache._ATTR, None)
