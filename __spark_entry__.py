@@ -1018,6 +1018,24 @@ def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram LM quality scores with Stupid Backoff (Brants 2007): score
+    a holdout slice (doc_id % 7 == 0) under a model trained on the REST
+    of the corpus — cross-corpus scoring keeps the backoff and OOV-floor
+    branches live (self-training would make every observed bigram
+    in-model). The context-sensitive step past the unigram proxy."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    out = text.bigram_logprob_scores(
+        d.where(F.col("doc_id") % 7 == 0),
+        train_df=d.where(F.col("doc_id") % 7 != 0))
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "mean_logprob")
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity proxy: per-doc mean unigram log-probability
     under the corpus's own unigram LM — the quality signal that separates
@@ -1314,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_range_search": sim_range_search,
         "sim_knn_accuracy": sim_knn_accuracy,
         "text_unigram_logprob": text_unigram_logprob,
+        "text_bigram_logprob": text_bigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_normalize": text_normalize,
@@ -2101,6 +2120,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(votes AS BIGINT) AS votes
             FROM best WHERE vr = 1
         """,
+        "text_bigram_logprob": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    occ_all AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(
+                       token := toks[i],
+                       prev := CASE WHEN i > 1 THEN toks[i-1] END)),
+                   recursive := true)
+        FROM t WHERE len(toks) >= 1
+    ),
+    occ AS (SELECT * FROM occ_all WHERE doc_id % 7 = 0),
+    train AS (SELECT * FROM occ_all WHERE doc_id % 7 != 0),
+    uni AS (SELECT token, count(*) AS c FROM train GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT prev, token, count(*) AS bc FROM train
+           WHERE prev IS NOT NULL GROUP BY prev, token),
+    scored AS (
+        SELECT o.doc_id,
+               CASE WHEN o.prev IS NULL
+                        THEN coalesce(ln(u.c), ln(0.4))
+                             - ln((SELECT n FROM tot))
+                    WHEN b.bc IS NOT NULL THEN ln(b.bc) - ln(p.c)
+                    ELSE ln(0.4) + coalesce(ln(u.c), ln(0.4))
+                         - ln((SELECT n FROM tot))
+               END AS lp
+        FROM occ o
+        LEFT JOIN uni u ON o.token = u.token
+        LEFT JOIN uni p ON o.prev = p.token
+        LEFT JOIN bi b ON o.prev = b.prev AND o.token = b.token
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS mean_logprob
+    FROM scored GROUP BY doc_id
+""",
         "text_unigram_logprob": r"""
     WITH occ AS (
         SELECT doc_id,

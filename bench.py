@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "text_quality_quantiles_skew",
     "text_token_frequencies",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_normalize",
     "text_winnow_fingerprints",
     "sim_knn_classify",

@@ -516,6 +516,85 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    decimals: int = 4,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean token log-score under a bigram LM with Stupid
+    Backoff (public technique: Brants et al. 2007, "Large Language
+    Models in Machine Translation" — the web-scale smoothing that needs
+    no discounting pass): token t_i after t_{i-1} scores
+    ``ln(count(t_{i-1} t_i) / count(t_{i-1}))`` when the bigram was seen
+    in training, else ``ln(alpha) + ln(S_uni(t_i))``; a document's first
+    token scores ``ln(S_uni)`` directly, where ``S_uni(w) = count(w)/N``
+    for in-vocabulary tokens and the OOV floor ``alpha/N`` otherwise.
+    The LM trains on ``train_df`` (default: ``df`` itself — note that
+    self-training makes every observed bigram in-model, so backoff only
+    fires cross-corpus, the CCNet-style use: score a new crawl under a
+    reference corpus's model). The context-sensitive step up from
+    ``unigram_logprob_scores``, still fully SQL-expressible (hence
+    oracle-checkable). Returns ``(id_col, n_tokens, mean_logprob)`` for
+    docs with ≥1 token; higher (closer to 0) = more typical phrasing.
+
+    Scale shape: two training-side frequency aggregates (unigram,
+    bigram — both map-side combined, absorbing stop-word/stock-phrase
+    skew per map partition), then the exploded (doc, prev, token) stream
+    takes three token-keyed joins (unigram logprob, previous-token
+    count, bigram count) and one per-doc re-aggregate. Neither frequency
+    table is broadcast by hand — a 100 TB corpus has billions of bigram
+    types, so they shuffle like any fact-fact join and AQE broadcasts
+    the ones that are actually small."""
+    import math
+
+    def _occ(frame):
+        src = frame.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("__t"))
+        t = src.select("id", tokens("__t").alias("__toks"))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("token"),
+                F.when(i > 1, F.element_at("__toks", i - 1)).alias("prev")))
+        return (t.where(F.size("__toks") >= 1)
+                .select("id", F.explode(pairs).alias("x"))
+                .select("id", "x.token", "x.prev"))
+
+    occ = _occ(df)
+    train = occ if train_df is None else _occ(train_df)
+    uni = train.groupBy("token").agg(F.count("*").alias("__c"))
+    total = uni.agg(F.sum("__c").alias("__n"))
+    uni = uni.crossJoin(F.broadcast(total)).select(
+        "token", "__c", (F.log("__c") - F.log("__n")).alias("__ulp"))
+    bi = (train.where(F.col("prev").isNotNull())
+          .groupBy("prev", "token").agg(F.count("*").alias("__bc")))
+    # OOV floor needs N on every scored row: one-row broadcast join
+    occ = occ.crossJoin(F.broadcast(total))
+    ulp_eff = F.coalesce(
+        F.col("__ulp"), F.lit(math.log(alpha)) - F.log("__n"))
+    lp = (
+        F.when(F.col("prev").isNull(), ulp_eff)
+        .when(F.col("__bc").isNotNull(), F.log("__bc") - F.log("__pc"))
+        .otherwise(F.lit(math.log(alpha)) + ulp_eff)
+    )
+    scored = (
+        occ.join(uni.select("token", "__ulp"), "token", "left")
+        .join(uni.select(F.col("token").alias("prev"),
+                         F.col("__c").alias("__pc")), "prev", "left")
+        .join(bi, ["prev", "token"], "left")
+        .select("id", lp.alias("__lp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("__lp"), decimals).alias("mean_logprob"))
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )
+
+
 def winnowed_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -279,3 +279,38 @@ def test_normalize_text_control_chars_and_whitespace(spark):
                       - len("helloworld with weird spacing end"))
     assert got[2] == ("already clean", 0)
     assert got[3] == ("", 0)
+
+
+def test_bigram_logprob_stupid_backoff_hand_computed(spark):
+    """Stupid Backoff semantics pinned by hand: seen bigram = conditional
+    MLE; unseen bigram = alpha * unigram; OOV token = alpha/N floor;
+    first token = unigram; empty docs excluded. Cross-corpus (train !=
+    score) so the backoff branches are actually live."""
+    import math
+
+    from metrique_spark.functions.text import bigram_logprob_scores
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "b z c"), (12, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(
+        score, train_df=train).collect()}
+    # train counts: a=3 b=2 c=1, N=6; bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    ln, a = math.log, 0.4
+    exp10 = (ln(3 / 6) + ln(2 / 3)) / 2                 # a, b|a seen
+    exp11 = (ln(2 / 6)                                   # b unigram
+             + (ln(a) + ln(a) - ln(6))                   # z|b: OOV floor
+             + (ln(a) + ln(1 / 6))) / 3                  # c|z: backoff
+    assert 12 not in out                                 # empty excluded
+    assert out[10]["n_tokens"] == 2
+    assert out[10]["mean_logprob"] == round(exp10, 4)
+    assert out[11]["n_tokens"] == 3
+    assert out[11]["mean_logprob"] == round(exp11, 4)
+    # self-trained mode still works (no backoff can fire)
+    self_out = {r["doc_id"]: r["mean_logprob"]
+                for r in bigram_logprob_scores(train).collect()}
+    # doc1 "a b a b": ln(3/6), ln(2/3), ln(1/2), ln(2/3); counts N=6
+    exp1 = (ln(3 / 6) + ln(2 / 3) + ln(1 / 2) + ln(2 / 3)) / 4
+    assert self_out[1] == round(exp1, 4)
