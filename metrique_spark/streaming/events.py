@@ -504,19 +504,41 @@ def error_rate_anomalies(
     Scale shape: the per-window aggregate is map-side combined down to
     ONE row per time window, so the rolling window function runs over
     #windows rows — bounded by the time span (a year of hours is 8.8k
-    rows), not the event volume; its single-task sort is a few KB."""
-    from pyspark.sql import Window
+    rows), not the event volume; its single-task sort is a few KB.
 
-    per = (
+    Streaming twin: ``stream_anomaly_sink`` runs the SAME detector
+    continuously — it shares ``_event_window_counts`` and
+    ``_anomalies_from_counts`` with this function, so stream and batch
+    agree by construction (pinned by a stream-equals-batch test)."""
+    per = _event_window_counts(events, window, error_type, ts_col,
+                               type_col)
+    return _anomalies_from_counts(per, lookback, z)
+
+
+def _event_window_counts(events: DataFrame, window: str, error_type: str,
+                         ts_col: str, type_col: str) -> DataFrame:
+    """Per-tumbling-window (window_start, n, n_errors) counts — the
+    additive partial aggregate both the batch detector and the streaming
+    sink build on (partials from different micro-batches sum)."""
+    return (
         events.select(F.window(F.col(ts_col).cast("timestamp"), window)
                       .alias("w"), F.col(type_col).alias("et"))
         .groupBy("w")
         .agg(F.count("*").alias("n"),
              F.sum(F.when(F.col("et") == error_type, 1).otherwise(0))
              .cast("long").alias("n_errors"))
-        .select(F.col("w.start").alias("window_start"), "n", "n_errors",
-                F.round(F.col("n_errors") / F.col("n"), 6).alias("rate"))
+        .select(F.col("w.start").alias("window_start"), "n", "n_errors")
     )
+
+
+def _anomalies_from_counts(per: DataFrame, lookback: int,
+                           z: float) -> DataFrame:
+    """Rolling-z anomaly flags over a (window_start, n, n_errors) table
+    (one row per time window — see ``error_rate_anomalies``)."""
+    from pyspark.sql import Window
+
+    per = per.withColumn(
+        "rate", F.round(F.col("n_errors") / F.col("n"), 6))
     wf = (Window.orderBy("window_start")
           .rowsBetween(-lookback, -1))
     mean = F.avg("rate").over(wf)
@@ -538,3 +560,55 @@ def error_rate_anomalies(
                     F.coalesce(F.col("zscore") > z, F.lit(False))
                     | F.coalesce(flat_spike, F.lit(False)))
     )
+
+
+def stream_anomaly_sink(
+    state_path: str,
+    out_path: str,
+    window: str = "1 hour",
+    error_type: str = "error",
+    lookback: int = 6,
+    z: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    fs=None,
+):
+    """Continuous error-rate anomaly detection — the ``foreachBatch``
+    twin of ``error_rate_anomalies``: each micro-batch's per-window
+    counts land as an additive partial under ``state_path`` (keyed
+    ``batch={batch_id}``, so an at-least-once replay OVERWRITES its own
+    directory instead of double-counting), the partials are re-summed
+    per window, and the SAME rolling-z detector the batch path uses
+    rewrites the full anomaly table at ``out_path``. Stream equals batch
+    by construction: both compose ``_event_window_counts`` +
+    ``_anomalies_from_counts`` (pinned by test).
+
+    Late events just add another partial to their window — the next
+    refresh re-flags history with the updated rates (anomaly flags are
+    DERIVED state, rebuilt every batch; the rebuild cost rides the
+    number of time windows, which is time-bounded — a year of hours is
+    8.8k rows — not event-volume-bounded). A crash between the state
+    write and the output write leaves ``out_path`` one batch stale; the
+    replay or the next batch rewrites it — convergent, never corrupt."""
+    from metrique_spark.fs import LocalFS
+
+    fs = fs or LocalFS()
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        part = _event_window_counts(batch_df, window, error_type,
+                                    ts_col, type_col)
+        part.write.mode("overwrite").parquet(
+            fs.join(state_path, f"batch={batch_id}"))
+        totals = (
+            spark.read.parquet(state_path)
+            .groupBy("window_start")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("n_errors").cast("long").alias("n_errors"))
+        )
+        out = _anomalies_from_counts(totals, lookback, z)
+        out.write.mode("overwrite").parquet(out_path)
+
+    return _sink

@@ -624,3 +624,80 @@ def test_stream_dedup_sink_exact_target_remapped_to_canonical(spark, tmp_path):
     assert accepted == {3}
     # 9's exact keeper (5) was near-dup-flagged to 3 -> remapped
     assert flags == {5: 3, 9: 3}
+
+
+def test_stream_anomaly_sink_equals_batch_and_replay(spark, sf_dir, tmp_path):
+    """The continuous anomaly detector over the full (availableNow)
+    input must equal the batch detector row-for-row, with events split
+    across micro-batches (partial window counts summing across batches),
+    and a replayed micro-batch must not double-count."""
+    import shutil
+
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_anom"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+
+    events = load_table(spark, str(src_dir), "a")
+    expect = sorted(
+        (str(r["window_start"]), r["n"], r["n_errors"], r["rate"],
+         r["zscore"], r["is_anomaly"])
+        for r in ev.error_rate_anomalies(events).collect())
+    assert any(r[5] for r in expect) or len(expect) > 0
+
+    state_p = str(tmp_path / "anom_state")
+    out_p = str(tmp_path / "anom_out")
+    sink = ev.stream_anomaly_sink(state_p, out_p)
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_anom"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(
+        (str(r["window_start"]), r["n"], r["n_errors"], r["rate"],
+         r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(out_p).collect())
+    assert got == expect
+
+    # at-least-once replay: re-running a batch's partial overwrites its
+    # own directory, totals unchanged
+    sink(events, 0)
+    again = sorted(
+        (str(r["window_start"]), r["n"], r["n_errors"], r["rate"],
+         r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(out_p).collect())
+    assert again == expect
+
+
+def test_stream_anomaly_sink_partials_sum_across_batches(spark, tmp_path):
+    """Micro-batches that SPLIT a time window must sum into one window
+    row (the additive-partial contract), and late events re-flag
+    history on the next refresh."""
+    state_p = str(tmp_path / "st")
+    out_p = str(tmp_path / "out")
+    sink = ev.stream_anomaly_sink(state_p, out_p, window="1 hour",
+                                  lookback=2, z=1.0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string,"
+                  " event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    h = "2024-01-01 {:02d}:{:02d}:00"
+    # batch 0: three quiet hours, plus HALF of hour 3's errors
+    b0 = mk([(i, 1, h.format(hr, 5), "ok") for i, hr in
+             enumerate([0, 0, 0, 1, 1, 1, 2, 2, 2])]
+            + [(100, 1, h.format(3, 10), "error")])
+    sink(b0, 0)
+    # batch 1: the rest of hour 3 (late-ish data for the same window)
+    b1 = mk([(101, 1, h.format(3, 40), "error"),
+             (102, 1, h.format(3, 50), "ok")])
+    sink(b1, 1)
+    rows = {str(r["window_start"]): r
+            for r in spark.read.parquet(out_p).collect()}
+    w3 = rows["2024-01-01 03:00:00"]
+    assert (w3["n"], w3["n_errors"]) == (3, 2)   # summed across batches
+    assert w3["is_anomaly"]                       # flat-spike over 0-rate
