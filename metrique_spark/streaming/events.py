@@ -571,6 +571,7 @@ def stream_anomaly_sink(
     z: float = 2.0,
     ts_col: str = "ts",
     type_col: str = "event_type",
+    compact_after: int = 64,
     fs=None,
 ):
     """Continuous error-rate anomaly detection — the ``foreachBatch``
@@ -589,10 +590,53 @@ def stream_anomaly_sink(
     number of time windows, which is time-bounded — a year of hours is
     8.8k rows — not event-volume-bounded). A crash between the state
     write and the output write leaves ``out_path`` one batch stale; the
-    replay or the next batch rewrites it — convergent, never corrupt."""
+    replay or the next batch rewrites it — convergent, never corrupt.
+
+    State compaction (a continuous sink would otherwise leave one
+    directory PER MICRO-BATCH forever — a year of minutely batches is
+    half a million dirs of listing pressure): once more than
+    ``compact_after`` un-compacted partials exist, the sink folds every
+    partial from COMMITTED batches (id < the running batch — foreachBatch
+    runs batch N only after N-1's checkpoint commit, so those ids can
+    never replay) into a generation directory. The protocol is
+    rename-free and sidecar-driven: readers take the partial set from an
+    atomically-PUT ``_state.json`` (current generation dir + "batches
+    above K"), never from a directory listing, so the three steps —
+    write gen{g+1}, flip the sidecar, delete the sources — can crash
+    anywhere and the reader still sees exactly-once counts; stale
+    sources are swept by the next compaction."""
+    import json
+
     from metrique_spark.fs import LocalFS
 
     fs = fs or LocalFS()
+    meta_p = fs.join(state_path, "_state.json")
+
+    def _meta():
+        if fs.isfile(meta_p):
+            return json.loads(fs.read_text(meta_p))
+        return {"compacted_through": -1, "gen": 0}
+
+    def _partial_paths(meta, upto_exclusive=None):
+        """The live partial set per the sidecar: the current generation
+        dir (if any) + committed batch dirs above the compaction mark."""
+        paths = []
+        gen_dir = fs.join(state_path, f"batch=gen{meta['gen']}")
+        if meta["gen"] > 0 and fs.isdir(gen_dir):
+            paths.append(gen_dir)
+        ids = []
+        for d in fs.listdir(state_path):
+            if not d.startswith("batch=") or d.startswith("batch=gen"):
+                continue
+            try:
+                i = int(d[len("batch="):])
+            except ValueError:
+                continue
+            if i > meta["compacted_through"] and (
+                    upto_exclusive is None or i < upto_exclusive):
+                ids.append(i)
+        paths.extend(fs.join(state_path, f"batch={i}") for i in sorted(ids))
+        return paths, ids
 
     def _sink(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
@@ -602,8 +646,32 @@ def stream_anomaly_sink(
                                     ts_col, type_col)
         part.write.mode("overwrite").parquet(
             fs.join(state_path, f"batch={batch_id}"))
+        meta = _meta()
+        # fold committed partials (ids < batch_id: their checkpoint
+        # commits happened before this batch started, so they can never
+        # replay) into the next generation once the dir count crosses
+        # the threshold
+        src_paths, src_ids = _partial_paths(meta, upto_exclusive=batch_id)
+        if len(src_ids) > compact_after:
+            gen = meta["gen"] + 1
+            folded = (
+                spark.read.parquet(*src_paths)
+                .groupBy("window_start")
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("n_errors").cast("long").alias("n_errors"))
+            )
+            folded.write.mode("overwrite").parquet(
+                fs.join(state_path, f"batch=gen{gen}"))
+            new_meta = {"compacted_through": max(src_ids), "gen": gen}
+            fs.write_text(meta_p, json.dumps(new_meta))  # atomic flip
+            # sweep superseded sources (reader already ignores them);
+            # a crash here leaves garbage the next compaction re-sweeps
+            for p in src_paths:
+                fs.delete_dir(p)
+            meta = new_meta
+        live, _ = _partial_paths(meta)
         totals = (
-            spark.read.parquet(state_path)
+            spark.read.parquet(*live)
             .groupBy("window_start")
             .agg(F.sum("n").cast("long").alias("n"),
                  F.sum("n_errors").cast("long").alias("n_errors"))

@@ -701,3 +701,49 @@ def test_stream_anomaly_sink_partials_sum_across_batches(spark, tmp_path):
     w3 = rows["2024-01-01 03:00:00"]
     assert (w3["n"], w3["n_errors"]) == (3, 2)   # summed across batches
     assert w3["is_anomaly"]                       # flat-spike over 0-rate
+
+
+def test_stream_anomaly_sink_state_compaction(spark, tmp_path):
+    """Generational state compaction: once committed partials exceed
+    compact_after they fold into a gen dir, the sidecar flips
+    atomically, superseded dirs are swept — and totals stay exactly
+    right through it all, including a replay of the RUNNING batch (the
+    only id foreachBatch can ever re-deliver)."""
+    import json
+    import os
+
+    state_p = str(tmp_path / "st")
+    out_p = str(tmp_path / "out")
+    sink = ev.stream_anomaly_sink(state_p, out_p, window="1 hour",
+                                  lookback=2, z=1.0, compact_after=2)
+
+    def mk(eid, hr, minute, et):
+        return spark.createDataFrame(
+            [(eid, 1, f"2024-01-01 {hr:02d}:{minute:02d}:00", et)],
+            "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for b in range(5):   # one event per hour-window per batch
+        sink(mk(b, b, 5, "ok"), b)
+    # compaction happened: a gen dir exists, old batch dirs swept
+    dirs = sorted(d for d in os.listdir(state_p) if d.startswith("batch="))
+    assert any(d.startswith("batch=gen") for d in dirs)
+    meta = json.load(open(os.path.join(state_p, "_state.json")))
+    assert meta["compacted_through"] >= 2
+    assert not any(d == f"batch={i}" for d in dirs
+                   for i in range(meta["compacted_through"] + 1))
+    # totals exact: 5 windows, one event each
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert len(rows) == 5 and all(n == 1 for n in rows.values())
+    # replay of the RUNNING batch (4): overwrites its own partial,
+    # totals unchanged
+    sink(mk(4, 4, 5, "ok"), 4)
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert len(rows) == 5 and all(n == 1 for n in rows.values())
+    # late batch adds to an OLD (already compacted) window: sums fine
+    sink(mk(99, 0, 45, "error"), 5)
+    rows = {str(r["window_start"]): (r["n"], r["n_errors"])
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows["2024-01-01 00:00:00"] == (2, 1)
