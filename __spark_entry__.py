@@ -1083,6 +1083,31 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(e, steps=("view", "click", "purchase"))
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-order Markov event-transition matrix: per-user chronological
+    lead() pairs -> (from_type, to_type) counts + per-source
+    probabilities — the path-analysis table."""
+    _utc(spark)
+    from metrique_spark.streaming.events import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
+def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subword (BPE-style) token-count estimate per document: GPT-2-shape
+    regex pre-tokenization (letter runs / digits / punct runs), letter
+    runs charged ceil(len/4) — the budget-planning count that avoids a
+    real tokenizer pass over the corpus."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_words"),
+        text.bpe_token_estimate("text").alias("est_bpe_tokens"),
+    )
+
+
 def events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling-z-score error-rate anomalies per hourly window (trailing
     6-window mean/stddev, z>2 flags) — the aggregate collapses to one
@@ -1337,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_normalize": text_normalize,
         "events_funnel": events_funnel,
+        "events_transitions": events_transitions,
+        "text_token_estimate": text_token_estimate,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2237,6 +2264,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT stratum, bin_idx, round(bin_idx * 0.05, 6) AS bin_lo,
            CAST(count(*) AS BIGINT) AS n
     FROM binned GROUP BY 1, 2
+""",
+        "events_transitions": """
+    WITH p AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n, round(c.n / t.tot, 4) AS prob
+    FROM c JOIN t USING (from_type)
+""",
+        "text_token_estimate": r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[^\W_]+')) AS BIGINT)
+               AS n_words,
+           CAST(coalesce(list_aggregate(list_transform(
+               regexp_extract_all(lower(text),
+                                  '[\p{L}]+|[0-9]|[^\p{L}0-9\s]+'),
+               p -> CASE WHEN regexp_matches(p, '^\p{L}')
+                         THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
+                         ELSE 1 END), 'sum'), 0) AS BIGINT)
+               AS est_bpe_tokens
+    FROM documents
 """,
         "events_funnel": """
     WITH s1 AS (

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "text_token_frequencies",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "text_token_estimate",
+    "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",
     "sim_knn_classify",

@@ -126,6 +126,28 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Estimated subword (BPE-style) token count without a tokenizer
+    model: pre-tokenize with the GPT-2-family regex shape — letter runs,
+    single digits, punctuation runs (simplified to avoid lookahead so
+    the same pattern runs under Java regex AND RE2/DuckDB) — then charge
+    each letter run ceil(len/4) subword tokens (the ~4-chars-per-token
+    empirical rate of English BPE vocabularies) and every other piece 1.
+    The standard budget-planning estimate when running the real
+    tokenizer over 100 TB is not worth a pass; exact token accounting
+    belongs to the training stack. Pure codegen column expression."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[\p{L}]+|[0-9]|[^\p{L}0-9\s]+"), 0)
+    per = F.transform(
+        pieces,
+        lambda p: F.when(p.rlike(r"^\p{L}"),
+                         F.ceil(F.length(p) / 4)).otherwise(F.lit(1)))
+    return F.coalesce(
+        F.aggregate(per, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")),
+        F.lit(0).cast("long"))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection with all text-analysis columns."""
     cc = char_classes(text_col)

@@ -390,6 +390,47 @@ def correlate_events(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    decimals: int = 4,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    chronological event stream: for every consecutive pair of events by
+    the same user, count (from_type, to_type) and normalize per source
+    type — the "what do users do next" table behind journey/path
+    analysis. Returns ``(from_type, to_type, n, prob)`` with
+    ``sum(prob) = 1`` per ``from_type``. Ordering ties on the timestamp
+    break by ``id_col`` so the result is deterministic (and
+    oracle-checkable).
+
+    Scale shape: one ``lead()`` window partitioned by user — a
+    partition's size is one user's event count, so parallelism rides the
+    user cardinality and no global sort exists; the transition aggregate
+    is map-side combined down to |types|² rows, and the per-source
+    normalization runs over that tiny table (broadcast join of the
+    per-source totals)."""
+    from pyspark.sql import Window
+
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("timestamp").alias("t"),
+                       F.col(id_col).alias("eid"),
+                       F.col(type_col).alias("from_type"))
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    pairs = (ev.withColumn("to_type", F.lead("from_type").over(w))
+             .where(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count("*").cast("long").alias("n")))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (counts.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("__tot"), decimals)
+                    .alias("prob")))
+
+
 def funnel(
     events: DataFrame,
     steps: tuple = ("view", "click", "purchase"),

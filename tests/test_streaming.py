@@ -747,3 +747,32 @@ def test_stream_anomaly_sink_state_compaction(spark, tmp_path):
     rows = {str(r["window_start"]): (r["n"], r["n_errors"])
             for r in spark.read.parquet(out_p).collect()}
     assert rows["2024-01-01 00:00:00"] == (2, 1)
+
+
+def test_event_transitions_hand_computed(spark):
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string,"
+                  " event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    # user 1: view -> click -> view -> purchase; user 2: view -> click
+    e = mk([(1, 1, "2024-01-01 00:00:00", "view"),
+            (2, 1, "2024-01-01 00:01:00", "click"),
+            (3, 1, "2024-01-01 00:02:00", "view"),
+            (4, 1, "2024-01-01 00:03:00", "purchase"),
+            (5, 2, "2024-01-01 00:00:30", "view"),
+            (6, 2, "2024-01-01 00:00:45", "click")])
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in ev.event_transitions(e).collect()}
+    assert got == {
+        ("view", "click"): (2, round(2 / 3, 4)),
+        ("view", "purchase"): (1, round(1 / 3, 4)),
+        ("click", "view"): (1, 1.0),
+    }
+    # tie on ts breaks by event_id: two same-ts events order 7 then 8
+    tied = mk([(7, 3, "2024-01-01 01:00:00", "a"),
+               (8, 3, "2024-01-01 01:00:00", "b")])
+    got2 = {(r["from_type"], r["to_type"])
+            for r in ev.event_transitions(tied).collect()}
+    assert got2 == {("a", "b")}

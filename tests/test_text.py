@@ -314,3 +314,22 @@ def test_bigram_logprob_stupid_backoff_hand_computed(spark):
     # doc1 "a b a b": ln(3/6), ln(2/3), ln(1/2), ln(2/3); counts N=6
     exp1 = (ln(3 / 6) + ln(2 / 3) + ln(1 / 2) + ln(2 / 3)) / 4
     assert self_out[1] == round(exp1, 4)
+
+
+def test_bpe_token_estimate_hand_computed(spark):
+    from metrique_spark.functions.text import bpe_token_estimate
+
+    df = spark.createDataFrame(
+        [(1, "internationalization rocks!"),   # 20-letter word + 5 + punct
+         (2, "a b c"),                          # three 1-letter runs
+         (3, "v2.0"),                           # letter, digit, punct, digit
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", bpe_token_estimate("text").alias("n")).collect()}
+    # ceil(20/4)=5, ceil(5/4)=2, '!'=1 -> 8
+    assert got[1] == 8
+    assert got[2] == 3
+    # 'v'=1, '2'=1, '.'=1, '0'=1 -> 4
+    assert got[3] == 4
+    assert got[4] == 0 and got[5] == 0
