@@ -18,6 +18,74 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ---------------------------------------------------------------------------
+# Generational batch-store compaction (shared by the continuous sinks).
+#
+# A foreachBatch sink that writes one ``batch={id}`` directory per
+# micro-batch accumulates directories forever — a year of minutely
+# batches is ~500k of listing pressure. The cure is rename-free and
+# sidecar-driven: fold every directory from COMMITTED batches (ids below
+# the running batch — foreachBatch runs batch N only after N-1's
+# checkpoint commit, so those ids can never be re-delivered) into a
+# ``batch=gen{g}`` directory, atomically PUT a ``_state.json`` naming the
+# new generation and the highest folded id, then sweep the sources.
+# Readers take the live set from the sidecar — generation dir plus batch
+# dirs above the fold mark — never from a raw listing, so a crash between
+# any two steps leaves them reading exactly-once content; stale sources
+# are ignored and re-swept by the next compaction.
+
+_GEN_SIDECAR = "_state.json"
+
+
+def _gen_meta(fs, root: str) -> dict:
+    import json
+
+    p = fs.join(root, _GEN_SIDECAR)
+    if fs.isfile(p):
+        return json.loads(fs.read_text(p))
+    return {"compacted_through": -1, "gen": 0}
+
+
+def _gen_flip(fs, root: str, meta: dict) -> None:
+    import json
+
+    fs.write_text(fs.join(root, _GEN_SIDECAR), json.dumps(meta))
+
+
+def _gen_dir(fs, root: str, meta: dict) -> str | None:
+    d = fs.join(root, f"batch=gen{meta['gen']}")
+    return d if meta["gen"] > 0 and fs.isdir(d) else None
+
+
+def _gen_batch_ids(fs, root: str, meta: dict,
+                   upto_exclusive: int | None = None) -> list[int]:
+    """Numeric batch ids above the fold mark (the live, un-compacted
+    partials), optionally bounded above."""
+    ids = []
+    for d in fs.listdir(root):
+        if not d.startswith("batch=") or d.startswith("batch=gen"):
+            continue
+        try:
+            i = int(d[len("batch="):])
+        except ValueError:
+            continue
+        if i > meta["compacted_through"] and (
+                upto_exclusive is None or i < upto_exclusive):
+            ids.append(i)
+    return sorted(ids)
+
+
+def _gen_sweep(fs, root: str, meta: dict, folded_ids: list[int]) -> None:
+    """Delete superseded sources: folded batch dirs and any generation
+    dir other than the current one (a crashed prior sweep's leftovers)."""
+    for i in folded_ids:
+        fs.delete_dir(fs.join(root, f"batch={i}"))
+    for d in fs.listdir(root):
+        if (d.startswith("batch=gen")
+                and d != f"batch=gen{meta['gen']}"):
+            fs.delete_dir(fs.join(root, d))
+
+
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 4) -> DataFrame:
     """File-source stream over an events directory (exactly-once via file
@@ -144,6 +212,7 @@ def stream_dedup_sink(
     max_band_bucket: int | None = 10_000,
     max_candidates_per_doc: int | None = 1_000,
     dedup_within_batch: bool = True,
+    compact_after: int = 256,
     fs=None,
 ):
     """Continuous-ingest near-dedup — the ``foreachBatch`` composition of
@@ -184,7 +253,16 @@ def stream_dedup_sink(
     leave a truncated JSON that kills every later batch, and the probing
     is LIST/GET-only, so the sink runs unchanged on an object store. A
     sidecar that is unreadable/unparseable while ZERO batches have
-    committed is replaced like the mismatch case (it signed nothing)."""
+    committed is replaced like the mismatch case (it signed nothing).
+
+    Index/corpus compaction: once more than ``compact_after`` committed
+    batch directories exist, they fold into ``batch=gen{g}`` directories
+    under the generational sidecar protocol (see the module helpers) —
+    only checkpoint-committed ids below the running batch fold, so the
+    replay skip-check never needs a folded directory, and probes read
+    [generation dir + live batch dirs] selected by the sidecar instead
+    of an ever-growing listing. Flag directories are output, not sink
+    state — compact them offline if needed."""
     from metrique_spark.functions import dedup as _dedup
     from metrique_spark.functions.cache import release
     from metrique_spark.fs import LocalFS
@@ -200,17 +278,22 @@ def stream_dedup_sink(
         if fs.exists(fs.join(index_path, f"batch={batch_id}", "_SUCCESS")):
             return  # fully committed earlier: replay is a no-op
 
-        def _batch_dirs():
-            return [d for d in fs.listdir(index_path)
-                    if d.startswith("batch=")]
+        meta = _gen_meta(fs, index_path)
+
+        def _committed_ids(upto_exclusive=None):
+            return [i for i in _gen_batch_ids(fs, index_path, meta,
+                                              upto_exclusive)
+                    if i != batch_id
+                    and fs.exists(fs.join(index_path, f"batch={i}",
+                                          "_SUCCESS"))]
 
         def _any_committed():
-            return any(fs.exists(fs.join(index_path, d, "_SUCCESS"))
-                       for d in _batch_dirs())
+            return (_gen_dir(fs, index_path, meta) is not None
+                    or bool(_committed_ids()))
 
         # params sidecar FIRST, before any write: a misconfigured sink
         # must fail before it can commit wrongly-signed rows into the
-        # index (validated again at probe time via read_minhash_index),
+        # index (validated again at probe time via dedup_against_index),
         # and a crash after the index commit can no longer leave the
         # sidecar missing
         params = {"num_hashes": num_hashes, "bands": bands,
@@ -234,20 +317,40 @@ def stream_dedup_sink(
                 fs.write_text(side, json.dumps(params))
         else:
             fs.write_text(side, json.dumps(params))
+
+        # fold committed batches (ids < batch_id: checkpoint-committed
+        # before this batch started, so the replay skip-check above can
+        # never need their directories) into the next generation
+        fold_ids = _committed_ids(upto_exclusive=batch_id)
+        if len(fold_ids) > compact_after:
+            gen = meta["gen"] + 1
+            for root, cols in ((index_path, None),
+                               (corpus_path, [id_col, text_col])):
+                g = _gen_dir(fs, root, meta)
+                paths = ([g] if g else []) + [
+                    fs.join(root, f"batch={i}") for i in fold_ids]
+                folded = spark.read.parquet(*paths)
+                if cols:
+                    folded = folded.select(*cols)
+                folded.write.mode("overwrite").parquet(
+                    fs.join(root, f"batch=gen{gen}"))
+            meta = {"compacted_through": max(fold_ids), "gen": gen}
+            _gen_flip(fs, index_path, meta)  # atomic: probes switch here
+            _gen_sweep(fs, index_path, meta, fold_ids)
+            _gen_sweep(fs, corpus_path, meta, fold_ids)
+
         batch = batch_df.select(F.col(id_col), F.col(text_col))
-        prior = [d for d in _batch_dirs()
-                 if d != f"batch={batch_id}"
-                 and fs.exists(fs.join(index_path, d, "_SUCCESS"))]
-        if prior:
-            raw = _dedup.read_minhash_index(spark, index_path, fs=fs)
-            idx = raw.where(F.col("batch") != batch_id).drop("batch")
-            if hasattr(raw, _dedup._MINHASH_PARAMS_ATTR):
-                # the where/drop lose the attribute; keep validation alive
-                setattr(idx, _dedup._MINHASH_PARAMS_ATTR,
-                        getattr(raw, _dedup._MINHASH_PARAMS_ATTR))
-            corpus = (spark.read.parquet(corpus_path)
-                      .where(F.col("batch") != batch_id)
-                      .select(id_col, text_col))
+        prior_ids = _committed_ids()
+        gi = _gen_dir(fs, index_path, meta)
+        if prior_ids or gi:
+            idx_paths = ([gi] if gi else []) + [
+                fs.join(index_path, f"batch={i}") for i in prior_ids]
+            gc = _gen_dir(fs, corpus_path, meta)
+            cor_paths = ([gc] if gc else []) + [
+                fs.join(corpus_path, f"batch={i}") for i in prior_ids]
+            idx = spark.read.parquet(*idx_paths)
+            setattr(idx, _dedup._MINHASH_PARAMS_ATTR, params)
+            corpus = spark.read.parquet(*cor_paths).select(id_col, text_col)
             raw_flags = _dedup.dedup_against_index(
                 batch, idx, corpus, id_col=id_col, text_col=text_col,
                 threshold=threshold, num_hashes=num_hashes, bands=bands,
@@ -646,37 +749,17 @@ def stream_anomaly_sink(
     write gen{g+1}, flip the sidecar, delete the sources — can crash
     anywhere and the reader still sees exactly-once counts; stale
     sources are swept by the next compaction."""
-    import json
-
     from metrique_spark.fs import LocalFS
 
     fs = fs or LocalFS()
-    meta_p = fs.join(state_path, "_state.json")
 
-    def _meta():
-        if fs.isfile(meta_p):
-            return json.loads(fs.read_text(meta_p))
-        return {"compacted_through": -1, "gen": 0}
-
-    def _partial_paths(meta, upto_exclusive=None):
-        """The live partial set per the sidecar: the current generation
-        dir (if any) + committed batch dirs above the compaction mark."""
+    def _live_paths(meta, upto_exclusive=None):
         paths = []
-        gen_dir = fs.join(state_path, f"batch=gen{meta['gen']}")
-        if meta["gen"] > 0 and fs.isdir(gen_dir):
-            paths.append(gen_dir)
-        ids = []
-        for d in fs.listdir(state_path):
-            if not d.startswith("batch=") or d.startswith("batch=gen"):
-                continue
-            try:
-                i = int(d[len("batch="):])
-            except ValueError:
-                continue
-            if i > meta["compacted_through"] and (
-                    upto_exclusive is None or i < upto_exclusive):
-                ids.append(i)
-        paths.extend(fs.join(state_path, f"batch={i}") for i in sorted(ids))
+        g = _gen_dir(fs, state_path, meta)
+        if g:
+            paths.append(g)
+        ids = _gen_batch_ids(fs, state_path, meta, upto_exclusive)
+        paths.extend(fs.join(state_path, f"batch={i}") for i in ids)
         return paths, ids
 
     def _sink(batch_df: DataFrame, batch_id: int):
@@ -687,12 +770,10 @@ def stream_anomaly_sink(
                                     ts_col, type_col)
         part.write.mode("overwrite").parquet(
             fs.join(state_path, f"batch={batch_id}"))
-        meta = _meta()
-        # fold committed partials (ids < batch_id: their checkpoint
-        # commits happened before this batch started, so they can never
-        # replay) into the next generation once the dir count crosses
-        # the threshold
-        src_paths, src_ids = _partial_paths(meta, upto_exclusive=batch_id)
+        meta = _gen_meta(fs, state_path)
+        # fold committed partials (ids < batch_id can never replay) into
+        # the next generation once the dir count crosses the threshold
+        src_paths, src_ids = _live_paths(meta, upto_exclusive=batch_id)
         if len(src_ids) > compact_after:
             gen = meta["gen"] + 1
             folded = (
@@ -703,14 +784,10 @@ def stream_anomaly_sink(
             )
             folded.write.mode("overwrite").parquet(
                 fs.join(state_path, f"batch=gen{gen}"))
-            new_meta = {"compacted_through": max(src_ids), "gen": gen}
-            fs.write_text(meta_p, json.dumps(new_meta))  # atomic flip
-            # sweep superseded sources (reader already ignores them);
-            # a crash here leaves garbage the next compaction re-sweeps
-            for p in src_paths:
-                fs.delete_dir(p)
-            meta = new_meta
-        live, _ = _partial_paths(meta)
+            meta = {"compacted_through": max(src_ids), "gen": gen}
+            _gen_flip(fs, state_path, meta)  # atomic: readers switch here
+            _gen_sweep(fs, state_path, meta, src_ids)
+        live, _ = _live_paths(meta)
         totals = (
             spark.read.parquet(*live)
             .groupBy("window_start")

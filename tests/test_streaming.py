@@ -776,3 +776,47 @@ def test_event_transitions_hand_computed(spark):
     got2 = {(r["from_type"], r["to_type"])
             for r in ev.event_transitions(tied).collect()}
     assert got2 == {("a", "b")}
+
+
+def test_stream_dedup_sink_index_compaction(spark, tmp_path):
+    """Generational index/corpus compaction: committed batch dirs fold
+    into gen dirs, probes keep flagging dups of FOLDED docs (the gen dir
+    carries their signatures AND their text for verification), the
+    replay skip-check still works, and flags/corpus stay exact."""
+    import os
+
+    from metrique_spark.streaming.events import stream_dedup_sink
+
+    idx_p = str(tmp_path / "i")
+    cor_p = str(tmp_path / "c")
+    flg_p = str(tmp_path / "f")
+    sink = stream_dedup_sink(idx_p, cor_p, flg_p, threshold=0.8,
+                             dedup_within_batch=False, compact_after=1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    sink(mk([(i, f"{base} variant {i}") for i in range(5)]), 0)
+    sink(mk([(10, "entirely different content about engines here")]), 1)
+    sink(mk([(20, "another unrelated snippet of text entirely")]), 2)
+    # by now batches 0,1 folded into gen dirs (compact_after=1)
+    idirs = sorted(d for d in os.listdir(idx_p) if d.startswith("batch="))
+    assert any(d.startswith("batch=gen") for d in idirs)
+    assert "batch=0" not in idirs and "batch=1" not in idirs
+    cdirs = sorted(d for d in os.listdir(cor_p) if d.startswith("batch="))
+    assert any(d.startswith("batch=gen") for d in cdirs)
+    # a dup of a FOLDED doc (batch 0's doc 3) is still caught
+    sink(mk([(30, f"{base} variant 3"),
+             (31, "fresh novel content nothing matches this")]), 3)
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in spark.read.parquet(flg_p).collect()}
+    assert flags == {30: 3}
+    # corpus holds every accepted doc across gens + live dirs
+    assert (spark.read.parquet(cor_p).select("doc_id").distinct().count()
+            == 8)  # 5 + 10 + 20 + 31
+    # replay of a committed batch is still a no-op (its dir is live)
+    sink(mk([(30, f"{base} variant 3"), (31, "x")]), 3)
+    flags2 = {r["doc_id"]: r["dup_of"]
+              for r in spark.read.parquet(flg_p).collect()}
+    assert flags2 == flags
