@@ -2286,7 +2286,7 @@ def oracle_sql() -> dict[str, str]:
                AS n_words,
            CAST(coalesce(list_aggregate(list_transform(
                regexp_extract_all(lower(text),
-                                  '[\p{L}]+|[0-9]|[^\p{L}0-9\s]+'),
+                   '[\p{L}]+|[0-9]|[^\p{L}0-9\t\n\x0B\f\r ]+'),
                p -> CASE WHEN regexp_matches(p, '^\p{L}')
                          THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
                          ELSE 1 END), 'sum'), 0) AS BIGINT)

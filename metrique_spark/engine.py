@@ -254,6 +254,13 @@ class Engine:
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps({"oid_buckets": buckets}))
 
+    def _has_data(self, path: str) -> bool:
+        """True once the cube holds any partition directory. A dir with
+        only sidecars (crash between the layout write and the first data
+        write) must retry the FIRST-WRITE path, not the merge path."""
+        return any(d.startswith("_current=")
+                   for d in self.fs.listdir(path))
+
     @staticmethod
     def _obucket(buckets: int):
         """Scan-stage oid-bucket expression — stable content hash, so the
@@ -394,11 +401,18 @@ class Engine:
         validate(obj)
         path = self._path(cube)
         with self._write_lock(cube):
-            new_cube = not self.fs.isdir(path)
-            buckets = self.oid_buckets if new_cube else self._cube_buckets(path)
-            self._write_partitioned(obj, path, "append", buckets=buckets)
+            new_cube = not self.fs.isdir(path) or not self._has_data(path)
             if new_cube:
+                # sidecar FIRST: a crash between data and sidecar would
+                # leave bucketed directories that the next writer (seeing
+                # no sidecar) extends with the LEGACY layout — mixed
+                # partition levels make the cube unreadable. Sidecar-first
+                # fails loud (empty cube) instead of corrupting silently.
+                buckets = self.oid_buckets
                 self._write_layout(path, buckets)
+            else:
+                buckets = self._cube_buckets(path)
+            self._write_partitioned(obj, path, "append", buckets=buckets)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, **stamp_kw) -> None:
@@ -417,10 +431,17 @@ class Engine:
             # last write wins within a snapshot batch (the reference's
             # container buffer is keyed by _id, core_api.py:537-540)
             incoming = _upsert.latest_per_oid(incoming)
-        if not self.fs.isdir(path):
-            self._write_partitioned(incoming, path, "errorifexists",
-                                    buckets=self.oid_buckets)
+        if not self.fs.isdir(path) or not self._has_data(path):
+            # sidecar FIRST (see insert()); the sidecar creates the cube
+            # dir, so the data write switches from errorifexists to a
+            # DYNAMIC overwrite — equivalent under the writer lease we
+            # hold (nothing else exists), a crashed first attempt retries
+            # cleanly, and dynamic mode never deletes the sidecar the way
+            # a static overwrite of the whole path would (verified: static
+            # partitioned overwrite wipes non-partition files in the dir)
             self._write_layout(path, self.oid_buckets)
+            self._write_partitioned(incoming, path, "overwrite",
+                                    buckets=self.oid_buckets)
             return
         buckets = self._cube_buckets(path)
         table = self._read(path)
@@ -463,8 +484,15 @@ class Engine:
             # import must rewrite BOTH partitions (reference deletes ALL
             # versions of the replaced oids, sqlalchemy.py:955-963) —
             # dynamic mode would leave a _current partition absent from
-            # the result untouched on disk, letting stale versions survive
+            # the result untouched on disk, letting stale versions
+            # survive. A static partitioned overwrite wipes EVERYTHING
+            # under the path including sidecars (verified), so preserve
+            # the advisory index registry across it.
+            ixp = self._index_meta_path(cube)
+            ix = self.fs.read_text(ixp) if self.fs.isfile(ixp) else None
             self._write_partitioned(replaced, path, "overwrite", dynamic=False)
+            if ix is not None:
+                self.fs.write_text(ixp, ix)
 
     def _history_replace_bucketed(self, path: str, incoming: DataFrame,
                                   cols: list[str], buckets: int) -> None:
@@ -487,6 +515,13 @@ class Engine:
         snapshot-isolated: concurrent readers may transiently see both
         old and new versions of a replaced oid, exactly like the snapshot
         upsert's two-step commit."""
+        # materialize incoming ONCE: the hit-bucket collect, the batch
+        # token and the union write would otherwise re-execute its plan —
+        # and a nondeterministic source (sample/limit) recomputed between
+        # the collect and the write could land rows in a bucket outside
+        # `hit`, whose dynamic overwrite would then erase every other
+        # oid's rows there (kept was pruned to hit buckets only)
+        incoming = incoming.localCheckpoint(eager=True)
         ob = self._obucket(buckets)
         hit = sorted(r["b"] for r in
                      incoming.select(ob.alias("b")).distinct().collect())

@@ -263,23 +263,33 @@ class _LocalBacked(FileSystem):
 
 class LocalFS(_LocalBacked):
     """POSIX local filesystem backend — the default for single-node and
-    shared-POSIX (NFS with proper O_EXCL) deployments. Same-host lease
-    holders are liveness-probed by (pid, process start time)."""
+    shared-POSIX deployments. Same-host lease holders are liveness-probed
+    by (pid, process start time)."""
 
     supports_pid_liveness = True
 
     def put_if_absent(self, path: str, text: str) -> bool:
+        # hard-link a fully-written temp file into place: the link is the
+        # atomic exclusive-create AND the content is complete before the
+        # object becomes visible — a reader can never observe an existing
+        # lease with empty/partial bytes (O_CREAT|O_EXCL + write leaves a
+        # window where the file exists with no content yet)
         d = os.path.dirname(path) or "."
         os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(prefix="._put.", dir=d)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except OSError as exc:
-            if exc.errno == errno.EEXIST:
-                return False
-            raise
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            fh.write(text)
-        return True
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(text)
+            try:
+                os.link(tmp, path)
+            except OSError as exc:
+                if exc.errno == errno.EEXIST:
+                    return False
+                raise
+            return True
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
 
 
 class ObjectStoreFS(_LocalBacked):
@@ -338,6 +348,10 @@ class LeaseLock:
     def _holder_dead(self, raw: str) -> bool:
         try:
             rec = json.loads(raw)
+            if not isinstance(rec, dict):
+                # legacy bare-pid files ('12345') and other scalar JSON
+                # parse fine but are not lease records
+                raise ValueError("not a lease record")
             acquired = float(rec.get("acquired_at") or 0)
         except (ValueError, TypeError):
             # unparseable (legacy/foreign) record: only a ttl can

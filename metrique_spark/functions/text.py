@@ -129,15 +129,18 @@ def md5_long(col: Column) -> Column:
 def bpe_token_estimate(text: Column | str) -> Column:
     """Estimated subword (BPE-style) token count without a tokenizer
     model: pre-tokenize with the GPT-2-family regex shape — letter runs,
-    single digits, punctuation runs (simplified to avoid lookahead so
-    the same pattern runs under Java regex AND RE2/DuckDB) — then charge
+    single digits, punctuation runs (simplified to avoid lookahead, and
+    with the whitespace class SPELLED OUT — Java's ``\\s`` includes
+    vertical tab, RE2's does not — so the same pattern means the same
+    thing under Java regex AND RE2/DuckDB) — then charge
     each letter run ceil(len/4) subword tokens (the ~4-chars-per-token
     empirical rate of English BPE vocabularies) and every other piece 1.
     The standard budget-planning estimate when running the real
     tokenizer over 100 TB is not worth a pass; exact token accounting
     belongs to the training stack. Pure codegen column expression."""
     pieces = F.regexp_extract_all(
-        F.lower(text), F.lit(r"[\p{L}]+|[0-9]|[^\p{L}0-9\s]+"), 0)
+        F.lower(text),
+        F.lit("[\\p{L}]+|[0-9]|[^\\p{L}0-9\\t\\n\\x0B\\f\\r ]+"), 0)
     per = F.transform(
         pieces,
         lambda p: F.when(p.rlike(r"^\p{L}"),

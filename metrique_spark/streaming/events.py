@@ -75,14 +75,24 @@ def _gen_batch_ids(fs, root: str, meta: dict,
     return sorted(ids)
 
 
-def _gen_sweep(fs, root: str, meta: dict, folded_ids: list[int]) -> None:
-    """Delete superseded sources: folded batch dirs and any generation
-    dir other than the current one (a crashed prior sweep's leftovers)."""
-    for i in folded_ids:
-        fs.delete_dir(fs.join(root, f"batch={i}"))
+def _gen_sweep(fs, root: str, meta: dict) -> None:
+    """Delete superseded sources: EVERY numeric batch dir at or below the
+    fold mark (not just this round's fold set — a crash between a prior
+    flip and its sweep leaves folded dirs behind that later folds would
+    otherwise never revisit) and any generation dir other than the
+    current one (a crashed prior sweep's leftovers)."""
     for d in fs.listdir(root):
-        if (d.startswith("batch=gen")
-                and d != f"batch=gen{meta['gen']}"):
+        if not d.startswith("batch="):
+            continue
+        if d.startswith("batch=gen"):
+            if d != f"batch=gen{meta['gen']}":
+                fs.delete_dir(fs.join(root, d))
+            continue
+        try:
+            i = int(d[len("batch="):])
+        except ValueError:
+            continue
+        if i <= meta["compacted_through"]:
             fs.delete_dir(fs.join(root, d))
 
 
@@ -336,8 +346,8 @@ def stream_dedup_sink(
                     fs.join(root, f"batch=gen{gen}"))
             meta = {"compacted_through": max(fold_ids), "gen": gen}
             _gen_flip(fs, index_path, meta)  # atomic: probes switch here
-            _gen_sweep(fs, index_path, meta, fold_ids)
-            _gen_sweep(fs, corpus_path, meta, fold_ids)
+            _gen_sweep(fs, index_path, meta)
+            _gen_sweep(fs, corpus_path, meta)
 
         batch = batch_df.select(F.col(id_col), F.col(text_col))
         prior_ids = _committed_ids()
@@ -349,7 +359,12 @@ def stream_dedup_sink(
             cor_paths = ([gc] if gc else []) + [
                 fs.join(corpus_path, f"batch={i}") for i in prior_ids]
             idx = spark.read.parquet(*idx_paths)
-            setattr(idx, _dedup._MINHASH_PARAMS_ATTR, params)
+            # attach what the SIDECAR says, not our own params — that is
+            # what keeps dedup_against_index's signature check a real
+            # second validation (e.g. an operator rewriting the sidecar
+            # between the pre-check above and this probe fails loudly)
+            setattr(idx, _dedup._MINHASH_PARAMS_ATTR,
+                    json.loads(fs.read_text(side)))
             corpus = spark.read.parquet(*cor_paths).select(id_col, text_col)
             raw_flags = _dedup.dedup_against_index(
                 batch, idx, corpus, id_col=id_col, text_col=text_col,
@@ -786,7 +801,7 @@ def stream_anomaly_sink(
                 fs.join(state_path, f"batch=gen{gen}"))
             meta = {"compacted_through": max(src_ids), "gen": gen}
             _gen_flip(fs, state_path, meta)  # atomic: readers switch here
-            _gen_sweep(fs, state_path, meta, src_ids)
+            _gen_sweep(fs, state_path, meta)
         live, _ = _live_paths(meta)
         totals = (
             spark.read.parquet(*live)

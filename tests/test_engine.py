@@ -282,3 +282,60 @@ def test_engine_full_protocol_on_object_store(spark, tmp_path):
     eng.drop("c")
     assert not eng.exists("c")
     assert not os.path.isdir(os.path.join(wh, "c"))
+
+
+def test_first_write_crash_between_sidecar_and_data_converges(spark, tmp_path):
+    """The layout sidecar lands before the first data write; a crash in
+    between leaves a data-less cube dir. The retry must take the
+    first-write path again (not the merge path, which would fail reading
+    an empty cube) and converge."""
+    import json
+    import os
+
+    from metrique_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, warehouse=wh, oid_buckets=8)
+    # simulate the crash window: sidecar exists, no data
+    os.makedirs(os.path.join(wh, "c"))
+    with open(os.path.join(wh, "c", "_layout.json"), "w") as fh:
+        json.dump({"oid_buckets": 8}, fh)
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("c", stamped)
+    assert eng.count("c") == 1
+    # layout survived (the first write must not delete the sidecar)
+    assert json.load(open(os.path.join(wh, "c", "_layout.json"))) == \
+        {"oid_buckets": 8}
+    # and the cube keeps working through the normal merge path
+    eng.upsert("c", stamped.withColumn("val", F.lit("b"))
+               .withColumn("_start",
+                           F.to_timestamp(F.lit("2024-02-01"))))
+    assert eng.count("c", date="~") == 2
+
+
+def test_legacy_static_history_import_preserves_index_sidecar(spark, tmp_path):
+    """The legacy (unbucketed) history import statically overwrites the
+    whole cube path — which wipes non-partition files — so the advisory
+    index registry must be preserved across it."""
+    import os
+
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("lg", stamped)
+    eng.index("lg", ["val"])
+    # make the cube legacy: drop the layout sidecar
+    os.unlink(os.path.join(str(tmp_path), "lg", "_layout.json"))
+    eng.upsert("lg", stamped.withColumn("val", F.lit("h")),
+               autosnap=False)
+    assert eng.count("lg", date="~") == 1
+    assert [e["name"] for e in eng.index_list()["lg"]] == ["ix_lg_val"]

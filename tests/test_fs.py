@@ -217,3 +217,17 @@ def test_unparseable_lease_blocks_without_ttl_expires_with(tmp_path):
     lease = LeaseLock(fs, p, ttl=0.0)
     lease.acquire()
     lease.release()
+
+
+def test_lease_scalar_json_record_treated_as_unparseable(tmp_path):
+    # legacy bare-pid lock files parse as JSON ints — they are NOT lease
+    # records and must hit the unparseable branch (block with recovery
+    # hint without a ttl, mtime+ttl reclaim with), never AttributeError
+    fs = LocalFS()
+    p = str(tmp_path / "legacy.lock")
+    fs.write_text(p, "12345")
+    with pytest.raises(LeaseHeldError, match="delete the lease"):
+        LeaseLock(fs, p).acquire()
+    lease = LeaseLock(fs, p, ttl=0.0)
+    lease.acquire()
+    lease.release()

@@ -820,3 +820,21 @@ def test_stream_dedup_sink_index_compaction(spark, tmp_path):
     flags2 = {r["doc_id"]: r["dup_of"]
               for r in spark.read.parquet(flg_p).collect()}
     assert flags2 == flags
+
+
+def test_gen_sweep_removes_stale_dirs_from_crashed_prior_sweep(tmp_path):
+    """A crash between the sidecar flip and the sweep strands folded
+    batch dirs; the next sweep must remove EVERY numeric id at or below
+    the fold mark and every non-current gen dir — readers never see
+    them, but the listing must not grow forever."""
+    import os
+
+    from metrique_spark.fs import LocalFS
+    from metrique_spark.streaming.events import _gen_sweep
+
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+    for d in ("batch=0", "batch=1", "batch=2", "batch=gen1", "batch=gen2"):
+        os.makedirs(os.path.join(root, d))
+    _gen_sweep(fs, root, {"compacted_through": 1, "gen": 2})
+    assert sorted(os.listdir(root)) == ["batch=2", "batch=gen2"]
