@@ -1108,6 +1108,15 @@ def text_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae 2021 A1.1): word-count bounds,
+    mean-word-length window, alpha/symbol/bullet/ellipsis fractions,
+    stop-word presence — per-doc signals plus the combined pass flag."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gopher_quality_flags(d)
+
+
 def events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling-z-score error-rate anomalies per hourly window (trailing
     6-window mean/stddev, z>2 flags) — the aggregate collapses to one
@@ -1364,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_transitions": events_transitions,
         "text_token_estimate": text_token_estimate,
+        "text_gopher_filters": text_gopher_filters,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2264,6 +2274,60 @@ def oracle_sql() -> dict[str, str]:
     SELECT stratum, bin_idx, round(bin_idx * 0.05, 6) AS bin_lo,
            CAST(count(*) AS BIGINT) AS n
     FROM binned GROUP BY 1, 2
+""",
+        "text_gopher_filters": r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '\s+'),
+                   w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                   l -> trim(l) != '') AS lines
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(coalesce(list_aggregate(
+                       list_transform(words, w -> length(w)), 'sum'), 0)
+                     AS DOUBLE) / greatest(len(words), 1), 4)
+                   AS mean_word_len,
+               round(CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_alpha_words,
+               round(CAST(len(list_filter(words,
+                       w -> contains(w, '#') OR contains(w, '...')
+                            OR contains(w, '…'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_symbol_words,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[\-\*•‣◦]')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_bullet_lines,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_ellipsis_lines,
+               CAST(
+                 CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END
+                 AS INTEGER) AS stopword_hits
+        FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND frac_alpha_words >= 0.8
+            AND frac_symbol_words <= 0.1
+            AND frac_bullet_lines <= 0.9
+            AND frac_ellipsis_lines <= 0.3
+            AND stopword_hits >= 2) AS passes
+    FROM sig
 """,
         "events_transitions": """
     WITH p AS (

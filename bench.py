@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "text_bigram_logprob",
     "text_token_estimate",
+    "text_gopher_filters",
     "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",

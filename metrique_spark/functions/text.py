@@ -541,6 +541,85 @@ def unigram_logprob_scores(
     )
 
 
+#: the Gopher rule's "stop word presence" list (Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    decimals: int = 4,
+) -> DataFrame:
+    """Gopher-rule document quality filters (public technique: Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", Appendix A1.1 —
+    the standard heuristic gate most curation pipelines run before any
+    model-based scoring): word-count bounds, mean-word-length window
+    [3, 10], ≥80% of words containing a letter, ≤10% symbol-ish words
+    (#, ellipsis), ≤90% of lines bullet-led, ≤30% of lines
+    ellipsis-ended, and at least two distinct Gopher stop words present.
+    Returns the per-document signals plus a combined ``passes`` flag —
+    keep the signals, not just the verdict, so thresholds can be re-cut
+    without recomputing (the 100 TB-scale reason this returns columns
+    rather than filtering).
+
+    Words are whitespace-split (punctuation stays attached, as the rule
+    intends); everything is a pure column expression over the split
+    arrays — one scan, no shuffle, no UDF."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(raw), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(raw, "\n"),
+                     lambda line: F.trim(line) != "")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    dn = F.greatest(n_words, F.lit(1)).cast("double")
+    dl = F.greatest(n_lines, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)) / dn, decimals)
+    frac_alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))) / dn,
+        decimals)
+    frac_symbol = F.round(
+        F.size(F.filter(words, lambda w: w.contains("#")
+                        | w.contains("...") | w.contains("…"))) / dn,
+        decimals)
+    frac_bullet = F.round(
+        F.size(F.filter(lines, lambda line: F.trim(line)
+                        .rlike(r"^[\-\*•‣◦]"))) / dl,
+        decimals)
+    frac_ellipsis = F.round(
+        F.size(F.filter(lines, lambda line:
+                        F.trim(line).rlike(r"(\.\.\.|…)$"))) / dl,
+        decimals)
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.array_contains(words, s).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        frac_symbol.alias("frac_symbol_words"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ellipsis.alias("frac_ellipsis_lines"),
+        stop_hits.cast("int").alias("stopword_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("frac_symbol_words") <= 0.1)
+        & (F.col("frac_bullet_lines") <= 0.9)
+        & (F.col("frac_ellipsis_lines") <= 0.3)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("passes", passes)
+
+
 def bigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -333,3 +333,31 @@ def test_bpe_token_estimate_hand_computed(spark):
     # 'v'=1, '2'=1, '.'=1, '0'=1 -> 4
     assert got[3] == 4
     assert got[4] == 0 and got[5] == 0
+
+
+def test_gopher_quality_flags_rules(spark):
+    from metrique_spark.functions.text import gopher_quality_flags
+
+    good = ("the data we have to work with is good and that is why we "
+            "keep it with care because quality matters a great deal "
+            "here and everywhere else in the corpus we maintain today "
+            "for the models of tomorrow and beyond into next year too")
+    df = spark.createDataFrame([
+        (1, good),                                     # passes all rules
+        (2, "too short to have the required words"),   # word-count fail
+        (3, " ".join(["#tag"] * 60)),                  # symbol + stopword fail
+        (4, "\n".join(["- bullet point here"] * 10)),  # bullet-led lines
+        (5, "the and " + " ".join(["internationalization"] * 60)),
+        (6, None),                                     # null text
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(
+        df, min_words=30).collect()}
+    assert got[1]["passes"]
+    assert got[1]["stopword_hits"] >= 2
+    assert not got[2]["passes"] and got[2]["n_words"] < 30
+    assert not got[3]["passes"]
+    assert got[3]["frac_symbol_words"] == 1.0
+    assert got[4]["frac_bullet_lines"] == 1.0 and not got[4]["passes"]
+    # mean word length beyond 10 fails despite stopwords present
+    assert got[5]["mean_word_len"] > 10 and not got[5]["passes"]
+    assert got[6]["n_words"] == 0 and not got[6]["passes"]
