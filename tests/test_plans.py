@@ -265,3 +265,33 @@ def test_jaccard_prefix_no_cartesian_bounded(spark):
     # inverted-index candidate join + freq join + two verify joins: all
     # equi-joins; exchange count bounded
     assert audit.count_exchanges(p) <= 8, audit.count_exchanges(p)
+
+
+def test_gopher_and_token_estimate_are_scan_stage(spark):
+    # pure per-row column expressions: NO exchange anywhere — the whole
+    # operator is one scan stage at any corpus size
+    for name in ("text_gopher_filters", "text_token_estimate"):
+        p = _plan(spark, name)
+        assert audit.count_exchanges(p) == 0, name
+        assert not audit.has_cartesian(p), name
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    # one exchange for the per-user lead() window, one for the pair
+    # aggregate; the per-source normalization joins a broadcast of the
+    # tiny totals table — never a global sort
+    p = _plan(spark, "events_transitions")
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= 3, audit.count_exchanges(p)
+    assert audit.broadcast_join_count(p) >= 1
+
+
+def test_bigram_logprob_no_freq_broadcast_hint(spark):
+    # the unigram/bigram frequency tables must NOT be hand-broadcast (a
+    # 100 TB corpus has billions of bigram types); the only hand
+    # broadcasts are the one-row total. AQE may still convert small
+    # joins at runtime — assert the structural bits: no cartesian,
+    # bounded exchanges
+    p = _plan(spark, "text_bigram_logprob")
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= 10, audit.count_exchanges(p)
