@@ -583,8 +583,38 @@ class Engine:
 
     # -- queries (reference sqlalchemy.py:641-803) ---------------------------
 
-    def _scoped(self, cube: str | DataFrame, query: str | None, date: str | None) -> DataFrame:
-        df = cube if isinstance(cube, DataFrame) else self.table(cube)
+    def _oid_bucket_values(self, oids: Sequence, buckets: int) -> list[int]:
+        """The __obucket partition values the given oids hash into — one
+        tiny Spark job (the hash must be the JVM's xxhash64, the same
+        expression every write used)."""
+        df = self.spark.createDataFrame([(o,) for o in oids], ["_oid"])
+        return sorted({r["b"] for r in
+                       df.select(self._obucket(buckets).alias("b"))
+                       .distinct().collect()})
+
+    def _scoped(self, cube: str | DataFrame, query: str | None,
+                date: str | None, oids: Sequence | None = None) -> DataFrame:
+        if isinstance(cube, DataFrame):
+            df = cube
+        elif oids is not None and cube not in self._views and self.warehouse:
+            # point lookup on a bucketed cube: turn the oid list into
+            # literal __obucket partition values so the scan PRUNES to
+            # the ~|oids|/N of the table that can contain them — at
+            # 100 TB this is the difference between reading a few
+            # directories and reading the table (the _oid filter alone
+            # cannot prune: the bucket is a hash Spark doesn't invert)
+            path = self._path(cube)
+            buckets = self._cube_buckets(path)
+            raw = self._read_raw(path)
+            if buckets and "__obucket" in raw.columns:
+                raw = raw.where(F.col("__obucket").isin(
+                    self._oid_bucket_values(oids, buckets)))
+            df = raw.drop(*[c for c in ("__batch", "__obucket")
+                            if c in raw.columns])
+        else:
+            df = self.table(cube)
+        if oids is not None:
+            df = df.where(F.col("_oid").isin(list(oids)))
         if "_current" in df.columns:
             df = df.drop("_current")
         dpred = date_range_predicate(date) if ("_end" in df.columns) else None
@@ -605,9 +635,12 @@ class Engine:
         limit: int | None = None,
         distinct: bool = False,
         default_fields: bool = True,
+        oids: Sequence | None = None,
     ) -> DataFrame:
-        """MQL find (reference ``sqlalchemy.py:753-785``)."""
-        df = self._scoped(cube, query, date)
+        """MQL find (reference ``sqlalchemy.py:753-785``). ``oids``
+        narrows to specific objects AND prunes the scan to their oid
+        buckets on bucketed cubes — the fast path for point lookups."""
+        df = self._scoped(cube, query, date, oids=oids)
         cols = parse_fields(fields)
         if cols is not None:
             if default_fields:
@@ -636,9 +669,10 @@ class Engine:
         return row[0] if row is not None else None
 
     def count(self, cube: str | DataFrame, query: str | None = None,
-              date: str | None = None) -> int:
+              date: str | None = None,
+              oids: Sequence | None = None) -> int:
         """Count matches (reference ``sqlalchemy.py:641-664``)."""
-        return self._scoped(cube, query, date).count()
+        return self._scoped(cube, query, date, oids=oids).count()
 
     def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
                  date: str | None = "~") -> DataFrame:

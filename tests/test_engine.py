@@ -339,3 +339,33 @@ def test_legacy_static_history_import_preserves_index_sidecar(spark, tmp_path):
                autosnap=False)
     assert eng.count("lg", date="~") == 1
     assert [e["name"] for e in eng.index_list()["lg"]] == ["ix_lg_val"]
+
+
+def test_find_oids_prunes_to_bucket_partitions(spark, tmp_path):
+    """Point lookups with oids= must partition-prune the scan to the oid
+    buckets (PartitionFilters on __obucket in the plan) and return
+    exactly the same rows as the unpruned query."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "2024-01-01", None) for i in range(40)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("c", stamped)
+
+    pruned = eng.find("c", oids=[7, 11], date="~")
+    rows = sorted(r["_oid"] for r in pruned.collect())
+    assert rows == [7, 11]
+    # plan: the __obucket partition filter reached the scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    # equivalence with the unpruned MQL path
+    via_query = sorted(r["_oid"] for r in
+                       eng.find("c", "_oid in [7, 11]", date="~").collect())
+    assert via_query == rows
+    assert eng.count("c", oids=[7]) == 1
+    # oids on a registered view (no buckets) still filters correctly
+    eng.register("v", eng.table("c"))
+    assert eng.count("v", oids=[7, 11], date="~") == 2
