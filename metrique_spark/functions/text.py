@@ -429,6 +429,7 @@ def stratum_quantiles(
     value_col: str,
     quantiles: tuple = (0.25, 0.5, 0.75, 0.95),
     decimals: int = 6,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``value_col`` per stratum —
     quality-threshold calibration for filter pipelines (e.g. "keep docs
@@ -456,7 +457,11 @@ def stratum_quantiles(
 
     Cache lifetime: the returned plan reads one persisted
     range-partitioned intermediate; ``functions.cache.release(result)``
-    after materializing."""
+    after materializing. ``reliable_dir`` passes through to
+    ``ranked_within_strata``: on clusters where executor loss is in
+    play, the ranked intermediate spills to that storage path instead of
+    the recompute-unsafe cache (see its docstring); no persist/release
+    then."""
     import math
 
     from metrique_spark.functions.cache import track
@@ -465,7 +470,7 @@ def stratum_quantiles(
     src = df.select(F.col(stratum_col).alias("stratum"),
                     F.col(value_col).cast("double").alias("v"))
     ranked = ranked_within_strata(src, "stratum", [F.col("v")],
-                                  rank_col="r")
+                                  rank_col="r", reliable_dir=reliable_dir)
     totals = ranked._stratum_totals
     # driver-side targets: identical IEEE-double arithmetic to the
     # previous in-plan form (1.0 + (n-1)*q, floor/ceil), so values are

@@ -361,3 +361,20 @@ def test_gopher_quality_flags_rules(spark):
     # mean word length beyond 10 fails despite stopwords present
     assert got[5]["mean_word_len"] > 10 and not got[5]["passes"]
     assert got[6]["n_words"] == 0 and not got[6]["passes"]
+
+
+def test_stratum_quantiles_reliable_dir(spark, tmp_path):
+    # passthrough of the executor-loss-safe mode: identical values to the
+    # cached path, still exact vs numpy after a total cache wipe
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [("a", float(v)) for v in rng.random(60)]
+    df = spark.createDataFrame(rows, "lang string, quality double")
+    out = tx.stratum_quantiles(df, "lang", "quality",
+                               reliable_dir=str(tmp_path / "rd"))
+    spark.catalog.clearCache()
+    got = {r["q"]: r["value"] for r in out.collect()}
+    vals = np.array([v for _, v in rows])
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert abs(got[q] - round(float(np.quantile(vals, q)), 6)) < 1e-7
