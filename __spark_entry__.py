@@ -1018,6 +1018,29 @@ def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed Lloyd's k-means (k=8, 2 exact iterations) over the
+    embeddings table — the clustering primitive under SemDeDup / IVF.
+    Bit-reproducible across engines: md5-seeded init, rounded-sim argmax
+    assignment, DECIMAL(38,12) centroid sums (order-independent), so the
+    DuckDB oracle replays the identical iteration (similarity.py
+    kmeans_fit/kmeans_assign)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_fit(e, k=8, iters=2)
+    return similarity.kmeans_assign(e, cent)
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023): k-means clusters (k=8, 1 exact iteration),
+    within-cluster cosine pairs ≥ 0.45, min-id-keeps drop rule. Candidate
+    generation is cluster-local (Σ|cluster|² not n²) under the salted
+    blocked-matmul memory contract shared with cosine_pairs_bucketed."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.45, k=8, iters=1)
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bigram LM quality scores with Stupid Backoff (Brants 2007): score
     a holdout slice (doc_id % 7 == 0) under a model trained on the REST
@@ -1365,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_classify": sim_knn_classify,
         "sim_range_search": sim_range_search,
         "sim_knn_accuracy": sim_knn_accuracy,
+        "sim_kmeans_clusters": sim_kmeans_clusters,
+        "sim_semantic_dedup": sim_semantic_dedup,
         "text_unigram_logprob": text_unigram_logprob,
         "text_bigram_logprob": text_bigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
@@ -2128,6 +2153,8 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(qv, qv))
                            * sqrt(list_dot_product(cv, cv))), 4) >= 0.4
         """,
+        "sim_kmeans_clusters": _KMEANS_ORACLE,
+        "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_knn_classify": """
             WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
                        FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),
@@ -2815,6 +2842,81 @@ _IVF_FULLPROBE_ORACLE = """
             )
             SELECT query_id, neighbor_id, sim FROM ranked WHERE rk <= 5
         """
+
+# --- exact k-means oracle: replays kmeans_fit/kmeans_assign's iteration
+# (md5-seeded init, rounded-sim argmax, DECIMAL(38,12) centroid means) as a
+# chained-CTE Lloyd unroll. Built by helpers so the iteration count in the
+# SQL provably matches the Spark entry's `iters`.
+
+
+def _kmeans_assign_cte(cname: str, aname: str) -> str:
+    return f"""
+{aname} AS (
+  SELECT vec_id, centroid_id AS cluster, sim FROM (
+    SELECT e.vec_id, c.centroid_id,
+           round(list_dot_product(e.v, c.cvec)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+    FROM e, {cname} c
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, centroid_id) = 1
+)"""
+
+
+def _kmeans_update_cte(aname: str, uname: str, cprev: str, cname: str) -> str:
+    return f"""
+{uname} AS (
+  SELECT cluster AS centroid_id, list(m ORDER BY dim) AS cvec FROM (
+    SELECT cluster, dim,
+           round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)/count(*), 6) AS m
+    FROM (SELECT a.cluster, unnest(e.v) AS x,
+                 generate_subscripts(e.v, 1) - 1 AS dim
+          FROM {aname} a JOIN e USING (vec_id)) GROUP BY cluster, dim
+  ) GROUP BY cluster
+),
+{cname} AS (
+  SELECT * FROM {uname}
+  UNION ALL
+  SELECT centroid_id, cvec FROM {cprev}
+  WHERE centroid_id NOT IN (SELECT centroid_id FROM {uname})
+)"""
+
+
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"""]
+    for i in range(iters):
+        ctes.append(_kmeans_assign_cte(f"c{i}", f"a{i + 1}"))
+        ctes.append(_kmeans_update_cte(f"a{i + 1}", f"u{i + 1}", f"c{i}",
+                                       f"c{i + 1}"))
+    return ctes
+
+
+_KMEANS_ORACLE = (
+    "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)
+                       + [_kmeans_assign_cte("c2", "afinal")])
+    + "\nSELECT vec_id, cluster, sim FROM afinal"
+)
+
+_SEMDEDUP_ORACLE = (
+    "WITH " + ",".join(_kmeans_ctes(k=8, iters=1)
+                       + [_kmeans_assign_cte("c1", "afinal")])
+    + """,
+av AS (SELECT afinal.vec_id, cluster, v FROM afinal JOIN e USING (vec_id)),
+pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+)
+SELECT vec_id, cluster,
+       vec_id NOT IN (SELECT id_b FROM pairs) AS keep
+FROM afinal"""
+)
+
 
 _JACCARD_ORACLE = r"""
     WITH t AS (

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_range_search",
     "sim_knn_join",
+    "sim_kmeans_clusters",
+    "sim_semantic_dedup",
     "mm_frame_samples",
     "events_daily_rollup",
     "events_funnel",

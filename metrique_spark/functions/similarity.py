@@ -209,8 +209,6 @@ def cosine_pairs_bucketed(
     also feeds ``auto_nlist``, so an over-estimate raises the bucket
     count and therefore changes RECALL (not precision) — pass the exact
     count, or pin ``nlist``, when the output must be reproducible."""
-    from pyspark import StorageLevel
-
     cap = max_bucket_rows or target_bucket_rows
     if n_rows is None:
         if nlist is None:
@@ -236,6 +234,32 @@ def cosine_pairs_bucketed(
         probed = _nearest_buckets(vecs, centroids, "v", nprobe).select(
             F.col("__vid").alias("id"), "v", F.col("centroid_id").alias("bucket"))
 
+    return _pairs_within_buckets(probed, threshold, decimals, cap, n_rows)
+
+
+def _pairs_within_buckets(
+    probed: DataFrame,
+    threshold: float,
+    decimals: int,
+    cap: int,
+    n_rows: int,
+    multi_membership: bool = True,
+) -> DataFrame:
+    """All (id_a < id_b, sim ≥ threshold) cosine pairs WITHIN each bucket
+    of ``probed`` (columns ``id, v, bucket``) under the hard per-task
+    memory contract documented in ``cosine_pairs_bucketed``. Shared by the
+    IVF pair path and ``semantic_dedup`` (k-means clusters as buckets).
+
+    ``multi_membership=False`` (each id appears in exactly one bucket —
+    e.g. a k-means assignment) skips the final ``distinct()``: pairs are
+    already unique, so the extra shuffle would be pure cost."""
+    from pyspark import StorageLevel
+
+    def _maybe_distinct(pairs: DataFrame) -> DataFrame:
+        # a pair can co-occur in several probed buckets — but only when
+        # ids can belong to more than one bucket
+        return pairs.distinct() if multi_membership else pairs
+
     if n_rows <= cap:
         # no bucket can exceed the cap (a bucket holds at most the whole
         # corpus): skip the counting/salting machinery entirely — zero
@@ -248,10 +272,9 @@ def cosine_pairs_bucketed(
             m = np.array(list(pdf["v"]), dtype=np.float64)
             return _pairs_above(ids, m, ids, m, threshold, decimals)
 
-        return (
+        return _maybe_distinct(
             probed.groupBy("bucket")
             .applyInPandas(per_bucket, schema=_PAIRS_SCHEMA)
-            .distinct()  # a pair can co-occur in several probed buckets
         )
 
     # per-bucket sizes drive the salting; persist so the (windowed) probe
@@ -297,10 +320,9 @@ def cosine_pairs_bucketed(
              _pairs_above(idb, mb, ida, ma, threshold, decimals)],
             ignore_index=True)
 
-    return (
+    return _maybe_distinct(
         blocked.groupBy("bucket", "__blo", "__bhi")
         .applyInPandas(per_task, schema=_PAIRS_SCHEMA)
-        .distinct()  # a pair can co-occur in several probed buckets
     )
 
 
@@ -392,6 +414,187 @@ def _lloyd_round(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     kept = centroids.join(means.select("centroid_id"), "centroid_id",
                           "anti")
     return means.unionByName(kept)
+
+
+def _assign_rounded(
+    vectors: DataFrame, centroids: DataFrame, sim_decimals: int
+) -> DataFrame:
+    """Nearest-centroid assignment on ROUNDED cosine sims (ties broken by
+    centroid id) — the cross-engine-reproducible variant of
+    ``_nearest_buckets``: rounding before the argmax is what lets a SQL
+    oracle reproduce the exact same cluster choice. Per-row and
+    per-centroid norms are precomputed so the broadcast join evaluates one
+    dot product per (vector, centroid), not three.
+
+    ``vectors``: (__vid, v) · ``centroids``: (centroid_id, cvec).
+    Returns (__vid, v, cluster, sim)."""
+    vs = vectors.select("__vid", "v", _norm(F.col("v")).alias("__vn"))
+    cs = centroids.select("centroid_id", "cvec",
+                          _norm(F.col("cvec")).alias("__cn"))
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id"))
+    return (
+        vs.join(F.broadcast(cs))
+        .withColumn("__csim", F.round(
+            _dot(F.col("v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn")),
+            sim_decimals))
+        .withColumn("__crk", F.row_number().over(w))
+        .where(F.col("__crk") == 1)
+        .select("__vid", "v", F.col("centroid_id").alias("cluster"),
+                F.col("__csim").alias("sim"))
+    )
+
+
+def _lloyd_round_exact(
+    assigned: DataFrame, centroids: DataFrame, centroid_decimals: int
+) -> DataFrame:
+    """One EXACT-arithmetic Lloyd update: new centroid = per-dimension mean
+    of its cluster, summed as DECIMAL(38,12) (associative — the result does
+    not depend on Spark's partition/merge order, unlike a double sum) and
+    rounded to ``centroid_decimals`` before the next assignment. That makes
+    a trained k-means bit-reproducible across runs AND across engines — a
+    DuckDB oracle replays the identical iteration. ``_lloyd_round`` (the
+    IVF trainer) stays the cheap float path where reproducibility of the
+    refined centroids is explicitly not promised.
+
+    Same shuffle shape as ``_lloyd_round``: (cluster, dim)-keyed partials,
+    map-side combinable, never a whole cluster's vectors in one task.
+    Empty clusters keep their previous centroid."""
+    dims = (
+        assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+             F.count("*").alias("n"))
+        .select("cluster", "dim",
+                F.round(F.col("s").cast("double") / F.col("n"),
+                        centroid_decimals).alias("m"))
+    )
+    means = (
+        dims.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(F.col("cluster").alias("centroid_id"),
+                F.transform("dm", lambda s: s["m"]).alias("cvec"))
+    )
+    kept = centroids.join(means.select("centroid_id"), "centroid_id",
+                          "anti")
+    return means.unionByName(kept)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_decimals: int = 6,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, fully
+    deterministic and cross-engine reproducible (public algorithm:
+    Lloyd 1982; the decimal-sum trick is just fixed-point arithmetic).
+
+    - init: the ``k`` vectors with the lowest ``md5(id)`` — a seeded
+      pseudo-random sample both engines can replay (no wall-clock, no RNG).
+      Cluster labels are the seed ids.
+    - assign: broadcast centroids, cosine rounded to ``sim_decimals``,
+      ties to the smaller centroid id (``_assign_rounded``).
+    - update: exact decimal per-dimension means (``_lloyd_round_exact``).
+
+    Scale: per iteration, one corpus scan (map-only broadcast join) + one
+    map-side-combinable (cluster, dim) shuffle of k·dim partials. The
+    corpus itself never shuffles. Centroids are localCheckpointed each
+    round (k·dim doubles — tiny) so the plan doesn't grow with ``iters``.
+
+    Returns the trained centroids ``(centroid_id, cvec)``; feed to
+    ``kmeans_assign``."""
+    seeds = df.select(
+        F.col(id_col), _as_double(vec_col).alias("v"),
+        F.md5(F.col(id_col).cast("string")).alias("h"))
+    centroids = (
+        seeds.orderBy("h", id_col).limit(k)
+        .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cvec"))
+    )
+    vectors = df.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = _assign_rounded(vectors, centroids, sim_decimals)
+        centroids = _lloyd_round_exact(
+            assigned, centroids, centroid_decimals).localCheckpoint(
+                eager=True)
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest trained centroid. Returns
+    ``(id_col, cluster, sim)`` — map-only over the corpus (centroids
+    broadcast), so this is a single pass at any scale."""
+    vectors = df.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    a = _assign_rounded(vectors, centroids, sim_decimals)
+    return a.select(F.col("__vid").alias(id_col), "cluster", "sim")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.45,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_decimals: int = 4,
+    centroid_decimals: int = 6,
+    sim_decimals: int = 6,
+    target_bucket_rows: int = 100_000,
+    max_bucket_rows: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public technique: Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means-cluster the embeddings, then drop
+    any document with a same-cluster neighbor of cosine ≥ ``threshold``
+    and a smaller id (min-id-keeps — the same canonical rule as
+    ``components_from_pairs``). Candidate pairs are generated ONLY within
+    a cluster, so cost is Σ|cluster|² instead of n² — and each oversized
+    cluster is salted into blocked-matmul tasks under the
+    ``cosine_pairs_bucketed`` memory contract (shared helper).
+
+    Returns ``(id_col, cluster, keep)`` — one row per input vector.
+    Deterministic end-to-end: the exact k-means makes the clustering
+    reproducible, the rounded pair sims make the drop set reproducible.
+    Recall caveat (inherent to SemDeDup): a near-dup pair split across two
+    clusters is not examined — raise ``k``'s training quality (``iters``)
+    or lower ``k`` to trade cost for recall.
+
+    Scale: ``iters``+1 corpus scans (fit + assign), one cluster-keyed
+    shuffle for pairs, one broadcast-able drop-set join. The corpus is
+    never collected; the drop set is at most one id per input row."""
+    cap = max_bucket_rows or target_bucket_rows
+    if n_rows is None:
+        # guard probe, not a full count (see cosine_pairs_bucketed)
+        n_rows = df.limit(cap + 1).count()
+    centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col,
+                           centroid_decimals=centroid_decimals,
+                           sim_decimals=sim_decimals)
+    vectors = df.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    assigned = _assign_rounded(vectors, centroids, sim_decimals)
+    probed = assigned.select(
+        F.col("__vid").alias("id"), "v", F.col("cluster").alias("bucket"))
+    pairs = _pairs_within_buckets(probed, threshold, pair_decimals, cap,
+                                  n_rows, multi_membership=False)
+    drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
+    return (
+        assigned.join(drops, assigned["__vid"] == drops["__drop"], "left")
+        .select(F.col("__vid").alias(id_col), "cluster",
+                F.col("__drop").isNull().alias("keep"))
+    )
 
 
 def ivf_topk(

@@ -416,3 +416,89 @@ def test_cosine_range_search_threshold(spark):
            for r in sim.cosine_range_search(df, q, min_sim=0.7).collect()}
     assert set(got) == {(0, 1), (0, 3)}     # 2 is orthogonal; no self
     assert all(v >= 0.7 for v in got.values())
+
+
+def _two_blobs(spark, n=30, dup_pairs=3):
+    """two orthogonal direction fans in 4-d: even ids fan through dims
+    (0,1) in 3° steps, odd ids through dims (2,3). Adjacent same-fan
+    vectors have cos 3° ≈ 0.99863 — so at threshold 0.999 ONLY exact
+    duplicates pair (deterministic by construction, unlike a noise blob
+    where two samples can land arbitrarily close). ``dup_pairs`` exact
+    duplicates of even ids 0,2,4.. are appended as ids n.."""
+    import math
+
+    rows = []
+    for i in range(n):
+        a = math.radians(3.0 * (i // 2))
+        if i % 2 == 0:
+            rows.append((i, [math.cos(a), math.sin(a), 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 0.0, math.cos(a), math.sin(a)]))
+    for j in range(dup_pairs):
+        rows.append((n + j, list(rows[j * 2][1])))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_fit_assign_deterministic(spark):
+    """trained centroids and assignments are bit-identical across reruns
+    (the decimal-sum Lloyd update is order-independent), and k=2 recovers
+    the two direction blobs."""
+    df = _two_blobs(spark, dup_pairs=0)
+    c1 = sim.kmeans_fit(df, k=2, iters=2)
+    c2 = sim.kmeans_fit(df, k=2, iters=2)
+    got1 = sorted((r.centroid_id, tuple(r.cvec)) for r in c1.collect())
+    got2 = sorted((r.centroid_id, tuple(r.cvec)) for r in c2.collect())
+    assert got1 == got2
+    a = sim.kmeans_assign(df, c1).collect()
+    by_cluster = {}
+    for r in a:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    assert len(by_cluster) == 2
+    # the blobs are parity-separable; each cluster is all-even or all-odd
+    for members in by_cluster.values():
+        parities = {v % 2 for v in members}
+        assert len(parities) == 1
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """identical input vectors: every row ties and assigns to the smaller
+    centroid id, so the other cluster empties — its centroid must survive
+    the round (standard Lloyd fix), keeping k constant."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    cent = sim.kmeans_fit(df, k=2, iters=2)
+    rows = cent.collect()
+    assert len(rows) == 2
+    a = sim.kmeans_assign(df, cent)
+    assert a.select("cluster").distinct().count() == 1
+
+
+def test_semantic_dedup_min_id_keeps(spark):
+    """exact duplicates inside one cluster: the smaller id keeps, the
+    duplicate drops; vectors without a near neighbor all keep."""
+    df = _two_blobs(spark, n=30, dup_pairs=3)
+    out = sim.semantic_dedup(df, threshold=0.999, k=2, iters=1)
+    flags = {r.vec_id: r.keep for r in out.collect()}
+    assert len(flags) == 33
+    for j in range(3):
+        assert flags[j * 2] is True       # original keeps
+        assert flags[30 + j] is False     # its duplicate drops
+    dropped = {v for v, kept in flags.items() if not kept}
+    assert dropped == {30, 31, 32}
+
+
+def test_semantic_dedup_salted_identical(spark):
+    """clusters over the per-task cap split into blocked tasks; the drop
+    set must be IDENTICAL to the unsalted plan (multi_membership=False
+    path of the shared pair helper)."""
+    df = _two_blobs(spark, n=40, dup_pairs=4)
+    unsalted = sorted(
+        (r.vec_id, r.cluster, r.keep)
+        for r in sim.semantic_dedup(df, threshold=0.98, k=2, iters=1).collect())
+    salted = sorted(
+        (r.vec_id, r.cluster, r.keep)
+        for r in sim.semantic_dedup(df, threshold=0.98, k=2, iters=1,
+                                    max_bucket_rows=5).collect())
+    assert salted == unsalted
+    assert any(not k for _, _, k in salted)
