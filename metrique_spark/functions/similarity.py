@@ -420,33 +420,98 @@ def _assign_rounded(
     vectors: DataFrame, centroids: DataFrame, sim_decimals: int
 ) -> DataFrame:
     """Nearest-centroid assignment on ROUNDED cosine sims (ties broken by
-    centroid id) — the cross-engine-reproducible variant of
+    the smaller centroid id) — the cross-engine-reproducible variant of
     ``_nearest_buckets``: rounding before the argmax is what lets a SQL
-    oracle reproduce the exact same cluster choice. Per-row and
-    per-centroid norms are precomputed so the broadcast join evaluates one
-    dot product per (vector, centroid), not three.
+    oracle reproduce the exact same cluster choice.
+
+    MAP-ONLY: the centroids are collected to the driver (k·dim doubles —
+    tiny by the k-means contract) and inlined as a literal array, so the
+    argmax is a per-row ``aggregate`` fold over the broadcast-as-literal
+    centroids. No join, no window, NO corpus shuffle — the earlier
+    join + ``row_number`` window shape repartitioned every corpus row
+    (vector payload included) on ``__vid`` per call.
+
+    Norms and sims are computed with the exact same Spark expressions as
+    the windowed shape (``_norm``/``_dot`` in array order, round before
+    argmax), so the chosen cluster and reported sim are bit-identical.
+    The fold seeds with the first scored centroid and keeps the incumbent
+    unless a strictly-better (sim, then smaller id) challenger appears —
+    equivalent to the window's ``ORDER BY sim DESC, centroid_id``.
 
     ``vectors``: (__vid, v) · ``centroids``: (centroid_id, cvec).
     Returns (__vid, v, cluster, sim)."""
+    rows = centroids.select("centroid_id", "cvec").collect()
+    cents = sorted((r["centroid_id"], list(r["cvec"])) for r in rows)
+    return _assign_lit(vectors, cents, sim_decimals)
+
+
+def _py_norm(vec) -> float:
+    """Bit-identical to ``_norm``: IEEE-double left fold of acc + x*x in
+    array order, then sqrt — Python floats ARE doubles, so hoisting the
+    per-centroid norm to the driver costs nothing in reproducibility and
+    removes k·dim mults per corpus row (a literal higher-order fold is
+    not constant-folded by Catalyst)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _assign_lit(
+    vectors: DataFrame, cents: list, sim_decimals: int
+) -> DataFrame:
+    """``_assign_rounded``'s engine, taking the centroids as a
+    driver-side list of ``(cid, vec)`` sorted by cid."""
+    if not cents:
+        raise ValueError("cannot assign against an empty centroid set")
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            F.lit(_py_norm(vec)).alias("cn"),
+        )
+        for cid, vec in cents
+    ])
+    # each heavy array expression gets its own projection: CollapseProject
+    # would otherwise re-inline it into every consumer (the verify-skill
+    # minhash lesson) — it only collapses single-use or cheap aliases
     vs = vectors.select("__vid", "v", _norm(F.col("v")).alias("__vn"))
-    cs = centroids.select("centroid_id", "cvec",
-                          _norm(F.col("cvec")).alias("__cn"))
-    w = Window.partitionBy("__vid").orderBy(
-        F.col("__csim").desc(), F.col("centroid_id"))
-    return (
-        vs.join(F.broadcast(cs))
-        .withColumn("__csim", F.round(
-            _dot(F.col("v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn")),
-            sim_decimals))
-        .withColumn("__crk", F.row_number().over(w))
-        .where(F.col("__crk") == 1)
-        .select("__vid", "v", F.col("centroid_id").alias("cluster"),
-                F.col("__csim").alias("sim"))
+    scored = vs.select(
+        "__vid", "v",
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col("v"), c["cvec"])
+                    / (F.col("__vn") * c["cn"]),
+                    sim_decimals,
+                ).alias("sim"),
+                c["cid"].alias("cid"),
+            ),
+        ).alias("__sc"),
     )
+    sc = F.col("__sc")
+    best = scored.select(
+        "__vid", "v",
+        F.aggregate(
+            F.slice(sc, 2, F.greatest(F.size(sc) - 1, F.lit(0))),
+            F.element_at(sc, 1),
+            lambda acc, s: F.when(
+                (s["sim"] > acc["sim"])
+                | ((s["sim"] == acc["sim"]) & (s["cid"] < acc["cid"])),
+                s,
+            ).otherwise(acc),
+        ).alias("__best"),
+    )
+    return best.select(
+        "__vid", "v", F.col("__best.cid").alias("cluster"),
+        F.col("__best.sim").alias("sim"))
 
 
-def _lloyd_round_exact(
-    assigned: DataFrame, centroids: DataFrame, centroid_decimals: int
+def _lloyd_means_exact(
+    assigned: DataFrame, centroid_decimals: int
 ) -> DataFrame:
     """One EXACT-arithmetic Lloyd update: new centroid = per-dimension mean
     of its cluster, summed as DECIMAL(38,12) (associative — the result does
@@ -457,10 +522,13 @@ def _lloyd_round_exact(
     IVF trainer) stays the cheap float path where reproducibility of the
     refined centroids is explicitly not promised.
 
-    Same shuffle shape as ``_lloyd_round``: (cluster, dim)-keyed partials,
-    map-side combinable, never a whole cluster's vectors in one task.
-    Empty clusters keep their previous centroid."""
-    dims = (
+    Returns the slim ``(cluster, dim, m)`` means — k·dim rows, collected
+    by ``kmeans_fit`` which assembles vectors on the driver (so there is
+    no second per-iteration shuffle for array assembly, and empty-cluster
+    retention is a dict merge, not an anti-join). (cluster, dim)-keyed
+    partials are map-side combinable; a whole cluster's vectors never
+    meet in one task."""
+    return (
         assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
         .groupBy("cluster", "dim")
         .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
@@ -469,15 +537,6 @@ def _lloyd_round_exact(
                 F.round(F.col("s").cast("double") / F.col("n"),
                         centroid_decimals).alias("m"))
     )
-    means = (
-        dims.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select(F.col("cluster").alias("centroid_id"),
-                F.transform("dm", lambda s: s["m"]).alias("cvec"))
-    )
-    kept = centroids.join(means.select("centroid_id"), "centroid_id",
-                          "anti")
-    return means.unionByName(kept)
 
 
 def kmeans_fit(
@@ -496,32 +555,46 @@ def kmeans_fit(
     - init: the ``k`` vectors with the lowest ``md5(id)`` — a seeded
       pseudo-random sample both engines can replay (no wall-clock, no RNG).
       Cluster labels are the seed ids.
-    - assign: broadcast centroids, cosine rounded to ``sim_decimals``,
-      ties to the smaller centroid id (``_assign_rounded``).
-    - update: exact decimal per-dimension means (``_lloyd_round_exact``).
+    - assign: centroids inlined as a literal, cosine rounded to
+      ``sim_decimals``, ties to the smaller centroid id (``_assign_lit``).
+    - update: exact decimal per-dimension means (``_lloyd_means_exact``).
 
-    Scale: per iteration, one corpus scan (map-only broadcast join) + one
-    map-side-combinable (cluster, dim) shuffle of k·dim partials. The
-    corpus itself never shuffles. Centroids are localCheckpointed each
-    round (k·dim doubles — tiny) so the plan doesn't grow with ``iters``.
+    Scale: per iteration, one corpus scan (map-only — centroids ride into
+    the scan as a driver literal) + one map-side-combinable
+    (cluster, dim) shuffle whose k·dim-row result is collected; the
+    centroids themselves LIVE ON THE DRIVER between rounds (k·dim
+    doubles), so an iteration is exactly one Spark job — no checkpoint,
+    no anti-join, no array-assembly shuffle. The corpus never shuffles.
+    The driver-resident contract bounds k: this is the moderate-k
+    clustering path (SemDeDup, data maps); huge-k IVF bucket training
+    stays on ``_lloyd_round``'s all-DataFrame float path.
 
-    Returns the trained centroids ``(centroid_id, cvec)``; feed to
-    ``kmeans_assign``."""
-    seeds = df.select(
-        F.col(id_col), _as_double(vec_col).alias("v"),
-        F.md5(F.col(id_col).cast("string")).alias("h"))
-    centroids = (
-        seeds.orderBy("h", id_col).limit(k)
-        .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cvec"))
+    Returns the trained centroids ``(centroid_id, cvec)`` as a (local)
+    DataFrame; feed to ``kmeans_assign``."""
+    seed_rows = (
+        df.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"),
+                  F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h", "cid").limit(k).select("cid", "v").collect()
     )
+    cents = {r["cid"]: list(r["v"]) for r in seed_rows}
     vectors = df.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
     for _ in range(iters):
-        assigned = _assign_rounded(vectors, centroids, sim_decimals)
-        centroids = _lloyd_round_exact(
-            assigned, centroids, centroid_decimals).localCheckpoint(
-                eager=True)
-    return centroids
+        assigned = _assign_lit(vectors, sorted(cents.items()), sim_decimals)
+        rows = _lloyd_means_exact(assigned, centroid_decimals).collect()
+        upd: dict = {}
+        for r in rows:
+            upd.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        for cid, dm in upd.items():  # absent clusters keep their centroid
+            cents[cid] = [dm[i] for i in range(len(dm))]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("centroid_id", df.schema[id_col].dataType),
+        T.StructField("cvec", T.ArrayType(T.DoubleType())),
+    ])
+    return df.sparkSession.createDataFrame(
+        sorted(cents.items()), schema=schema)
 
 
 def kmeans_assign(
@@ -571,9 +644,18 @@ def semantic_dedup(
     clusters is not examined — raise ``k``'s training quality (``iters``)
     or lower ``k`` to trade cost for recall.
 
-    Scale: ``iters``+1 corpus scans (fit + assign), one cluster-keyed
-    shuffle for pairs, one broadcast-able drop-set join. The corpus is
-    never collected; the drop set is at most one id per input row."""
+    Scale: the fit costs ``iters`` map-only corpus scans (+ the seed
+    pass); the final assignment is computed ONCE and persisted
+    (MEMORY_AND_DISK) because both the pair generation and the output
+    join read it — the caller owns the block's lifetime via
+    ``functions.cache.release`` (see that module's contract). Pairs are
+    one cluster-keyed shuffle; the drop-set join is broadcast-able. The
+    corpus is never collected; the drop set is at most one id per input
+    row."""
+    from pyspark import StorageLevel
+
+    from .cache import track
+
     cap = max_bucket_rows or target_bucket_rows
     if n_rows is None:
         # guard probe, not a full count (see cosine_pairs_bucketed)
@@ -584,17 +666,19 @@ def semantic_dedup(
                            sim_decimals=sim_decimals)
     vectors = df.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
-    assigned = _assign_rounded(vectors, centroids, sim_decimals)
+    assigned = _assign_rounded(vectors, centroids, sim_decimals).persist(
+        StorageLevel.MEMORY_AND_DISK)
     probed = assigned.select(
         F.col("__vid").alias("id"), "v", F.col("cluster").alias("bucket"))
     pairs = _pairs_within_buckets(probed, threshold, pair_decimals, cap,
                                   n_rows, multi_membership=False)
     drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
-    return (
+    out = (
         assigned.join(drops, assigned["__vid"] == drops["__drop"], "left")
         .select(F.col("__vid").alias(id_col), "cluster",
                 F.col("__drop").isNull().alias("keep"))
     )
+    return track(out, assigned)
 
 
 def ivf_topk(

@@ -295,3 +295,28 @@ def test_bigram_logprob_no_freq_broadcast_hint(spark):
     p = _plan(spark, "text_bigram_logprob")
     assert not audit.has_cartesian(p)
     assert audit.count_exchanges(p) <= 10, audit.count_exchanges(p)
+
+
+def test_kmeans_assign_is_map_only(spark):
+    """nearest-centroid assignment folds over a driver-collected centroid
+    literal — NO join, window, or exchange; the corpus never shuffles.
+    (The fit's (cluster, dim) partial-sum shuffle is separate and
+    map-side combinable.)"""
+    from metrique_spark.functions import similarity as sim
+
+    df = entry.queries()["sim_kmeans_clusters"]  # noqa: F841 (registered)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = sim.kmeans_fit(e, k=4, iters=1)
+    p = audit.executed_plan(sim.kmeans_assign(e, cent))
+    assert audit.count_exchanges(p) == 0, p
+    assert not audit.has_cartesian(p)
+    assert "Window" not in p
+
+
+def test_semantic_dedup_bounded_exchanges(spark):
+    """cluster-local pairs + broadcast-able drop join: no cartesian, the
+    only exchanges are the pair groupBy, the drop-set distinct, and the
+    final join sides."""
+    p = _plan(spark, "sim_semantic_dedup")
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= 5, audit.count_exchanges(p)
