@@ -571,14 +571,44 @@ def funnel(
     and its own count row, and without the persist stage 1 would
     recompute once per downstream stage — O(|steps|²) event scans.
     Cache lifetime: ``functions.cache.release(result)`` after
-    materializing."""
+    materializing.
+
+    Streaming twin: ``stream_funnel_sink`` shares ``_funnel_partials`` +
+    ``_funnel_from_partials`` with this function, so stream and batch
+    agree by construction."""
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(ts_col).cast("timestamp").alias("t"),
+                       F.col(type_col).alias("et"))
+    return _funnel_from_partials(ev, steps)
+
+
+def _funnel_partials(events: DataFrame, steps: tuple, user_col: str,
+                     ts_col: str, type_col: str) -> DataFrame:
+    """The funnel's additive partial state: DISTINCT (u, t, et) triples
+    restricted to the funnel's steps. This is the MINIMAL exact
+    statistic — sequential anchors mean a late step-1 event can make any
+    earlier step-2 timestamp the new stage anchor, so per-(user, step)
+    mins are NOT sufficient; the distinct triple set is, and off-step
+    events (the bulk of a real stream) are dropped at partial time.
+    Partials from different micro-batches merge by union + distinct."""
+    return (
+        events.select(F.col(user_col).alias("u"),
+                      F.col(ts_col).cast("timestamp").alias("t"),
+                      F.col(type_col).alias("et"))
+        .where(F.col("et").isin(list(steps)))
+        .distinct()
+    )
+
+
+def _funnel_from_partials(ev: DataFrame, steps: tuple) -> DataFrame:
+    """Stage-anchored funnel over a (u, t, et) frame — duplicate
+    timestamps don't change any min-aggregate, so the batch path feeds
+    the raw projection and the stream path the deduplicated partials,
+    with identical results (pinned by a stream-equals-batch test)."""
     from pyspark import StorageLevel
 
     from metrique_spark.functions.cache import track
 
-    ev = events.select(F.col(user_col).alias("u"),
-                       F.col(ts_col).cast("timestamp").alias("t"),
-                       F.col(type_col).alias("et"))
     stage = (ev.where(F.col("et") == steps[0])
              .groupBy("u").agg(F.min("t").alias("t"))
              .persist(StorageLevel.MEMORY_AND_DISK))
@@ -613,19 +643,44 @@ def retention_cohorts(
     active 0, 1, 2, … periods later — the standard retention triangle.
     Returns ``(cohort, period_offset, n_users)``.
 
-    Scale shape: one per-user min aggregate (map-side combined) for the
-    cohort assignment, one join back on the user id, one distinct-count
-    aggregate on (cohort, offset) — no window over a user's history, no
-    per-period scans."""
+    Scale shape: one per-(user, period) min aggregate (map-side combined
+    — this IS the additive partial the streaming twin persists), one
+    per-user min for the cohort assignment, one join back on the user
+    id, one distinct-count aggregate on (cohort, offset) — no window
+    over a user's history, no per-period scans.
+
+    Streaming twin: ``stream_retention_sink`` shares
+    ``_retention_partials`` + ``_retention_from_partials`` with this
+    function, so stream and batch agree by construction."""
+    return _retention_from_partials(
+        _retention_partials(events, period, user_col, ts_col), period)
+
+
+def _retention_partials(events: DataFrame, period: str, user_col: str,
+                        ts_col: str) -> DataFrame:
+    """Retention's additive partial state: per (user, activity period)
+    the min event timestamp — O(users × active periods) rows, a genuinely
+    compact sufficient statistic (unlike the funnel's). Partials from
+    different micro-batches merge by a (u, tp) min — min is commutative,
+    associative, and idempotent, so replays and splits both fold
+    exactly."""
     if period not in ("day", "week", "month"):
         raise ValueError(
             f"retention_cohorts: unsupported period {period!r} "
             "(day, week, month)")
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(ts_col).cast("timestamp").alias("t"))
-    first = ev.groupBy("u").agg(
-        F.date_trunc(period, F.min("t")).alias("cohort"))
-    tp = F.date_trunc(period, F.col("t"))
+    return (ev.groupBy("u", F.date_trunc(period, F.col("t")).alias("tp"))
+            .agg(F.min("t").alias("mt")))
+
+
+def _retention_from_partials(parts: DataFrame, period: str) -> DataFrame:
+    """Retention triangle over (u, tp, mt) partials: cohort = period of
+    the user's global min timestamp (min over per-period mins), offsets
+    from the distinct activity periods."""
+    first = parts.groupBy("u").agg(
+        F.date_trunc(period, F.min("mt")).alias("cohort"))
+    tp = F.col("tp")
     # CALENDAR arithmetic, not epoch-seconds: an epoch difference divided
     # by a fixed 604800/86400 mis-bins any week/day spanning a DST
     # transition in a non-UTC session timezone (601,200-second weeks)
@@ -636,7 +691,7 @@ def retention_cohorts(
     else:  # month
         off = F.months_between(tp, F.col("cohort"))
     return (
-        ev.join(first, "u")
+        parts.join(first, "u")
         .withColumn("period_offset", off.cast("long"))
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("u").cast("long").alias("n_users"))
@@ -764,7 +819,41 @@ def stream_anomaly_sink(
     write gen{g+1}, flip the sidecar, delete the sources — can crash
     anywhere and the reader still sees exactly-once counts; stale
     sources are swept by the next compaction."""
+
+    def fold(df):
+        return (df.groupBy("window_start")
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("n_errors").cast("long").alias("n_errors")))
+
+    return _partial_state_sink(
+        state_path, out_path,
+        partial_fn=lambda b: _event_window_counts(
+            b, window, error_type, ts_col, type_col),
+        fold_fn=fold,
+        finalize_fn=lambda totals: _anomalies_from_counts(
+            totals, lookback, z),
+        compact_after=compact_after, fs=fs)
+
+
+def _partial_state_sink(state_path, out_path, partial_fn, fold_fn,
+                        finalize_fn, compact_after=64, fs=None):
+    """The shared engine of the additive-partial ``foreachBatch`` sinks
+    (anomaly / funnel / retention): each micro-batch's ``partial_fn``
+    output lands batch-keyed under ``state_path`` (a replay OVERWRITES
+    its own directory — idempotent), committed partials fold
+    generationally via ``fold_fn`` once their count crosses
+    ``compact_after``, and the re-folded totals are finalized by
+    ``finalize_fn`` into a full rewrite of ``out_path``.
+
+    ``fold_fn`` must be a proper merge: fold(fold(A) ∪ fold(B)) ==
+    fold(A ∪ B) (sums, mins, distincts all qualify). ``finalize_fn``
+    receives the folded totals and returns the output table; derived
+    state is rebuilt every batch, so late data re-derives history by
+    construction. Crash/replay semantics and the rename-free sidecar
+    protocol are documented on ``stream_anomaly_sink`` (whose tests pin
+    this engine)."""
     from metrique_spark.fs import LocalFS
+    from metrique_spark.functions.cache import release
 
     fs = fs or LocalFS()
 
@@ -781,9 +870,7 @@ def stream_anomaly_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        part = _event_window_counts(batch_df, window, error_type,
-                                    ts_col, type_col)
-        part.write.mode("overwrite").parquet(
+        partial_fn(batch_df).write.mode("overwrite").parquet(
             fs.join(state_path, f"batch={batch_id}"))
         meta = _gen_meta(fs, state_path)
         # fold committed partials (ids < batch_id can never replay) into
@@ -791,25 +878,85 @@ def stream_anomaly_sink(
         src_paths, src_ids = _live_paths(meta, upto_exclusive=batch_id)
         if len(src_ids) > compact_after:
             gen = meta["gen"] + 1
-            folded = (
-                spark.read.parquet(*src_paths)
-                .groupBy("window_start")
-                .agg(F.sum("n").cast("long").alias("n"),
-                     F.sum("n_errors").cast("long").alias("n_errors"))
-            )
-            folded.write.mode("overwrite").parquet(
+            fold_fn(spark.read.parquet(*src_paths)).write.mode(
+                "overwrite").parquet(
                 fs.join(state_path, f"batch=gen{gen}"))
             meta = {"compacted_through": max(src_ids), "gen": gen}
             _gen_flip(fs, state_path, meta)  # atomic: readers switch here
             _gen_sweep(fs, state_path, meta)
         live, _ = _live_paths(meta)
-        totals = (
-            spark.read.parquet(*live)
-            .groupBy("window_start")
-            .agg(F.sum("n").cast("long").alias("n"),
-                 F.sum("n_errors").cast("long").alias("n_errors"))
-        )
-        out = _anomalies_from_counts(totals, lookback, z)
+        out = finalize_fn(fold_fn(spark.read.parquet(*live)))
         out.write.mode("overwrite").parquet(out_path)
+        release(out)  # finalizers may persist stages (funnel)
 
     return _sink
+
+
+def stream_funnel_sink(
+    state_path: str,
+    out_path: str,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    compact_after: int = 64,
+    fs=None,
+):
+    """Continuous funnel conversion — the ``foreachBatch`` twin of
+    ``funnel``: partials are the DISTINCT (user, ts, step) triples of
+    funnel-step events (the minimal exact statistic — see
+    ``_funnel_partials`` for why per-user mins are not sufficient under
+    late data), merged by union+distinct, finalized by the SAME
+    stage-join funnel the batch path uses. Stream equals batch by
+    construction (pinned by test).
+
+    State rides the distinct step-event volume — the off-step bulk of
+    the stream never lands. Replay, crash-convergence, and generational
+    compaction semantics are ``stream_anomaly_sink``'s (shared engine:
+    ``_partial_state_sink``)."""
+    return _partial_state_sink(
+        state_path, out_path,
+        partial_fn=lambda b: _funnel_partials(
+            b, steps, user_col, ts_col, type_col),
+        fold_fn=lambda df: df.distinct(),
+        finalize_fn=lambda ev: _funnel_from_partials(ev, steps),
+        compact_after=compact_after, fs=fs)
+
+
+def stream_retention_sink(
+    state_path: str,
+    out_path: str,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    compact_after: int = 64,
+    fs=None,
+):
+    """Continuous cohort retention — the ``foreachBatch`` twin of
+    ``retention_cohorts``: partials are per-(user, activity period) min
+    timestamps (compact: O(users × active periods)), merged by a
+    (u, tp) min — commutative, associative, AND idempotent, so replays
+    fold exactly — finalized by the SAME triangle builder the batch path
+    uses. Stream equals batch by construction (pinned by test). Late
+    events that predate a user's known first activity re-assign their
+    cohort on the next refresh — derived state is rebuilt every batch.
+
+    Replay, crash-convergence, and generational compaction semantics are
+    ``stream_anomaly_sink``'s (shared engine: ``_partial_state_sink``)."""
+    # validate eagerly — inside the sink the error would surface on the
+    # first micro-batch, after the stream has already started
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"stream_retention_sink: unsupported period {period!r} "
+            "(day, week, month)")
+
+    def fold(df):
+        return df.groupBy("u", "tp").agg(F.min("mt").alias("mt"))
+
+    return _partial_state_sink(
+        state_path, out_path,
+        partial_fn=lambda b: _retention_partials(
+            b, period, user_col, ts_col),
+        fold_fn=fold,
+        finalize_fn=lambda parts: _retention_from_partials(parts, period),
+        compact_after=compact_after, fs=fs)

@@ -838,3 +838,131 @@ def test_gen_sweep_removes_stale_dirs_from_crashed_prior_sweep(tmp_path):
         os.makedirs(os.path.join(root, d))
     _gen_sweep(fs, root, {"compacted_through": 1, "gen": 2})
     assert sorted(os.listdir(root)) == ["batch=2", "batch=gen2"]
+
+
+def test_stream_funnel_sink_equals_batch_and_replay(spark, sf_dir, tmp_path):
+    """The continuous funnel over the full (availableNow) input must
+    equal the batch funnel row-for-row, and a replayed micro-batch must
+    not change the counts (distinct-triple partials are idempotent)."""
+    import shutil
+
+    from metrique_spark.functions.cache import release
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_fun"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    events = load_table(spark, str(src_dir), "a")
+    batch = ev.funnel(events, steps=("view", "click", "purchase"))
+    expect = sorted((r["step"], r["step_idx"], r["n_users"])
+                    for r in batch.collect())
+    release(batch)
+    assert expect[0][2] > 0
+
+    state_p, out_p = str(tmp_path / "fun_state"), str(tmp_path / "fun_out")
+    sink = ev.stream_funnel_sink(state_p, out_p,
+                                 steps=("view", "click", "purchase"))
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_fun"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["step"], r["step_idx"], r["n_users"])
+                 for r in spark.read.parquet(out_p).collect())
+    assert got == expect
+
+    sink(events, 0)  # at-least-once replay: overwrites its own partial
+    again = sorted((r["step"], r["step_idx"], r["n_users"])
+                   for r in spark.read.parquet(out_p).collect())
+    assert again == expect
+
+
+def test_stream_funnel_sink_late_step1_reanchors(spark, tmp_path):
+    """The property that forces distinct-triple state: a step-2 event
+    BELOW the current stage-1 anchor converts nobody — until a LATE
+    step-1 event lowers the anchor beneath it. Per-(user, step) min
+    state would have discarded that step-2 timestamp."""
+    state_p, out_p = str(tmp_path / "st"), str(tmp_path / "out")
+    sink = ev.stream_funnel_sink(state_p, out_p, steps=("view", "click"))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string,"
+                  " event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    # batch 0: click@05 precedes view@10 — no conversion
+    sink(mk([(1, 1, "2024-01-01 00:10:00", "view"),
+             (2, 1, "2024-01-01 00:05:00", "click")]), 0)
+    rows = {r["step"]: r["n_users"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {"view": 1, "click": 0}
+    # batch 1: late view@02 lowers the anchor below the old click
+    sink(mk([(3, 1, "2024-01-01 00:02:00", "view")]), 1)
+    rows = {r["step"]: r["n_users"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {"view": 1, "click": 1}
+
+
+def test_stream_retention_sink_equals_batch_late_cohort_and_compaction(
+        spark, sf_dir, tmp_path):
+    """Retention stream twin: equals batch over the availableNow input;
+    a late event PREDATING a user's known first activity re-assigns
+    their cohort on the next refresh; (u, tp)-min partials stay exact
+    through generational compaction and a running-batch replay."""
+    import shutil
+
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_ret"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    events = load_table(spark, str(src_dir), "a")
+    expect = sorted((str(r["cohort"]), r["period_offset"], r["n_users"])
+                    for r in ev.retention_cohorts(events, "week").collect())
+
+    state_p, out_p = str(tmp_path / "ret_state"), str(tmp_path / "ret_out")
+    sink = ev.stream_retention_sink(state_p, out_p, period="week")
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_ret"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((str(r["cohort"]), r["period_offset"], r["n_users"])
+                 for r in spark.read.parquet(out_p).collect())
+    assert got == expect
+
+    # hand-driven late-cohort case with aggressive compaction
+    state2, out2 = str(tmp_path / "st2"), str(tmp_path / "out2")
+    sink2 = ev.stream_retention_sink(state2, out2, period="week",
+                                     compact_after=2)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string,"
+                  " event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    # 2024-01-01 is a Monday: weeks W0=01-01, W1=01-08, W2=01-15
+    sink2(mk([(1, 1, "2024-01-15 10:00:00", "ok")]), 0)   # first seen W2
+    sink2(mk([(2, 1, "2024-01-16 10:00:00", "ok")]), 1)   # same week
+    sink2(mk([(3, 2, "2024-01-08 09:00:00", "ok")]), 2)   # user 2 in W1
+    rows = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+            for r in spark.read.parquet(out2).collect()}
+    assert rows == {("2024-01-15 00:00:00", 0): 1,
+                    ("2024-01-08 00:00:00", 0): 1}
+    # late event predating user 1's first activity: cohort moves to W0,
+    # the W2 activity becomes offset 2
+    sink2(mk([(4, 1, "2024-01-01 08:00:00", "ok")]), 3)
+    rows = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+            for r in spark.read.parquet(out2).collect()}
+    assert rows == {("2024-01-01 00:00:00", 0): 1,
+                    ("2024-01-01 00:00:00", 2): 1,
+                    ("2024-01-08 00:00:00", 0): 1}
+    # replay of the running batch: min-merge is idempotent
+    sink2(mk([(4, 1, "2024-01-01 08:00:00", "ok")]), 3)
+    rows2 = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+             for r in spark.read.parquet(out2).collect()}
+    assert rows2 == rows
