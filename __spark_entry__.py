@@ -1140,6 +1140,25 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_flags(d)
 
 
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped end-to-end curation decision table (curation.py
+    curate_corpus): Gopher gate (word bounds 20..100k; the English
+    stop-word rule is disabled — the corpus is multilingual) + unigram-LM
+    fluency terciles per language (head/middle/tail) + exact-dup
+    canonical selection, one keep verdict per doc. Exact duplicates are
+    INJECTED (every 50th doc re-sent under a shifted id — the
+    dedup_exact_groups pattern) so is_canonical is non-vacuous; the
+    oracle replays the same injection."""
+    _utc(spark)
+    from metrique_spark.functions.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = d.where(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang")
+    return curate_corpus(d.unionByName(dup), min_words=20,
+                         min_stopword_hits=0)
+
+
 def events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling-z-score error-rate anomalies per hourly window (trailing
     6-window mean/stddev, z>2 flags) — the aggregate collapses to one
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions,
         "text_token_estimate": text_token_estimate,
         "text_gopher_filters": text_gopher_filters,
+        "pipeline_curate": pipeline_curate,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2356,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
             AND stopword_hits >= 2) AS passes
     FROM sig
 """,
+        "pipeline_curate": _CURATE_ORACLE,
         "events_transitions": """
     WITH p AS (
         SELECT event_type AS from_type,
@@ -2917,6 +2938,120 @@ SELECT vec_id, cluster,
 FROM afinal"""
 )
 
+
+# --- composed CCNet-style curation pipeline oracle: replays the injected
+# union, the unigram LM, per-lang type-7 terciles, the Gopher gate
+# (min_words=20, stop-word rule off), and the fingerprint canonical pass.
+
+_CURATE_ORACLE = rf"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text, lang
+        FROM documents WHERE doc_id % 50 = 3
+    ),
+    occ AS (SELECT doc_id, unnest({_TOKS}) AS token FROM corpus),
+    freq AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+    total AS (SELECT sum(c) AS n FROM freq),
+    logp AS (SELECT token, ln(c) - ln((SELECT n FROM total)) AS lp
+             FROM freq),
+    scores AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(lp), 4) AS mean_logprob
+        FROM occ JOIN logp USING (token) GROUP BY doc_id
+    ),
+    ls AS (SELECT c.doc_id, c.lang, s.n_tokens, s.mean_logprob
+           FROM corpus c JOIN scores s USING (doc_id)),
+    ranked AS (SELECT lang AS stratum, mean_logprob AS v,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY mean_logprob) AS r
+               FROM ls),
+    counts AS (SELECT stratum, count(*) AS n FROM ranked GROUP BY stratum),
+    qs AS (SELECT CAST(unnest([0.3333333333333333, 0.6666666666666666])
+                       AS DOUBLE) AS q),
+    targets AS (
+        SELECT stratum, q, 1.0 + (n - 1) * q AS p,
+               CAST(floor(1.0 + (n - 1) * q) AS BIGINT) AS rf,
+               CAST(ceil(1.0 + (n - 1) * q) AS BIGINT) AS rc
+        FROM counts, qs
+    ),
+    tv AS (
+        SELECT t.stratum, t.q,
+               round(lo.v + (t.p - t.rf) * (hi.v - lo.v), 6) AS value
+        FROM targets t
+        JOIN ranked lo ON lo.stratum = t.stratum AND lo.r = t.rf
+        JOIN ranked hi ON hi.stratum = t.stratum AND hi.r = t.rc
+    ),
+    bounds AS (
+        SELECT stratum AS lang,
+               min(CASE WHEN q < 0.5 THEN value END) AS b33,
+               min(CASE WHEN q > 0.5 THEN value END) AS b67
+        FROM tv GROUP BY stratum
+    ),
+    gbase AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '\s+'),
+                   w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                   l -> trim(l) != '') AS lines
+        FROM corpus
+    ),
+    gsig AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(coalesce(list_aggregate(
+                       list_transform(words, w -> length(w)), 'sum'), 0)
+                     AS DOUBLE) / greatest(len(words), 1), 4)
+                   AS mean_word_len,
+               round(CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '\p{{L}}'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_alpha_words,
+               round(CAST(len(list_filter(words,
+                       w -> contains(w, '#') OR contains(w, '...')
+                            OR contains(w, '…'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_symbol_words,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[\-\*•‣◦]')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_bullet_lines,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_ellipsis_lines
+        FROM gbase
+    ),
+    gate AS (
+        SELECT doc_id,
+               (n_words >= 20 AND n_words <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND frac_alpha_words >= 0.8
+                AND frac_symbol_words <= 0.1
+                AND frac_bullet_lines <= 0.9
+                AND frac_ellipsis_lines <= 0.3) AS gopher_pass
+        FROM gsig
+    ),
+    fps AS (SELECT doc_id, {_FP} AS f FROM corpus),
+    owners AS (SELECT f, min(doc_id) AS own FROM fps GROUP BY f),
+    canon AS (SELECT fps.doc_id, fps.doc_id = o.own AS is_canonical
+              FROM fps JOIN owners o USING (f)),
+    dec AS (
+        SELECT c.doc_id, c.lang, s.n_tokens, s.mean_logprob,
+               CASE WHEN s.mean_logprob >= b.b67 THEN 'head'
+                    WHEN s.mean_logprob >= b.b33 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               g.gopher_pass, k.is_canonical
+        FROM corpus c
+        LEFT JOIN scores s ON s.doc_id = c.doc_id
+        LEFT JOIN bounds b ON b.lang = c.lang
+        JOIN gate g ON g.doc_id = c.doc_id
+        JOIN canon k ON k.doc_id = c.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, mean_logprob, ppl_bucket, gopher_pass,
+           is_canonical,
+           (gopher_pass AND is_canonical AND ppl_bucket != 'tail') AS keep
+    FROM dec
+"""
 
 _JACCARD_ORACLE = r"""
     WITH t AS (

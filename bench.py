@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "text_token_estimate",
     "text_gopher_filters",
+    "pipeline_curate",
     "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",

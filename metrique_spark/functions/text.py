@@ -556,6 +556,7 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stopword_hits: int = 2,
     decimals: int = 4,
 ) -> DataFrame:
     """Gopher-rule document quality filters (public technique: Rae et
@@ -620,7 +621,10 @@ def gopher_quality_flags(
         & (F.col("frac_symbol_words") <= 0.1)
         & (F.col("frac_bullet_lines") <= 0.9)
         & (F.col("frac_ellipsis_lines") <= 0.3)
-        & (F.col("stopword_hits") >= 2)
+        # the stop-word list is English; multilingual pipelines set
+        # min_stopword_hits=0 and gate per-language instead (CCNet
+        # doesn't apply English stop words to non-English slices)
+        & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("passes", passes)
 
