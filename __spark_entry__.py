@@ -1140,6 +1140,26 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_flags(d)
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed deterministic logistic-regression quality classifier
+    (classifier.py): hashed-token bucket fractions + a saturating length
+    feature, trained by 6 full-batch GD iterations (driver-resident
+    weights, decimal-sum gradients, fixed-decimal rounding) to distill
+    the Gopher heuristic gate into a linear model — the fastText/CCNet
+    quality-filter pattern. The oracle replays the ENTIRE training
+    trajectory as a chained-CTE GD unroll, so trained probabilities
+    value-match across engines."""
+    _utc(spark)
+    from metrique_spark.functions.classifier import quality_classifier_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = text.gopher_quality_flags(
+        d, min_words=20, min_stopword_hits=0).select("doc_id", "passes")
+    return quality_classifier_scores(
+        d.join(g, "doc_id"), "passes", n_buckets=32, len_cap=50,
+        iters=6, lr=25.0)
+
+
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped end-to-end curation decision table (curation.py
     curate_corpus): Gopher gate (word bounds 20..100k; the English
@@ -1419,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_estimate": text_token_estimate,
         "text_gopher_filters": text_gopher_filters,
         "pipeline_curate": pipeline_curate,
+        "text_quality_classifier": text_quality_classifier,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2377,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
     FROM sig
 """,
         "pipeline_curate": _CURATE_ORACLE,
+        "text_quality_classifier": _LOGREG_ORACLE,
         "events_transitions": """
     WITH p AS (
         SELECT event_type AS from_type,
@@ -2937,6 +2959,122 @@ SELECT vec_id, cluster,
        vec_id NOT IN (SELECT id_b FROM pairs) AS keep
 FROM afinal"""
 )
+
+
+# --- logistic-regression quality-classifier oracle: replays the FULL
+# training trajectory (hashed features, 10 chained GD iterations with
+# decimal-sum gradients and fixed-decimal rounding, final scoring) so the
+# trained probabilities value-match classifier.py exactly. Built by a
+# helper so the iteration count provably matches the Spark entry's.
+
+
+def _logreg_iter_ctes(i: int, lr: float) -> str:
+    return f"""
+    z{i} AS (
+        SELECT f.doc_id,
+               round(CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12)))
+                          AS DOUBLE) + (SELECT b FROM b{i - 1}), 6) AS z
+        FROM feat f JOIN w{i - 1} w USING (j) GROUP BY f.doc_id
+    ),
+    p{i} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 8) AS p
+             FROM z{i}),
+    e{i} AS MATERIALIZED (SELECT p{i}.doc_id, p - y AS err
+             FROM p{i} JOIN lab USING (doc_id)),
+    g{i} AS (SELECT j, CAST(sum(CAST(err * x AS DECIMAL(38,12)))
+                            AS DOUBLE) AS g
+             FROM e{i} JOIN feat USING (doc_id) GROUP BY j),
+    gb{i} AS (SELECT CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS g
+              FROM e{i}),
+    w{i} AS MATERIALIZED (SELECT w.j,
+                    round(w.w - {lr} * (coalesce(g.g, 0.0)
+                                        / (SELECT n FROM nn)), 8) AS w
+             FROM w{i - 1} w LEFT JOIN g{i} g USING (j)),
+    b{i} AS MATERIALIZED (SELECT round(b - {lr} * (coalesce((SELECT g FROM gb{i}), 0.0)
+                                      / (SELECT n FROM nn)), 8) AS b
+             FROM b{i - 1})"""
+
+
+def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
+                   iters: int = 6, lr: float = 25.0) -> str:
+    base = rf"""
+    gbase AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '\s+'),
+                   w -> w != '') AS words,
+               list_filter(string_split(coalesce(text, ''), chr(10)),
+                   l -> trim(l) != '') AS lines
+        FROM documents
+    ),
+    gsig AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(coalesce(list_aggregate(
+                       list_transform(words, w -> length(w)), 'sum'), 0)
+                     AS DOUBLE) / greatest(len(words), 1), 4)
+                   AS mean_word_len,
+               round(CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '\p{{L}}'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_alpha_words,
+               round(CAST(len(list_filter(words,
+                       w -> contains(w, '#') OR contains(w, '...')
+                            OR contains(w, '…'))) AS DOUBLE)
+                     / greatest(len(words), 1), 4) AS frac_symbol_words,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[\-\*•‣◦]')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_bullet_lines,
+               round(CAST(len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                     AS DOUBLE)
+                     / greatest(len(lines), 1), 4) AS frac_ellipsis_lines
+        FROM gbase
+    ),
+    lab AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN (n_words >= 20 AND n_words <= 100000
+                          AND mean_word_len >= 3 AND mean_word_len <= 10
+                          AND frac_alpha_words >= 0.8
+                          AND frac_symbol_words <= 0.1
+                          AND frac_bullet_lines <= 0.9
+                          AND frac_ellipsis_lines <= 0.3)
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM gsig
+    ),
+    occ AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    bc AS (SELECT doc_id,
+                  ('0x' || substr(md5(token), 1, 15))::BIGINT
+                      % {n_buckets} AS j,
+                  count(*) AS c
+           FROM occ GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS t FROM bc GROUP BY 1),
+    feat AS MATERIALIZED (
+        SELECT bc.doc_id, bc.j, round(c / CAST(t AS DOUBLE), 6) AS x
+        FROM bc JOIN tot USING (doc_id)
+        UNION ALL
+        SELECT doc_id, {n_buckets} AS j,
+               round(least(t / {float(len_cap)}, 1.0), 6) AS x
+        FROM tot
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM tot),
+    w0 AS (SELECT unnest(range({n_buckets + 1})) AS j, 0.0 AS w),
+    b0 AS (SELECT 0.0 AS b)"""
+    parts = [base]
+    parts.extend(_logreg_iter_ctes(i, lr) for i in range(1, iters + 1))
+    parts.append(f"""
+    zf AS (
+        SELECT f.doc_id,
+               round(CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12)))
+                          AS DOUBLE) + (SELECT b FROM b{iters}), 6) AS z
+        FROM feat f JOIN w{iters} w USING (j) GROUP BY f.doc_id
+    ),
+    pf AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 8) AS p FROM zf)""")
+    return ("WITH " + ",".join(parts) + """
+    SELECT pf.doc_id, y >= 0.5 AS label, p AS prob, p >= 0.5 AS pred
+    FROM pf JOIN lab USING (doc_id)""")
+
+
+_LOGREG_ORACLE = _logreg_oracle()
 
 
 # --- composed CCNet-style curation pipeline oracle: replays the injected

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_token_estimate",
     "text_gopher_filters",
     "pipeline_curate",
+    "text_quality_classifier",
     "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",

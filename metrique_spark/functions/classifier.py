@@ -1,0 +1,202 @@
+"""Distributed hashed-token logistic-regression quality classifier —
+the fastText/CCNet-shaped "distill a cheap heuristic into a model"
+step (public technique: Joulin et al. 2016 fastText; CCNet/DataComp
+style quality-classifier filtering), built deterministic and
+cross-engine reproducible with the same machinery as ``kmeans_fit``:
+
+- features: per-document normalized counts over ``n_buckets`` hashed
+  token buckets (``md5_long % B`` — the 60-bit md5 trick, so a SQL
+  oracle hashes identically), rounded at fixed decimals;
+- training: full-batch gradient descent with DRIVER-RESIDENT weights
+  (B+1 doubles); each iteration is one map-only scoring pass over the
+  persisted features (weights ride in as literals) plus one map-side-
+  combinable per-dimension gradient shuffle collected as B+1 rows;
+- reproducibility: per-doc dots and gradient sums accumulate as
+  DECIMAL(38,12) (order-independent), z/p/x/w are rounded at fixed
+  decimals, so the whole training trajectory — and therefore the final
+  scores — replays bit-identically in a DuckDB oracle as a chained-CTE
+  GD unroll.
+
+The corpus never shuffles after the one-time feature build; weight
+updates are driver arithmetic (IEEE doubles, half-away-from-zero
+rounding — matching both engines' ``round``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from metrique_spark.functions.cache import track
+from metrique_spark.functions.text import md5_long, tokens
+
+_DEC = "decimal(38,12)"
+
+
+def _round_half_away(v: float, decimals: int) -> float:
+    """Half-away-from-zero rounding of a double — the same convention as
+    Spark's ``F.round`` and DuckDB's ``round`` (see ``_pairs_above`` in
+    similarity.py for the precedent); Python's builtin ``round`` is
+    banker's and would drift on exact halves."""
+    s = 10.0 ** decimals
+    if v >= 0:
+        return math.floor(v * s + 0.5) / s
+    return -math.floor(-v * s + 0.5) / s
+
+
+def hashed_token_features(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    len_cap: int = 500,
+    x_decimals: int = 6,
+) -> DataFrame:
+    """(id, y, x) — dense features: ``n_buckets`` normalized
+    hashed-bucket token fractions plus one saturating length feature
+    ``min(n_tokens/len_cap, 1)`` (fractions alone are length-blind, and
+    document length is the dominant heuristic-quality signal), so
+    ``len(x) == n_buckets + 1``. Documents with zero tokens have no
+    features and are excluded (a classifier over token statistics has
+    nothing to say about them — gate them upstream).
+
+    Two doc-keyed map-side-combinable shuffles, built ONCE; training
+    iterations reuse the persisted result. The dense ``array<double>``
+    keeps every later pass map-only (a sparse (id, bucket, x) layout
+    would re-shuffle per iteration to rebuild per-doc dots)."""
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(label_col).cast("double").alias("y"),
+                    F.col(text_col).alias("__t"))
+    occ = src.select("id", F.explode(tokens("__t")).alias("tok"))
+    bc = (occ.select("id", F.pmod(md5_long(F.col("tok")),
+                                  F.lit(n_buckets)).alias("b"))
+          .groupBy("id", "b").agg(F.count("*").alias("c")))
+    tot = bc.groupBy("id").agg(F.sum("c").alias("t"))
+    m = (bc.join(tot, "id")
+         .groupBy("id")
+         .agg(F.map_from_entries(
+                  F.collect_list(F.struct("b", "c"))).alias("m"),
+              F.min("t").alias("t")))
+    dense = m.select(
+        "id",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                # element_at on a MAP keys directly (the +1 convention is
+                # for arrays only — off-by-one here silently shifts every
+                # bucket and drops the last one)
+                lambda j: F.round(
+                    F.coalesce(F.element_at("m", j), F.lit(0))
+                    .cast("double") / F.col("t"),
+                    x_decimals),
+            ),
+            F.array(F.round(
+                F.least(F.col("t") / F.lit(float(len_cap)), F.lit(1.0)),
+                x_decimals)),
+        ).alias("x"),
+    )
+    return dense.join(src.select("id", "y"), "id")
+
+
+def _scored(feats: DataFrame, w: list, bias: float, z_decimals: int,
+            p_decimals: int) -> DataFrame:
+    """Map-only sigmoid scores under driver-resident weights: the
+    per-doc dot accumulates as DECIMAL(38,12) (exact, order-free — a
+    SQL sum over the sparse terms produces the identical value because
+    the zero-feature terms cast to decimal zero)."""
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), w_lit, lambda a, b: (a * b).cast(_DEC)),
+        F.lit(0).cast(_DEC),
+        lambda acc, t: (acc + t).cast(_DEC),
+    )
+    z = F.round(dot.cast("double") + F.lit(float(bias)), z_decimals)
+    sc = feats.select("id", "y", "x", z.alias("z"))
+    return sc.withColumn(
+        "p", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))),
+                     p_decimals))
+
+
+def train_logreg(
+    feats: DataFrame,
+    n_dims: int = 33,
+    iters: int = 2,
+    lr: float = 0.5,
+    w_decimals: int = 8,
+    z_decimals: int = 6,
+    p_decimals: int = 8,
+) -> tuple[list, float]:
+    """Full-batch GD on the (persisted) feature frame; returns
+    ``(weights, bias)``. Per iteration: one map-only scoring pass + one
+    (dimension)-keyed gradient shuffle whose B+1 decimal partials are
+    map-side combined and collected — the bias gradient rides along as
+    dimension B with a constant 1.0 feature. Weight updates are driver
+    arithmetic: ``w - lr * (g / n)`` rounded half-away at
+    ``w_decimals`` — the exact expression the SQL oracle replays.
+    ``n_dims`` is the feature length (``n_buckets + 1`` for
+    ``hashed_token_features``)."""
+    w = [0.0] * n_dims
+    bias = 0.0
+    n = feats.count()
+    if n == 0:
+        raise ValueError("train_logreg: empty feature frame")
+    for _ in range(iters):
+        sc = _scored(feats, w, bias, z_decimals, p_decimals)
+        grad = (
+            sc.withColumn("err", F.col("p") - F.col("y"))
+            .select("err", F.posexplode(
+                F.concat("x", F.array(F.lit(1.0)))).alias("j", "xj"))
+            .groupBy("j")
+            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
+        ).collect()
+        gmap = {r["j"]: float(r["g"]) for r in grad}
+        w = [_round_half_away(w[j] - lr * (gmap.get(j, 0.0) / n),
+                              w_decimals)
+             for j in range(n_dims)]
+        bias = _round_half_away(
+            bias - lr * (gmap.get(n_dims, 0.0) / n), w_decimals)
+    return w, bias
+
+
+def score_logreg(
+    feats: DataFrame,
+    weights: list,
+    bias: float,
+    z_decimals: int = 6,
+    p_decimals: int = 8,
+) -> DataFrame:
+    """(id, label, prob, pred) under trained weights — one map-only
+    pass."""
+    sc = _scored(feats, weights, bias, z_decimals, p_decimals)
+    return sc.select("id", (F.col("y") >= 0.5).alias("label"),
+                     F.col("p").alias("prob"),
+                     (F.col("p") >= 0.5).alias("pred"))
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    len_cap: int = 500,
+    iters: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train-and-score convenience: distill ``label_col`` (e.g. a Gopher
+    pass flag) into a hashed-token linear model and score every
+    featurizable document. Cache lifetime: the feature frame is
+    persisted for the training loop; ``functions.cache.release(result)``
+    after materializing."""
+    from pyspark import StorageLevel
+
+    feats = hashed_token_features(
+        df, label_col, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets,
+        len_cap=len_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    w, b = train_logreg(feats, n_dims=n_buckets + 1, iters=iters, lr=lr)
+    out = score_logreg(feats, w, b).withColumnRenamed("id", id_col)
+    return track(out, feats)

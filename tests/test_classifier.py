@@ -1,0 +1,76 @@
+"""Distributed deterministic logistic regression (classifier.py)."""
+
+from pyspark.sql import functions as F
+
+from metrique_spark.functions import classifier as C
+from metrique_spark.functions.cache import release
+
+
+def _labeled(spark):
+    """separable toy set: long fluent docs labeled 1, short junk 0."""
+    rows = []
+    for i in range(12):
+        rows.append((i, "the quick brown fox jumps over the lazy dog "
+                        "again and again " * 8, True))
+    for i in range(12, 20):
+        rows.append((i, f"x{i} y{i}", False))
+    rows.append((99, "", False))  # token-less: excluded from features
+    return spark.createDataFrame(rows,
+                                 "doc_id long, text string, lab boolean")
+
+
+def test_round_half_away():
+    assert C._round_half_away(0.125, 2) == 0.13
+    assert C._round_half_away(-0.125, 2) == -0.13
+    assert C._round_half_away(1.0000000049, 8) == 1.0
+    assert C._round_half_away(0.0, 8) == 0.0
+
+
+def test_features_shape_and_exclusion(spark):
+    f = C.hashed_token_features(_labeled(spark), "lab", n_buckets=8,
+                                len_cap=50)
+    rows = f.collect()
+    assert len(rows) == 20            # token-less doc excluded
+    for r in rows:
+        assert len(r["x"]) == 9       # 8 buckets + length feature
+        assert abs(sum(r["x"][:8]) - 1.0) < 1e-4   # fractions sum to ~1
+        assert 0.0 <= r["x"][8] <= 1.0
+
+
+def test_train_deterministic_and_separates(spark):
+    from pyspark import StorageLevel
+
+    f = C.hashed_token_features(_labeled(spark), "lab", n_buckets=8,
+                                len_cap=50).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    w1, b1 = C.train_logreg(f, n_dims=9, iters=8, lr=10.0)
+    w2, b2 = C.train_logreg(f, n_dims=9, iters=8, lr=10.0)
+    assert w1 == w2 and b1 == b2      # bit-identical across reruns
+    out = {r["id"]: r for r in C.score_logreg(f, w1, b1).collect()}
+    assert all(out[i]["pred"] for i in range(12))
+    assert not any(out[i]["pred"] for i in range(12, 20))
+    f.unpersist()
+
+
+def test_quality_classifier_scores_end_to_end(spark):
+    out = C.quality_classifier_scores(_labeled(spark), "lab",
+                                      n_buckets=8, len_cap=50,
+                                      iters=8, lr=10.0)
+    rows = out.collect()
+    release(out)
+    assert len(rows) == 20
+    assert {r["label"] for r in rows} == {True, False}
+    accuracy = sum(r["label"] == r["pred"] for r in rows) / len(rows)
+    assert accuracy == 1.0
+
+
+def test_train_empty_raises(spark):
+    f = C.hashed_token_features(
+        spark.createDataFrame([(1, "", True)],
+                              "doc_id long, text string, lab boolean"),
+        "lab", n_buckets=8)
+    try:
+        C.train_logreg(f, n_dims=9, iters=1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
