@@ -74,12 +74,12 @@ def hashed_token_features(
     bc = (occ.select("id", F.pmod(md5_long(F.col("tok")),
                                   F.lit(n_buckets)).alias("b"))
           .groupBy("id", "b").agg(F.count("*").alias("c")))
-    tot = bc.groupBy("id").agg(F.sum("c").alias("t"))
-    m = (bc.join(tot, "id")
-         .groupBy("id")
-         .agg(F.map_from_entries(
-                  F.collect_list(F.struct("b", "c"))).alias("m"),
-              F.min("t").alias("t")))
+    # total tokens = sum of the doc's bucket counts — folded into the
+    # same aggregation rather than a second tot-and-join pass, which
+    # would re-run the tokenize+hash scan (no subplan CSE across joins)
+    m = bc.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"),
+        F.sum("c").alias("t"))
     dense = m.select(
         "id",
         F.concat(
