@@ -320,3 +320,22 @@ def test_semantic_dedup_bounded_exchanges(spark):
     p = _plan(spark, "sim_semantic_dedup")
     assert not audit.has_cartesian(p)
     assert audit.count_exchanges(p) <= 5, audit.count_exchanges(p)
+
+
+def test_logreg_scoring_pass_is_map_only(spark):
+    """the per-iteration scoring pass folds literal weights over the
+    persisted features — no join, window, or exchange; only the gradient
+    aggregate (one combinable shuffle) and the one-time feature build
+    shuffle the data."""
+    from metrique_spark.functions import classifier as C
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i + 1), i % 2 == 0)
+         for i in range(6)],
+        "doc_id long, text string, lab boolean")
+    feats = C.hashed_token_features(df, "lab", n_buckets=8, len_cap=50)
+    feats = feats.localCheckpoint(eager=True)   # isolate the scoring pass
+    p = audit.executed_plan(C._scored(feats, [0.1] * 9, 0.05, 6, 8))
+    assert audit.count_exchanges(p) == 0, p
+    assert not audit.has_cartesian(p)
+    assert "Window" not in p
