@@ -630,9 +630,14 @@ def semantic_dedup(
     """SemDeDup-style semantic deduplication (public technique: Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication"): k-means-cluster the embeddings, then drop
-    any document with a same-cluster neighbor of cosine ≥ ``threshold``
-    and a smaller id (min-id-keeps — the same canonical rule as
-    ``components_from_pairs``). Candidate pairs are generated ONLY within
+    any document with a DIRECT same-cluster neighbor of cosine ≥
+    ``threshold`` and a smaller id. NOTE this is a neighbor-wise rule,
+    not the transitive component-min rule of
+    ``dedup.connected_components``/``canonical_docs``: for pairs
+    (1,5),(2,5) it keeps {1,2} and drops {5}, where the component rule
+    would keep only {1} — SemDeDup's per-cluster pruning semantics, kept
+    deliberately (feed ``pairs`` to ``connected_components`` for the
+    transitive variant). Candidate pairs are generated ONLY within
     a cluster, so cost is Σ|cluster|² instead of n² — and each oversized
     cluster is salted into blocked-matmul tasks under the
     ``cosine_pairs_bucketed`` memory contract (shared helper).
@@ -656,6 +661,12 @@ def semantic_dedup(
 
     from .cache import track
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"semantic_dedup: id_col {id_col!r} must be integral, got "
+            f"{id_type} — the blocked pair kernel works on int64 ids "
+            "(string ids would die mid-job in the Arrow batch instead)")
     cap = max_bucket_rows or target_bucket_rows
     if n_rows is None:
         # guard probe, not a full count (see cosine_pairs_bucketed)
@@ -669,7 +680,8 @@ def semantic_dedup(
     assigned = _assign_rounded(vectors, centroids, sim_decimals).persist(
         StorageLevel.MEMORY_AND_DISK)
     probed = assigned.select(
-        F.col("__vid").alias("id"), "v", F.col("cluster").alias("bucket"))
+        F.col("__vid").cast("long").alias("id"), "v",
+        F.col("cluster").alias("bucket"))
     pairs = _pairs_within_buckets(probed, threshold, pair_decimals, cap,
                                   n_rows, multi_membership=False)
     drops = pairs.select(F.col("id_b").alias("__drop")).distinct()
