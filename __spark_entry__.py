@@ -1140,6 +1140,21 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality_flags(d)
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distributed BPE merge learning (bpe.py, Sennrich 2016): 8 merge
+    rules learned over the frequency-weighted type vocabulary — corpus
+    touched once, each iteration a map-only re-segmentation (rule
+    literals in a higher-order fold) plus one combinable pair-count
+    shuffle and a 1-row argmax collect. Exact integer counts +
+    (count desc, lhs, rhs) tie-break make the trajectory engine-exact;
+    the oracle replays all 8 iterations with list_reduce."""
+    _utc(spark)
+    from metrique_spark.functions.bpe import bpe_learned_merges
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_learned_merges(d, num_merges=8)
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distributed deterministic logistic-regression quality classifier
     (classifier.py): hashed-token bucket fractions + a saturating length
@@ -1440,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_filters": text_gopher_filters,
         "pipeline_curate": pipeline_curate,
         "text_quality_classifier": text_quality_classifier,
+        "text_bpe_merges": text_bpe_merges,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2399,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
 """,
         "pipeline_curate": _CURATE_ORACLE,
         "text_quality_classifier": _LOGREG_ORACLE,
+        "text_bpe_merges": _BPE_ORACLE,
         "events_transitions": """
     WITH p AS (
         SELECT event_type AS from_type,
@@ -2959,6 +2976,46 @@ SELECT vec_id, cluster,
        vec_id NOT IN (SELECT id_b FROM pairs) AS keep
 FROM afinal"""
 )
+
+
+# --- BPE merge-learning oracle: replays all 8 iterations (pair count ->
+# (count desc, lhs, rhs) argmax -> list_reduce greedy re-segmentation)
+# over the type vocabulary. MATERIALIZED stops DuckDB re-inlining the
+# doubly-referenced types tables.
+
+
+def _bpe_oracle(iters: int = 8) -> str:
+    ctes = [rf"""toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    t0 AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+           GROUP BY token),
+    types0 AS MATERIALIZED (
+        SELECT token, n, regexp_extract_all(token, '.') AS pieces FROM t0)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""px{i} AS (
+        SELECT n, unnest(list_transform(range(1, len(pieces)),
+                   j -> {{'lhs': pieces[j], 'rhs': pieces[j + 1]}})) AS p
+        FROM types{i - 1} WHERE len(pieces) >= 2),
+    pairs{i} AS (SELECT p.lhs AS lhs, p.rhs AS rhs,
+                        CAST(sum(n) AS BIGINT) AS c
+                 FROM px{i} GROUP BY 1, 2),
+    best{i} AS MATERIALIZED (SELECT lhs, rhs, c FROM pairs{i}
+                             ORDER BY c DESC, lhs, rhs LIMIT 1),
+    types{i} AS MATERIALIZED (
+        SELECT token, n,
+               list_reduce(list_transform(pieces, pp -> [pp]),
+                   (acc, x) -> CASE WHEN acc[len(acc)] = b.lhs
+                                     AND x[1] = b.rhs
+                               THEN list_concat(acc[1:len(acc) - 1],
+                                                [b.lhs || b.rhs])
+                               ELSE list_concat(acc, x) END) AS pieces
+        FROM types{i - 1}, best{i} b)""")
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, lhs, rhs, c AS pair_count FROM best{i}"
+        for i in range(1, iters + 1))
+    return "WITH " + ",".join(ctes) + " " + final
+
+
+_BPE_ORACLE = _bpe_oracle()
 
 
 # --- logistic-regression quality-classifier oracle: replays the FULL

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_gopher_filters",
     "pipeline_curate",
     "text_quality_classifier",
+    "text_bpe_merges",
     "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",

@@ -1,0 +1,57 @@
+"""BPE merge learning (bpe.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.functions import bpe
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string")
+
+
+def test_bpe_train_hand_computed(spark):
+    """the Sennrich toy: 'low' x5, 'lower' x2 — first merges follow raw
+    adjacent-pair counts with (count desc, lhs, rhs) ties."""
+    d = _docs(spark, ["low " * 5 + "lower " * 2])
+    m = bpe.bpe_train(d, num_merges=3)
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,e)=2, (e,r)=2
+    # tie at 7 -> lexicographically smaller (l,o) first
+    assert m[0] == ("l", "o", 7)
+    # round 2: (lo,w)=7 wins
+    assert m[1] == ("lo", "w", 7)
+    # round 3: (e,r)=2 vs (low,e)=2 -> ('e','r') < ('low','e')
+    assert m[2] == ("e", "r", 2)
+
+
+def test_bpe_greedy_overlap(spark):
+    """'aaaa': pair (a,a) counts 3 (overlapping, canonical), and greedy
+    left-to-right application yields pieces [aa, aa]."""
+    d = _docs(spark, ["aaaa"])
+    m = bpe.bpe_train(d, num_merges=1)
+    assert m[0] == ("a", "a", 3)
+    seg = bpe.bpe_segment(d, m).collect()[0]
+    assert (seg["n_tokens"], seg["n_pieces"]) == (1, 2)
+
+
+def test_bpe_segment_monotone(spark):
+    d = _docs(spark, ["the cat sat on the mat", "the hat of the bat"])
+    m = bpe.bpe_train(d, num_merges=4)
+    base = bpe.bpe_segment(d, []).agg(F.sum("n_pieces")).collect()[0][0]
+    after = bpe.bpe_segment(d, m).agg(F.sum("n_pieces")).collect()[0][0]
+    assert after < base          # every merge can only shrink pieces
+    chars = bpe.bpe_segment(d, []).collect()
+    for r in chars:              # no merges -> pieces == characters
+        assert r["n_pieces"] >= r["n_tokens"]
+
+
+def test_bpe_exhausted_raises(spark):
+    d = _docs(spark, ["a b c"])   # single-char types: no pairs at all
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe.bpe_train(d, num_merges=1)
+
+
+def test_bpe_deterministic(spark):
+    d = _docs(spark, ["banana bandana cabana"] * 3)
+    assert bpe.bpe_train(d, num_merges=5) == bpe.bpe_train(d, num_merges=5)
