@@ -1155,6 +1155,21 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learned_merges(d, num_merges=8)
 
 
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """learned-BPE token counts per document (bpe.bpe_segment): train 8
+    merges, then apply them as chained map-only folds — the honest
+    learned companion to bpe_token_estimate's regex proxy. The oracle
+    verifies the APPLICATION side differently (joins doc tokens to the
+    final per-type segmentation from the training unroll), so a
+    mismatch in greedy merge application shows up as a value diff."""
+    _utc(spark)
+    from metrique_spark.functions.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(d, num_merges=8)
+    return bpe_segment(d, merges)
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distributed deterministic logistic-regression quality classifier
     (classifier.py): hashed-token bucket fractions + a saturating length
@@ -1456,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": pipeline_curate,
         "text_quality_classifier": text_quality_classifier,
         "text_bpe_merges": text_bpe_merges,
+        "text_bpe_token_counts": text_bpe_token_counts,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
         "text_quality_histogram": text_quality_histogram,
@@ -2416,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _CURATE_ORACLE,
         "text_quality_classifier": _LOGREG_ORACLE,
         "text_bpe_merges": _BPE_ORACLE,
+        "text_bpe_token_counts": _BPE_SEGMENT_ORACLE,
         "events_transitions": """
     WITH p AS (
         SELECT event_type AS from_type,
@@ -3016,6 +3033,24 @@ def _bpe_oracle(iters: int = 8) -> str:
 
 
 _BPE_ORACLE = _bpe_oracle()
+
+# application-side check: doc tokens joined to the final type segmentation
+# (types8 from the same training unroll) — verifies greedy merge
+# application through a different path than the per-doc chained folds the
+# Spark entry runs; token-less docs keep a (0, 0) row via the left join
+_BPE_SEGMENT_ORACLE = (
+    _bpe_oracle().rsplit(" SELECT 1 AS merge_idx", 1)[0]
+    + rf""",
+    occ2 AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    seg AS (SELECT occ2.doc_id, len(ty.pieces) AS np
+            FROM occ2 JOIN types8 ty USING (token))
+    SELECT d.doc_id,
+           CAST(count(seg.np) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(seg.np), 0) AS BIGINT) AS n_pieces
+    FROM documents d LEFT JOIN seg ON seg.doc_id = d.doc_id
+    GROUP BY d.doc_id
+""")
+
 
 
 # --- logistic-regression quality-classifier oracle: replays the FULL

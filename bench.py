@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "pipeline_curate",
     "text_quality_classifier",
     "text_bpe_merges",
+    "text_bpe_token_counts",
     "events_transitions",
     "text_normalize",
     "text_winnow_fingerprints",
