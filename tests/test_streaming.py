@@ -966,3 +966,31 @@ def test_stream_retention_sink_equals_batch_late_cohort_and_compaction(
     rows2 = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
              for r in spark.read.parquet(out2).collect()}
     assert rows2 == rows
+
+
+@pytest.mark.parametrize("backend", ["local", "objectstore"])
+def test_partial_state_sinks_on_objectstore_backend(spark, tmp_path,
+                                                    backend):
+    """The shared _partial_state_sink control plane (sidecar flips, gen
+    folding, batch-dir bookkeeping) must run on the rename-free
+    object-store backend too — exercised through the retention twin with
+    aggressive compaction plus a running-batch replay."""
+    from metrique_spark.fs import ObjectStoreFS
+
+    fs = ObjectStoreFS() if backend == "objectstore" else None
+    state_p, out_p = str(tmp_path / "st"), str(tmp_path / "out")
+    sink = ev.stream_retention_sink(state_p, out_p, period="day",
+                                    compact_after=2, fs=fs)
+
+    def mk(eid, day, uid):
+        return spark.createDataFrame(
+            [(eid, uid, f"2024-02-{day:02d} 10:00:00", "ok")],
+            "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for b in range(5):
+        sink(mk(b, b + 1, 1), b)          # user 1 active days 1..5
+    sink(mk(4, 5, 1), 4)                  # replay the running batch
+    rows = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {(f"2024-02-01 00:00:00", off): 1 for off in range(5)}
