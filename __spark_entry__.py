@@ -1041,6 +1041,23 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(e, threshold=0.45, k=8, iters=1)
 
 
+def sim_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-cluster rollup of the k-means embedding map (the 'data map'
+    reporting surface): size, exact-decimal mean assignment sim, min
+    sim. Mean via DECIMAL(18,6) sum — the 6-decimal sims are exact in
+    that scale, so the average is partition-order-independent and
+    engine-exact."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_fit(e, k=8, iters=2)
+    a = similarity.kmeans_assign(e, cent)
+    return a.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 4).alias("mean_sim"),
+        F.min("sim").alias("min_sim"))
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bigram LM quality scores with Stupid Backoff (Brants 2007): score
     a holdout slice (doc_id % 7 == 0) under a model trained on the REST
@@ -1459,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_accuracy": sim_knn_accuracy,
         "sim_kmeans_clusters": sim_kmeans_clusters,
         "sim_semantic_dedup": sim_semantic_dedup,
+        "sim_cluster_summary": sim_cluster_summary,
         "text_unigram_logprob": text_unigram_logprob,
         "text_bigram_logprob": text_bigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
@@ -2228,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_kmeans_clusters": _KMEANS_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
+        "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
         "sim_knn_classify": """
             WITH l AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS lv
                        FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 200),
@@ -2975,6 +2994,17 @@ _KMEANS_ORACLE = (
     "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)
                        + [_kmeans_assign_cte("c2", "afinal")])
     + "\nSELECT vec_id, cluster, sim FROM afinal"
+)
+
+_CLUSTER_SUMMARY_ORACLE = (
+    "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)
+                       + [_kmeans_assign_cte("c2", "afinal")])
+    + """
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS mean_sim,
+       min(sim) AS min_sim
+FROM afinal GROUP BY cluster"""
 )
 
 _SEMDEDUP_ORACLE = (

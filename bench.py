@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "sim_kmeans_clusters",
     "sim_semantic_dedup",
+    "sim_cluster_summary",
     "mm_frame_samples",
     "events_daily_rollup",
     "events_funnel",
