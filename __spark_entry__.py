@@ -3031,7 +3031,7 @@ FROM afinal"""
 # doubly-referenced types tables.
 
 
-def _bpe_oracle(iters: int = 8) -> str:
+def _bpe_ctes(iters: int = 8) -> list:
     ctes = [rf"""toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
     t0 AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
            GROUP BY token),
@@ -3056,30 +3056,36 @@ def _bpe_oracle(iters: int = 8) -> str:
                                                 [b.lhs || b.rhs])
                                ELSE list_concat(acc, x) END) AS pieces
         FROM types{i - 1}, best{i} b)""")
+    return ctes
+
+
+def _bpe_oracle(iters: int = 8) -> str:
     final = " UNION ALL ".join(
         f"SELECT {i} AS merge_idx, lhs, rhs, c AS pair_count FROM best{i}"
         for i in range(1, iters + 1))
-    return "WITH " + ",".join(ctes) + " " + final
+    return "WITH " + ",".join(_bpe_ctes(iters)) + " " + final
 
 
-_BPE_ORACLE = _bpe_oracle()
-
-# application-side check: doc tokens joined to the final type segmentation
-# (types8 from the same training unroll) — verifies greedy merge
-# application through a different path than the per-doc chained folds the
-# Spark entry runs; token-less docs keep a (0, 0) row via the left join
-_BPE_SEGMENT_ORACLE = (
-    _bpe_oracle().rsplit(" SELECT 1 AS merge_idx", 1)[0]
-    + rf""",
+def _bpe_segment_oracle(iters: int = 8) -> str:
+    # application-side check: doc tokens joined to the final type
+    # segmentation (types{iters} from the same training unroll) —
+    # verifies greedy merge application through a different path than
+    # the per-doc chained folds the Spark entry runs; NULL/token-less
+    # docs keep a (0, 0) row via the left join
+    return "WITH " + ",".join(_bpe_ctes(iters)) + rf""",
     occ2 AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     seg AS (SELECT occ2.doc_id, len(ty.pieces) AS np
-            FROM occ2 JOIN types8 ty USING (token))
+            FROM occ2 JOIN types{iters} ty USING (token))
     SELECT d.doc_id,
            CAST(count(seg.np) AS BIGINT) AS n_tokens,
            CAST(coalesce(sum(seg.np), 0) AS BIGINT) AS n_pieces
     FROM documents d LEFT JOIN seg ON seg.doc_id = d.doc_id
     GROUP BY d.doc_id
-""")
+"""
+
+
+_BPE_ORACLE = _bpe_oracle()
+_BPE_SEGMENT_ORACLE = _bpe_segment_oracle()
 
 
 

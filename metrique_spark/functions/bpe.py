@@ -82,7 +82,12 @@ def bpe_train(
     table; each iteration is a map-only re-segmentation (rule literals)
     + one combinable pair-count shuffle + a 1-row argmax collect. The
     types table is localCheckpointed per round so the plan stays flat
-    over ``num_merges``."""
+    over ``num_merges``; a superseded round's checkpoint blocks are
+    released by the ContextCleaner once its driver reference drops
+    (immediate under CPython refcounting at the reassignment below —
+    there is no public API to unpersist a localCheckpoint), so steady
+    state holds ~2 copies of the vocabulary-sized table, not
+    ``num_merges``."""
     t0 = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").cast("long").alias("n"))
@@ -129,19 +134,27 @@ def bpe_segment(
     """Apply learned merges to a corpus: (id, n_tokens, n_pieces) — the
     honest learned-BPE token count (vs ``bpe_token_estimate``'s regex
     proxy). Map-only: every merge rule is a literal fold chained in
-    learning order over each token's pieces; nothing shuffles."""
+    learning order over each token's pieces; nothing shuffles. NULL
+    text counts as (0, 0) — the ``bpe_token_estimate`` coalesce
+    convention, matching the SQL oracle's left join."""
     def _rule(left: str, right: str):
         # closure factory, NOT default-arg capture: PySpark counts a
         # lambda's parameters to type the higher-order function, so
         # `lambda p, l=l: ...` reads as a 2-arg lambda and fails analysis
         return lambda p: _apply_merge(p, left, right)
 
-    pieces = F.transform(tokens(text_col), lambda t: _chars(t))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    pieces = F.transform(tokens(raw), lambda t: _chars(t))
     for left, right, _ in merges:
         pieces = F.transform(pieces, _rule(left, right))
-    return df.select(
+    # materialize the chained fold ONCE: n_tokens is the outer size of
+    # the same array (one inner array per token), so the corpus is
+    # tokenized a single time — CollapseProject keeps the projection
+    # because the alias is multi-use and non-cheap
+    seg = df.select(F.col(id_col), pieces.alias("__p"))
+    return seg.select(
         F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        F.aggregate(pieces, F.lit(0).cast("long"),
+        F.size("__p").cast("long").alias("n_tokens"),
+        F.aggregate("__p", F.lit(0).cast("long"),
                     lambda acc, p: acc + F.size(p)).alias("n_pieces"),
     )

@@ -55,3 +55,15 @@ def test_bpe_exhausted_raises(spark):
 def test_bpe_deterministic(spark):
     d = _docs(spark, ["banana bandana cabana"] * 3)
     assert bpe.bpe_train(d, num_merges=5) == bpe.bpe_train(d, num_merges=5)
+
+
+def test_bpe_segment_null_text_counts_zero(spark):
+    """NULL text -> (0, 0), the bpe_token_estimate coalesce convention
+    (and what the SQL oracle's left join produces)."""
+    d = spark.createDataFrame([(1, "ab ab"), (2, None)],
+                              "doc_id long, text string")
+    m = bpe.bpe_train(d.where(F.col("text").isNotNull()), num_merges=1)
+    rows = {r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+            for r in bpe.bpe_segment(d, m).collect()}
+    assert rows[2] == (0, 0)
+    assert rows[1] == (2, 2)      # 'ab' merged to one piece per token
