@@ -339,3 +339,33 @@ def test_logreg_scoring_pass_is_map_only(spark):
     assert audit.count_exchanges(p) == 0, p
     assert not audit.has_cartesian(p)
     assert "Window" not in p
+
+
+def test_bpe_segment_is_map_only(spark):
+    """applying learned merges is chained literal folds over one
+    tokenization — no exchange at any corpus size."""
+    from metrique_spark.functions import bpe
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    merges = [("e", "r", 1), ("t", "h", 1)]   # synthetic rules suffice
+    p = audit.executed_plan(bpe.bpe_segment(df, merges))
+    assert audit.count_exchanges(p) == 0, p
+    assert not audit.has_cartesian(p)
+
+
+@pytest.mark.parametrize("name,max_ex", [
+    ("pipeline_curate", 14),
+    ("text_bpe_token_counts", 2),
+    ("sim_cluster_summary", 2),
+])
+def test_round6_entries_bounded_no_cartesian(spark, name, max_ex):
+    """Round-6 composed entries: no cartesian products, bounded exchange
+    counts (id-keyed joins may be AQE-broadcast at gate scale)."""
+    from metrique_spark.functions.cache import release
+
+    df = entry.queries()[name](spark, SF)
+    p = audit.executed_plan(df)
+    release(df)
+    assert not audit.has_cartesian(p)
+    assert audit.count_exchanges(p) <= max_ex, audit.count_exchanges(p)
