@@ -1173,18 +1173,18 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """learned-BPE token counts per document (bpe.bpe_segment): train 8
-    merges, then apply them as chained map-only folds — the honest
-    learned companion to bpe_token_estimate's regex proxy. The oracle
-    verifies the APPLICATION side differently (joins doc tokens to the
-    final per-type segmentation from the training unroll), so a
-    mismatch in greedy merge application shows up as a value diff."""
+    """learned-BPE token counts per document: train 8 merges, then
+    segment via the trained vocabulary (bpe.bpe_segment_with_vocab —
+    one token-keyed join against the final type segmentation; the
+    chained-fold bpe_segment path is for out-of-vocabulary corpora and
+    is pinned equivalent by test). The honest learned companion to
+    bpe_token_estimate's regex proxy."""
     _utc(spark)
-    from metrique_spark.functions.bpe import bpe_segment, bpe_train
+    from metrique_spark.functions.bpe import bpe_segment_with_vocab, bpe_train
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(d, num_merges=8)
-    return bpe_segment(d, merges)
+    merges, types = bpe_train(d, num_merges=8, return_types=True)
+    return bpe_segment_with_vocab(d, types)
 
 
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

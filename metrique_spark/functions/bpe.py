@@ -72,11 +72,15 @@ def bpe_train(
     df: DataFrame,
     num_merges: int = 8,
     text_col: str = "text",
-) -> list:
+    return_types: bool = False,
+) -> list | tuple:
     """Learn ``num_merges`` BPE merge rules from the corpus; returns
-    ``[(lhs, rhs, pair_count), ...]`` in learning order. Raises if the
-    corpus exhausts its pairs early (every type fully merged) — callers
-    wanting best-effort can catch and retry with fewer merges.
+    ``[(lhs, rhs, pair_count), ...]`` in learning order — or, with
+    ``return_types=True``, ``(merges, types)`` where ``types`` is the
+    final ``(token, n, pieces)`` segmented vocabulary (the input to
+    ``bpe_segment_with_vocab``, the cheap application path). Raises if
+    the corpus exhausts its pairs early (every type fully merged) —
+    callers wanting best-effort can catch and retry with fewer merges.
 
     Scale: ONE corpus-wide token-count shuffle builds the weighted types
     table; each iteration is a map-only re-segmentation (rule literals)
@@ -109,7 +113,7 @@ def bpe_train(
             "token", "n",
             _apply_merge(F.col("pieces"), b["lhs"], b["rhs"])
             .alias("pieces")).localCheckpoint(eager=True)
-    return merges
+    return (merges, types) if return_types else merges
 
 
 def bpe_learned_merges(
@@ -157,4 +161,44 @@ def bpe_segment(
         F.size("__p").cast("long").alias("n_tokens"),
         F.aggregate("__p", F.lit(0).cast("long"),
                     lambda acc, p: acc + F.size(p)).alias("n_pieces"),
+    )
+
+
+def bpe_segment_with_vocab(
+    df: DataFrame,
+    types: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_pieces) via the trained segmented vocabulary —
+    the cheap application path when segmenting the corpus the rules were
+    learned from (or any mostly-in-vocabulary corpus): one token-keyed
+    join against the ``(token, n, pieces)`` types table replaces
+    ``bpe_segment``'s per-token chained folds (8 merges cost ~8 nested
+    interpreted higher-order passes per token — ~5× slower end to end on
+    the gate corpus). Out-of-vocabulary tokens fall back to their
+    character count (unmerged); NULL/token-less docs count (0, 0).
+
+    Scale: the types table is vocabulary-sized — AQE broadcasts it when
+    small, else this is a plain token-keyed equi-join; the per-doc
+    re-aggregation is map-side combinable."""
+    occ = df.select(F.col(id_col).alias("__id"),
+                    F.explode(tokens(F.coalesce(F.col(text_col),
+                                                F.lit("")))).alias("token"))
+    seg = (
+        occ.join(types.select("token", F.size("pieces").alias("__np")),
+                 "token", "left")
+        .select("__id",
+                F.coalesce(F.col("__np"),
+                           F.length("token")).cast("long").alias("np"))
+        .groupBy("__id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum("np").cast("long").alias("n_pieces"))
+    )
+    return (
+        df.select(F.col(id_col)).join(
+            seg, F.col(id_col) == F.col("__id"), "left")
+        .select(F.col(id_col),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"))
     )

@@ -67,3 +67,21 @@ def test_bpe_segment_null_text_counts_zero(spark):
             for r in bpe.bpe_segment(d, m).collect()}
     assert rows[2] == (0, 0)
     assert rows[1] == (2, 2)      # 'ab' merged to one piece per token
+
+
+def test_bpe_segment_paths_equivalent_and_oov_fallback(spark):
+    """the vocab-join path equals the chained-fold path on the training
+    corpus; out-of-vocabulary tokens fall back to character counts."""
+    d = _docs(spark, ["the cat sat on the mat", "the hat of the bat"])
+    merges, types = bpe.bpe_train(d, num_merges=4, return_types=True)
+    fold = sorted(map(tuple, bpe.bpe_segment(d, merges).collect()))
+    vocab = sorted(map(tuple,
+                       bpe.bpe_segment_with_vocab(d, types).collect()))
+    assert fold == vocab
+    # OOV corpus: unknown token counts its characters, NULL counts 0
+    oov = spark.createDataFrame([(9, "zzzzq"), (10, None)],
+                                "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+            for r in bpe.bpe_segment_with_vocab(oov, types).collect()}
+    assert rows[9] == (1, 5)
+    assert rows[10] == (0, 0)
