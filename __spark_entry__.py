@@ -1207,6 +1207,34 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=6, lr=25.0)
 
 
+def text_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out-of-sample classifier evaluation: train the hashed-token
+    logreg on doc_id % 7 != 0, score the held-out % 7 == 0 slice — the
+    generalization-measurement twin of text_quality_classifier (same
+    pattern as text_bigram_logprob's train/holdout split). The oracle
+    replays the split-trained GD trajectory and scores only the
+    holdout."""
+    _utc(spark)
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+    from metrique_spark.functions.classifier import (hashed_token_features,
+                                                     score_logreg,
+                                                     train_logreg)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = text.gopher_quality_flags(
+        d, min_words=20, min_stopword_hits=0).select("doc_id", "passes")
+    feats = hashed_token_features(
+        d.join(g, "doc_id"), "passes", n_buckets=32,
+        len_cap=50).persist(StorageLevel.MEMORY_AND_DISK)
+    w, b = train_logreg(feats.where(F.col("id") % 7 != 0), n_dims=33,
+                        iters=6, lr=25.0)
+    out = (score_logreg(feats.where(F.col("id") % 7 == 0), w, b)
+           .withColumnRenamed("id", "doc_id"))
+    return track(out, feats)
+
+
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped end-to-end curation decision table (curation.py
     curate_corpus): Gopher gate (word bounds 20..100k; the English
@@ -1488,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_filters": text_gopher_filters,
         "pipeline_curate": pipeline_curate,
         "text_quality_classifier": text_quality_classifier,
+        "text_classifier_holdout": text_classifier_holdout,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_token_counts": text_bpe_token_counts,
         "events_retention": events_retention,
@@ -2450,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
 """,
         "pipeline_curate": _CURATE_ORACLE,
         "text_quality_classifier": _LOGREG_ORACLE,
+        "text_classifier_holdout": _LOGREG_HOLDOUT_ORACLE,
         "text_bpe_merges": _BPE_ORACLE,
         "text_bpe_token_counts": _BPE_SEGMENT_ORACLE,
         "events_transitions": """
@@ -3102,7 +3132,7 @@ def _logreg_iter_ctes(i: int, lr: float) -> str:
         SELECT f.doc_id,
                round(CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12)))
                           AS DOUBLE) + (SELECT b FROM b{i - 1}), 6) AS z
-        FROM feat f JOIN w{i - 1} w USING (j) GROUP BY f.doc_id
+        FROM featr f JOIN w{i - 1} w USING (j) GROUP BY f.doc_id
     ),
     p{i} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 8) AS p
              FROM z{i}),
@@ -3110,7 +3140,7 @@ def _logreg_iter_ctes(i: int, lr: float) -> str:
              FROM p{i} JOIN lab USING (doc_id)),
     g{i} AS (SELECT j, CAST(sum(CAST(err * x AS DECIMAL(38,12)))
                             AS DOUBLE) AS g
-             FROM e{i} JOIN feat USING (doc_id) GROUP BY j),
+             FROM e{i} JOIN featr USING (doc_id) GROUP BY j),
     gb{i} AS (SELECT CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS g
               FROM e{i}),
     w{i} AS MATERIALIZED (SELECT w.j,
@@ -3123,7 +3153,11 @@ def _logreg_iter_ctes(i: int, lr: float) -> str:
 
 
 def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
-                   iters: int = 6, lr: float = 25.0) -> str:
+                   iters: int = 6, lr: float = 25.0,
+                   holdout_mod: int | None = None) -> str:
+    # holdout_mod=k: train on doc_id % k != 0, score doc_id % k == 0
+    train_w = f" WHERE doc_id % {holdout_mod} != 0" if holdout_mod else ""
+    score_w = f" WHERE doc_id % {holdout_mod} = 0" if holdout_mod else ""
     base = rf"""
     gbase AS (
         SELECT doc_id,
@@ -3184,17 +3218,19 @@ def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
                round(least(t / {float(len_cap)}, 1.0), 6) AS x
         FROM tot
     ),
-    nn AS MATERIALIZED (SELECT count(*) AS n FROM tot),
+    featr AS MATERIALIZED (SELECT * FROM feat{train_w}),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM tot{train_w}),
     w0 AS (SELECT unnest(range({n_buckets + 1})) AS j, 0.0 AS w),
     b0 AS (SELECT 0.0 AS b)"""
     parts = [base]
     parts.extend(_logreg_iter_ctes(i, lr) for i in range(1, iters + 1))
     parts.append(f"""
+    feats AS (SELECT * FROM feat{score_w}),
     zf AS (
         SELECT f.doc_id,
                round(CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12)))
                           AS DOUBLE) + (SELECT b FROM b{iters}), 6) AS z
-        FROM feat f JOIN w{iters} w USING (j) GROUP BY f.doc_id
+        FROM feats f JOIN w{iters} w USING (j) GROUP BY f.doc_id
     ),
     pf AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 8) AS p FROM zf)""")
     return ("WITH " + ",".join(parts) + """
@@ -3203,6 +3239,7 @@ def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
 
 
 _LOGREG_ORACLE = _logreg_oracle()
+_LOGREG_HOLDOUT_ORACLE = _logreg_oracle(holdout_mod=7)
 
 
 # --- composed CCNet-style curation pipeline oracle: replays the injected

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_gopher_filters",
     "pipeline_curate",
     "text_quality_classifier",
+    "text_classifier_holdout",
     "text_bpe_merges",
     "text_bpe_token_counts",
     "events_transitions",
