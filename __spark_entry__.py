@@ -1180,11 +1180,15 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned equivalent by test). The honest learned companion to
     bpe_token_estimate's regex proxy."""
     _utc(spark)
-    from metrique_spark.functions.bpe import bpe_segment_with_vocab, bpe_train
+    from metrique_spark.functions.bpe import (bpe_segment_with_vocab,
+                                              bpe_train,
+                                              bpe_vocab_from_merges)
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges, types = bpe_train(d, num_merges=8, return_types=True)
-    return bpe_segment_with_vocab(d, types)
+    merges = bpe_train(d, num_merges=8)
+    # recomputable vocab (driver-literal merges), NOT the trained types
+    # table — that one is localCheckpoint-backed and dies with executors
+    return bpe_segment_with_vocab(d, bpe_vocab_from_merges(d, merges))
 
 
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,24 +1219,14 @@ def text_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the split-trained GD trajectory and scores only the
     holdout."""
     _utc(spark)
-    from pyspark import StorageLevel
-
-    from metrique_spark.functions.cache import track
-    from metrique_spark.functions.classifier import (hashed_token_features,
-                                                     score_logreg,
-                                                     train_logreg)
+    from metrique_spark.functions.classifier import quality_classifier_scores
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     g = text.gopher_quality_flags(
         d, min_words=20, min_stopword_hits=0).select("doc_id", "passes")
-    feats = hashed_token_features(
-        d.join(g, "doc_id"), "passes", n_buckets=32,
-        len_cap=50).persist(StorageLevel.MEMORY_AND_DISK)
-    w, b = train_logreg(feats.where(F.col("id") % 7 != 0), n_dims=33,
-                        iters=6, lr=25.0)
-    out = (score_logreg(feats.where(F.col("id") % 7 == 0), w, b)
-           .withColumnRenamed("id", "doc_id"))
-    return track(out, feats)
+    return quality_classifier_scores(
+        d.join(g, "doc_id"), "passes", n_buckets=32, len_cap=50,
+        iters=6, lr=25.0, holdout_mod=7)
 
 
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,3 +202,32 @@ def bpe_segment_with_vocab(
                 F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                 F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"))
     )
+
+
+def bpe_vocab_from_merges(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Recomputable segmented vocabulary ``(token, pieces)``: the
+    corpus's distinct tokens re-segmented by applying the learned merge
+    list in order (driver literals in chained folds). Identical output
+    to ``bpe_train(..., return_types=True)``'s types table — by
+    determinism of greedy application — but with FULL lineage: the plan
+    recomputes from source on executor loss, where the trained types
+    table is a localCheckpoint whose blocks die with their executors
+    (and cannot be explicitly unpersisted). Prefer this as the
+    ``bpe_segment_with_vocab`` input whenever the result outlives the
+    training session. Cost: ``|merges|`` folds over vocabulary-sized
+    rows — independent of corpus size."""
+
+    def _rule(left: str, right: str):
+        return lambda p: _apply_merge(p, left, right)
+
+    toks = (df.select(F.explode(tokens(F.coalesce(F.col(text_col),
+                                                  F.lit(""))))
+            .alias("token")).distinct())
+    pieces = _chars(F.col("token"))
+    for left, right, _ in merges:
+        pieces = _rule(left, right)(pieces)
+    return toks.select("token", pieces.alias("pieces"))

@@ -185,18 +185,25 @@ def quality_classifier_scores(
     len_cap: int = 500,
     iters: int = 2,
     lr: float = 0.5,
+    holdout_mod: int | None = None,
 ) -> DataFrame:
     """Train-and-score convenience: distill ``label_col`` (e.g. a Gopher
     pass flag) into a hashed-token linear model and score every
-    featurizable document. Cache lifetime: the feature frame is
-    persisted for the training loop; ``functions.cache.release(result)``
-    after materializing."""
+    featurizable document. ``holdout_mod=k`` switches to out-of-sample
+    evaluation: train on ``id % k != 0``, score only the held-out
+    ``id % k == 0`` slice (ids must be numeric). Cache lifetime: the
+    feature frame is persisted for the training loop;
+    ``functions.cache.release(result)`` after materializing."""
     from pyspark import StorageLevel
 
     feats = hashed_token_features(
         df, label_col, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets,
         len_cap=len_cap).persist(StorageLevel.MEMORY_AND_DISK)
-    w, b = train_logreg(feats, n_dims=n_buckets + 1, iters=iters, lr=lr)
-    out = score_logreg(feats, w, b).withColumnRenamed("id", id_col)
+    train = feats if holdout_mod is None else feats.where(
+        F.col("id") % holdout_mod != 0)
+    target = feats if holdout_mod is None else feats.where(
+        F.col("id") % holdout_mod == 0)
+    w, b = train_logreg(train, n_dims=n_buckets + 1, iters=iters, lr=lr)
+    out = score_logreg(target, w, b).withColumnRenamed("id", id_col)
     return track(out, feats)

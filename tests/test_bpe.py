@@ -85,3 +85,16 @@ def test_bpe_segment_paths_equivalent_and_oov_fallback(spark):
             for r in bpe.bpe_segment_with_vocab(oov, types).collect()}
     assert rows[9] == (1, 5)
     assert rows[10] == (0, 0)
+
+
+def test_bpe_vocab_from_merges_matches_trained_types(spark):
+    """the recomputable vocab (driver-literal merges over distinct
+    tokens) segments identically to the trained localCheckpointed types
+    table — the fault-tolerant substitution the gate entry relies on."""
+    d = _docs(spark, ["the cat sat on the mat", "the hat of the bat"])
+    merges, types = bpe.bpe_train(d, num_merges=4, return_types=True)
+    trained = sorted((r["token"], tuple(r["pieces"]))
+                     for r in types.collect())
+    rebuilt = sorted((r["token"], tuple(r["pieces"]))
+                     for r in bpe.bpe_vocab_from_merges(d, merges).collect())
+    assert rebuilt == trained

@@ -507,8 +507,6 @@ def test_semantic_dedup_salted_identical(spark):
 def test_semantic_dedup_rejects_non_integral_ids(spark):
     """string ids must fail fast at plan time, not mid-job in the Arrow
     pair kernel."""
-    import pytest
-
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
         "vec_id string, embedding array<double>")
