@@ -53,15 +53,22 @@ def hashed_token_features(
     text_col: str = "text",
     n_buckets: int = 32,
     len_cap: int = 500,
+    use_bigrams: bool = False,
     x_decimals: int = 6,
 ) -> DataFrame:
     """(id, y, x) — dense features: ``n_buckets`` normalized
     hashed-bucket token fractions plus one saturating length feature
-    ``min(n_tokens/len_cap, 1)`` (fractions alone are length-blind, and
+    ``min(n_grams/len_cap, 1)`` (fractions alone are length-blind, and
     document length is the dominant heuristic-quality signal), so
     ``len(x) == n_buckets + 1``. Documents with zero tokens have no
     features and are excluded (a classifier over token statistics has
     nothing to say about them — gate them upstream).
+
+    ``use_bigrams=True`` additionally hashes adjacent token pairs
+    (space-joined — tokens never contain spaces) into the SAME bucket
+    space, the fastText word-n-gram trick (Joulin 2016): word order
+    enters the bag-of-buckets at zero extra dimensionality; unigram and
+    bigram mass share the normalization total.
 
     Two doc-keyed map-side-combinable shuffles, built ONCE; training
     iterations reuse the persisted result. The dense ``array<double>``
@@ -70,7 +77,16 @@ def hashed_token_features(
     src = df.select(F.col(id_col).alias("id"),
                     F.col(label_col).cast("double").alias("y"),
                     F.col(text_col).alias("__t"))
-    occ = src.select("id", F.explode(tokens("__t")).alias("tok"))
+    if use_bigrams:
+        toks = tokens("__t")
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))
+        grams = F.concat(toks, bigrams)
+    else:
+        grams = tokens("__t")
+    occ = src.select("id", F.explode(grams).alias("tok"))
     bc = (occ.select("id", F.pmod(md5_long(F.col("tok")),
                                   F.lit(n_buckets)).alias("b"))
           .groupBy("id", "b").agg(F.count("*").alias("c")))

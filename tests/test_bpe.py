@@ -98,3 +98,45 @@ def test_bpe_vocab_from_merges_matches_trained_types(spark):
     rebuilt = sorted((r["token"], tuple(r["pieces"]))
                      for r in bpe.bpe_vocab_from_merges(d, merges).collect())
     assert rebuilt == trained
+
+
+def test_apply_merge_property_vs_python_reference(spark):
+    """property test: the Spark fold implements canonical greedy
+    left-to-right single-rule merging for arbitrary piece sequences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def py_merge(pieces, l, r):
+        out = []
+        for x in pieces:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        return out
+
+    alphabet = ["a", "b", "ab", "ba"]
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.sampled_from(alphabet), min_size=1, max_size=8),
+           st.sampled_from(alphabet), st.sampled_from(alphabet))
+    def collect(pieces, l, r):
+        cases.append((pieces, l, r))
+
+    collect()
+    # one Spark job for all generated cases (per-case jobs would be slow)
+    rows = [(i, p, l, r) for i, (p, l, r) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "i long, pieces array<string>, l string, r string")
+    got = {}
+    for (l, r), grp in __import__("itertools").groupby(
+            sorted(cases, key=lambda c: (c[1], c[2])),
+            key=lambda c: (c[1], c[2])):
+        sub = df.where((F.col("l") == l) & (F.col("r") == r))
+        for row in sub.select(
+                "i", bpe._apply_merge(F.col("pieces"), l, r).alias("m")
+        ).collect():
+            got[row["i"]] = list(row["m"])
+    for i, (pieces, l, r) in enumerate(cases):
+        assert got[i] == py_merge(pieces, l, r), (pieces, l, r)

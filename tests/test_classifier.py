@@ -74,3 +74,20 @@ def test_train_empty_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_bigram_features_order_sensitive(spark):
+    """with use_bigrams, token ORDER changes the feature vector; the
+    plain bag-of-buckets is order-blind. Mass still normalizes to ~1
+    over the shared bucket space."""
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "gamma beta alpha", True)],
+        "doc_id long, text string, lab boolean")
+    uni = {r["id"]: list(r["x"]) for r in C.hashed_token_features(
+        d, "lab", n_buckets=16).collect()}
+    assert uni[1] == uni[2]
+    bi = {r["id"]: list(r["x"]) for r in C.hashed_token_features(
+        d, "lab", n_buckets=16, use_bigrams=True).collect()}
+    assert bi[1] != bi[2]
+    for v in bi.values():
+        assert abs(sum(v[:16]) - 1.0) < 1e-4
