@@ -221,13 +221,17 @@ def bpe_vocab_from_merges(
     training session. Cost: ``|merges|`` folds over vocabulary-sized
     rows — independent of corpus size."""
 
-    def _rule(left: str, right: str):
-        return lambda p: _apply_merge(p, left, right)
-
     toks = (df.select(F.explode(tokens(F.coalesce(F.col(text_col),
                                                   F.lit(""))))
             .alias("token")).distinct())
-    pieces = _chars(F.col("token"))
+    # one PROJECTION per merge layer, never nested expressions:
+    # _apply_merge references its input 3× (seed, slice, size), so
+    # direct nesting copies the inner tree 3^|merges| times — the
+    # multi-use non-cheap alias keeps CollapseProject from re-inlining,
+    # so evaluation stays linear in |merges|
+    out = toks.select("token", _chars(F.col("token")).alias("pieces"))
     for left, right, _ in merges:
-        pieces = _rule(left, right)(pieces)
-    return toks.select("token", pieces.alias("pieces"))
+        out = out.select(
+            "token",
+            _apply_merge(F.col("pieces"), left, right).alias("pieces"))
+    return out
