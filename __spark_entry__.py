@@ -1259,6 +1259,18 @@ def events_error_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_rate_anomalies(e, window="1 hour", lookback=6, z=2.0)
 
 
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour-of-day seasonal anomaly detection: rolling z per window vs
+    the trailing 7 SAME-hour windows (previous days at this hour) —
+    catches time-of-day-relative spikes a flat baseline normalizes
+    away. Same one-row-per-window scale shape, 24 hod partitions."""
+    _utc(spark)
+    from metrique_spark.streaming.events import seasonal_error_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_error_anomalies(e, window="1 hour", lookback=7, z=2.0)
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """weekly cohort retention triangle: users bucketed by the week of
     their first event, distinct active users per (cohort, week offset)."""
@@ -1515,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_token_counts": text_bpe_token_counts,
         "events_retention": events_retention,
         "events_error_anomalies": events_error_anomalies,
+        "events_seasonal_anomalies": events_seasonal_anomalies,
         "text_quality_histogram": text_quality_histogram,
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
@@ -2378,6 +2391,38 @@ def oracle_sql() -> dict[str, str]:
                          THEN round((rate - m) / sd, 4) END > 2.0,
                     false)
            OR coalesce(c >= 6 AND sd = 0 AND rate > m + 1e-9, false)
+               AS is_anomaly
+    FROM s
+""",
+        "events_seasonal_anomalies": """
+    WITH per AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT *, CAST(hour(window_start) AS INTEGER) AS hour_of_day,
+               round(n_errors / CAST(n AS DOUBLE), 6) AS rate
+        FROM per
+    ),
+    s AS (
+        SELECT *,
+               avg(rate) OVER w AS m,
+               stddev_samp(rate) OVER w AS sd,
+               count(rate) OVER w AS c
+        FROM r
+        WINDOW w AS (PARTITION BY hour_of_day ORDER BY window_start
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, n, n_errors, hour_of_day, rate,
+           CASE WHEN c >= 7 AND sd > 0
+                THEN round((rate - m) / sd, 4) END AS zscore,
+           coalesce(CASE WHEN c >= 7 AND sd > 0
+                         THEN round((rate - m) / sd, 4) END > 2.0,
+                    false)
+           OR coalesce(c >= 7 AND sd = 0 AND rate > m + 1e-9, false)
                AS is_anomaly
     FROM s
 """,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_error_anomalies",
+    "events_seasonal_anomalies",
     "text_quality_histogram",
 ]
 

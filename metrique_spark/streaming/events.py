@@ -745,15 +745,46 @@ def _event_window_counts(events: DataFrame, window: str, error_type: str,
     )
 
 
-def _anomalies_from_counts(per: DataFrame, lookback: int,
-                           z: float) -> DataFrame:
+def seasonal_error_anomalies(
+    events: DataFrame,
+    window: str = "1 hour",
+    error_type: str = "error",
+    lookback: int = 7,
+    z: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Hour-of-day seasonal anomaly detection: each window's error rate
+    is z-scored against the trailing ``lookback`` windows at the SAME
+    hour of day (today's 14:00 vs the previous days' 14:00) — the rule
+    that catches "elevated for this time of day" anomalies a flat
+    trailing baseline normalizes away, and suppresses the daily-peak
+    false positives it raises. Returns ``error_rate_anomalies``'s
+    columns plus ``hour_of_day``.
+
+    Scale shape: identical to ``error_rate_anomalies`` — the rolling
+    stats run over one-row-per-window aggregates, here split across 24
+    hour-of-day partitions, each time-bounded."""
+    per = _event_window_counts(events, window, error_type, ts_col,
+                               type_col)
+    per = per.withColumn("hour_of_day", F.hour("window_start"))
+    return _anomalies_from_counts(per, lookback, z,
+                                  season="hour_of_day")
+
+
+def _anomalies_from_counts(per: DataFrame, lookback: int, z: float,
+                           season: str | None = None) -> DataFrame:
     """Rolling-z anomaly flags over a (window_start, n, n_errors) table
-    (one row per time window — see ``error_rate_anomalies``)."""
+    (one row per time window — see ``error_rate_anomalies``);
+    ``season`` names a column that partitions the trailing frame
+    (seasonal baselines)."""
     from pyspark.sql import Window
 
     per = per.withColumn(
         "rate", F.round(F.col("n_errors") / F.col("n"), 6))
-    wf = (Window.orderBy("window_start")
+    base = (Window.partitionBy(season) if season is not None
+            else Window.partitionBy())
+    wf = (base.orderBy("window_start")
           .rowsBetween(-lookback, -1))
     mean = F.avg("rate").over(wf)
     sd = F.stddev_samp("rate").over(wf)

@@ -994,3 +994,36 @@ def test_partial_state_sinks_on_objectstore_backend(spark, tmp_path,
     rows = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
             for r in spark.read.parquet(out_p).collect()}
     assert rows == {(f"2024-02-01 00:00:00", off): 1 for off in range(5)}
+
+
+def test_seasonal_anomalies_hour_of_day_baseline(spark):
+    """a rate that is NORMAL for its hour (daily 9am peak) must not
+    flag under the seasonal baseline, while the same rate appearing at
+    a normally-quiet hour must; the flat-baseline detector does the
+    opposite on the peak case."""
+    rows, eid = [], 0
+
+    def add(day, hr, n_ok, n_err):
+        nonlocal eid, rows
+        for _ in range(n_ok):
+            rows.append((eid, 1, f"2024-01-{day:02d} {hr:02d}:05:00", "ok"))
+            eid += 1
+        for _ in range(n_err):
+            rows.append((eid, 1, f"2024-01-{day:02d} {hr:02d}:10:00",
+                         "error"))
+            eid += 1
+
+    for day in range(1, 10):
+        add(day, 9, 5, 5)      # daily 9am: 50% error rate, every day
+        add(day, 3, 10, 0)     # daily 3am: quiet
+    add(10, 9, 5, 5)           # day 10, 9am: same as always
+    add(10, 3, 5, 5)           # day 10, 3am: 50% at a quiet hour
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {(str(r["window_start"])): r
+           for r in ev.seasonal_error_anomalies(df, lookback=7).collect()}
+    assert not out["2024-01-10 09:00:00"]["is_anomaly"]   # normal peak
+    assert out["2024-01-10 03:00:00"]["is_anomaly"]       # abnormal quiet
+    assert out["2024-01-10 03:00:00"]["hour_of_day"] == 3
