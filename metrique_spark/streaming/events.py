@@ -817,6 +817,7 @@ def stream_anomaly_sink(
     ts_col: str = "ts",
     type_col: str = "event_type",
     compact_after: int = 64,
+    seasonal: bool = False,
     fs=None,
 ):
     """Continuous error-rate anomaly detection — the ``foreachBatch``
@@ -856,13 +857,23 @@ def stream_anomaly_sink(
                 .agg(F.sum("n").cast("long").alias("n"),
                      F.sum("n_errors").cast("long").alias("n_errors")))
 
+    def finalize(totals):
+        # seasonal=True: the hour-of-day detector (see
+        # seasonal_error_anomalies) — derived per refresh from the same
+        # additive window counts, so the twin property is free
+        if seasonal:
+            totals = totals.withColumn("hour_of_day",
+                                       F.hour("window_start"))
+            return _anomalies_from_counts(totals, lookback, z,
+                                          season="hour_of_day")
+        return _anomalies_from_counts(totals, lookback, z)
+
     return _partial_state_sink(
         state_path, out_path,
         partial_fn=lambda b: _event_window_counts(
             b, window, error_type, ts_col, type_col),
         fold_fn=fold,
-        finalize_fn=lambda totals: _anomalies_from_counts(
-            totals, lookback, z),
+        finalize_fn=finalize,
         compact_after=compact_after, fs=fs)
 
 

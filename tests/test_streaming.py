@@ -1027,3 +1027,35 @@ def test_seasonal_anomalies_hour_of_day_baseline(spark):
     assert not out["2024-01-10 09:00:00"]["is_anomaly"]   # normal peak
     assert out["2024-01-10 03:00:00"]["is_anomaly"]       # abnormal quiet
     assert out["2024-01-10 03:00:00"]["hour_of_day"] == 3
+
+
+def test_stream_seasonal_anomaly_sink_equals_batch(spark, sf_dir, tmp_path):
+    """seasonal=True stream twin equals the batch seasonal detector
+    row-for-row over the availableNow input."""
+    import shutil
+
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_seas"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    events = load_table(spark, str(src_dir), "a")
+    expect = sorted(
+        (str(r["window_start"]), r["hour_of_day"], r["n"], r["n_errors"],
+         r["rate"], r["zscore"], r["is_anomaly"])
+        for r in ev.seasonal_error_anomalies(events, lookback=7).collect())
+
+    sink = ev.stream_anomaly_sink(str(tmp_path / "st"),
+                                  str(tmp_path / "out"),
+                                  lookback=7, seasonal=True)
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(
+        (str(r["window_start"]), r["hour_of_day"], r["n"], r["n_errors"],
+         r["rate"], r["zscore"], r["is_anomaly"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert got == expect
