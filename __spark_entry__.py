@@ -788,6 +788,18 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_tokens", key_col="doc_id")
 
 
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic per-source volume cap (sampling.cap_per_group):
+    keep each source's first 10 docs in (md5-bucket, id) order — the
+    per-domain dominance guard, distributed via the hash-range ranking
+    primitive (no single-task group sort)."""
+    _utc(spark)
+    from metrique_spark.functions.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(d, "source", cap=10).select("doc_id", "source")
+
+
 def sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic hash-range sharding into 8 training shards with a
     stable within-shard order — the final global-shuffle step before
@@ -1501,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix_corpus": sample_mix_corpus,
         "sample_token_budget": sample_token_budget,
         "sample_shards": sample_shards,
+        "sample_cap_per_source": sample_cap_per_source,
         "text_token_frequencies": text_token_frequencies,
         "text_quality_quantiles": text_quality_quantiles,
         "sample_mix_corpus_skew": sample_mix_corpus_skew,
@@ -2109,6 +2122,16 @@ def oracle_sql() -> dict[str, str]:
            coalesce(p.dup_ngram_frac, 0.0) AS dup_ngram_frac,
            CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "sample_cap_per_source": """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 10
 """,
         "sample_stratified": """
     SELECT doc_id, lang

@@ -146,6 +146,33 @@ def hash_ranked_within_strata(
     return out
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic per-group volume cap — the per-domain/per-source
+    guard web-scale pipelines run before mixing (one crawl host must
+    not dominate its stratum). Keeps each group's first ``cap`` rows in
+    the deterministic hash order ``(md5-bucket(key), key)`` — an
+    unbiased within-group selection, reproducible across runs AND
+    engines — and drops the rest; groups under the cap pass through
+    whole.
+
+    Scale: rides ``hash_ranked_within_strata`` — scan-stage partition
+    ids from content hashes, per-(pid, group) windows, never a
+    single-task group sort (the cap exists precisely because some
+    groups are huge)."""
+    if cap < 1:
+        raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
+    ranked = hash_ranked_within_strata(df, group_col, key_col,
+                                       rank_col="__rn",
+                                       n_partitions=n_partitions)
+    return ranked.where(F.col("__rn") <= cap).drop("__rn", "__pid")
+
+
 def ranked_within_strata(
     df: DataFrame,
     stratum_col: str,

@@ -323,3 +323,29 @@ def test_ranked_within_strata_reliable_dir_survives_cache_loss(spark, tmp_path):
     # no cache tracking in this mode: nothing for the caller to release
     from metrique_spark.functions import cache
     assert not getattr(ranked, cache._ATTR, None)
+
+
+def test_cap_per_group_caps_and_passes_through(spark):
+    from metrique_spark.functions.sampling import cap_per_group
+
+    rows = [(i, "big") for i in range(30)] + [(100 + i, "small")
+                                              for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", cap=10)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 10
+    assert by["small"] == {100, 101, 102}     # under-cap group untouched
+    # deterministic: rerun identical
+    again = {(r["doc_id"], r["source"]) for r in
+             cap_per_group(df, "source", cap=10).collect()}
+    assert again == {(d, s) for s, ds in by.items() for d in ds}
+    # monotone nesting: cap=5 selection is a subset of cap=10's
+    five = {r["doc_id"] for r in
+            cap_per_group(df, "source", cap=5).collect()}
+    assert five <= {d for ds in by.values() for d in ds}
+    import pytest
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, "source", cap=0)
