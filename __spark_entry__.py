@@ -788,6 +788,20 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_tokens", key_col="doc_id")
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature-based language rebalancing (sampling.temperature_mix,
+    alpha=0.5, total=300): quotas ∝ sqrt(n_lang) flatten the en-heavy
+    head toward the tail — mC4/XLM-R style, no hand-written fractions.
+    Decimal-quantized denominator + 9dp weights keep the quota
+    arithmetic engine-exact."""
+    _utc(spark)
+    from metrique_spark.functions.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(d, "lang", total=300, alpha=0.5).select(
+        "doc_id", "lang")
+
+
 def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deterministic per-source volume cap (sampling.cap_per_group):
     keep each source's first 10 docs in (md5-bucket, id) order — the
@@ -1514,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": sample_token_budget,
         "sample_shards": sample_shards,
         "sample_cap_per_source": sample_cap_per_source,
+        "sample_temperature_mix": sample_temperature_mix,
         "text_token_frequencies": text_token_frequencies,
         "text_quality_quantiles": text_quality_quantiles,
         "sample_mix_corpus_skew": sample_mix_corpus_skew,
@@ -2122,6 +2137,23 @@ def oracle_sql() -> dict[str, str]:
            coalesce(p.dup_ngram_frac, 0.0) AS dup_ngram_frac,
            CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "sample_temperature_mix": """
+    WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY lang),
+    sp AS (SELECT CAST(sum(CAST(pow(n, 0.5) AS DECIMAL(38,12)))
+                       AS DOUBLE) AS s FROM cnt),
+    q AS (SELECT lang,
+                 least(n, CAST(floor(300 * round(pow(n, 0.5)
+                       / (SELECT s FROM sp), 9)) AS BIGINT)) AS quota
+          FROM cnt),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                              doc_id) AS rn
+          FROM documents)
+    SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
 """,
         "sample_cap_per_source": """
     SELECT doc_id, source FROM (

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sample_mix_corpus_skew",
     "sample_shards",
     "sample_cap_per_source",
+    "sample_temperature_mix",
     "sample_token_budget",
     "text_quality_quantiles",
     "text_quality_quantiles_skew",

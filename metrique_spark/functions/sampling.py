@@ -173,6 +173,72 @@ def cap_per_group(
     return ranked.where(F.col("__rn") <= cap).drop("__rn", "__pid")
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    total: int,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (public technique: the
+    ``p_s ∝ n_s^alpha`` sampling of multilingual corpora — T5/mC4,
+    XLM-R): stratum ``s`` receives a quota ``min(n_s,
+    floor(total · w_s))`` with ``w_s = round(n_s^alpha / Σ n_t^alpha,
+    9)`` — ``alpha < 1`` flattens head strata toward the tail without
+    the user hand-writing target fractions (``mix_corpus`` is the
+    explicit-fractions sibling). No oversampling: a quota never exceeds
+    the stratum (so the output can undershoot ``total`` — by design, a
+    deterministic selection cannot mint rows).
+
+    Determinism/engine-parity: the per-stratum pows are quantized to
+    DECIMAL(38,12) before the denominator sum (order-independent), the
+    weights rounded at 9 decimals, and the selection is the
+    ``(md5-bucket(key), key)`` prefix via the hash-range ranking
+    primitive — one scan-stage pass, per-(pid, stratum) windows, no
+    single-task stratum sort."""
+    import decimal
+
+    if total < 0:
+        raise ValueError(f"temperature_mix: total must be >= 0, got {total}")
+    ranked = hash_ranked_within_strata(df, stratum_col, key_col,
+                                       rank_col="__rn",
+                                       n_partitions=n_partitions)
+    totals = ranked._stratum_totals
+    # quantize each pow to decimal(38,12) HALF_UP (what both engines'
+    # double->decimal cast does), sum exactly, then back to double —
+    # the denominator is partition/iteration-order-independent
+    q12 = decimal.Decimal(1).scaleb(-12)
+    sp = float(sum(
+        decimal.Decimal(float(n) ** alpha).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP)
+        for n in totals.values()))
+    quotas = {}
+    for s, n in totals.items():
+        w = _round9(float(n) ** alpha / sp)
+        quotas[s] = min(n, int(total * w))
+    spark = df.sparkSession
+    sdt = df.schema[stratum_col].dataType.simpleString()
+    qdf = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()], f"__qs {sdt}, __q long")
+    return (
+        ranked.join(F.broadcast(qdf),
+                    F.col(stratum_col).eqNullSafe(F.col("__qs")))
+        .where(F.col("__rn") <= F.col("__q"))
+        .drop("__rn", "__pid", "__qs", "__q")
+    )
+
+
+def _round9(v: float) -> float:
+    # half-away-from-zero at 9 decimals — F.round/DuckDB round semantics
+    # (Python round() is banker's); see classifier._round_half_away
+    import math
+
+    s = 1e9
+    return (math.floor(v * s + 0.5) / s if v >= 0
+            else -math.floor(-v * s + 0.5) / s)
+
+
 def ranked_within_strata(
     df: DataFrame,
     stratum_col: str,

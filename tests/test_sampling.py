@@ -349,3 +349,32 @@ def test_cap_per_group_caps_and_passes_through(spark):
 
     with pytest.raises(ValueError, match="cap"):
         cap_per_group(df, "source", cap=0)
+
+
+def test_temperature_mix_flattens_head(spark):
+    from metrique_spark.functions.sampling import temperature_mix
+
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "small") for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", total=100, alpha=0.5)
+    by = {r[0]: r[1] for r in
+          out.groupBy("lang").count().collect()}
+    # sqrt weights: big 20/25 = 0.8 -> 80, small 5/25 = 0.2 -> 20
+    assert by == {"big": 80, "small": 20}
+    # alpha=0 -> uniform quotas regardless of size
+    uni = {r[0]: r[1] for r in
+           temperature_mix(df, "lang", total=40, alpha=0.0)
+           .groupBy("lang").count().collect()}
+    assert uni == {"big": 20, "small": 20}
+    # quota never exceeds the stratum (undershoot, never oversample)
+    capped = {r[0]: r[1] for r in
+              temperature_mix(df, "lang", total=2000, alpha=0.5)
+              .groupBy("lang").count().collect()}
+    assert capped["small"] == 25
+    # deterministic rerun
+    a = sorted(r["doc_id"] for r in
+               temperature_mix(df, "lang", total=100, alpha=0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix(df, "lang", total=100, alpha=0.5).collect())
+    assert a == b
