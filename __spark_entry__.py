@@ -2139,20 +2139,28 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
         "sample_temperature_mix": """
+    -- integer-exact weight arithmetic (matches temperature_mix): pow is
+    -- folded into a 9dp integer k, the denominator is an exact integer
+    -- sum (order-free), and k/sum is one well-defined double division —
+    -- no float sums cross the engine boundary
     WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-                 FROM documents GROUP BY lang),
-    sp AS (SELECT CAST(sum(CAST(pow(n, 0.5) AS DECIMAL(38,12)))
-                       AS DOUBLE) AS s FROM cnt),
+                 FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+    kk AS (SELECT lang, n,
+                  CAST(floor(pow(n, 0.5) * 1000000000 + 0.5) AS BIGINT)
+                      AS k
+           FROM cnt),
+    sp AS (SELECT sum(k) AS s FROM kk),
     q AS (SELECT lang,
-                 least(n, CAST(floor(300 * round(pow(n, 0.5)
-                       / (SELECT s FROM sp), 9)) AS BIGINT)) AS quota
-          FROM cnt),
+                 least(n, CAST(floor(300 * round(
+                       k / CAST((SELECT s FROM sp) AS DOUBLE), 9))
+                     AS BIGINT)) AS quota
+          FROM kk),
     r AS (SELECT doc_id, lang,
                  row_number() OVER (
                      PARTITION BY lang
                      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
                               doc_id) AS rn
-          FROM documents)
+          FROM documents WHERE lang IS NOT NULL)
     SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rn <= quota
 """,
         "sample_cap_per_source": """

@@ -24,26 +24,14 @@ rounding — matching both engines' ``round``).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from metrique_spark.functions.cache import track
+from metrique_spark.functions.num import round_half_away as _round_half_away
 from metrique_spark.functions.text import md5_long, tokens
 
 _DEC = "decimal(38,12)"
-
-
-def _round_half_away(v: float, decimals: int) -> float:
-    """Half-away-from-zero rounding of a double — the same convention as
-    Spark's ``F.round`` and DuckDB's ``round`` (see ``_pairs_above`` in
-    similarity.py for the precedent); Python's builtin ``round`` is
-    banker's and would drift on exact halves."""
-    s = 10.0 ** decimals
-    if v >= 0:
-        return math.floor(v * s + 0.5) / s
-    return -math.floor(-v * s + 0.5) / s
 
 
 def hashed_token_features(

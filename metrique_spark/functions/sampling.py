@@ -27,6 +27,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metrique_spark.functions.num import round_half_away
+
 _PREC = 8  # hex digits of hash compared; 16^8 ≈ 4.3e9 buckets
 
 
@@ -179,64 +181,60 @@ def temperature_mix(
     total: int,
     alpha: float = 0.5,
     key_col: str = "doc_id",
-    n_partitions: int | None = None,
+    margin_sigmas: float = 4.0,
 ) -> DataFrame:
     """Temperature-based mixture rebalancing (public technique: the
     ``p_s ∝ n_s^alpha`` sampling of multilingual corpora — T5/mC4,
     XLM-R): stratum ``s`` receives a quota ``min(n_s,
-    floor(total · w_s))`` with ``w_s = round(n_s^alpha / Σ n_t^alpha,
-    9)`` — ``alpha < 1`` flattens head strata toward the tail without
-    the user hand-writing target fractions (``mix_corpus`` is the
-    explicit-fractions sibling). No oversampling: a quota never exceeds
-    the stratum (so the output can undershoot ``total`` — by design, a
-    deterministic selection cannot mint rows).
+    floor(total · w_s))`` with ``w_s = round(k_s / Σ k_t, 9)`` and
+    ``k_s = floor(n_s^alpha · 10^9 + 0.5)`` — ``alpha < 1`` flattens
+    head strata toward the tail without the user hand-writing target
+    fractions (``mix_corpus`` is the explicit-fractions sibling). No
+    oversampling: a quota never exceeds its stratum, so the output can
+    undershoot ``total`` (a deterministic selection cannot mint rows).
+    NULL strata are EXCLUDED — a size-derived quota for an unknown
+    stratum is meaningless, and the exclusion keeps SQL twins faithful
+    (equi-joins drop NULL keys).
 
-    Determinism/engine-parity: the per-stratum pows are quantized to
-    DECIMAL(38,12) before the denominator sum (order-independent), the
-    weights rounded at 9 decimals, and the selection is the
-    ``(md5-bucket(key), key)`` prefix via the hash-range ranking
-    primitive — one scan-stage pass, per-(pid, stratum) windows, no
-    single-task stratum sort."""
-    import decimal
+    Engine parity by integer arithmetic: the only cross-engine float
+    ops are ``pow`` (folded into an integer ``k_s`` at 9dp — a 1-ulp
+    pow disagreement flips ``k_s`` only at an exact .5 boundary),
+    one exact-integer division ``k_s / Σ k_t`` (both < 2^53 —
+    enforced), and the shared half-away 9dp round. No float SUMS cross
+    the engine boundary (integer Σ k_t is order-free), unlike a
+    decimal-quantized double sum — DuckDB's double→DECIMAL cast does
+    NOT match Python's exact-binary quantize (measured: 21/5000 sqrt
+    values differ at 1e-12).
 
+    Scale shape: one count aggregate → driver quotas → the shared
+    ``_take_per_stratum`` machinery (hash-threshold pre-cut + 
+    distributed rank + shortfall fallback) — the exact ranking sees
+    ~quota rows per stratum, never the whole corpus."""
     if total < 0:
         raise ValueError(f"temperature_mix: total must be >= 0, got {total}")
-    ranked = hash_ranked_within_strata(df, stratum_col, key_col,
-                                       rank_col="__rn",
-                                       n_partitions=n_partitions)
-    totals = ranked._stratum_totals
-    # quantize each pow to decimal(38,12) HALF_UP (what both engines'
-    # double->decimal cast does), sum exactly, then back to double —
-    # the denominator is partition/iteration-order-independent
-    q12 = decimal.Decimal(1).scaleb(-12)
-    sp = float(sum(
-        decimal.Decimal(float(n) ** alpha).quantize(
-            q12, rounding=decimal.ROUND_HALF_UP)
-        for n in totals.values()))
-    quotas = {}
-    for s, n in totals.items():
-        w = _round9(float(n) ** alpha / sp)
-        quotas[s] = min(n, int(total * w))
-    spark = df.sparkSession
-    sdt = df.schema[stratum_col].dataType.simpleString()
-    qdf = spark.createDataFrame(
-        [(s, q) for s, q in quotas.items()], f"__qs {sdt}, __q long")
-    return (
-        ranked.join(F.broadcast(qdf),
-                    F.col(stratum_col).eqNullSafe(F.col("__qs")))
-        .where(F.col("__rn") <= F.col("__q"))
-        .drop("__rn", "__pid", "__qs", "__q")
-    )
-
-
-def _round9(v: float) -> float:
-    # half-away-from-zero at 9 decimals — F.round/DuckDB round semantics
-    # (Python round() is banker's); see classifier._round_half_away
     import math
 
-    s = 1e9
-    return (math.floor(v * s + 0.5) / s if v >= 0
-            else -math.floor(-v * s + 0.5) / s)
+    src_df = df.where(F.col(stratum_col).isNotNull())
+    counts = {
+        r["s"]: r["c"]
+        for r in src_df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("c")).collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    ks = {s: math.floor(float(n) ** alpha * 1e9 + 0.5)
+          for s, n in counts.items()}
+    if any(k >= 2 ** 53 for k in ks.values()):
+        raise ValueError(
+            "temperature_mix: n^alpha overflows exact-double range — "
+            "lower alpha (the 1e9 weight scale assumes n^alpha < 9e6)")
+    sp = sum(ks.values())
+    quotas = {
+        s: min(counts[s], int(total * round_half_away(ks[s] / sp, 9)))
+        for s in counts
+    }
+    return _take_per_stratum(src_df, stratum_col, key_col, quotas,
+                             counts, margin_sigmas)
 
 
 def ranked_within_strata(
@@ -369,8 +367,33 @@ def mix_corpus(
         raise ValueError(f"strata absent from the corpus: {sorted(missing)}")
     total = min(counts[s] / w for s, w in weights.items() if w > 0)
     quotas = {s: int(w * total) for s, w in weights.items()}
+    return _take_per_stratum(df, stratum_col, key_col, quotas, counts,
+                             margin_sigmas)
 
-    def _cut_fraction(s: str) -> float:
+
+def _take_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    quotas: dict,
+    counts: dict,
+    margin_sigmas: float = 4.0,
+) -> DataFrame:
+    """Exact per-stratum prefix selection shared by ``mix_corpus`` and
+    ``temperature_mix``: keep each quota'd stratum's first ``quota_s``
+    rows in ``(md5-bucket(key), key)`` order. The exact ranking runs on
+    a hash-threshold PRE-CUT of each stratum (quota fraction plus a
+    ``margin_sigmas``-sigma binomial margin), so it sees ~quota_s rows,
+    not the whole stratum; the distributed rank needs no sampling job
+    and no persist (hash-range partition ids are scan-stage
+    expressions). Shortfall check rides the helper's per-partition
+    counts — undershoot (p ~3e-5 at 4 sigma) falls back to ranking the
+    short strata in full, keeping the result exact. NULL strata are not
+    supported (the CASE chains compare with ``==``) — callers exclude
+    them."""
+    import math
+
+    def _cut_fraction(s) -> float:
         n, c = quotas[s], counts[s]
         if not n:
             return 0.0
@@ -378,7 +401,7 @@ def mix_corpus(
         return min(1.0, f + margin_sigmas * math.sqrt(f * (1 - f) / c) + 16 / c)
 
     stratum = F.col(stratum_col)
-    pre = df.where(stratum.isin(list(weights))).where(
+    pre = df.where(stratum.isin(list(quotas))).where(
         hash_bucket(F.col(key_col))
         < reduce(
             lambda acc, s: F.when(stratum == s,
@@ -387,12 +410,6 @@ def mix_corpus(
             sorted(quotas), F.lit("0"),
         )
     )
-    # the selection order is the uniform md5 hash, so the distributed
-    # rank needs no sampling job and no persist (hash-range partition
-    # ids are scan-stage expressions). Shortfall check rides the
-    # helper's per-partition counts — no extra pass over the pre-cut;
-    # undershoot (p ~3e-5 at 4 sigma) falls back to ranking the short
-    # strata in full, keeping the result exact.
     ranked = hash_ranked_within_strata(pre, stratum_col, key_col)
     got = ranked._stratum_totals
     short = [s for s, n in quotas.items() if got.get(s, 0) < n]
