@@ -1466,6 +1466,37 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document top-5 TF-IDF keywords (min_df=2): the classic
+    keyword extractor for topic balancing / near-dup triage."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=5, min_df=2)
+
+
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shuffle-skew diagnostic on events.user_id: the 15 heaviest users
+    with exact counts + ppm share — the measurement behind every
+    salting decision."""
+    _utc(spark)
+    from metrique_spark.functions import sampling
+
+    ev = _t(spark, sf_dir, "events")
+    return sampling.key_skew_profile(ev, "user_id", top_k=15)
+
+
+def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """path analysis: distribution of each user's first 3 event types in
+    (ts, event_id) arrival order."""
+    _utc(spark)
+    from metrique_spark.streaming.events import event_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return event_paths(ev, k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1576,6 +1607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_samples": mm_frame_samples,
         "mm_resized": mm_resized,
         "events_daily_rollup": events_daily_rollup,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
+        "diag_key_skew": diag_key_skew,
+        "events_paths": events_paths,
     }
 
 
@@ -2947,6 +2981,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "text_tfidf_top_terms": r"""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[^\W_]+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS doc_freq FROM tf
+              GROUP BY 1 HAVING count(*) >= 2),
+    scored AS (
+        SELECT doc_id, token, tf, doc_freq,
+               round(tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                             / doc_freq), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token)
+    ),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+          FROM scored)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq, tfidf,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+""",
+        "diag_key_skew": """
+    WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+               FROM events GROUP BY 1),
+    t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM c, t ORDER BY cnt DESC, key LIMIT 15
+""",
+        "events_paths": """
+    WITH r AS (
+        SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
+""",
     }
 
 

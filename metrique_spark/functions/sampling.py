@@ -594,3 +594,43 @@ def write_training_shards(
                               F.col(key_col))
         .write.partitionBy("shard").mode("overwrite").parquet(path)
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/groupBy key: the
+    ``top_k`` heaviest key values with exact counts and integer
+    parts-per-million share. This is the measurement step before every
+    salting / skew-hint decision at cluster scale — "is l_orderkey safe
+    to shuffle on, and how hot is the hottest user?".
+
+    Output: one row per heavy key — ``(key, cnt, share_ppm, n_rows,
+    n_keys)`` (the two totals repeated per row keep the result a single
+    flat table). ``share_ppm = floor(cnt * 1e6 / n_rows)`` stays in
+    exact integer arithmetic — no float drift cross-engine (cnt ≤ 1e12
+    keeps the product under int64).
+
+    Scale shape: one map-combinable groupBy(key) count; totals are a
+    second aggregate over the (small) per-key counts, broadcast back via
+    a 1-row crossJoin; the top-k itself is ``orderBy(...).limit(k)``,
+    which Spark executes as TakeOrderedAndProject — a per-partition
+    heap + driver merge of k·partitions rows, never a global sort. Ties
+    at the k boundary break key-ascending (string compare) so the
+    selected SET is deterministic cross-engine."""
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+                .agg(F.count("*").alias("cnt")))
+    totals = counts.agg(F.sum("cnt").alias("n_rows"),
+                        F.count("*").alias("n_keys"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(top_k)
+            .select("key", F.col("cnt").cast("long").alias("cnt"),
+                    # integer `div`, not `/`: float division loses exactness
+                    # past 2^53 and this is an exactness-auditable profile
+                    F.expr("cnt * CAST(1000000 AS BIGINT) div n_rows")
+                    .cast("long").alias("share_ppm"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_keys").cast("long").alias("n_keys")))

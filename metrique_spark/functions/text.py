@@ -818,3 +818,56 @@ def normalize_text(
     return df.withColumn(out_col, cleaned).withColumn(
         "n_changed_chars",
         (F.length(c) - F.length(F.col(out_col))).cast("long"))
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the classic keyword
+    extractor (Salton & Buckley 1988), used downstream for topic
+    balancing and near-dup triage. Output: one row per (doc, rank) with
+    ``(doc_id, token, tf, doc_freq, tfidf, rank)``; ``idf`` is the
+    textbook ``ln(N / df)`` with N = input row count.
+
+    Scale shape: tokenize once; groupBy (doc, token) for tf (map-side
+    combinable — stop-word skew collapses per map partition); the
+    document-frequency table derives from the *already aggregated* tf
+    rows (one row per (doc, token)), so the second shuffle moves far
+    fewer bytes than the raw token stream; the tf⟕df join is
+    token-keyed (AQE broadcasts the df side when the vocabulary is
+    small); the final top-k is a row_number window partitioned by doc —
+    bounded by per-doc vocabulary, never a global sort. N comes from one
+    driver ``count()`` (a scalar, not a collected table).
+
+    Determinism: ranking compares the ROUNDED score (identical quantized
+    doubles on both engines) with a token-ascending tie-break, so equal
+    (tf, df) pairs order identically in Spark and the SQL oracle.
+    """
+    n_docs = df.count()
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    occ = (src.select("id", F.explode_outer(tokens("__t")).alias("token"))
+              .where(F.col("token").isNotNull()))
+    tf = occ.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("doc_freq") >= min_df)
+    scored = tf.join(dfreq, "token").select(
+        "id", "token", "tf", "doc_freq",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+            decimals,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(F.col("id").alias(id_col), "token",
+                          F.col("tf").cast("long").alias("tf"),
+                          F.col("doc_freq").cast("long").alias("doc_freq"),
+                          "tfidf", F.col("rank").cast("int").alias("rank")))

@@ -1002,3 +1002,48 @@ def stream_retention_sink(
         fold_fn=fold,
         finalize_fn=lambda parts: _retention_from_partials(parts, period),
         compact_after=compact_after, fs=fs)
+
+
+def event_paths(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_users: int = 1,
+) -> DataFrame:
+    """Path analysis: the distribution of each user's FIRST ``k`` event
+    types in arrival order — "what do journeys look like before users
+    convert or churn". Output: one row per distinct path string
+    (``'view>cart>purchase'``) with the number of users who took it.
+
+    Ordering is (ts, event_id) — the id breaks same-timestamp ties so
+    the path is deterministic under any partitioning.
+
+    Scale shape: one shuffle on user for the row_number window; the
+    ≤k-rows-per-user survivor set groups on the SAME key (Spark reuses
+    the window's hash partitioning — no second user exchange, pinned in
+    tests), building the path with ``array_sort(collect(struct(rn,
+    type)))`` over at most k elements; the final path count is
+    map-combinable. Per-user state is bounded by k everywhere — a bot
+    with 10M events contributes k rows past the window filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    firstk = (events
+              .select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("t"),
+                      F.row_number().over(w).alias("rn"))
+              .where(F.col("rn") <= k))
+    paths = firstk.groupBy("u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "t"))),
+                lambda s: s["t"]),
+            ">").alias("path"))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_users"))
+            .where(F.col("n_users") >= min_users)
+            .select("path", F.col("n_users").cast("long").alias("n_users")))
