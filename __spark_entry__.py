@@ -2563,7 +2563,7 @@ def oracle_sql() -> dict[str, str]:
     WITH base AS (
         SELECT doc_id,
                list_filter(string_split_regex(
-                   lower(coalesce(text, '')), '\s+'),
+                   lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'),
                    w -> w != '') AS words,
                list_filter(string_split(coalesce(text, ''), chr(10)),
                    l -> trim(l) != '') AS lines
@@ -3341,7 +3341,7 @@ def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
     gbase AS (
         SELECT doc_id,
                list_filter(string_split_regex(
-                   lower(coalesce(text, '')), '\s+'),
+                   lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'),
                    w -> w != '') AS words,
                list_filter(string_split(coalesce(text, ''), chr(10)),
                    l -> trim(l) != '') AS lines
@@ -3473,7 +3473,7 @@ _CURATE_ORACLE = rf"""
     gbase AS (
         SELECT doc_id,
                list_filter(string_split_regex(
-                   lower(coalesce(text, '')), '\s+'),
+                   lower(coalesce(text, '')), '[ \t\n\x0B\f\r]+'),
                    w -> w != '') AS words,
                list_filter(string_split(coalesce(text, ''), chr(10)),
                    l -> trim(l) != '') AS lines

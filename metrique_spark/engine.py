@@ -237,15 +237,30 @@ class Engine:
         """The cube's recorded oid-bucket count, or None for the legacy
         unbucketed ``(_current, __batch)`` layout. Writers must use the
         RECORDED value — bucketing with a different modulus would prune
-        the wrong directories on a later history import."""
+        the wrong directories on a later history import.
+
+        An unreadable sidecar raises instead of falling back to legacy:
+        a writer that silently treated a bucketed cube as legacy would
+        append mixed partition levels and corrupt the cube — only a
+        genuinely ABSENT sidecar means legacy layout."""
         import json
 
         p = self.fs.join(path, self._LAYOUT_SIDECAR)
         if self.fs.isfile(p):
             try:
-                return json.loads(self.fs.read_text(p)).get("oid_buckets")
-            except ValueError:
-                return None
+                meta = json.loads(self.fs.read_text(p))
+            except ValueError as e:
+                raise RuntimeError(
+                    f"unreadable layout sidecar {p!r}: {e} — refusing to "
+                    "fall back to the legacy layout (mixed partition "
+                    "levels would corrupt the cube); repair or remove "
+                    "the sidecar explicitly") from e
+            if not isinstance(meta, dict):
+                raise RuntimeError(
+                    f"layout sidecar {p!r} is not a JSON object "
+                    f"(got {type(meta).__name__}) — refusing legacy "
+                    "fallback; repair or remove the sidecar explicitly")
+            return meta.get("oid_buckets")
         return None
 
     def _write_layout(self, path: str, buckets: int) -> None:
@@ -253,6 +268,22 @@ class Engine:
 
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps({"oid_buckets": buckets}))
+
+    @staticmethod
+    def _check_oid_type(stored: DataFrame, incoming: DataFrame) -> None:
+        """Reject an incoming frame whose ``_oid`` type differs from the
+        stored cube's. Parquet directories with mixed physical types for
+        the same column read back wrong (Spark picks one file's footer
+        schema unless mergeSchema), and type drift is how the bucket
+        hash / anti-join hazards arise in the first place — fail loud at
+        the write boundary instead."""
+        s = stored.schema["_oid"].dataType
+        i = incoming.schema["_oid"].dataType
+        if s != i:
+            raise TypeError(
+                f"incoming _oid type {i.simpleString()} != stored cube's "
+                f"{s.simpleString()}; cast the incoming _oid to the "
+                "stored type before writing")
 
     def _has_data(self, path: str) -> bool:
         """True once the cube holds any partition directory. A dir with
@@ -264,8 +295,14 @@ class Engine:
     @staticmethod
     def _obucket(buckets: int):
         """Scan-stage oid-bucket expression — stable content hash, so the
-        same oid always lands in the same directory whatever the batch."""
-        return F.pmod(F.xxhash64(F.col("_oid")), F.lit(buckets)).cast("int")
+        same oid always lands in the same directory whatever the batch.
+        Hashes the STRING form of ``_oid``: xxhash64 is type-sensitive
+        (int 7 and long 7 hash differently), so hashing the raw column
+        would prune point lookups to the wrong directories whenever the
+        lookup frame's inferred type differs from the stored type. The
+        string cast makes every integral width hash identically."""
+        return F.pmod(F.xxhash64(F.col("_oid").cast("string")),
+                      F.lit(buckets)).cast("int")
 
     def _partition_keys(self, buckets: int | None) -> list[str]:
         return (["_current", "__obucket", "__batch"] if buckets
@@ -412,6 +449,7 @@ class Engine:
                 self._write_layout(path, buckets)
             else:
                 buckets = self._cube_buckets(path)
+                self._check_oid_type(self._read(path), obj)
             self._write_partitioned(obj, path, "append", buckets=buckets)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
@@ -445,6 +483,7 @@ class Engine:
             return
         buckets = self._cube_buckets(path)
         table = self._read(path)
+        self._check_oid_type(table, incoming)
         cols = [c for c in table.columns if c != "_current"]
         if autosnap:
             open_rows = table.where(F.col("_current")).select(*cols)
@@ -594,9 +633,10 @@ class Engine:
 
     def _scoped(self, cube: str | DataFrame, query: str | None,
                 date: str | None, oids: Sequence | None = None) -> DataFrame:
+        oids = list(oids) if oids is not None else None
         if isinstance(cube, DataFrame):
             df = cube
-        elif oids is not None and cube not in self._views and self.warehouse:
+        elif oids and cube not in self._views and self.warehouse:
             # point lookup on a bucketed cube: turn the oid list into
             # literal __obucket partition values so the scan PRUNES to
             # the ~|oids|/N of the table that can contain them — at
@@ -614,7 +654,10 @@ class Engine:
         else:
             df = self.table(cube)
         if oids is not None:
-            df = df.where(F.col("_oid").isin(list(oids)))
+            # empty list short-circuits: no rows match, and building the
+            # bucket-lookup frame from zero rows cannot infer a schema
+            df = df.where(F.col("_oid").isin(oids) if oids
+                          else F.lit(False))
         if "_current" in df.columns:
             df = df.drop("_current")
         dpred = date_range_predicate(date) if ("_end" in df.columns) else None

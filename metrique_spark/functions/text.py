@@ -572,10 +572,14 @@ def gopher_quality_flags(
     rather than filtering).
 
     Words are whitespace-split (punctuation stays attached, as the rule
-    intends); everything is a pure column expression over the split
-    arrays — one scan, no shuffle, no UDF."""
+    intends) with the class SPELLED OUT — Java's ``\\s`` includes
+    vertical tab, RE2/DuckDB's does not, so a bare ``\\s+`` diverges
+    cross-engine on documents containing ``\\x0B`` (same fix as
+    ``bpe_token_estimate``); everything is a pure column expression over
+    the split arrays — one scan, no shuffle, no UDF."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(F.lower(raw), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.lower(raw), "[ \\t\\n\\x0B\\f\\r]+"),
+                     lambda w: w != "")
     lines = F.filter(F.split(raw, "\n"),
                      lambda line: F.trim(line) != "")
     n_words = F.size(words)

@@ -369,3 +369,100 @@ def test_find_oids_prunes_to_bucket_partitions(spark, tmp_path):
     # oids on a registered view (no buckets) still filters correctly
     eng.register("v", eng.table("c"))
     assert eng.count("v", oids=[7, 11], date="~") == 2
+
+
+def test_int_typed_oid_cube_point_lookup_correct(spark, tmp_path):
+    """xxhash64 is type-sensitive (int 7 and long 7 hash differently);
+    the bucket expression hashes the STRING form so a lookup frame whose
+    inferred type differs from the stored _oid type still prunes to the
+    RIGHT directories. An int-typed cube probed with Python ints (which
+    infer long) must return the rows, not silently zero."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=16)
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "2024-01-01", None) for i in range(40)],
+        "_oid int, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("ic", stamped)
+    got = sorted(r["_oid"] for r in
+                 eng.find("ic", oids=[7, 11], date="~").collect())
+    assert got == [7, 11]
+    assert eng.count("ic", oids=[7]) == 1
+
+
+def test_find_oids_empty_list_returns_empty(spark, tmp_path):
+    """oids=[] must short-circuit to an empty result on BOTH the
+    bucketed warehouse path and the view path (the zero-row lookup
+    frame cannot infer a schema — it used to crash)."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("e", stamped)
+    assert eng.find("e", oids=[], date="~").count() == 0
+    assert eng.count("e", oids=[]) == 0
+    eng.register("ev", eng.table("e"))
+    assert eng.count("ev", oids=[], date="~") == 0
+
+
+def test_unreadable_layout_sidecar_raises(spark, tmp_path):
+    """An unparseable _layout.json must raise loudly, not fall back to
+    the legacy layout — a writer appending legacy directories into a
+    bucketed cube corrupts it silently."""
+    import os
+
+    import pytest
+
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("bk", stamped)
+    p = os.path.join(str(tmp_path / "wh"), "bk", "_layout.json")
+    with open(p, "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="unreadable layout sidecar"):
+        eng.upsert("bk", stamped)
+    # scalar JSON (parses fine but is not an object) also refuses
+    with open(p, "w") as f:
+        f.write("12345")
+    with pytest.raises(RuntimeError, match="not a JSON object"):
+        eng.upsert("bk", stamped)
+
+
+def test_upsert_rejects_mismatched_oid_type(spark, tmp_path):
+    """An incoming frame whose _oid type differs from the stored cube's
+    is rejected at the write boundary: mixed parquet physical types for
+    one column read back wrong, and type drift is the root of the
+    bucket-hash / anti-join hazards."""
+    import pytest
+
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    mk = lambda t: (
+        spark.createDataFrame(
+            [(1, "a", "2024-01-01", None)],
+            f"_oid {t}, val string, _start string, _end string")
+        .withColumn("_start", F.col("_start").cast("timestamp"))
+        .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("tc", mk("int"))
+    with pytest.raises(TypeError, match="_oid type"):
+        eng.upsert("tc", mk("bigint"))
+    with pytest.raises(TypeError, match="_oid type"):
+        eng.upsert("tc", mk("bigint"), autosnap=False)
+    with pytest.raises(TypeError, match="_oid type"):
+        eng.insert("tc", mk("bigint"), stamped=True)
+    # same type is fine
+    eng.upsert("tc", mk("int"))
+    assert eng.count("tc") == 1

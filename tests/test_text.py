@@ -378,3 +378,24 @@ def test_stratum_quantiles_reliable_dir(spark, tmp_path):
     vals = np.array([v for _, v in rows])
     for q in (0.25, 0.5, 0.75, 0.95):
         assert abs(got[q] - round(float(np.quantile(vals, q)), 6)) < 1e-7
+
+
+def test_gopher_word_split_excludes_no_engine_specific_whitespace(spark):
+    """The word split spells out its whitespace class (Java \\s includes
+    \\x0B; RE2's does not) so Spark and the DuckDB oracles tokenize a
+    vertical-tab document identically: 'a\\x0Bb c' is three words under
+    the spelled-out class in BOTH engines."""
+    import duckdb
+
+    from metrique_spark.functions.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, "alpha\x0bbeta gamma")],
+                               "doc_id long, text string")
+    row = gopher_quality_flags(df).first()
+    assert row["n_words"] == 3
+    (dn,) = duckdb.sql(
+        r"""SELECT len(list_filter(string_split_regex(
+                lower('alpha' || chr(11) || 'beta gamma'),
+                '[ \t\n\x0B\f\r]+'), w -> w != ''))"""
+    ).fetchone()
+    assert dn == 3
