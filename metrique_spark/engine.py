@@ -98,8 +98,28 @@ class Engine:
     def _read_raw(self, path: str) -> DataFrame:
         """Cube read KEEPING the internal partition columns (``__batch``,
         ``__obucket``) — the bounded history import needs them to rewrite
-        kept rows back into their own directories."""
-        df = self.spark.read.parquet(path)
+        kept rows back into their own directories.
+
+        Manifested cubes resolve their data directories from the
+        ``_manifest.json`` generation pointer — NEVER from a listing — so
+        a read is snapshot-isolated against concurrent commits: the
+        manifest names exactly one committed generation's directories,
+        writers only ever create NEW directories and flip the pointer
+        (CAS), so a reader sees exactly-old or exactly-new, never a mix.
+        (A reader that resolved the old pointer can fail cleanly on a
+        swept file if it scans after the next commit — fail-and-retry,
+        by design, rather than silently mixing generations.) Legacy
+        cubes (no manifest) fall back to the root-listing read."""
+        meta = self._manifest(path)
+        if meta is None:
+            df = self.spark.read.parquet(path)
+        else:
+            dirs = meta["dirs"]
+            if not dirs:
+                raise RuntimeError(
+                    f"cube manifest at {path!r} lists no data directories")
+            df = (self.spark.read.option("basePath", path)
+                  .parquet(*[self.fs.join(path, d) for d in dirs]))
         if "_current" in df.columns:
             # partition-value inference yields string; restore boolean
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
@@ -269,6 +289,100 @@ class Engine:
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps({"oid_buckets": buckets}))
 
+    # -- generation-pointer manifest (snapshot-isolated commits) -------------
+    #
+    # Same protocol the streaming sinks use (streaming/events.py:30-98):
+    # a ``_manifest.json`` sidecar names the cube's current generation and
+    # the exact set of data directories belonging to it. Every mutating
+    # operation (1) writes its output into NEW directories only — never
+    # into a directory the live manifest references — (2) flips the
+    # pointer with ONE compare-and-swap PUT, then (3) sweeps directories
+    # the new manifest no longer references (plus any stranded by crashed
+    # attempts). Readers resolve paths from the manifest, never listings,
+    # so the flip is the commit point: a concurrent reader sees exactly
+    # the old or exactly the new generation — the transient mixed
+    # old+new-version window of the in-place two-step commit is gone.
+    # Crash convergence: a retry recomputes the same generation number
+    # (the pointer didn't move) and overwrites the same not-yet-referenced
+    # directories; stranded directories are invisible and swept by the
+    # next successful commit.
+
+    _MANIFEST_SIDECAR = "_manifest.json"
+
+    def _manifest_raw(self, path: str) -> str | None:
+        p = self.fs.join(path, self._MANIFEST_SIDECAR)
+        return self.fs.read_text(p) if self.fs.isfile(p) else None
+
+    def _manifest(self, path: str) -> dict | None:
+        import json
+
+        raw = self._manifest_raw(path)
+        if raw is None:
+            return None
+        try:
+            meta = json.loads(raw)
+        except ValueError as e:
+            raise RuntimeError(
+                f"unreadable cube manifest {path!r}/_manifest.json: {e} — "
+                "refusing to fall back to a listing read") from e
+        if not isinstance(meta, dict) or "dirs" not in meta:
+            raise RuntimeError(
+                f"malformed cube manifest in {path!r} — refusing to fall "
+                "back to a listing read")
+        return meta
+
+    def _manifest_flip(self, path: str, old_raw: str | None,
+                       gen: int, dirs: set[str]) -> None:
+        """The commit point: ONE atomic pointer write. CAS against the
+        text read at operation start — under the writer lease this only
+        fails if a TTL-expired zombie writer raced us; fail loud."""
+        import json
+
+        new = json.dumps({"gen": gen, "dirs": sorted(dirs)})
+        p = self.fs.join(path, self._MANIFEST_SIDECAR)
+        if old_raw is None:
+            self.fs.write_text(p, new)
+        elif not self.fs.replace_if_match(p, new, old_raw):
+            raise ConcurrentWriteError(
+                f"cube manifest at {path!r} changed under our writer "
+                "lease — concurrent writer detected, commit aborted")
+
+    def _sweep_unreferenced(self, path: str, keep: set[str]) -> None:
+        """Delete data directories the live manifest does not reference:
+        superseded by this commit, or stranded by a crashed one. Runs
+        AFTER the flip, under the writer lease. Listing here is safe —
+        only the writer lists; readers never do."""
+        for cur in self.fs.listdir(path):
+            if not cur.startswith("_current="):
+                continue
+            curp = self.fs.join(path, cur)
+            for d in self.fs.listdir(curp):
+                full = self.fs.join(curp, d)
+                if d.startswith("__batch="):
+                    if f"{cur}/{d}" not in keep:
+                        self.fs.delete_dir(full)
+                elif d.startswith("__obucket="):
+                    for b in self.fs.listdir(full):
+                        if (b.startswith("__batch=")
+                                and f"{cur}/{d}/{b}" not in keep):
+                            self.fs.delete_dir(self.fs.join(full, b))
+
+    def _written_relpaths(self, out: DataFrame,
+                          buckets: int | None) -> set[str]:
+        """Manifest-relative directory paths a partitioned write of
+        ``out`` produces — computed from the DATA (one small distinct
+        over the partition columns), not from a listing."""
+        cols = self._partition_keys(buckets)
+        rels = set()
+        for r in out.select(*cols).distinct().collect():
+            cur = f"_current={str(bool(r['_current'])).lower()}"
+            if buckets:
+                rels.add(f"{cur}/__obucket={r['__obucket']}"
+                         f"/__batch={r['__batch']}")
+            else:
+                rels.add(f"{cur}/__batch={r['__batch']}")
+        return rels
+
     @staticmethod
     def _check_oid_type(stored: DataFrame, incoming: DataFrame) -> None:
         """Reject an incoming frame whose ``_oid`` type differs from the
@@ -310,16 +424,21 @@ class Engine:
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True,
-        buckets: int | None = None,
-    ) -> None:
+        buckets: int | None = None, open_batch: str = "open",
+        hist_batch: str = "hist", collect_dirs: bool = False,
+    ) -> set[str] | None:
         out = df.withColumn("_current", F.col("_end").isNull())
         # second-level __batch partition key: open rows live in one fixed
         # partition; closed (history) rows land in per-upsert-batch
         # directories keyed by a content token, which is what makes the
-        # snapshot upsert's closed-row write idempotent (see upsert below)
+        # snapshot upsert's closed-row write idempotent (see upsert below).
+        # Manifested cubes pass generation-scoped batch names so every
+        # commit writes FRESH directories (never ones a live manifest
+        # references).
         out = out.withColumn(
             "__batch",
-            F.when(F.col("_current"), F.lit("open")).otherwise(F.lit("hist")),
+            F.when(F.col("_current"), F.lit(open_batch))
+            .otherwise(F.lit(hist_batch)),
         )
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
@@ -329,6 +448,7 @@ class Engine:
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
+        return self._written_relpaths(out, buckets) if collect_dirs else None
 
     def _batch_token(self, closed: DataFrame) -> str | None:
         """Deterministic content token for a closed-row batch, or None
@@ -348,31 +468,43 @@ class Engine:
             return None
         return f"n{tok['n']}x{tok['s']}"
 
-    def _write_closed_batch(self, closed: DataFrame, path: str,
-                            buckets: int | None = None) -> str | None:
-        """Append newly-closed rows into a history partition keyed by a
+    def _write_closed_batch(
+        self, closed: DataFrame, path: str, buckets: int | None = None,
+        live: set[str] | None = None,
+    ) -> tuple[str | None, set[str]]:
+        """Write newly-closed rows into a history partition keyed by a
         deterministic content token: retrying the same merge overwrites the
-        SAME directory instead of appending duplicates."""
+        SAME directory instead of appending duplicates. Returns the token
+        and the directory relpaths holding it. When ``live`` manifest
+        dirs are given and the token's directories are ALREADY referenced
+        (re-upserting byte-identical content), the write is skipped —
+        overwriting a live directory would tear a concurrent reader."""
         token = self._batch_token(closed)
         if token is None:
-            return None
+            return None, set()
         out = (closed.withColumn("_current", F.lit(False))
                .withColumn("__batch", F.lit(token)))
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
+        rels = self._written_relpaths(out, buckets)
+        if live is not None and rels and rels <= live:
+            return token, rels
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self._partition_keys(buckets))
             .parquet(path)
         )
-        return token
+        return token, rels
 
     def _write_open(self, new_open: DataFrame, path: str,
-                    buckets: int | None = None) -> None:
-        """Dynamically overwrite the open partition(s)."""
+                    buckets: int | None = None,
+                    open_batch: str = "open") -> set[str]:
+        """Dynamically overwrite the open partition(s). Manifested cubes
+        pass a generation-scoped batch name so the write lands in fresh
+        directories instead of mutating the live open partition."""
         out = (new_open.withColumn("_current", F.lit(True))
-               .withColumn("__batch", F.lit("open")))
+               .withColumn("__batch", F.lit(open_batch)))
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
         (
@@ -381,6 +513,7 @@ class Engine:
             .partitionBy(*self._partition_keys(buckets))
             .parquet(path)
         )
+        return self._written_relpaths(out, buckets)
 
     def compact(self, cube: str, target_partitions: int | None = None) -> int:
         """Consolidate the history partition's per-upsert-batch directories.
@@ -404,23 +537,36 @@ class Engine:
 
     def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
         path = self._path(cube)
+        state, meta, raw = self._cube_state(path)
         batches = self._closed_batch_dirs(path)
         # compaction consolidates per-upsert TOKENS; under the bucketed
         # layout one token spans several bucket dirs, so count tokens
         if len({d.rsplit("/", 1)[-1] for d in batches}) <= 1:
             return 0
-        closed = (
-            self._read(path).where(~F.col("_current"))
-            .drop("_current")
-            .dropDuplicates(["_id"])      # heals a crashed prior compact
-        )
+        closed = self._read(path).where(~F.col("_current")).drop("_current")
+        if meta is None:
+            # legacy in-place compact can crash between write and delete,
+            # leaving visible duplicates; the manifested read can't (a
+            # stranded consolidated dir is never referenced)
+            closed = closed.dropDuplicates(["_id"])
         if target_partitions:
             closed = closed.repartition(target_partitions)
         # localCheckpoint: the write below rewrites the directories this
         # plan reads from
         closed = closed.localCheckpoint(eager=True)
-        token = self._write_closed_batch(closed, path,
-                                         buckets=self._cube_buckets(path))
+        buckets = self._cube_buckets(path)
+        if meta is not None:
+            gen = meta["gen"] + 1
+            live = set(meta["dirs"])
+            _, rels = self._write_closed_batch(closed, path,
+                                               buckets=buckets, live=live)
+            dirs = ({d for d in live if d.startswith("_current=true")}
+                    | rels)
+            self._manifest_flip(path, raw, gen, dirs)
+            self._sweep_unreferenced(path, dirs)
+            return len({d for d in live
+                        if d.startswith("_current=false")} - dirs)
+        token, _ = self._write_closed_batch(closed, path, buckets=buckets)
         removed = 0
         for full in batches:
             # the consolidated dir may reuse one of the existing tokens
@@ -432,25 +578,65 @@ class Engine:
                 removed += 1
         return removed
 
+    def _cube_state(self, path: str) -> tuple[str, dict | None, str | None]:
+        """(state, manifest, manifest_raw) where state is one of:
+        ``new`` — no committed data (absent, or a crashed first write
+        whose pointer never landed: layout sidecar present, manifest
+        absent); ``manifest`` — committed generation-pointer cube;
+        ``legacy`` — pre-manifest data (no sidecars at all)."""
+        if not self.fs.isdir(path):
+            return "new", None, None
+        raw = self._manifest_raw(path)
+        if raw is not None:
+            return "manifest", self._manifest(path), raw
+        if self.fs.isfile(self.fs.join(path, self._LAYOUT_SIDECAR)):
+            return "new", None, None
+        return ("legacy" if self._has_data(path) else "new"), None, None
+
+    def _first_write(self, path: str, obj: DataFrame) -> None:
+        """First committed generation. Layout sidecar FIRST (a crash
+        between data and sidecar would otherwise let the next writer
+        extend a bucketed cube with the legacy layout); the manifest PUT
+        is the commit point — until it lands, readers see nothing and a
+        retry rewrites the same gen-1 directories."""
+        buckets = self.oid_buckets
+        self._write_layout(path, buckets)
+        dirs = self._write_partitioned(
+            obj, path, "overwrite", buckets=buckets,
+            open_batch="open-g1", hist_batch="hist-g1", collect_dirs=True)
+        self._manifest_flip(path, None, 1, dirs)
+        self._sweep_unreferenced(path, dirs)
+
     def insert(self, cube: str, df: DataFrame, stamped: bool = False, **stamp_kw) -> None:
-        """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``)."""
+        """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``).
+        On manifested cubes the append is a commit like any other: rows
+        land in fresh generation-scoped directories, the pointer flip
+        makes them visible atomically."""
         obj = df if stamped else stamp(df, **stamp_kw)
         validate(obj)
         path = self._path(cube)
         with self._write_lock(cube):
-            new_cube = not self.fs.isdir(path) or not self._has_data(path)
-            if new_cube:
-                # sidecar FIRST: a crash between data and sidecar would
-                # leave bucketed directories that the next writer (seeing
-                # no sidecar) extends with the LEGACY layout — mixed
-                # partition levels make the cube unreadable. Sidecar-first
-                # fails loud (empty cube) instead of corrupting silently.
-                buckets = self.oid_buckets
-                self._write_layout(path, buckets)
-            else:
-                buckets = self._cube_buckets(path)
-                self._check_oid_type(self._read(path), obj)
-            self._write_partitioned(obj, path, "append", buckets=buckets)
+            state, meta, raw = self._cube_state(path)
+            if state == "new":
+                self._first_write(path, obj)
+                return
+            buckets = self._cube_buckets(path)
+            self._check_oid_type(self._read(path), obj)
+            if state == "legacy":
+                self._write_partitioned(obj, path, "append", buckets=buckets)
+                return
+            gen = meta["gen"] + 1
+            # checkpoint: the relpath distinct and the data write must
+            # see the SAME rows (a nondeterministic source recomputed
+            # between them could write a directory the manifest misses)
+            obj = obj.localCheckpoint(eager=True)
+            new_dirs = self._write_partitioned(
+                obj, path, "overwrite", buckets=buckets,
+                open_batch=f"ins-g{gen}", hist_batch=f"insh-g{gen}",
+                collect_dirs=True)
+            dirs = set(meta["dirs"]) | new_dirs
+            self._manifest_flip(path, raw, gen, dirs)
+            self._sweep_unreferenced(path, dirs)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, **stamp_kw) -> None:
@@ -469,17 +655,9 @@ class Engine:
             # last write wins within a snapshot batch (the reference's
             # container buffer is keyed by _id, core_api.py:537-540)
             incoming = _upsert.latest_per_oid(incoming)
-        if not self.fs.isdir(path) or not self._has_data(path):
-            # sidecar FIRST (see insert()); the sidecar creates the cube
-            # dir, so the data write switches from errorifexists to a
-            # DYNAMIC overwrite — equivalent under the writer lease we
-            # hold (nothing else exists), a crashed first attempt retries
-            # cleanly, and dynamic mode never deletes the sidecar the way
-            # a static overwrite of the whole path would (verified: static
-            # partitioned overwrite wipes non-partition files in the dir)
-            self._write_layout(path, self.oid_buckets)
-            self._write_partitioned(incoming, path, "overwrite",
-                                    buckets=self.oid_buckets)
+        state, meta, raw = self._cube_state(path)
+        if state == "new":
+            self._first_write(path, incoming)
             return
         buckets = self._cube_buckets(path)
         table = self._read(path)
@@ -492,29 +670,43 @@ class Engine:
             tagged = _upsert.snapshot_merge_tagged(
                 open_rows, incoming.select(*cols)
             ).localCheckpoint(eager=True)
-            # commit order is load-bearing: closed rows FIRST (idempotent
-            # token-keyed partition), open-partition overwrite second. A
-            # crash between the two leaves the old rows open alongside
-            # their closed copies — retrying the same batch recomputes the
-            # identical closed set, overwrites the same token directory,
-            # and converges to the crash-free state. The old order lost
-            # the closed versions (a history gap) with no recovery path.
-            self._write_closed_batch(
-                tagged.where(F.col("__closed")).drop("__closed"), path,
-                buckets=buckets,
-            )
-            self._write_open(
-                tagged.where(~F.col("__closed")).drop("__closed"), path,
-                buckets=buckets,
-            )
+            closed = tagged.where(F.col("__closed")).drop("__closed")
+            new_open = tagged.where(~F.col("__closed")).drop("__closed")
+            if meta is not None:
+                # snapshot-isolated commit: both writes land in
+                # directories no live manifest references; the pointer
+                # flip publishes them atomically. A crash anywhere before
+                # the flip leaves readers on the old generation and the
+                # retried batch rewrites the same directories (the token
+                # is content-keyed, the open dir is gen-keyed and the gen
+                # didn't advance).
+                gen = meta["gen"] + 1
+                live = set(meta["dirs"])
+                _, closed_rels = self._write_closed_batch(
+                    closed, path, buckets=buckets, live=live)
+                open_rels = self._write_open(
+                    new_open, path, buckets=buckets,
+                    open_batch=f"open-g{gen}")
+                dirs = ({d for d in live if not d.startswith("_current=true")}
+                        | closed_rels | open_rels)
+                self._manifest_flip(path, raw, gen, dirs)
+                self._sweep_unreferenced(path, dirs)
+            else:
+                # legacy in-place commit (no isolation): closed rows
+                # FIRST (idempotent token-keyed partition), open
+                # overwrite second — a crash between the two leaves old
+                # rows open alongside their closed copies; retrying the
+                # same batch converges.
+                self._write_closed_batch(closed, path, buckets=buckets)
+                self._write_open(new_open, path, buckets=buckets)
             if self.auto_compact_batches:
                 tokens = {d.rsplit("/", 1)[-1]
                           for d in self._closed_batch_dirs(path)}
                 if len(tokens) > self.auto_compact_batches:
                     self.compact(cube)
-        elif buckets:
-            self._history_replace_bucketed(path, incoming.select(*cols),
-                                           cols, buckets)
+        elif meta is not None:
+            self._history_replace_manifested(
+                path, incoming.select(*cols), cols, buckets, meta, raw)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
@@ -533,80 +725,83 @@ class Engine:
             if ix is not None:
                 self.fs.write_text(ixp, ix)
 
-    def _history_replace_bucketed(self, path: str, incoming: DataFrame,
-                                  cols: list[str], buckets: int) -> None:
-        """Bounded history import: rewrite ONLY the oid-bucket directories
-        containing incoming oids (reference semantics — delete every
-        stored version of the incoming oids, insert the supplied full
-        history, ``sqlalchemy.py:955-963`` — without the full-table
-        rewrite). Untouched buckets are never read OR written: the scan
-        below partition-prunes to the hit buckets, and the dynamic
-        partition overwrite touches only directories present in its
-        output.
+    def _history_replace_manifested(
+        self, path: str, incoming: DataFrame, cols: list[str],
+        buckets: int | None, meta: dict, raw_manifest: str,
+    ) -> None:
+        """Bounded, snapshot-isolated history import: rewrite ONLY the
+        oid-bucket directories containing incoming oids (reference
+        semantics — delete every stored version of the incoming oids,
+        insert the supplied full history, ``sqlalchemy.py:955-963`` —
+        without the full-table rewrite). Untouched buckets are never read
+        OR written: the scan below partition-prunes to the hit buckets,
+        and the rewrite lands in fresh generation-scoped directories that
+        the manifest flip publishes atomically — a concurrent reader sees
+        exactly the old or exactly the new history of a replaced oid,
+        never both. Unbucketed manifested cubes take the same path with
+        the whole table as the single 'bucket'.
 
         Crash-convergent under the single-writer lease: the union write
-        is deterministic from (stored state minus incoming oids) +
-        incoming — a retry recomputes the identical directories — and the
-        trailing sweep deletes directories whose rows were ALL replaced
-        (dynamic overwrite cannot rewrite a partition that has no output
-        rows). A crash between write and sweep leaves stale rows of
-        replaced oids that the retried import removes again. NOT
-        snapshot-isolated: concurrent readers may transiently see both
-        old and new versions of a replaced oid, exactly like the snapshot
-        upsert's two-step commit."""
+        is deterministic from (manifested state minus incoming oids) +
+        incoming, and the generation number doesn't advance until the
+        flip — a retry recomputes the identical directories; stranded
+        ones stay unreferenced and are swept by the next commit."""
         # materialize incoming ONCE: the hit-bucket collect, the batch
         # token and the union write would otherwise re-execute its plan —
         # and a nondeterministic source (sample/limit) recomputed between
         # the collect and the write could land rows in a bucket outside
-        # `hit`, whose dynamic overwrite would then erase every other
-        # oid's rows there (kept was pruned to hit buckets only)
+        # `hit`, whose rewrite would then drop every other oid's rows
+        # there (kept was pruned to hit buckets only)
         incoming = incoming.localCheckpoint(eager=True)
-        ob = self._obucket(buckets)
-        hit = sorted(r["b"] for r in
-                     incoming.select(ob.alias("b")).distinct().collect())
+        gen = meta["gen"] + 1
+        live = set(meta["dirs"])
+        part_cols = self._partition_keys(buckets)
         raw = self._read_raw(path)
-        pruned = raw.where(F.col("__obucket").isin(hit))
+        if buckets:
+            ob = self._obucket(buckets)
+            hit = sorted(r["b"] for r in
+                         incoming.select(ob.alias("b")).distinct().collect())
+            pruned = raw.where(F.col("__obucket").isin(hit))
+            hit_set = {f"__obucket={b}" for b in hit}
+            replaced_dirs = {d for d in live
+                             if d.split("/")[1] in hit_set}
+        else:
+            pruned = raw
+            replaced_dirs = set(live)
         keys = incoming.select("_oid").distinct()
         kept = pruned.join(F.broadcast(keys), "_oid", "left_anti")
         inc = _upsert._regen_id(incoming)
-        token = self._batch_token(inc.where(F.col("_end").isNotNull()))
-        part_cols = ["_current", "__obucket", "__batch"]
-        inc_part = (
-            inc.withColumn("_current", F.col("_end").isNull())
-            .withColumn("__obucket", ob)
-            .withColumn("__batch", F.when(F.col("_current"), F.lit("open"))
-                        .otherwise(F.lit(token)))
-        )
-        union = (
-            kept.select(*cols, *part_cols)
-            .unionByName(inc_part.select(*cols, *part_cols))
-            .localCheckpoint(eager=True)  # the write rewrites its inputs
-        )
+        inc_part = inc.withColumn("_current", F.col("_end").isNull())
+        kept_part = kept.withColumn(
+            "_current", F.col("_end").isNull())  # recompute, drop old dirs
+        union = kept_part.select(*cols, "_current").unionByName(
+            inc_part.select(*cols, "_current"))
+        union = union.withColumn(
+            "__batch",
+            F.when(F.col("_current"), F.lit(f"open-g{gen}"))
+            .otherwise(F.lit(f"hr-g{gen}")))
+        if buckets:
+            union = union.withColumn("__obucket", self._obucket(buckets))
+        union = union.select(*cols, *part_cols).localCheckpoint(eager=True)
         (
             union.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
             .parquet(path)
         )
-        # sweep: directories in the hit buckets whose content was all
-        # replaced are absent from the output and must be deleted
-        survivors = {
-            (r["_current"], r["__obucket"], r["__batch"])
-            for r in union.select(*part_cols).distinct().collect()
-        }
-        for cur in (True, False):
-            for b in hit:
-                broot = self.fs.join(
-                    path, f"_current={str(cur).lower()}", f"__obucket={b}")
-                for d in self.fs.listdir(broot):
-                    if not d.startswith("__batch="):
-                        continue
-                    if (cur, b, d[len("__batch="):]) not in survivors:
-                        self.fs.delete_dir(self.fs.join(broot, d))
+        new_rels = self._written_relpaths(union, buckets)
+        dirs = (live - replaced_dirs) | new_rels
+        self._manifest_flip(path, raw_manifest, gen, dirs)
+        self._sweep_unreferenced(path, dirs)
 
     def _closed_batch_dirs(self, path: str) -> list[str]:
-        """Full paths of every history ``__batch=`` directory, bucketed
-        or legacy layout."""
+        """Full paths of every history ``__batch=`` directory — from the
+        manifest when one exists (stranded crash leftovers are not part
+        of the cube), from a listing on legacy layouts."""
+        meta = self._manifest(path)
+        if meta is not None:
+            return [self.fs.join(path, d) for d in meta["dirs"]
+                    if d.startswith("_current=false")]
         out = []
         hist = self.fs.join(path, "_current=false")
         for d in self.fs.listdir(hist):

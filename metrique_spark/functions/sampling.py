@@ -163,16 +163,51 @@ def cap_per_group(
     engines — and drops the rest; groups under the cap pass through
     whole.
 
-    Scale: rides ``hash_ranked_within_strata`` — scan-stage partition
-    ids from content hashes, per-(pid, group) windows, never a
-    single-task group sort (the cap exists precisely because some
-    groups are huge)."""
+    Scale: same hash-range partition-id trick as
+    ``hash_ranked_within_strata`` (scan-stage pids, per-(pid, group)
+    windows — never a single-task group sort; the cap exists precisely
+    because some groups are huge), but the rank offsets are computed
+    DISTRIBUTED — a per-group cumulative-sum window over the tiny
+    (pid, group) count table — and joined back, never collected. The
+    advertised group column here is per-domain/per-host: web-scale
+    cardinality, where the stratified-mix helper's driver-offsets
+    collect (partitions × groups rows) is a driver bottleneck. This
+    shape serves BOTH regimes: millions of tiny groups spread across
+    the count-table window's hash partitioning, while a huge group's
+    rows stay spread across pids (each task ranks ~|group|/nparts
+    rows). Slices whose offset already reaches the cap are dropped
+    BEFORE the corpus join, so the over-cap tail of a dominant domain
+    never shuffles. When the count table is small, AQE broadcasts the
+    join side on its own."""
     if cap < 1:
         raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
-    ranked = hash_ranked_within_strata(df, group_col, key_col,
-                                       rank_col="__rn",
-                                       n_partitions=n_partitions)
-    return ranked.where(F.col("__rn") <= cap).drop("__rn", "__pid")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    grp = F.col(group_col)
+    h = hash_bucket(F.col(key_col))
+    pid = F.floor((F.conv(h, 16, 10).cast("long") * F.lit(nparts))
+                  / F.lit(16 ** _PREC)).cast("int")
+    withpid = df.withColumn("__pid", pid)
+    woff = (Window.partitionBy("__g").orderBy("__opid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (
+        withpid.groupBy(F.col("__pid").alias("__opid"), grp.alias("__g"))
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__off",
+                    F.coalesce(F.sum("__c").over(woff), F.lit(0)))
+        .where(F.col("__off") < cap)
+        .select("__opid", "__g", "__off")
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(h, F.col(key_col))
+    return (
+        withpid.join(offs, (F.col("__pid") == F.col("__opid"))
+                     & grp.eqNullSafe(F.col("__g")))
+        .withColumn("__rn", F.row_number().over(w) + F.col("__off"))
+        .where(F.col("__rn") <= cap)
+        .drop("__opid", "__g", "__off", "__rn", "__pid")
+    )
 
 
 def temperature_mix(

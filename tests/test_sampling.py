@@ -378,3 +378,38 @@ def test_temperature_mix_flattens_head(spark):
     b = sorted(r["doc_id"] for r in
                temperature_mix(df, "lang", total=100, alpha=0.5).collect())
     assert a == b
+
+
+def test_cap_per_group_high_cardinality_never_collects_counts(spark):
+    """cap_per_group's offsets are computed DISTRIBUTED (a cumulative-sum
+    window over the (pid, group) count table joined back) — for its
+    advertised per-domain use the group column has web-scale cardinality
+    and a driver collect of partitions x groups count rows is a
+    bottleneck. Pin: no LocalTableScan (a driver-built offsets relation)
+    anywhere in the executed plan; and the selection is exact against a
+    driver-side reference on a many-group + one-huge-group fixture."""
+    import hashlib
+
+    from metrique_spark.functions.sampling import cap_per_group
+
+    rows = ([(i, f"dom{i % 40}") for i in range(400)]        # 40 groups
+            + [(1000 + i, "whale") for i in range(200)]      # dominant
+            + [(2000, None), (2001, None), (2002, None), (2003, None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", cap=3, key_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+
+    exp = {}
+    for d, s in sorted(
+            rows, key=lambda t: (hashlib.md5(str(t[0]).encode())
+                                 .hexdigest()[:8], t[0])):
+        exp.setdefault(s, set())
+        if len(exp[s]) < 3:
+            exp[s].add(d)
+    assert got == exp  # includes the NULL group, capped like any other
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "row_number" in plan

@@ -117,10 +117,15 @@ def test_null_hash_upsert_does_not_drop_objects(spark, engine):
 
 
 def test_crash_between_closed_and_open_writes_recovers(spark, engine, monkeypatch):
+    """A crash mid-commit must leave readers on EXACTLY the previous
+    generation (the closed-row write landed on disk but the manifest
+    pointer never flipped — snapshot isolation), and retrying the same
+    batch converges to the crash-free state (the gen didn't advance, so
+    the retry overwrites the same unreferenced directories)."""
     engine.upsert("cr", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
 
-    # inject a crash AFTER the closed-row write, BEFORE the open overwrite
-    def boom(self, df, path, buckets=None):
+    # inject a crash AFTER the closed-row write, BEFORE the open write
+    def boom(self, df, path, buckets=None, open_batch="open"):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_write_open", boom)
@@ -129,15 +134,21 @@ def test_crash_between_closed_and_open_writes_recovers(spark, engine, monkeypatc
         engine.upsert("cr", batch, stamped=True)
     monkeypatch.undo()
 
-    # no history loss: the closed version of oid 1 is already durable
-    closed = engine.find("cr", query="_oid == 1 and _end != None", date="~").collect()
-    assert len(closed) == 1 and closed[0]["col_1"] == 10
+    # snapshot isolation: the half-committed batch is INVISIBLE — readers
+    # see exactly the pre-upsert state, not a closed copy without its
+    # successor
+    assert engine.count("cr", date="~") == 2
+    assert engine.count("cr") == 2
+    assert engine.find("cr", query="_oid == 1").first()["col_1"] == 10
+    assert engine.count("cr", "_end != None", date="~") == 0
 
     # retrying the same batch converges to the crash-free state: the
     # identical closed set overwrites its token partition (no duplicates)
     engine.upsert("cr", batch, stamped=True)
     assert engine.count("cr", date="~") == 3
     assert engine.count("cr") == 2
+    closed = engine.find("cr", query="_oid == 1 and _end != None", date="~").collect()
+    assert len(closed) == 1 and closed[0]["col_1"] == 10
     cur = engine.find("cr", query="_oid == 1").collect()
     assert len(cur) == 1 and cur[0]["col_1"] == 11
 
@@ -252,10 +263,9 @@ def test_history_import_rewrites_only_hit_buckets(spark, tmp_path):
                           "2014-02-01"), stamped=True)
     assert eng.count("b", date="~") == 80
 
-    # which bucket does oid 7 land in? (same expression the engine uses)
-    hit = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(8))
-        .cast("int").alias("b")).first()["b"]
+    # which bucket does oid 7 land in? (the engine's own expression)
+    hit = (spark.range(1).select(F.lit(7).cast("long").alias("_oid"))
+           .select(Engine._obucket(8).alias("b")).first()["b"])
 
     def snapshot(exclude_bucket):
         out = {}
@@ -264,6 +274,9 @@ def test_history_import_rewrites_only_hit_buckets(spark, tmp_path):
             if f"__obucket={exclude_bucket}" in dirpath:
                 continue
             for f in files:
+                if f.startswith("_") and f.endswith(".json"):
+                    continue  # control-plane sidecars (the manifest
+                    # pointer flips on every commit, by design)
                 p = os.path.join(dirpath, f)
                 st = os.stat(p)
                 out[p] = (st.st_size, st.st_mtime_ns)
@@ -302,3 +315,114 @@ def test_history_import_sweeps_emptied_batch_dirs(spark, tmp_path):
     assert eng.count("s", date="~") == 1
     assert eng.find("s").first()["col_1"] == 12
     assert _batch_tokens(eng, "s") == set()  # emptied history dir swept
+
+
+def test_reader_mid_snapshot_upsert_sees_single_generation(spark, engine,
+                                                           monkeypatch):
+    """Snapshot isolation: at the instant JUST BEFORE the manifest flip —
+    i.e. after every data write of the commit has landed on disk — a
+    fresh reader must see exactly the OLD generation (no closed copies,
+    no new open rows, no mix); after the flip, exactly the new one."""
+    engine.upsert("iso", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    seen = {}
+    orig = Engine._manifest_flip
+
+    def spy(self, path, old_raw, gen, dirs):
+        if "pre_total" not in seen:  # first flip after setup
+            seen["pre_total"] = engine.count("iso", date="~")
+            seen["pre_cur"] = {r["_oid"]: r["col_1"]
+                               for r in engine.find("iso").collect()}
+            seen["pre_closed"] = engine.count("iso", "_end != None",
+                                              date="~")
+        return orig(self, path, old_raw, gen, dirs)
+
+    monkeypatch.setattr(Engine, "_manifest_flip", spy)
+    engine.upsert("iso", _objs(spark, [(1, 11)], "2014-02-01"),
+                  stamped=True)
+    monkeypatch.undo()
+    # all data was on disk when the spy read — yet invisible
+    assert seen["pre_total"] == 2
+    assert seen["pre_closed"] == 0
+    assert seen["pre_cur"] == {1: 10, 2: 20}
+    # after the flip: exactly the new generation
+    assert engine.count("iso", date="~") == 3
+    assert {r["_oid"]: r["col_1"] for r in engine.find("iso").collect()} \
+        == {1: 11, 2: 20}
+
+
+def test_reader_mid_history_replace_sees_single_generation(spark, engine,
+                                                           monkeypatch):
+    """The bucketed history replace used to expose a transient window
+    where a replaced oid's OLD and NEW versions were both visible; under
+    the generation pointer a pre-flip reader sees exactly the old
+    history, a post-flip reader exactly the new."""
+    engine.upsert("hiso", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    seen = {}
+    orig = Engine._manifest_flip
+
+    def spy(self, path, old_raw, gen, dirs):
+        if "pre" not in seen:
+            seen["pre"] = sorted(
+                (r["col_1"], str(r["_end"]))
+                for r in engine.find("hiso", "_oid == 1", date="~",
+                                     fields="col_1").collect())
+        return orig(self, path, old_raw, gen, dirs)
+
+    rows = [(1, 1, "2013-01-01", "2013-06-01"), (1, 2, "2013-06-01", None)]
+    hist = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
+    monkeypatch.setattr(Engine, "_manifest_flip", spy)
+    engine.upsert("hiso", stamp(hist, oid="oid", start="s", end="e"),
+                  autosnap=False, stamped=True)
+    monkeypatch.undo()
+    # pre-flip: exactly the old single-version history (new rows were on
+    # disk already)
+    assert [c for c, _ in seen["pre"]] == [10]
+    # post-flip: exactly the new 2-version history
+    got = sorted(r["col_1"] for r in
+                 engine.find("hiso", "_oid == 1", date="~").collect())
+    assert got == [1, 2]
+    assert engine.count("hiso", date="~") == 3  # oid 2 untouched
+
+
+def test_reader_mid_insert_sees_single_generation(spark, engine,
+                                                  monkeypatch):
+    engine.insert("ains", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    seen = {}
+    orig = Engine._manifest_flip
+
+    def spy(self, path, old_raw, gen, dirs):
+        if gen > 1 and "pre" not in seen:
+            seen["pre"] = engine.count("ains", date="~")
+        return orig(self, path, old_raw, gen, dirs)
+
+    monkeypatch.setattr(Engine, "_manifest_flip", spy)
+    engine.insert("ains", _objs(spark, [(2, 20)], "2014-02-01"),
+                  stamped=True)
+    monkeypatch.undo()
+    assert seen["pre"] == 1
+    assert engine.count("ains", date="~") == 2
+
+
+def test_manifest_cas_detects_zombie_writer(spark, engine, monkeypatch):
+    """A manifest that changed between the operation's read and its flip
+    (a TTL-expired zombie writer racing us) must abort the commit loudly
+    instead of silently clobbering the other writer's generation."""
+    from metrique_spark.engine import ConcurrentWriteError
+
+    engine.upsert("zc", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    orig = Engine._manifest_flip
+
+    def racing(self, path, old_raw, gen, dirs):
+        if old_raw is not None:
+            # zombie writer bumps the pointer right before our CAS
+            p = self.fs.join(path, self._MANIFEST_SIDECAR)
+            self.fs.write_text(p, old_raw + " ")
+        return orig(self, path, old_raw, gen, dirs)
+
+    monkeypatch.setattr(Engine, "_manifest_flip", racing)
+    with pytest.raises(ConcurrentWriteError, match="manifest"):
+        engine.upsert("zc", _objs(spark, [(1, 11)], "2014-02-01"),
+                      stamped=True)
