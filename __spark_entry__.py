@@ -1497,6 +1497,22 @@ def events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_paths(ev, k=3)
 
 
+def events_paths_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bot-skew-stressed path analysis: ~90% of events remapped to one
+    user (the crawler/bot shape). Exercises event_paths' per-(user,
+    salt) pre-prune — the dominant user is sorted across salt tasks and
+    contributes ≤ k·salts rows to the global window instead of one
+    giant sorted task."""
+    _utc(spark)
+    from metrique_spark.streaming.events import event_paths
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 != 0, F.lit(-1))
+        .otherwise(F.col("user_id")))
+    return event_paths(ev, k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1610,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": text_tfidf_top_terms,
         "diag_key_skew": diag_key_skew,
         "events_paths": events_paths,
+        "events_paths_skew": events_paths_skew,
     }
 
 
@@ -3013,6 +3030,22 @@ def oracle_sql() -> dict[str, str]:
            CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_keys AS BIGINT) AS n_keys
     FROM c, t ORDER BY cnt DESC, key LIMIT 15
+""",
+        "events_paths_skew": """
+    WITH e AS (
+        SELECT CASE WHEN user_id % 10 != 0 THEN -1 ELSE user_id END
+                   AS user_id,
+               event_type, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM e
+    ),
+    p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
 """,
         "events_paths": """
     WITH r AS (

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_bpe_merges",
     "text_bpe_token_counts",
     "events_transitions",
+    "events_paths_skew",
     "text_normalize",
     "text_winnow_fingerprints",
     "sim_knn_classify",

@@ -1012,6 +1012,7 @@ def event_paths(
     ts_col: str = "ts",
     id_col: str = "event_id",
     min_users: int = 1,
+    prune_salts: int = 32,
 ) -> DataFrame:
     """Path analysis: the distribution of each user's FIRST ``k`` event
     types in arrival order — "what do journeys look like before users
@@ -1021,18 +1022,31 @@ def event_paths(
     Ordering is (ts, event_id) — the id breaks same-timestamp ties so
     the path is deterministic under any partitioning.
 
-    Scale shape: one shuffle on user for the row_number window; the
-    ≤k-rows-per-user survivor set groups on the SAME key (Spark reuses
-    the window's hash partitioning — no second user exchange, pinned in
-    tests), building the path with ``array_sort(collect(struct(rn,
-    type)))`` over at most k elements; the final path count is
-    map-combinable. Per-user state is bounded by k everywhere — a bot
-    with 10M events contributes k rows past the window filter."""
+    Scale shape, bot-skew-safe: a per-(user, salt) pre-prune window
+    first — the global first-k is a subset of the union of per-subset
+    first-k's, so rows beyond local rank k can never rank ≤ k globally —
+    with a deterministic event-id hash salt spreading one user across
+    ``prune_salts`` tasks. A 10M-event bot therefore costs 10M/salts
+    rows per sort task and contributes ≤ k·salts rows to the global
+    user window, instead of one 10M-row sorted task. The survivor
+    groupBy reuses the global window's hash partitioning (no extra
+    user exchange); path building is ``array_sort(collect(struct(rn,
+    type)))`` over ≤ k elements and the final path count is
+    map-combinable."""
     from pyspark.sql import Window
 
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(prune_salts))
+    lw = Window.partitionBy(user_col, "__salt").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    pruned = (events
+              .withColumn("__salt", salt)
+              .withColumn("__lrn", F.row_number().over(lw))
+              .where(F.col("__lrn") <= k)
+              .drop("__salt", "__lrn"))
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc())
-    firstk = (events
+    firstk = (pruned
               .select(F.col(user_col).alias("u"),
                       F.col(type_col).alias("t"),
                       F.row_number().over(w).alias("rn"))

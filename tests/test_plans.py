@@ -369,3 +369,29 @@ def test_round6_entries_bounded_no_cartesian(spark, name, max_ex):
     release(df)
     assert not audit.has_cartesian(p)
     assert audit.count_exchanges(p) <= max_ex, audit.count_exchanges(p)
+
+
+def test_event_paths_pre_prunes_before_global_window(spark):
+    """Bot-skew bound: event_paths must run a per-(user, salt) pre-prune
+    window BEFORE the global per-user window, so a user owning most of
+    the stream is sorted across salt tasks and contributes <= k*salts
+    rows to the global window — never one giant sorted task. Pin: two
+    window operators, the first keyed by the salt."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark.streaming.events import event_paths
+
+    ev = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, "e%d" % (i % 4), i) for i in range(200)],
+        "event_id long, user_id long, event_type string, __ord long"
+    ).withColumn("ts", F.timestamp_micros(F.col("__ord") * 1000000)) \
+     .drop("__ord")
+    out = event_paths(ev, k=3, prune_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan
+    # and the salted prune is lossless: equals the unsalted single-window
+    # reference on this fixture
+    ref = event_paths(ev, k=3, prune_salts=1)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, ref.collect()))
