@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from metrique_spark import temporal, upsert as _upsert
 from metrique_spark.fs import FileSystem, LeaseHeldError, LeaseLock, LocalFS
-from metrique_spark.mql import compile_mql, date_range_predicate, parse_fields
+from metrique_spark.mql import (compile_mql, date_is_current_only,
+                                date_range_predicate,
+                                date_start_upper_bound, parse_fields,
+                                to_timestamp_lit)
 from metrique_spark.objects import stamp, validate
 
 # default fields always appended to explicit projections
@@ -45,7 +48,8 @@ class Engine:
                  auto_compact_batches: int | None = None,
                  fs: FileSystem | None = None,
                  lock_ttl: float | None = None,
-                 oid_buckets: int = 16):
+                 oid_buckets: int = 16,
+                 time_partition: str | None = None):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -67,6 +71,21 @@ class Engine:
         # identically; raise it (e.g. 1024) for cubes whose history is
         # genuinely huge.
         self.oid_buckets = oid_buckets
+        # optional third partition level for NEW cubes: a ``__stime``
+        # period key derived from ``_start`` (``"month"`` → yyyy-MM,
+        # ``"year"`` → yyyy). At 100 TB of history an as-of or
+        # date-range read otherwise scans every closed-version file;
+        # with the period key the date spec's ``_start < U`` bound
+        # partition-prunes to periods ``<= period(U)`` and the
+        # current-only spec prunes to ``_current=true`` alone. Recorded
+        # in ``_layout.json`` (with the writing session's timezone —
+        # period strings are wall-clock renderings) so every later
+        # writer partitions identically.
+        if time_partition not in (None, "month", "year"):
+            raise ValueError(
+                f"time_partition must be None, 'month' or 'year', "
+                f"got {time_partition!r}")
+        self.time_partition = time_partition
         # when set, a snapshot upsert that leaves more than this many
         # __batch directories in a cube's history partition triggers
         # compact() — bounds the small-files growth of long-running
@@ -127,8 +146,8 @@ class Engine:
 
     def _read(self, path: str) -> DataFrame:
         df = self._read_raw(path)
-        # internal commit-batch / oid-bucket keys, not data
-        return df.drop(*[c for c in ("__batch", "__obucket")
+        # internal commit-batch / oid-bucket / period keys, not data
+        return df.drop(*[c for c in ("__batch", "__obucket", "__stime")
                          if c in df.columns])
 
     def table(self, cube: str) -> DataFrame:
@@ -253,11 +272,13 @@ class Engine:
 
     _LAYOUT_SIDECAR = "_layout.json"
 
-    def _cube_buckets(self, path: str) -> int | None:
-        """The cube's recorded oid-bucket count, or None for the legacy
-        unbucketed ``(_current, __batch)`` layout. Writers must use the
-        RECORDED value — bucketing with a different modulus would prune
-        the wrong directories on a later history import.
+    def _cube_layout(self, path: str) -> dict | None:
+        """The cube's recorded layout sidecar (oid-bucket count + time
+        partition), or None for the legacy unsidecared
+        ``(_current, __batch)`` layout. Writers must use the RECORDED
+        values — bucketing with a different modulus or a different
+        period key would prune the wrong directories on a later
+        history import.
 
         An unreadable sidecar raises instead of falling back to legacy:
         a writer that silently treated a bucketed cube as legacy would
@@ -266,28 +287,67 @@ class Engine:
         import json
 
         p = self.fs.join(path, self._LAYOUT_SIDECAR)
-        if self.fs.isfile(p):
-            try:
-                meta = json.loads(self.fs.read_text(p))
-            except ValueError as e:
-                raise RuntimeError(
-                    f"unreadable layout sidecar {p!r}: {e} — refusing to "
-                    "fall back to the legacy layout (mixed partition "
-                    "levels would corrupt the cube); repair or remove "
-                    "the sidecar explicitly") from e
-            if not isinstance(meta, dict):
-                raise RuntimeError(
-                    f"layout sidecar {p!r} is not a JSON object "
-                    f"(got {type(meta).__name__}) — refusing legacy "
-                    "fallback; repair or remove the sidecar explicitly")
-            return meta.get("oid_buckets")
-        return None
+        if not self.fs.isfile(p):
+            return None
+        try:
+            meta = json.loads(self.fs.read_text(p))
+        except ValueError as e:
+            raise RuntimeError(
+                f"unreadable layout sidecar {p!r}: {e} — refusing to "
+                "fall back to the legacy layout (mixed partition "
+                "levels would corrupt the cube); repair or remove "
+                "the sidecar explicitly") from e
+        if not isinstance(meta, dict):
+            raise RuntimeError(
+                f"layout sidecar {p!r} is not a JSON object "
+                f"(got {type(meta).__name__}) — refusing legacy "
+                "fallback; repair or remove the sidecar explicitly")
+        return meta
 
-    def _write_layout(self, path: str, buckets: int) -> None:
+    def _cube_buckets(self, path: str) -> int | None:
+        meta = self._cube_layout(path)
+        return meta.get("oid_buckets") if meta else None
+
+    def _session_tz(self) -> str:
+        return self.spark.conf.get("spark.sql.session.timeZone")
+
+    def _cube_timepart(self, path: str,
+                       for_write: bool = False) -> str | None:
+        """The cube's recorded time-partition granularity, or None.
+
+        ``__stime`` values are wall-clock renderings of the ``_start``
+        instant in the WRITING session's timezone, so the recorded
+        timezone is part of the layout contract: a WRITER whose session
+        timezone differs would file rows into periods inconsistent with
+        the existing directories (raise loud); a READER whose timezone
+        differs must simply skip pruning (the data predicate on
+        ``_start``/``_end`` is timezone-exact either way)."""
+        meta = self._cube_layout(path)
+        tp = meta.get("time_partition") if meta else None
+        if tp is None:
+            return None
+        tz = meta.get("time_zone")
+        if tz != self._session_tz():
+            if for_write:
+                raise RuntimeError(
+                    f"cube at {path!r} is time-partitioned in timezone "
+                    f"{tz!r} but the session timezone is "
+                    f"{self._session_tz()!r} — writing would file rows "
+                    "into inconsistent period directories; set "
+                    "spark.sql.session.timeZone to the cube's zone")
+            return None
+        return tp
+
+    def _write_layout(self, path: str, buckets: int,
+                      timepart: str | None = None) -> None:
         import json
 
+        meta: dict = {"oid_buckets": buckets}
+        if timepart:
+            meta["time_partition"] = timepart
+            meta["time_zone"] = self._session_tz()
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
-                           json.dumps({"oid_buckets": buckets}))
+                           json.dumps(meta))
 
     # -- generation-pointer manifest (snapshot-isolated commits) -------------
     #
@@ -352,35 +412,44 @@ class Engine:
         superseded by this commit, or stranded by a crashed one. Runs
         AFTER the flip, under the writer lease. Listing here is safe —
         only the writer lists; readers never do."""
-        for cur in self.fs.listdir(path):
-            if not cur.startswith("_current="):
-                continue
-            curp = self.fs.join(path, cur)
-            for d in self.fs.listdir(curp):
-                full = self.fs.join(curp, d)
+        def walk(dirpath: str, rel: str) -> None:
+            for d in self.fs.listdir(dirpath):
+                full = self.fs.join(dirpath, d)
+                r = f"{rel}/{d}"
                 if d.startswith("__batch="):
-                    if f"{cur}/{d}" not in keep:
+                    if r not in keep and self.fs.isdir(full):
                         self.fs.delete_dir(full)
-                elif d.startswith("__obucket="):
-                    for b in self.fs.listdir(full):
-                        if (b.startswith("__batch=")
-                                and f"{cur}/{d}/{b}" not in keep):
-                            self.fs.delete_dir(self.fs.join(full, b))
+                elif (d.startswith(("__obucket=", "__stime="))
+                        and self.fs.isdir(full)):
+                    walk(full, r)
 
-    def _written_relpaths(self, out: DataFrame,
-                          buckets: int | None) -> set[str]:
+        for cur in self.fs.listdir(path):
+            if cur.startswith("_current="):
+                walk(self.fs.join(path, cur), cur)
+
+    def _written_relpaths(self, out: DataFrame, buckets: int | None,
+                          timepart: str | None = None) -> set[str]:
         """Manifest-relative directory paths a partitioned write of
         ``out`` produces — computed from the DATA (one small distinct
         over the partition columns), not from a listing."""
-        cols = self._partition_keys(buckets)
+        cols = self._partition_keys(buckets, timepart)
         rels = set()
         for r in out.select(*cols).distinct().collect():
-            cur = f"_current={str(bool(r['_current'])).lower()}"
-            if buckets:
-                rels.add(f"{cur}/__obucket={r['__obucket']}"
-                         f"/__batch={r['__batch']}")
-            else:
-                rels.add(f"{cur}/__batch={r['__batch']}")
+            parts = []
+            for c in cols:
+                v = r[c]
+                if c == "_current":
+                    v = str(bool(v)).lower()
+                elif v is None:
+                    # a null partition value lands in the Hive default
+                    # dir, which the period-prune predicate cannot
+                    # reason about — refuse before the manifest flip
+                    # (the stranded write is unreferenced and swept)
+                    raise ValueError(
+                        f"null {c} partition value (null _start?) — "
+                        "time-partitioned cubes require non-null _start")
+                parts.append(f"{c}={v}")
+            rels.add("/".join(parts))
         return rels
 
     @staticmethod
@@ -418,14 +487,33 @@ class Engine:
         return F.pmod(F.xxhash64(F.col("_oid").cast("string")),
                       F.lit(buckets)).cast("int")
 
-    def _partition_keys(self, buckets: int | None) -> list[str]:
-        return (["_current", "__obucket", "__batch"] if buckets
-                else ["_current", "__batch"])
+    @staticmethod
+    def _stime_col(timepart: str):
+        """Scan-stage period expression for the ``__stime`` partition
+        key — a wall-clock rendering of ``_start`` in the session
+        timezone (the layout sidecar pins the zone). Zero-padded
+        ``yyyy-MM``/``yyyy`` strings compare lexicographically in date
+        order, which is what the prune predicate relies on."""
+        return F.date_format(
+            F.col("_start"), "yyyy-MM" if timepart == "month" else "yyyy")
+
+    def _partition_keys(self, buckets: int | None,
+                        timepart: str | None = None) -> list[str]:
+        # __stime sits BELOW __obucket: the bounded history import
+        # identifies a hit bucket by the relpath's second component
+        keys = ["_current"]
+        if buckets:
+            keys.append("__obucket")
+        if timepart:
+            keys.append("__stime")
+        keys.append("__batch")
+        return keys
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True,
         buckets: int | None = None, open_batch: str = "open",
         hist_batch: str = "hist", collect_dirs: bool = False,
+        timepart: str | None = None,
     ) -> set[str] | None:
         out = df.withColumn("_current", F.col("_end").isNull())
         # second-level __batch partition key: open rows live in one fixed
@@ -442,13 +530,16 @@ class Engine:
         )
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
+        if timepart:
+            out = out.withColumn("__stime", self._stime_col(timepart))
         (
             out.write.mode(mode)
-            .partitionBy(*self._partition_keys(buckets))
+            .partitionBy(*self._partition_keys(buckets, timepart))
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
-        return self._written_relpaths(out, buckets) if collect_dirs else None
+        return (self._written_relpaths(out, buckets, timepart)
+                if collect_dirs else None)
 
     def _batch_token(self, closed: DataFrame) -> str | None:
         """Deterministic content token for a closed-row batch, or None
@@ -470,7 +561,7 @@ class Engine:
 
     def _write_closed_batch(
         self, closed: DataFrame, path: str, buckets: int | None = None,
-        live: set[str] | None = None,
+        live: set[str] | None = None, timepart: str | None = None,
     ) -> tuple[str | None, set[str]]:
         """Write newly-closed rows into a history partition keyed by a
         deterministic content token: retrying the same merge overwrites the
@@ -486,20 +577,23 @@ class Engine:
                .withColumn("__batch", F.lit(token)))
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
-        rels = self._written_relpaths(out, buckets)
+        if timepart:
+            out = out.withColumn("__stime", self._stime_col(timepart))
+        rels = self._written_relpaths(out, buckets, timepart)
         if live is not None and rels and rels <= live:
             return token, rels
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*self._partition_keys(buckets))
+            .partitionBy(*self._partition_keys(buckets, timepart))
             .parquet(path)
         )
         return token, rels
 
     def _write_open(self, new_open: DataFrame, path: str,
                     buckets: int | None = None,
-                    open_batch: str = "open") -> set[str]:
+                    open_batch: str = "open",
+                    timepart: str | None = None) -> set[str]:
         """Dynamically overwrite the open partition(s). Manifested cubes
         pass a generation-scoped batch name so the write lands in fresh
         directories instead of mutating the live open partition."""
@@ -507,13 +601,15 @@ class Engine:
                .withColumn("__batch", F.lit(open_batch)))
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
+        if timepart:
+            out = out.withColumn("__stime", self._stime_col(timepart))
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*self._partition_keys(buckets))
+            .partitionBy(*self._partition_keys(buckets, timepart))
             .parquet(path)
         )
-        return self._written_relpaths(out, buckets)
+        return self._written_relpaths(out, buckets, timepart)
 
     def compact(self, cube: str, target_partitions: int | None = None) -> int:
         """Consolidate the history partition's per-upsert-batch directories.
@@ -555,11 +651,13 @@ class Engine:
         # plan reads from
         closed = closed.localCheckpoint(eager=True)
         buckets = self._cube_buckets(path)
+        timepart = self._cube_timepart(path, for_write=True)
         if meta is not None:
             gen = meta["gen"] + 1
             live = set(meta["dirs"])
             _, rels = self._write_closed_batch(closed, path,
-                                               buckets=buckets, live=live)
+                                               buckets=buckets, live=live,
+                                               timepart=timepart)
             dirs = ({d for d in live if d.startswith("_current=true")}
                     | rels)
             self._manifest_flip(path, raw, gen, dirs)
@@ -600,10 +698,11 @@ class Engine:
         is the commit point — until it lands, readers see nothing and a
         retry rewrites the same gen-1 directories."""
         buckets = self.oid_buckets
-        self._write_layout(path, buckets)
+        self._write_layout(path, buckets, self.time_partition)
         dirs = self._write_partitioned(
             obj, path, "overwrite", buckets=buckets,
-            open_batch="open-g1", hist_batch="hist-g1", collect_dirs=True)
+            open_batch="open-g1", hist_batch="hist-g1", collect_dirs=True,
+            timepart=self.time_partition)
         self._manifest_flip(path, None, 1, dirs)
         self._sweep_unreferenced(path, dirs)
 
@@ -621,6 +720,7 @@ class Engine:
                 self._first_write(path, obj)
                 return
             buckets = self._cube_buckets(path)
+            timepart = self._cube_timepart(path, for_write=True)
             self._check_oid_type(self._read(path), obj)
             if state == "legacy":
                 self._write_partitioned(obj, path, "append", buckets=buckets)
@@ -633,7 +733,7 @@ class Engine:
             new_dirs = self._write_partitioned(
                 obj, path, "overwrite", buckets=buckets,
                 open_batch=f"ins-g{gen}", hist_batch=f"insh-g{gen}",
-                collect_dirs=True)
+                collect_dirs=True, timepart=timepart)
             dirs = set(meta["dirs"]) | new_dirs
             self._manifest_flip(path, raw, gen, dirs)
             self._sweep_unreferenced(path, dirs)
@@ -660,6 +760,7 @@ class Engine:
             self._first_write(path, incoming)
             return
         buckets = self._cube_buckets(path)
+        timepart = self._cube_timepart(path, for_write=True)
         table = self._read(path)
         self._check_oid_type(table, incoming)
         cols = [c for c in table.columns if c != "_current"]
@@ -683,10 +784,11 @@ class Engine:
                 gen = meta["gen"] + 1
                 live = set(meta["dirs"])
                 _, closed_rels = self._write_closed_batch(
-                    closed, path, buckets=buckets, live=live)
+                    closed, path, buckets=buckets, live=live,
+                    timepart=timepart)
                 open_rels = self._write_open(
                     new_open, path, buckets=buckets,
-                    open_batch=f"open-g{gen}")
+                    open_batch=f"open-g{gen}", timepart=timepart)
                 dirs = ({d for d in live if not d.startswith("_current=true")}
                         | closed_rels | open_rels)
                 self._manifest_flip(path, raw, gen, dirs)
@@ -706,7 +808,8 @@ class Engine:
                     self.compact(cube)
         elif meta is not None:
             self._history_replace_manifested(
-                path, incoming.select(*cols), cols, buckets, meta, raw)
+                path, incoming.select(*cols), cols, buckets, meta, raw,
+                timepart=timepart)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
@@ -728,6 +831,7 @@ class Engine:
     def _history_replace_manifested(
         self, path: str, incoming: DataFrame, cols: list[str],
         buckets: int | None, meta: dict, raw_manifest: str,
+        timepart: str | None = None,
     ) -> None:
         """Bounded, snapshot-isolated history import: rewrite ONLY the
         oid-bucket directories containing incoming oids (reference
@@ -755,7 +859,7 @@ class Engine:
         incoming = incoming.localCheckpoint(eager=True)
         gen = meta["gen"] + 1
         live = set(meta["dirs"])
-        part_cols = self._partition_keys(buckets)
+        part_cols = self._partition_keys(buckets, timepart)
         raw = self._read_raw(path)
         if buckets:
             ob = self._obucket(buckets)
@@ -782,6 +886,8 @@ class Engine:
             .otherwise(F.lit(f"hr-g{gen}")))
         if buckets:
             union = union.withColumn("__obucket", self._obucket(buckets))
+        if timepart:
+            union = union.withColumn("__stime", self._stime_col(timepart))
         union = union.select(*cols, *part_cols).localCheckpoint(eager=True)
         (
             union.write.mode("overwrite")
@@ -789,7 +895,7 @@ class Engine:
             .partitionBy(*part_cols)
             .parquet(path)
         )
-        new_rels = self._written_relpaths(union, buckets)
+        new_rels = self._written_relpaths(union, buckets, timepart)
         dirs = (live - replaced_dirs) | new_rels
         self._manifest_flip(path, raw_manifest, gen, dirs)
         self._sweep_unreferenced(path, dirs)
@@ -831,23 +937,44 @@ class Engine:
         oids = list(oids) if oids is not None else None
         if isinstance(cube, DataFrame):
             df = cube
-        elif oids and cube not in self._views and self.warehouse:
-            # point lookup on a bucketed cube: turn the oid list into
-            # literal __obucket partition values so the scan PRUNES to
-            # the ~|oids|/N of the table that can contain them — at
-            # 100 TB this is the difference between reading a few
-            # directories and reading the table (the _oid filter alone
-            # cannot prune: the bucket is a hash Spark doesn't invert)
+        elif cube in self._views or not self.warehouse:
+            df = self.table(cube)
+        else:
+            # warehouse cube: express every prune the date spec / oid
+            # list implies as a predicate on the PARTITION columns
+            # before dropping them, so the parquet scan skips whole
+            # directories instead of filtering rows
             path = self._path(cube)
             buckets = self._cube_buckets(path)
             raw = self._read_raw(path)
-            if buckets and "__obucket" in raw.columns:
+            if oids and buckets and "__obucket" in raw.columns:
+                # point lookup: turn the oid list into literal __obucket
+                # partition values so the scan PRUNES to the ~|oids|/N
+                # of the table that can contain them — at 100 TB this is
+                # the difference between reading a few directories and
+                # reading the table (the _oid filter alone cannot prune:
+                # the bucket is a hash Spark doesn't invert)
                 raw = raw.where(F.col("__obucket").isin(
                     self._oid_bucket_values(oids, buckets)))
-            df = raw.drop(*[c for c in ("__batch", "__obucket")
+            if "__stime" in raw.columns:
+                # time-partitioned layout: the date spec's strict
+                # ``_start < U`` bound prunes periods AFTER period(U).
+                # Skipped (not wrong) when the session timezone differs
+                # from the layout's recorded zone.
+                tp = self._cube_timepart(path)
+                hi = date_start_upper_bound(date)
+                if tp and hi is not None:
+                    bound = F.date_format(
+                        to_timestamp_lit(hi),
+                        "yyyy-MM" if tp == "month" else "yyyy")
+                    raw = raw.where((F.col("__stime") <= bound)
+                                    | F.col("__stime").isNull())
+            if date_is_current_only(date) and "_current" in raw.columns:
+                # current-versions-only spec: the open snapshot lives
+                # entirely under _current=true — skip every history dir
+                raw = raw.where(F.col("_current"))
+            df = raw.drop(*[c for c in ("__batch", "__obucket", "__stime")
                             if c in raw.columns])
-        else:
-            df = self.table(cube)
         if oids is not None:
             # empty list short-circuits: no rows match, and building the
             # bucket-lookup frame from zero rows cannot infer a schema

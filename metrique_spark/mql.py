@@ -103,6 +103,36 @@ def date_range_predicate(date: str | None) -> Column | None:
     return before(hi) & after(lo)
 
 
+def date_start_upper_bound(date: str | None) -> str | None:
+    """The strict upper bound U the date spec places on ``_start``
+    (every matching row has ``_start < U``), or None when the spec
+    leaves ``_start`` unbounded. Drives partition pruning on cubes laid
+    out with a ``_start``-derived time partition (engine
+    ``time_partition``): a row in period P can satisfy ``_start < U``
+    only if ``P <= period(U)``, so the scan skips later periods
+    entirely. Mirrors ``date_range_predicate``'s grammar exactly."""
+    if isinstance(date, str):
+        date = date.strip()
+    if not date or date == "~":
+        return None
+    split = [s.strip() for s in date.split("~")]
+    if len(split) == 1:
+        return split[0]
+    if len(split) != 2:
+        raise MQLError(f"bad date range: {date!r}")
+    return split[1] or None
+
+
+def date_is_current_only(date: str | None) -> bool:
+    """True when the spec selects only CURRENT versions (``_end IS
+    NULL``) — the empty/None spec. Lets the engine prune the scan to the
+    ``_current=true`` partition (the open snapshot) instead of reading
+    every history directory and filtering on ``_end``'s column stats."""
+    if isinstance(date, str):
+        date = date.strip()
+    return not date
+
+
 # ---------------------------------------------------------------------------
 # the compiler
 

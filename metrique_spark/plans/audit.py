@@ -79,6 +79,18 @@ def pushed_filters(plan: str) -> list[str]:
     return out
 
 
+def partition_filters(plan: str) -> list[str]:
+    """Every non-empty PartitionFilters list on the scans, flattened —
+    the partition-pruning check (a filter here skips whole directories
+    before any file is opened)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
 def read_schemas(plan: str) -> list[str]:
     """ReadSchema struct strings of the file scans (column-pruning check).
     ReadSchema is the last metadata item on a scan line, so match to the

@@ -125,7 +125,8 @@ def test_crash_between_closed_and_open_writes_recovers(spark, engine, monkeypatc
     engine.upsert("cr", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"), stamped=True)
 
     # inject a crash AFTER the closed-row write, BEFORE the open write
-    def boom(self, df, path, buckets=None, open_batch="open"):
+    def boom(self, df, path, buckets=None, open_batch="open",
+             timepart=None):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_write_open", boom)
