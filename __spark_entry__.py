@@ -1255,6 +1255,47 @@ def text_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=6, lr=25.0, holdout_mod=7)
 
 
+def _softmax_langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shared scorer for the two softmax entries: K-class lang-id on
+    hashed-token features, trained on doc_id % 7 != 0, scored on the
+    held-out % 7 == 0 slice. Class ids are the dense rank of the
+    language code (broadcast 5-row mapping), so both engines derive
+    identical labels from the data."""
+    _utc(spark)
+    from metrique_spark.functions.classifier import softmax_classifier_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    langs = (d.select("lang").distinct().withColumn(
+        "cls", (F.dense_rank().over(Window.orderBy("lang")) - 1)
+        .cast("int")))
+    k = langs.count()
+    lab = d.join(F.broadcast(langs), "lang").select("doc_id", "text", "cls")
+    return softmax_classifier_scores(
+        lab, "cls", k, n_buckets=32, len_cap=50, iters=4, lr=25.0,
+        holdout_mod=7)
+
+
+def text_softmax_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi-class softmax lang-id classifier (classifier.py
+    train_softmax): the K-class generalization of the binary logreg —
+    driver-resident K×(B+1) weights, map-only scoring passes, ONE
+    (class, dimension)-keyed combinable gradient shuffle per iteration,
+    max-shifted decimal-summed softmax so probabilities replay
+    bit-identically. The oracle unrolls the full training trajectory as
+    chained CTEs and scores the holdout."""
+    return _softmax_langid_scored(spark, sf_dir)
+
+
+def text_softmax_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-class evaluation rollup of the holdout softmax scores
+    (classifier.py softmax_eval): support / correct / accuracy per TRUE
+    class — the per-class quality view a language router needs (macro
+    accuracy hides a collapsed minority class)."""
+    from metrique_spark.functions.classifier import softmax_eval
+
+    return softmax_eval(_softmax_langid_scored(spark, sf_dir))
+
+
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-shaped end-to-end curation decision table (curation.py
     curate_corpus): Gopher gate (word bounds 20..100k; the English
@@ -1598,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": pipeline_curate,
         "text_quality_classifier": text_quality_classifier,
         "text_classifier_holdout": text_classifier_holdout,
+        "text_softmax_langid": text_softmax_langid,
+        "text_softmax_eval": text_softmax_eval,
         "text_bpe_merges": text_bpe_merges,
         "text_bpe_token_counts": text_bpe_token_counts,
         "events_retention": events_retention,
@@ -2633,6 +2676,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _CURATE_ORACLE,
         "text_quality_classifier": _LOGREG_ORACLE,
         "text_classifier_holdout": _LOGREG_HOLDOUT_ORACLE,
+        "text_softmax_langid": _SOFTMAX_ORACLE,
+        "text_softmax_eval": _SOFTMAX_EVAL_ORACLE,
         "text_bpe_merges": _BPE_ORACLE,
         "text_bpe_token_counts": _BPE_SEGMENT_ORACLE,
         "events_transitions": """
@@ -3452,6 +3497,127 @@ def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
 
 _LOGREG_ORACLE = _logreg_oracle()
 _LOGREG_HOLDOUT_ORACLE = _logreg_oracle(holdout_mod=7)
+
+
+def _softmax_iter_ctes(i: int, lr: float) -> str:
+    """one softmax GD iteration: per-(doc, class) decimal dots, rounded
+    z, max-shifted rounded exponentials, decimal-summed normalizer,
+    rounded probabilities, then the (class, dim) gradient — the exact
+    expressions classifier.py's train_softmax evaluates on Spark."""
+    return f"""
+    d{i} AS (
+        SELECT f.doc_id, w.k,
+               CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM featr f JOIN w{i - 1} w USING (j) GROUP BY 1, 2
+    ),
+    z{i} AS (SELECT d.doc_id, d.k, round(d.dot + b.b, 6) AS z
+             FROM d{i} d JOIN b{i - 1} b ON b.k = d.k),
+    m{i} AS (SELECT doc_id, max(z) AS m FROM z{i} GROUP BY doc_id),
+    e{i} AS (SELECT z.doc_id, z.k, round(exp(z - m), 8) AS e
+             FROM z{i} z JOIN m{i} USING (doc_id)),
+    t{i} AS (SELECT doc_id,
+                    CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE) AS t
+             FROM e{i} GROUP BY doc_id),
+    p{i} AS (SELECT e.doc_id, e.k, round(e / t, 8) AS p
+             FROM e{i} e JOIN t{i} USING (doc_id)),
+    er{i} AS MATERIALIZED (
+        SELECT p.doc_id, p.k,
+               p - CASE WHEN lab.y = p.k THEN 1.0 ELSE 0.0 END AS err
+        FROM p{i} p JOIN lab USING (doc_id)
+    ),
+    g{i} AS (SELECT e.k, f.j,
+                    CAST(sum(CAST(err * x AS DECIMAL(38,12))) AS DOUBLE) AS g
+             FROM er{i} e JOIN featr f USING (doc_id) GROUP BY e.k, f.j),
+    gb{i} AS (SELECT k, CAST(sum(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS g
+              FROM er{i} GROUP BY k),
+    w{i} AS MATERIALIZED (
+        SELECT w.k, w.j,
+               round(w.w - {lr} * (coalesce(g.g, 0.0)
+                                   / (SELECT n FROM nn)), 8) AS w
+        FROM w{i - 1} w LEFT JOIN g{i} g ON g.k = w.k AND g.j = w.j),
+    b{i} AS MATERIALIZED (
+        SELECT b.k,
+               round(b.b - {lr} * (coalesce(g.g, 0.0)
+                                   / (SELECT n FROM nn)), 8) AS b
+        FROM b{i - 1} b LEFT JOIN gb{i} g USING (k))"""
+
+
+def _softmax_oracle(n_buckets: int = 32, len_cap: int = 50,
+                    n_classes: int = 5, iters: int = 4, lr: float = 25.0,
+                    holdout_mod: int = 7,
+                    eval_rollup: bool = False) -> str:
+    train_w = f" WHERE doc_id % {holdout_mod} != 0"
+    score_w = f" WHERE doc_id % {holdout_mod} = 0"
+    base = f"""
+    cls AS (SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1
+                              AS BIGINT) AS k
+            FROM (SELECT DISTINCT lang FROM documents)),
+    lab AS MATERIALIZED (
+        SELECT doc_id, CAST(c.k AS DOUBLE) AS y
+        FROM documents d JOIN cls c USING (lang)),
+    occ AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    bc AS (SELECT doc_id,
+                  ('0x' || substr(md5(token), 1, 15))::BIGINT
+                      % {n_buckets} AS j,
+                  count(*) AS c
+           FROM occ GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS t FROM bc GROUP BY 1),
+    feat AS MATERIALIZED (
+        SELECT bc.doc_id, bc.j, round(c / CAST(t AS DOUBLE), 6) AS x
+        FROM bc JOIN tot USING (doc_id)
+        UNION ALL
+        SELECT doc_id, {n_buckets} AS j,
+               round(least(t / {float(len_cap)}, 1.0), 6) AS x
+        FROM tot
+    ),
+    featr AS MATERIALIZED (SELECT * FROM feat{train_w}),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM tot{train_w}),
+    w0 AS (SELECT kk.k, jj.j, 0.0 AS w
+           FROM (SELECT unnest(range({n_classes})) AS k) kk,
+                (SELECT unnest(range({n_buckets + 1})) AS j) jj),
+    b0 AS (SELECT unnest(range({n_classes})) AS k, 0.0 AS b)"""
+    parts = [base]
+    parts.extend(_softmax_iter_ctes(i, lr) for i in range(1, iters + 1))
+    parts.append(f"""
+    feats AS (SELECT * FROM feat{score_w}),
+    df AS (
+        SELECT f.doc_id, w.k,
+               CAST(sum(CAST(w.w * f.x AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM feats f JOIN w{iters} w USING (j) GROUP BY 1, 2
+    ),
+    zf AS (SELECT d.doc_id, d.k, round(d.dot + b.b, 6) AS z
+           FROM df d JOIN b{iters} b ON b.k = d.k),
+    mf AS (SELECT doc_id, max(z) AS m FROM zf GROUP BY doc_id),
+    ef AS (SELECT z.doc_id, z.k, round(exp(z - m), 8) AS e
+           FROM zf z JOIN mf USING (doc_id)),
+    tf AS (SELECT doc_id,
+                  CAST(sum(CAST(e AS DECIMAL(38,12))) AS DOUBLE) AS t
+           FROM ef GROUP BY doc_id),
+    pf AS (SELECT e.doc_id, e.k, round(e / t, 8) AS p
+           FROM ef e JOIN tf USING (doc_id)),
+    mx AS (SELECT doc_id, max(p) AS prob FROM pf GROUP BY doc_id),
+    pr AS (SELECT pf.doc_id, CAST(min(pf.k) AS INTEGER) AS pred
+           FROM pf JOIN mx ON pf.doc_id = mx.doc_id AND pf.p = mx.prob
+           GROUP BY pf.doc_id),
+    scored AS (
+        SELECT pr.doc_id, CAST(lab.y AS INTEGER) AS label,
+               pr.pred, mx.prob
+        FROM pr JOIN mx USING (doc_id) JOIN lab USING (doc_id))""")
+    q = "WITH " + ",".join(parts)
+    if eval_rollup:
+        return q + """
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM scored GROUP BY label"""
+    return q + """
+    SELECT doc_id, label, pred, prob FROM scored"""
+
+
+_SOFTMAX_ORACLE = _softmax_oracle()
+_SOFTMAX_EVAL_ORACLE = _softmax_oracle(eval_rollup=True)
 
 
 # --- composed CCNet-style curation pipeline oracle: replays the injected

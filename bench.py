@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "pipeline_curate",
     "text_quality_classifier",
     "text_classifier_holdout",
+    "text_softmax_langid",
     "text_bpe_merges",
     "text_bpe_token_counts",
     "events_transitions",

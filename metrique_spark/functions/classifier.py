@@ -180,6 +180,163 @@ def score_logreg(
                      (F.col("p") >= 0.5).alias("pred"))
 
 
+def _softmax_scored(feats: DataFrame, W: list, biases: list,
+                    z_decimals: int, e_decimals: int,
+                    p_decimals: int) -> DataFrame:
+    """Map-only K-class softmax scores under driver-resident weights
+    (K·(B+1) doubles riding in as literals). Reproducibility recipe,
+    mirroring the binary ``_scored``: per-class dots accumulate as
+    DECIMAL(38,12) (order-free), z is rounded, the max-shifted
+    exponentials are rounded then summed as DECIMAL (order-free), and
+    the final probabilities are rounded — so a SQL engine replaying the
+    same expressions produces bit-identical probabilities."""
+    n_classes = len(W)
+    zs = F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"),
+                    F.array(*[F.lit(float(v)) for v in W[k]]),
+                    lambda a, b: (a * b).cast(_DEC)),
+                F.lit(0).cast(_DEC),
+                lambda acc, t: (acc + t).cast(_DEC),
+            ).cast("double") + F.lit(float(biases[k])),
+            z_decimals)
+        for k in range(n_classes)])
+    sc = feats.select("id", "y", "x", zs.alias("zs"))
+    # max-shift before exp: keeps every exponential in (0, 1] so the
+    # fixed-decimal rounding below loses no dynamic range
+    m = F.array_max(F.col("zs"))
+    sc = sc.withColumn(
+        "es", F.transform(F.col("zs"),
+                          lambda z: F.round(F.exp(z - m), e_decimals)))
+    tot = F.aggregate(F.col("es"), F.lit(0).cast(_DEC),
+                      lambda acc, e: (acc + e.cast(_DEC)).cast(_DEC))
+    sc = sc.withColumn(
+        "ps", F.transform(F.col("es"),
+                          lambda e: F.round(e / tot.cast("double"),
+                                            p_decimals)))
+    return sc.drop("es", "zs")
+
+
+def train_softmax(
+    feats: DataFrame,
+    n_classes: int,
+    n_dims: int = 33,
+    iters: int = 2,
+    lr: float = 0.5,
+    w_decimals: int = 8,
+    z_decimals: int = 6,
+    e_decimals: int = 8,
+    p_decimals: int = 8,
+) -> tuple[list, list]:
+    """Full-batch GD for K-class softmax regression (multinomial
+    cross-entropy; dL/dz_k = p_k - [y == k], the direct multi-class
+    generalization of ``train_logreg``'s p - y). Returns
+    ``(W, biases)`` with ``W`` a K×n_dims list-of-lists. Per iteration:
+    one map-only scoring pass + ONE (class, dimension)-keyed gradient
+    shuffle whose K·(n_dims+1) decimal partials are map-side combined
+    and collected — the bias gradient rides along as dimension n_dims
+    with a constant 1.0 feature. The corpus never re-shuffles: weights
+    stay on the driver (K·(B+1) doubles), exactly the
+    driver-resident-state + map-only-scan scale pattern of the binary
+    classifier and kmeans."""
+    W = [[0.0] * n_dims for _ in range(n_classes)]
+    biases = [0.0] * n_classes
+    n = feats.count()
+    if n == 0:
+        raise ValueError("train_softmax: empty feature frame")
+    for _ in range(iters):
+        sc = _softmax_scored(feats, W, biases, z_decimals, e_decimals,
+                             p_decimals)
+        grad = (
+            sc.select("y", "x", F.posexplode("ps").alias("k", "pk"))
+            .withColumn("err", F.col("pk") -
+                        (F.col("y") == F.col("k")).cast("double"))
+            .select("k", "err", F.posexplode(
+                F.concat("x", F.array(F.lit(1.0)))).alias("j", "xj"))
+            .groupBy("k", "j")
+            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
+        ).collect()
+        g = {(r["k"], r["j"]): float(r["g"]) for r in grad}
+        W = [[_round_half_away(
+                W[k][j] - lr * (g.get((k, j), 0.0) / n), w_decimals)
+              for j in range(n_dims)] for k in range(n_classes)]
+        biases = [_round_half_away(
+            biases[k] - lr * (g.get((k, n_dims), 0.0) / n), w_decimals)
+            for k in range(n_classes)]
+    return W, biases
+
+
+def score_softmax(
+    feats: DataFrame,
+    W: list,
+    biases: list,
+    z_decimals: int = 6,
+    e_decimals: int = 8,
+    p_decimals: int = 8,
+) -> DataFrame:
+    """(id, label, pred, prob) under trained softmax weights — one
+    map-only pass. ``pred`` is the argmax class with the LOWEST-index
+    tie-break (``array_position`` returns the first occurrence), the
+    deterministic rule a SQL oracle mirrors as
+    ``min(k) WHERE p = max(p)``."""
+    sc = _softmax_scored(feats, W, biases, z_decimals, e_decimals,
+                         p_decimals)
+    return sc.select(
+        "id",
+        F.col("y").cast("int").alias("label"),
+        (F.array_position(F.col("ps"), F.array_max("ps")) - 1)
+        .cast("int").alias("pred"),
+        F.array_max("ps").alias("prob"))
+
+
+def softmax_eval(scored: DataFrame) -> DataFrame:
+    """Per-class evaluation rollup over ``score_softmax`` output:
+    support, correct count, and rounded accuracy per TRUE class — the
+    per-class quality view a lang-id / domain-router needs (macro
+    accuracy hides a collapsed minority class)."""
+    return (scored.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("pred") == F.col("label")).cast("long"))
+        .alias("n_correct"))
+        .withColumn("accuracy",
+                    F.round(F.col("n_correct") / F.col("n"), 6)))
+
+
+def softmax_classifier_scores(
+    df: DataFrame,
+    label_col: str,
+    n_classes: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    len_cap: int = 500,
+    iters: int = 2,
+    lr: float = 0.5,
+    use_bigrams: bool = False,
+    holdout_mod: int | None = None,
+) -> DataFrame:
+    """Train-and-score convenience for the K-class model:
+    ``label_col`` holds integer class ids 0..K-1 (e.g. a language
+    rank). Same feature build, persistence and holdout contract as
+    ``quality_classifier_scores``."""
+    from pyspark import StorageLevel
+
+    feats = hashed_token_features(
+        df, label_col, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets, len_cap=len_cap,
+        use_bigrams=use_bigrams).persist(StorageLevel.MEMORY_AND_DISK)
+    train = feats if holdout_mod is None else feats.where(
+        F.col("id") % holdout_mod != 0)
+    target = feats if holdout_mod is None else feats.where(
+        F.col("id") % holdout_mod == 0)
+    W, b = train_softmax(train, n_classes, n_dims=n_buckets + 1,
+                         iters=iters, lr=lr)
+    out = score_softmax(target, W, b).withColumnRenamed("id", id_col)
+    return track(out, feats)
+
+
 def quality_classifier_scores(
     df: DataFrame,
     label_col: str,

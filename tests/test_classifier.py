@@ -76,6 +76,73 @@ def test_train_empty_raises(spark):
         pass
 
 
+def _multiclass(spark):
+    """3-class separable toy set: distinct vocabularies per class."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple banana cherry fruit sweet orchard " * 4, 0))
+    for i in range(10, 20):
+        rows.append((i, "engine piston gearbox torque diesel motor " * 4, 1))
+    for i in range(20, 30):
+        rows.append((i, "violin cello sonata tempo allegro concerto " * 4, 2))
+    return spark.createDataFrame(rows, "doc_id long, text string, cls int")
+
+
+def test_softmax_deterministic_and_separates(spark):
+    from pyspark import StorageLevel
+
+    f = C.hashed_token_features(_multiclass(spark), "cls", n_buckets=16,
+                                len_cap=50).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    W1, b1 = C.train_softmax(f, 3, n_dims=17, iters=8, lr=10.0)
+    W2, b2 = C.train_softmax(f, 3, n_dims=17, iters=8, lr=10.0)
+    assert W1 == W2 and b1 == b2      # bit-identical across reruns
+    out = {r["id"]: r for r in C.score_softmax(f, W1, b1).collect()}
+    assert all(out[i]["pred"] == out[i]["label"] for i in out)
+    assert all(0.0 <= out[i]["prob"] <= 1.0 for i in out)
+    f.unpersist()
+
+
+def test_softmax_probs_sum_to_one(spark):
+    f = C.hashed_token_features(_multiclass(spark), "cls", n_buckets=16,
+                                len_cap=50)
+    W, b = C.train_softmax(f, 3, n_dims=17, iters=2, lr=5.0)
+    sc = C._softmax_scored(f, W, b, 6, 8, 8)
+    for r in sc.select("ps").collect():
+        assert abs(sum(r["ps"]) - 1.0) < 1e-6
+
+
+def test_softmax_pred_tie_breaks_low(spark):
+    # zero weights -> uniform probs -> argmax ties -> lowest class wins
+    f = C.hashed_token_features(_multiclass(spark), "cls", n_buckets=16,
+                                len_cap=50)
+    W = [[0.0] * 17 for _ in range(3)]
+    out = C.score_softmax(f, W, [0.0, 0.0, 0.0]).collect()
+    assert all(r["pred"] == 0 for r in out)
+
+
+def test_softmax_scores_and_eval_end_to_end(spark):
+    scored = C.softmax_classifier_scores(
+        _multiclass(spark), "cls", 3, n_buckets=16, len_cap=50,
+        iters=8, lr=10.0)
+    ev = {r["label"]: r for r in C.softmax_eval(scored).collect()}
+    release(scored)
+    assert set(ev) == {0, 1, 2}
+    for k in ev:
+        assert ev[k]["n"] == 10
+        assert ev[k]["n_correct"] == 10
+        assert ev[k]["accuracy"] == 1.0
+
+
+def test_softmax_holdout_scores_only_holdout(spark):
+    scored = C.softmax_classifier_scores(
+        _multiclass(spark), "cls", 3, n_buckets=16, len_cap=50,
+        iters=8, lr=10.0, holdout_mod=3)
+    rows = scored.collect()
+    release(scored)
+    assert rows and all(r["doc_id"] % 3 == 0 for r in rows)
+
+
 def test_bigram_features_order_sensitive(spark):
     """with use_bigrams, token ORDER changes the feature vector; the
     plain bag-of-buckets is order-blind. Mass still normalizes to ~1

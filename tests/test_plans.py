@@ -341,6 +341,26 @@ def test_logreg_scoring_pass_is_map_only(spark):
     assert "Window" not in p
 
 
+def test_softmax_scoring_pass_is_map_only(spark):
+    """the K-class scoring pass folds K literal weight arrays over the
+    persisted features — no join, window, or exchange; per iteration
+    only the (class, dim) gradient aggregate shuffles (combinable,
+    K·(B+1) keys)."""
+    from metrique_spark.functions import classifier as C
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i + 1), i % 3)
+         for i in range(6)],
+        "doc_id long, text string, cls int")
+    feats = C.hashed_token_features(df, "cls", n_buckets=8, len_cap=50)
+    feats = feats.localCheckpoint(eager=True)   # isolate the scoring pass
+    p = audit.executed_plan(C._softmax_scored(
+        feats, [[0.1] * 9 for _ in range(3)], [0.0, 0.1, 0.2], 6, 8, 8))
+    assert audit.count_exchanges(p) == 0, p
+    assert not audit.has_cartesian(p)
+    assert "Window" not in p
+
+
 def test_bpe_segment_is_map_only(spark):
     """applying learned merges is chained literal folds over one
     tokenization — no exchange at any corpus size."""
