@@ -531,12 +531,19 @@ def event_transitions(
     is map-side combined down to |types|² rows, and the per-source
     normalization runs over that tiny table (broadcast join of the
     per-source totals)."""
-    from pyspark.sql import Window
-
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(ts_col).cast("timestamp").alias("t"),
                        F.col(id_col).alias("eid"),
                        F.col(type_col).alias("from_type"))
+    return _transitions_from_events(ev, decimals)
+
+
+def _transitions_from_events(ev: DataFrame, decimals: int) -> DataFrame:
+    """Transition matrix from normalized (u, t, eid, from_type) events —
+    shared by the batch operator and the stream sink's finalizer so
+    stream equals batch by construction."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("u").orderBy("t", "eid")
     pairs = (ev.withColumn("to_type", F.lead("from_type").over(w))
              .where(F.col("to_type").isNotNull()))
@@ -1033,6 +1040,19 @@ def event_paths(
     user exchange); path building is ``array_sort(collect(struct(rn,
     type)))`` over ≤ k elements and the final path count is
     map-combinable."""
+    firstk = _firstk_events(events, k, user_col, type_col, ts_col,
+                            id_col, prune_salts)
+    return _paths_from_firstk(firstk, min_users)
+
+
+def _firstk_events(events: DataFrame, k: int, user_col: str,
+                   type_col: str, ts_col: str, id_col: str,
+                   prune_salts: int) -> DataFrame:
+    """Each user's first ``k`` events as (u, t, eid, ty, rn) — the
+    salted pre-prune + global per-user rank described on
+    ``event_paths``. Also the stream sink's per-batch partial AND its
+    fold: keep-k-earliest is a proper top-k merge (the k earliest of a
+    union are among the union of each side's k earliest)."""
     from pyspark.sql import Window
 
     salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
@@ -1046,18 +1066,108 @@ def event_paths(
               .drop("__salt", "__lrn"))
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc())
-    firstk = (pruned
-              .select(F.col(user_col).alias("u"),
-                      F.col(type_col).alias("t"),
-                      F.row_number().over(w).alias("rn"))
-              .where(F.col("rn") <= k))
+    return (pruned
+            .select(F.col(user_col).alias("u"),
+                    F.col(ts_col).cast("timestamp").alias("t"),
+                    F.col(id_col).alias("eid"),
+                    F.col(type_col).alias("ty"),
+                    F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= k))
+
+
+def _paths_from_firstk(firstk: DataFrame, min_users: int) -> DataFrame:
+    """Path strings + user counts from (u, ty, rn) first-k rows —
+    shared by the batch operator and the stream sink's finalizer."""
     paths = firstk.groupBy("u").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "t"))),
-                lambda s: s["t"]),
+                F.array_sort(F.collect_list(F.struct("rn", "ty"))),
+                lambda s: s["ty"]),
             ">").alias("path"))
     return (paths.groupBy("path")
             .agg(F.count("*").alias("n_users"))
             .where(F.col("n_users") >= min_users)
             .select("path", F.col("n_users").cast("long").alias("n_users")))
+
+
+def stream_transitions_sink(
+    state_path: str,
+    out_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    decimals: int = 4,
+    compact_after: int = 64,
+    fs=None,
+):
+    """Continuous transition matrix — the ``foreachBatch`` twin of
+    ``event_transitions``. Consecutive-pair counts are NOT additive
+    across micro-batches (a pair can span a batch boundary, and a late
+    event SPLITS an existing pair into two), so the partial is the
+    minimal exact statistic: the DISTINCT normalized (u, t, eid,
+    from_type) events themselves, merged by union+distinct (idempotent
+    under replay), finalized by the SAME lead-window + normalize the
+    batch path uses — stream equals batch by construction, late data
+    re-derives the matrix on the next refresh.
+
+    State rides the distinct event volume of transition-relevant
+    columns (4 slim columns, not the payload); for bounded state on
+    unbounded streams, window the input upstream. Replay,
+    crash-convergence, and generational compaction semantics are
+    ``stream_anomaly_sink``'s (shared engine: ``_partial_state_sink``)."""
+    def partial(b: DataFrame) -> DataFrame:
+        return b.select(F.col(user_col).alias("u"),
+                        F.col(ts_col).cast("timestamp").alias("t"),
+                        F.col(id_col).alias("eid"),
+                        F.col(type_col).alias("from_type")).distinct()
+
+    return _partial_state_sink(
+        state_path, out_path,
+        partial_fn=partial,
+        fold_fn=lambda df: df.distinct(),
+        finalize_fn=lambda ev: _transitions_from_events(ev, decimals),
+        compact_after=compact_after, fs=fs)
+
+
+def stream_paths_sink(
+    state_path: str,
+    out_path: str,
+    k: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_users: int = 1,
+    prune_salts: int = 32,
+    compact_after: int = 64,
+    fs=None,
+):
+    """Continuous first-k path distribution — the ``foreachBatch`` twin
+    of ``event_paths``. Partials are each user's k earliest (t, eid,
+    ty) events WITHIN the batch (the same salted bot-skew-safe pre-prune
+    the batch path uses), folded by distinct + keep-k-earliest — a
+    proper top-k merge, and idempotent because a replayed batch's
+    duplicates vanish in the distinct. State is therefore ≤ k rows per
+    user regardless of stream length. A late event that belongs in a
+    user's true first k displaces a later one at the next fold —
+    derived paths are rebuilt every batch, so history re-derives by
+    construction. Finalized by the SAME path builder the batch path
+    uses: stream equals batch by construction (pinned by test)."""
+    def partial(b: DataFrame) -> DataFrame:
+        return _firstk_events(b, k, user_col, type_col, ts_col, id_col,
+                              prune_salts).drop("rn")
+
+    def fold(df: DataFrame) -> DataFrame:
+        return _firstk_events(df.distinct(), k, "u", "ty", "t", "eid",
+                              prune_salts).drop("rn")
+
+    def finalize(state: DataFrame) -> DataFrame:
+        firstk = _firstk_events(state, k, "u", "ty", "t", "eid",
+                                prune_salts)
+        return _paths_from_firstk(firstk, min_users)
+
+    return _partial_state_sink(
+        state_path, out_path,
+        partial_fn=partial, fold_fn=fold, finalize_fn=finalize,
+        compact_after=compact_after, fs=fs)

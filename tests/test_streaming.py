@@ -1059,3 +1059,135 @@ def test_stream_seasonal_anomaly_sink_equals_batch(spark, sf_dir, tmp_path):
          r["rate"], r["zscore"], r["is_anomaly"])
         for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert got == expect
+
+
+def _mk_ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string,"
+              " event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+
+
+def test_stream_transitions_sink_equals_batch_and_replay(
+        spark, sf_dir, tmp_path):
+    """The continuous transition matrix over the availableNow input must
+    equal the batch matrix row-for-row; a replayed micro-batch must not
+    change it (distinct-event partials are idempotent)."""
+    import shutil
+
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_tr"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    events = load_table(spark, str(src_dir), "a")
+    expect = sorted(map(tuple, ev.event_transitions(events).collect()))
+    assert expect
+
+    state_p, out_p = str(tmp_path / "tr_state"), str(tmp_path / "tr_out")
+    sink = ev.stream_transitions_sink(state_p, out_p)
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_tr"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out_p).collect()))
+    assert got == expect
+
+    sink(events, 0)  # at-least-once replay
+    again = sorted(map(tuple, spark.read.parquet(out_p).collect()))
+    assert again == expect
+
+
+def test_stream_transitions_sink_boundary_pair_and_late_split(
+        spark, tmp_path):
+    """The two properties that force whole-event state: a pair SPANNING
+    a batch boundary must count once both events have arrived, and a
+    LATE event must split the pair it lands inside."""
+    state_p, out_p = str(tmp_path / "st"), str(tmp_path / "out")
+    sink = ev.stream_transitions_sink(state_p, out_p)
+
+    sink(_mk_ev(spark, [(1, 1, "2024-01-01 00:01:00", "A"),
+                        (2, 1, "2024-01-01 00:02:00", "B")]), 0)
+    rows = {(r["from_type"], r["to_type"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {("A", "B"): 1}
+
+    # batch 1: one event -> boundary pair (B, C) appears
+    sink(_mk_ev(spark, [(3, 1, "2024-01-01 00:03:00", "C")]), 1)
+    rows = {(r["from_type"], r["to_type"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {("A", "B"): 1, ("B", "C"): 1}
+
+    # batch 2: late D between A and B splits (A, B)
+    sink(_mk_ev(spark, [(4, 1, "2024-01-01 00:01:30", "D")]), 2)
+    rows = {(r["from_type"], r["to_type"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {("A", "D"): 1, ("D", "B"): 1, ("B", "C"): 1}
+
+
+def test_stream_paths_sink_equals_batch_and_replay(spark, sf_dir, tmp_path):
+    """The continuous first-k path distribution over the availableNow
+    input must equal the batch operator; replay must not change it."""
+    import shutil
+
+    from metrique_spark.sources.testdata import load_table
+
+    src_dir = tmp_path / "ev_pa"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "a.parquet")
+    events = load_table(spark, str(src_dir), "a")
+    expect = sorted(map(tuple, ev.event_paths(events, k=3).collect()))
+    assert expect
+
+    state_p, out_p = str(tmp_path / "pa_state"), str(tmp_path / "pa_out")
+    sink = ev.stream_paths_sink(state_p, out_p, k=3)
+    stream = ev.read_events_stream(spark, str(src_dir),
+                                   max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck_pa"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out_p).collect()))
+    assert got == expect
+
+    sink(events, 0)  # at-least-once replay
+    again = sorted(map(tuple, spark.read.parquet(out_p).collect()))
+    assert again == expect
+
+
+def test_stream_paths_sink_late_event_displaces(spark, tmp_path):
+    """A late event belonging in a user's true first k must displace the
+    later one on the next refresh (keep-k-earliest state, rebuilt
+    paths)."""
+    state_p, out_p = str(tmp_path / "pst"), str(tmp_path / "pout")
+    sink = ev.stream_paths_sink(state_p, out_p, k=2)
+
+    sink(_mk_ev(spark, [(1, 1, "2024-01-01 00:02:00", "B"),
+                        (2, 1, "2024-01-01 00:03:00", "C")]), 0)
+    rows = {r["path"]: r["n_users"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {"B>C": 1}
+
+    sink(_mk_ev(spark, [(3, 1, "2024-01-01 00:01:00", "A")]), 1)
+    rows = {r["path"]: r["n_users"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert rows == {"A>B": 1}
+
+
+def test_stream_paths_sink_state_bounded_after_compaction(spark, tmp_path):
+    """After a generational fold the paths state holds at most k rows
+    per user — the whole point of keep-k-earliest partials."""
+    state_p, out_p = str(tmp_path / "bst"), str(tmp_path / "bout")
+    sink = ev.stream_paths_sink(state_p, out_p, k=2, compact_after=1)
+    # three batches of 5 events each for one user -> compaction triggers
+    for b in range(3):
+        sink(_mk_ev(spark, [
+            (b * 10 + i, 7, f"2024-01-01 00:{b:02d}:{i:02d}", "E")
+            for i in range(5)]), b)
+    state = spark.read.parquet(state_p)
+    # committed (pre-current-batch) state was folded to <= k rows/user;
+    # only the latest batch's partial may add its own <= k rows
+    assert state.groupBy("u").count().agg(
+        F.max("count")).first()[0] <= 4
