@@ -108,6 +108,7 @@ def hash_ranked_within_strata(
     key_col: str,
     rank_col: str = "__rn",
     n_partitions: int | None = None,
+    prune_rank_over=None,
 ) -> DataFrame:
     """Global rank of every row within its stratum by the deterministic
     selection order ``(md5-bucket(key), key)`` — fully parallel AND
@@ -117,8 +118,21 @@ def hash_ranked_within_strata(
     by md5 uniformity whatever the stratum skew), so unlike
     ``ranked_within_strata`` there is no boundary-sampling job and no
     persist: every pass recomputes identical partition ids from content.
-    Two tiny jobs total (per-(pid, stratum) counts → driver offsets), then
-    per-(pid, stratum) windows rank ~|stratum|/nparts rows each."""
+
+    The rank offsets are computed DISTRIBUTED — a per-stratum
+    cumulative-sum window over the tiny (pid, stratum) count table,
+    joined back (AQE broadcasts it when small) — never collected, so a
+    web-scale stratum cardinality (per-domain caps: millions of groups)
+    costs the driver nothing and the whole ranking is ONE job: millions
+    of tiny strata spread across the count table's hash partitioning
+    while a huge stratum's rows stay spread across pids (each window
+    task ranks ~|stratum|/nparts rows).
+
+    ``prune_rank_over``: a callable mapping the stratum-value Column to
+    the per-stratum rank bound the CALLER will filter at
+    (``__rn <= bound``) — slices whose offset already reaches the bound
+    are dropped before the corpus join, so the over-bound tail of a
+    dominant stratum never shuffles."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -130,22 +144,28 @@ def hash_ranked_within_strata(
     pid = F.floor((F.conv(h, 16, 10).cast("long") * F.lit(nparts))
                   / F.lit(16 ** _PREC)).cast("int")
     withpid = df.withColumn("__pid", pid)
-    cnt = (withpid.groupBy("__pid", stratum.alias("__s"))
-           .agg(F.count("*").alias("__c")).collect())
-    off_df, acc = _offsets_df(
-        spark, cnt, df.schema[stratum_col].dataType.simpleString())
+    woff = (Window.partitionBy("__s").orderBy("__opid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (withpid.groupBy(F.col("__pid").alias("__opid"),
+                            stratum.alias("__s"))
+            .agg(F.count("*").alias("__c"))
+            .withColumn("__off",
+                        F.coalesce(F.sum("__c").over(woff), F.lit(0))))
+    if prune_rank_over is not None:
+        # a slice whose offset already reaches the bound can only
+        # produce ranks > bound (rank = local rn + offset > bound)
+        offs = offs.where(F.col("__off") < prune_rank_over(F.col("__s")))
+    offs = offs.select("__opid", "__s", "__off")
     w = Window.partitionBy("__pid", stratum_col).orderBy(
         h, F.col(key_col))
-    out = (
-        withpid.join(F.broadcast(off_df),
+    return (
+        withpid.join(offs,
                      (F.col("__pid") == F.col("__opid"))
                      & stratum.eqNullSafe(F.col("__s")))
         .drop("__opid", "__s")
         .withColumn(rank_col, F.row_number().over(w) + F.col("__off"))
         .drop("__off")
     )
-    out._stratum_totals = dict(acc)
-    return out
 
 
 def cap_per_group(
@@ -163,51 +183,20 @@ def cap_per_group(
     engines — and drops the rest; groups under the cap pass through
     whole.
 
-    Scale: same hash-range partition-id trick as
-    ``hash_ranked_within_strata`` (scan-stage pids, per-(pid, group)
-    windows — never a single-task group sort; the cap exists precisely
-    because some groups are huge), but the rank offsets are computed
-    DISTRIBUTED — a per-group cumulative-sum window over the tiny
-    (pid, group) count table — and joined back, never collected. The
-    advertised group column here is per-domain/per-host: web-scale
-    cardinality, where the stratified-mix helper's driver-offsets
-    collect (partitions × groups rows) is a driver bottleneck. This
-    shape serves BOTH regimes: millions of tiny groups spread across
-    the count-table window's hash partitioning, while a huge group's
-    rows stay spread across pids (each task ranks ~|group|/nparts
-    rows). Slices whose offset already reaches the cap are dropped
-    BEFORE the corpus join, so the over-cap tail of a dominant domain
-    never shuffles. When the count table is small, AQE broadcasts the
-    join side on its own."""
+    Scale: rides ``hash_ranked_within_strata`` directly — scan-stage
+    hash-range pids, per-(pid, group) windows (never a single-task
+    group sort; the cap exists precisely because some groups are huge),
+    rank offsets computed distributed (never collected — the advertised
+    group column is per-domain/per-host, web-scale cardinality), and
+    slices whose offset already reaches the cap dropped BEFORE the
+    corpus join so the over-cap tail of a dominant domain never
+    shuffles."""
     if cap < 1:
         raise ValueError(f"cap_per_group: cap must be >= 1, got {cap}")
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    nparts = n_partitions or spark.sparkContext.defaultParallelism
-    grp = F.col(group_col)
-    h = hash_bucket(F.col(key_col))
-    pid = F.floor((F.conv(h, 16, 10).cast("long") * F.lit(nparts))
-                  / F.lit(16 ** _PREC)).cast("int")
-    withpid = df.withColumn("__pid", pid)
-    woff = (Window.partitionBy("__g").orderBy("__opid")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    offs = (
-        withpid.groupBy(F.col("__pid").alias("__opid"), grp.alias("__g"))
-        .agg(F.count("*").alias("__c"))
-        .withColumn("__off",
-                    F.coalesce(F.sum("__c").over(woff), F.lit(0)))
-        .where(F.col("__off") < cap)
-        .select("__opid", "__g", "__off")
-    )
-    w = Window.partitionBy("__pid", group_col).orderBy(h, F.col(key_col))
-    return (
-        withpid.join(offs, (F.col("__pid") == F.col("__opid"))
-                     & grp.eqNullSafe(F.col("__g")))
-        .withColumn("__rn", F.row_number().over(w) + F.col("__off"))
-        .where(F.col("__rn") <= cap)
-        .drop("__opid", "__g", "__off", "__rn", "__pid")
-    )
+    ranked = hash_ranked_within_strata(
+        df, group_col, key_col, n_partitions=n_partitions,
+        prune_rank_over=lambda _: F.lit(cap))
+    return ranked.where(F.col("__rn") <= cap).drop("__rn", "__pid")
 
 
 def temperature_mix(
@@ -445,20 +434,29 @@ def _take_per_stratum(
             sorted(quotas), F.lit("0"),
         )
     )
-    ranked = hash_ranked_within_strata(pre, stratum_col, key_col)
-    got = ranked._stratum_totals
+    # shortfall check: one tiny per-stratum count of the pre-cut (the
+    # only job before the final plan — offsets are distributed inside
+    # the ranking itself); undershoot falls back to ranking the short
+    # strata in full, keeping the result exact
+    got = {r["s"]: r["c"]
+           for r in pre.groupBy(stratum.alias("s"))
+           .agg(F.count("*").alias("c")).collect()}
     short = [s for s, n in quotas.items() if got.get(s, 0) < n]
     if short:
         pre = pre.unionByName(
             df.where(stratum.isin(short)).join(
                 pre.where(stratum.isin(short)), [key_col], "anti"))
-        ranked = hash_ranked_within_strata(pre, stratum_col, key_col)
 
-    quota_col = reduce(
-        lambda acc, s: F.when(stratum == s, F.lit(quotas[s])).otherwise(acc),
-        sorted(quotas), F.lit(0),
-    )
-    return ranked.where(F.col("__rn") <= quota_col).drop("__rn", "__pid")
+    def quota_of(c):
+        return reduce(
+            lambda acc, s: F.when(c == s, F.lit(quotas[s])).otherwise(acc),
+            sorted(quotas), F.lit(0),
+        )
+
+    ranked = hash_ranked_within_strata(pre, stratum_col, key_col,
+                                       prune_rank_over=quota_of)
+    return (ranked.where(F.col("__rn") <= quota_of(stratum))
+            .drop("__rn", "__pid"))
 
 
 def select_by_token_budget(
