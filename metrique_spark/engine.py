@@ -311,9 +311,11 @@ class Engine:
     def _session_tz(self) -> str:
         return self.spark.conf.get("spark.sql.session.timeZone")
 
-    def _cube_timepart(self, path: str,
-                       for_write: bool = False) -> str | None:
+    def _cube_timepart(self, path: str, for_write: bool = False,
+                       layout: dict | None = None) -> str | None:
         """The cube's recorded time-partition granularity, or None.
+        Pass ``layout`` when the sidecar is already loaded — the read
+        path calls this per query and must not re-fetch the sidecar.
 
         ``__stime`` values are wall-clock renderings of the ``_start``
         instant in the WRITING session's timezone, so the recorded
@@ -322,7 +324,7 @@ class Engine:
         the existing directories (raise loud); a READER whose timezone
         differs must simply skip pruning (the data predicate on
         ``_start``/``_end`` is timezone-exact either way)."""
-        meta = self._cube_layout(path)
+        meta = layout if layout is not None else self._cube_layout(path)
         tp = meta.get("time_partition") if meta else None
         if tp is None:
             return None
@@ -342,7 +344,13 @@ class Engine:
                       timepart: str | None = None) -> None:
         import json
 
-        meta: dict = {"oid_buckets": buckets}
+        # "format": 2 marks a sidecar written under the generation-
+        # pointer protocol, whose commit point is the MANIFEST flip — so
+        # sidecar-without-manifest means a crashed (uncommitted) first
+        # write. A format-less sidecar predates the protocol: its data
+        # was committed by the data write itself and must be ADOPTED on
+        # the next write, never retried-as-new (which would sweep it).
+        meta: dict = {"oid_buckets": buckets, "format": 2}
         if timepart:
             meta["time_partition"] = timepart
             meta["time_zone"] = self._session_tz()
@@ -401,7 +409,15 @@ class Engine:
         new = json.dumps({"gen": gen, "dirs": sorted(dirs)})
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
-            self.fs.write_text(p, new)
+            # first flip is a CAS too (put-if-absent): two racing first
+            # writers (TTL-expired zombie vs reclaimer) must not both
+            # "succeed" — the loser's sweep would delete the winner's
+            # directories while the surviving manifest references them
+            if not self.fs.put_if_absent(p, new):
+                raise ConcurrentWriteError(
+                    f"cube manifest at {path!r} appeared under our "
+                    "writer lease — concurrent first writer detected, "
+                    "commit aborted")
         elif not self.fs.replace_if_match(p, new, old_raw):
             raise ConcurrentWriteError(
                 f"cube manifest at {path!r} changed under our writer "
@@ -634,6 +650,8 @@ class Engine:
     def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
         path = self._path(cube)
         state, meta, raw = self._cube_state(path)
+        if state == "premanifest":
+            meta, raw = self._adopt_premanifest(path)
         batches = self._closed_batch_dirs(path)
         # compaction consolidates per-upsert TOKENS; under the bucketed
         # layout one token spans several bucket dirs, so count tokens
@@ -678,18 +696,61 @@ class Engine:
 
     def _cube_state(self, path: str) -> tuple[str, dict | None, str | None]:
         """(state, manifest, manifest_raw) where state is one of:
-        ``new`` — no committed data (absent, or a crashed first write
-        whose pointer never landed: layout sidecar present, manifest
-        absent); ``manifest`` — committed generation-pointer cube;
-        ``legacy`` — pre-manifest data (no sidecars at all)."""
+        ``new`` — no committed data (absent; or a crashed first write
+        whose pointer never landed: format-2 sidecar, manifest absent);
+        ``manifest`` — committed generation-pointer cube;
+        ``premanifest`` — data committed by a pre-protocol writer under
+        a format-less layout sidecar (the old commit point was the data
+        write itself): COMMITTED data, must be adopted via
+        ``_adopt_premanifest``, never retried-as-new (a first-write
+        retry would flip a manifest naming only the new batch and sweep
+        every pre-existing directory — silent data loss);
+        ``legacy`` — unbucketed pre-sidecar data."""
         if not self.fs.isdir(path):
             return "new", None, None
         raw = self._manifest_raw(path)
         if raw is not None:
             return "manifest", self._manifest(path), raw
-        if self.fs.isfile(self.fs.join(path, self._LAYOUT_SIDECAR)):
-            return "new", None, None
+        layout = self._cube_layout(path)
+        if layout is not None:
+            if layout.get("format", 1) >= 2 or not self._has_data(path):
+                return "new", None, None
+            return "premanifest", None, None
         return ("legacy" if self._has_data(path) else "new"), None, None
+
+    def _adopt_premanifest(self, path: str) -> tuple[dict, str]:
+        """Publish a gen-1 manifest for a cube written before the
+        generation-pointer protocol: under the writer lease, list the
+        existing partition directories (safe — no reader of this cube
+        resolves a manifest yet, and only the lease holder mutates) and
+        name them as generation 1, then stamp the sidecar to format 2.
+        Crash-safe: a crash after the flip leaves a valid manifest (the
+        retry sees state ``manifest``); a crash before it changes
+        nothing."""
+        import json
+
+        dirs: set[str] = set()
+
+        def walk(dirpath: str, rel: str) -> None:
+            for d in self.fs.listdir(dirpath):
+                full = self.fs.join(dirpath, d)
+                r = f"{rel}/{d}"
+                if d.startswith("__batch=") and self.fs.isdir(full):
+                    dirs.add(r)
+                elif (d.startswith(("__obucket=", "__stime="))
+                        and self.fs.isdir(full)):
+                    walk(full, r)
+
+        for cur in self.fs.listdir(path):
+            if cur.startswith("_current="):
+                walk(self.fs.join(path, cur), cur)
+        self._manifest_flip(path, None, 1, dirs)
+        layout = self._cube_layout(path) or {}
+        layout["format"] = 2
+        self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
+                           json.dumps(layout))
+        raw = self._manifest_raw(path)
+        return self._manifest(path), raw
 
     def _first_write(self, path: str, obj: DataFrame) -> None:
         """First committed generation. Layout sidecar FIRST (a crash
@@ -699,10 +760,22 @@ class Engine:
         retry rewrites the same gen-1 directories."""
         buckets = self.oid_buckets
         self._write_layout(path, buckets, self.time_partition)
+        # checkpoint: the data write and the relpath distinct below must
+        # see the SAME rows — stamp()'s default _start is
+        # current_timestamp() (fixed per QUERY, different across the two
+        # jobs), so an unpinned plan straddling a period boundary would
+        # record manifest dirs the data never landed in, and the sweep
+        # would then delete the real ones
+        obj = obj.localCheckpoint(eager=True)
         dirs = self._write_partitioned(
             obj, path, "overwrite", buckets=buckets,
             open_batch="open-g1", hist_batch="hist-g1", collect_dirs=True,
             timepart=self.time_partition)
+        if not dirs:
+            # zero-row first batch: nothing landed — leave the cube in
+            # the "new" state (no manifest) instead of committing an
+            # empty generation every read would refuse
+            return
         self._manifest_flip(path, None, 1, dirs)
         self._sweep_unreferenced(path, dirs)
 
@@ -719,8 +792,12 @@ class Engine:
             if state == "new":
                 self._first_write(path, obj)
                 return
-            buckets = self._cube_buckets(path)
-            timepart = self._cube_timepart(path, for_write=True)
+            if state == "premanifest":
+                meta, raw = self._adopt_premanifest(path)
+            layout = self._cube_layout(path)
+            buckets = layout.get("oid_buckets") if layout else None
+            timepart = self._cube_timepart(path, for_write=True,
+                                           layout=layout)
             self._check_oid_type(self._read(path), obj)
             if state == "legacy":
                 self._write_partitioned(obj, path, "append", buckets=buckets)
@@ -759,8 +836,11 @@ class Engine:
         if state == "new":
             self._first_write(path, incoming)
             return
-        buckets = self._cube_buckets(path)
-        timepart = self._cube_timepart(path, for_write=True)
+        if state == "premanifest":
+            meta, raw = self._adopt_premanifest(path)
+        layout = self._cube_layout(path)
+        buckets = layout.get("oid_buckets") if layout else None
+        timepart = self._cube_timepart(path, for_write=True, layout=layout)
         table = self._read(path)
         self._check_oid_type(table, incoming)
         cols = [c for c in table.columns if c != "_current"]
@@ -923,14 +1003,26 @@ class Engine:
 
     # -- queries (reference sqlalchemy.py:641-803) ---------------------------
 
-    def _oid_bucket_values(self, oids: Sequence, buckets: int) -> list[int]:
+    def _oid_bucket_values(self, oids: Sequence, buckets: int,
+                           dtype=None) -> list[int]:
         """The __obucket partition values the given oids hash into — one
         tiny Spark job (the hash must be the JVM's xxhash64, the same
-        expression every write used)."""
+        expression every write used). ``dtype`` is the cube's STORED
+        ``_oid`` type: the lookup values are cast to it before hashing,
+        so a probe whose inferred type renders differently as a string
+        (float 7.0 → '7.0' vs stored long 7 → '7') still prunes to the
+        right directories — matching the numeric coercion the row-level
+        ``isin`` filter applies. Values the cast nulls out can match no
+        stored row and drop from the prune set."""
         df = self.spark.createDataFrame([(o,) for o in oids], ["_oid"])
+        if dtype is not None:
+            # try_cast: ANSI mode would otherwise throw on an
+            # un-castable probe, which the row filter treats as
+            # no-match, not an error
+            df = df.withColumn("_oid", F.col("_oid").try_cast(dtype))
         return sorted({r["b"] for r in
                        df.select(self._obucket(buckets).alias("b"))
-                       .distinct().collect()})
+                       .distinct().collect() if r["b"] is not None})
 
     def _scoped(self, cube: str | DataFrame, query: str | None,
                 date: str | None, oids: Sequence | None = None) -> DataFrame:
@@ -945,7 +1037,8 @@ class Engine:
             # before dropping them, so the parquet scan skips whole
             # directories instead of filtering rows
             path = self._path(cube)
-            buckets = self._cube_buckets(path)
+            layout = self._cube_layout(path)  # ONE sidecar fetch/query
+            buckets = layout.get("oid_buckets") if layout else None
             raw = self._read_raw(path)
             if oids and buckets and "__obucket" in raw.columns:
                 # point lookup: turn the oid list into literal __obucket
@@ -955,13 +1048,15 @@ class Engine:
                 # reading the table (the _oid filter alone cannot prune:
                 # the bucket is a hash Spark doesn't invert)
                 raw = raw.where(F.col("__obucket").isin(
-                    self._oid_bucket_values(oids, buckets)))
+                    self._oid_bucket_values(
+                        oids, buckets,
+                        dtype=raw.schema["_oid"].dataType)))
             if "__stime" in raw.columns:
                 # time-partitioned layout: the date spec's strict
                 # ``_start < U`` bound prunes periods AFTER period(U).
                 # Skipped (not wrong) when the session timezone differs
                 # from the layout's recorded zone.
-                tp = self._cube_timepart(path)
+                tp = self._cube_timepart(path, layout=layout)
                 hi = date_start_upper_bound(date)
                 if tp and hi is not None:
                     bound = F.date_format(

@@ -307,9 +307,10 @@ def test_first_write_crash_between_sidecar_and_data_converges(spark, tmp_path):
                .withColumn("_end", F.col("_end").cast("timestamp")))
     eng.upsert("c", stamped)
     assert eng.count("c") == 1
-    # layout survived (the first write must not delete the sidecar)
+    # layout survived (the first write must not delete the sidecar);
+    # the retry re-stamps it with the protocol format marker
     assert json.load(open(os.path.join(wh, "c", "_layout.json"))) == \
-        {"oid_buckets": 8}
+        {"oid_buckets": 8, "format": 2}
     # and the cube keeps working through the normal merge path
     eng.upsert("c", stamped.withColumn("val", F.lit("b"))
                .withColumn("_start",
@@ -466,3 +467,22 @@ def test_upsert_rejects_mismatched_oid_type(spark, tmp_path):
     # same type is fine
     eng.upsert("tc", mk("int"))
     assert eng.count("tc") == 1
+
+
+def test_point_lookup_float_probe_of_integer_cube(spark, tmp_path):
+    """A float probe of an integer-oid cube must prune to the STORED
+    type's bucket (cast-before-hash), matching the row filter's numeric
+    coercion — not silently return zero rows from the wrong directory."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 9)],
+                               "oid long, val long")
+    eng.upsert("fl", stamp(df, oid="oid",
+                           start=F.to_timestamp(F.lit("2014-01-01"))),
+               stamped=True)
+    for probe in ([2.0], [2], [2.5]):
+        got = [r["val"] for r in eng.find("fl", oids=probe,
+                                          fields="val").collect()]
+        want = [20] if probe[0] in (2, 2.0) else []
+        assert got == want, (probe, got)

@@ -427,3 +427,103 @@ def test_manifest_cas_detects_zombie_writer(spark, engine, monkeypatch):
     with pytest.raises(ConcurrentWriteError, match="manifest"):
         engine.upsert("zc", _objs(spark, [(1, 11)], "2014-02-01"),
                       stamped=True)
+
+
+def test_premanifest_cube_adopted_not_wiped(spark, engine):
+    """A cube written before the generation-pointer protocol (layout
+    sidecar + data, no manifest, no format marker) holds COMMITTED
+    data: the next write must adopt it into a gen-1 manifest, never
+    retry it as a first write — whose sweep would silently delete every
+    pre-existing directory."""
+    import json
+
+    engine.upsert("pre", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    path = engine._path("pre")
+    # strip the cube back to the pre-protocol on-disk state
+    engine.fs.delete(engine.fs.join(path, "_manifest.json"))
+    lp = engine.fs.join(path, "_layout.json")
+    meta = json.loads(engine.fs.read_text(lp))
+    meta.pop("format")
+    engine.fs.write_text(lp, json.dumps(meta))
+
+    engine.upsert("pre", _objs(spark, [(1, 11)], "2014-02-01"),
+                  stamped=True)
+    # old rows survived AND merged with the new batch
+    assert engine.count("pre", date="~") == 3
+    assert engine.count("pre") == 2
+    # adoption published a manifest and stamped the sidecar
+    assert engine.fs.isfile(engine.fs.join(path, "_manifest.json"))
+    assert json.loads(engine.fs.read_text(lp))["format"] == 2
+
+
+def test_premanifest_compact_adopts(spark, engine):
+    import json
+
+    engine.upsert("prc", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    engine.upsert("prc", _objs(spark, [(1, 11)], "2014-02-01"),
+                  stamped=True)
+    engine.upsert("prc", _objs(spark, [(1, 12)], "2014-03-01"),
+                  stamped=True)
+    path = engine._path("prc")
+    engine.fs.delete(engine.fs.join(path, "_manifest.json"))
+    lp = engine.fs.join(path, "_layout.json")
+    meta = json.loads(engine.fs.read_text(lp))
+    meta.pop("format")
+    engine.fs.write_text(lp, json.dumps(meta))
+
+    assert engine.compact("prc") > 0
+    assert engine.count("prc", date="~") == 3
+    assert engine.fs.isfile(engine.fs.join(path, "_manifest.json"))
+
+
+def test_crashed_first_write_still_retries_as_new(spark, engine,
+                                                  monkeypatch):
+    """The format-2 sidecar distinguishes a crashed first write (safe
+    to retry) from a pre-protocol cube (must adopt): crash after the
+    layout write, before the manifest flip — the retry must take the
+    first-write path and succeed."""
+    from metrique_spark.engine import Engine
+
+    orig = Engine._manifest_flip
+
+    def boom(self, path, old_raw, gen, dirs):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(Engine, "_manifest_flip", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        engine.upsert("cfw", _objs(spark, [(1, 10)], "2014-01-01"),
+                      stamped=True)
+    monkeypatch.setattr(Engine, "_manifest_flip", orig)
+    assert engine._cube_state(engine._path("cfw"))[0] == "new"
+    engine.upsert("cfw", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    assert engine.count("cfw") == 1
+
+
+def test_empty_first_write_does_not_brick_cube(spark, engine):
+    """A zero-row first batch must leave the cube creatable, not commit
+    an empty generation every later read refuses."""
+    empty = _objs(spark, [(1, 10)], "2014-01-01").where(F.lit(False))
+    engine.upsert("emp", empty, stamped=True)
+    assert not engine.fs.isfile(
+        engine.fs.join(engine._path("emp"), "_manifest.json"))
+    engine.upsert("emp", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    assert engine.count("emp") == 1
+
+
+def test_first_manifest_flip_is_cas(spark, engine):
+    """Two racing first writers must not both commit: the second flip
+    fails loud instead of overwriting (the loser's sweep would delete
+    the winner's directories)."""
+    import pytest as _pytest
+
+    from metrique_spark.engine import ConcurrentWriteError
+
+    engine.upsert("cas1", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    path = engine._path("cas1")
+    with _pytest.raises(ConcurrentWriteError, match="first writer"):
+        engine._manifest_flip(path, None, 1, {"_current=true/__batch=x"})
