@@ -637,6 +637,21 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (dedup.paragraph_dedup,
+    Wenzek 2020): split on newline, hash the normalized paragraph, keep
+    only each distinct paragraph's first (min doc, min idx) occurrence,
+    reassemble. Cross-document duplicates are INJECTED (every 50th doc
+    re-sent under a shifted id — the dedup_exact_groups pattern) so the
+    drop path is non-vacuous; the oracle replays the same injection and
+    rebuild."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    return dedup.paragraph_dedup(d.unionByName(dup))
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram-shingle Jaccard near-dup pairs ≥ 0.8 via inverted-index
     self-join (no cartesian)."""
@@ -724,6 +739,34 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text_redacted").alias("redacted_md5"),
         F.col("n_email").cast("long").alias("n_email"),
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+def text_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction (text.redact_card_numbers):
+    candidate digit spans pass the Luhn checksum before redaction —
+    invalid lookalikes stay untouched, the precision guard a plain
+    regex scrub lacks. Every doc gets one known-valid card injected
+    plus a 13-digit zero-padded doc_id run whose Luhn validity VARIES
+    per doc (~10% pass), so the checksum arithmetic itself is
+    value-verified; the oracle replays injection, checksum, and the
+    ordered literal-replace fold."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" pay 4111-1111-1111-1111 ref "),
+            F.lpad(F.col("doc_id").cast("string"), 13, "0"),
+        ).alias("text"),
+    )
+    out = text.redact_card_numbers(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_card_candidates").cast("long").alias("n_card_candidates"),
+        F.col("n_cards").cast("long").alias("n_cards"),
+        F.md5("text_redacted").alias("redacted_md5"),
     )
 
 
@@ -1607,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": text_fingerprints,
         "text_quality": text_quality,
         "dedup_exact_groups": dedup_exact_groups,
+        "dedup_paragraphs": dedup_paragraphs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_components": dedup_components,
@@ -1650,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_chunks_packed": text_chunks_packed,
         "text_pii_redaction": text_pii_redaction,
+        "text_pii_cards": text_pii_cards,
         "corpus_summary": corpus_summary,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_incremental": dedup_incremental,
@@ -2127,10 +2172,48 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp HAVING count(*) > 1)
             SELECT g.fp, f.doc_id, g.n FROM fps f JOIN g ON f.fp = g.fp
         """,
+        "dedup_paragraphs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 50 = 3
+            ),
+            paras AS (
+                SELECT doc_id,
+                       unnest(range(len(ps))) AS idx,
+                       unnest(ps) AS para
+                FROM (SELECT doc_id,
+                             string_split(coalesce(text, ''), chr(10)) AS ps
+                      FROM corpus)
+            ),
+            keyed AS (
+                SELECT doc_id, idx, para, md5(lower(trim(para))) AS h
+                FROM paras WHERE trim(para) != ''
+            ),
+            k1 AS (SELECT h, min(doc_id) AS kid FROM keyed GROUP BY h),
+            k2 AS (SELECT ky.h, k1.kid, min(ky.idx) AS kidx
+                   FROM keyed ky
+                   JOIN k1 ON ky.h = k1.h AND ky.doc_id = k1.kid
+                   GROUP BY 1, 2),
+            marked AS (
+                SELECT ky.doc_id, ky.idx, ky.para,
+                       (ky.doc_id = k2.kid AND ky.idx = k2.kidx) AS keep
+                FROM keyed ky JOIN k2 ON ky.h = k2.h
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN para END,
+                                       chr(10) ORDER BY idx), '') AS text
+            FROM marked GROUP BY doc_id
+        """,
         "dedup_jaccard_pairs": _JACCARD_ORACLE,
         "dedup_jaccard_prefix": _JACCARD_ORACLE,
         "dedup_components": _COMPONENTS_ORACLE,
         "text_contamination": _CONTAMINATION_ORACLE,
+        "text_pii_cards": _CARDS_ORACLE,
         "corpus_summary": r"""
     WITH per_doc AS (
         SELECT lang,
@@ -3497,6 +3580,46 @@ def _logreg_oracle(n_buckets: int = 32, len_cap: int = 50,
 
 _LOGREG_ORACLE = _logreg_oracle()
 _LOGREG_HOLDOUT_ORACLE = _logreg_oracle(holdout_mod=7)
+
+
+# --- Luhn card-redaction oracle: replays injection, the \b candidate
+# regex, the checksum lambda, and the ordered literal-replace fold.
+_CARD_STRIP = "replace(replace(c, ' ', ''), '-', '')"
+_CARD_DIGIT = (f"CAST(substr({_CARD_STRIP}, "
+               f"length({_CARD_STRIP}) - i + 1, 1) AS INT)")
+_CARD_LUHN = f"""(list_sum(list_transform(
+        range(1, length({_CARD_STRIP}) + 1),
+        i -> CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * {_CARD_DIGIT} > 9
+                            THEN 2 * {_CARD_DIGIT} - 9
+                            ELSE 2 * {_CARD_DIGIT} END
+                  ELSE {_CARD_DIGIT} END)) % 10 = 0)"""
+_CARDS_ORACLE = rf"""
+    WITH injected AS (
+        SELECT doc_id,
+               coalesce(text, '') || ' pay 4111-1111-1111-1111 ref '
+                    || lpad(CAST(doc_id AS VARCHAR), 13, '0') AS text
+        FROM documents
+    ),
+    cand AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text,
+                   '\b(?:\d[ -]?){{12,18}}\d\b') AS cands
+        FROM injected
+    ),
+    val AS (
+        SELECT doc_id, text, cands,
+               list_filter(cands, c -> {_CARD_LUHN}) AS valid
+        FROM cand
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_card_candidates,
+           CAST(len(valid) AS BIGINT) AS n_cards,
+           md5(list_reduce(list_prepend(text, valid),
+                           (acc, v) -> replace(acc, v, '<CARD>')))
+               AS redacted_md5
+    FROM val
+"""
 
 
 def _softmax_iter_ctes(i: int, lr: float) -> str:

@@ -40,11 +40,13 @@ BENCH_QUERIES = [
     "text_fingerprints",
     "text_quality",
     "dedup_exact_groups",
+    "dedup_paragraphs",
     "dedup_components",
     "text_contamination",
     "text_repetition",
     "text_chunks_packed",
     "text_pii_redaction",
+    "text_pii_cards",
     "sample_stratified",
     "sample_mix_corpus",
     "sample_mix_corpus_skew",

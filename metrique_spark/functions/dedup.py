@@ -1316,3 +1316,60 @@ def jaccard_pairs_prefix(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact deduplication (Wenzek et al.
+    2020 dedup at paragraph granularity before language ID): split each
+    document on ``sep``, hash the normalized (lower-cased, trimmed)
+    paragraph, keep only the FIRST occurrence of every distinct
+    paragraph — the ``(min id, min idx)`` holder — and reassemble the
+    surviving paragraphs in original order. Boilerplate (headers,
+    cookie banners, navigation) that repeats across a crawl disappears
+    from every document but its first.
+
+    Returns ``(id_col, n_paras, n_kept, text)`` for every document with
+    at least one non-empty paragraph; ``text`` is the deduplicated
+    rebuild (empty string when every paragraph was a repeat).
+
+    Scale shape: paragraphs shuffle once on the md5 hash into a
+    map-side-combinable ``min(struct(id, idx))`` keeper table (a
+    billion-fold boilerplate paragraph collapses to one keeper row in
+    partial aggregation — no single-task hot key, unlike a window over
+    the hash); the keep mark is a hash-keyed equi-join back (AQE
+    broadcasts the keeper side when small, skew-splits it when not);
+    reassembly is a per-document aggregate over the document's own
+    paragraphs."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("idx", "para"))
+        .where(F.trim("para") != ""))
+    keyed = paras.withColumn("h", F.md5(F.lower(F.trim(F.col("para")))))
+    keepers = (keyed.groupBy("h")
+               .agg(F.min(F.struct("id", "idx")).alias("k")))
+    marked = (
+        keyed.join(keepers, "h")
+        .withColumn("__keep", (F.col("id") == F.col("k.id"))
+                    & (F.col("idx") == F.col("k.idx")))
+        .drop("k", "h"))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct("idx", "para")))),
+                    lambda s: s["para"]),
+                sep).alias("text"))
+        .withColumnRenamed("id", id_col))

@@ -359,6 +359,66 @@ def redact_pii(
     return df.select("*", *counts, red.alias(out_col))
 
 
+# candidate card-number span: 13-19 digits with optional single space/
+# dash separators, word-bounded. \b (not lookaround) so the pattern
+# behaves identically under Java regex and RE2 — RE2 has no lookbehind.
+CARD_CANDIDATE_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(cand) -> Column:
+    """Luhn checksum over a candidate span (separators stripped) as a
+    pure column expression — sum of right-to-left digits with every
+    second one doubled (minus 9 when > 9) divisible by 10. The
+    industry-standard precision guard for card-number detection: a
+    digit-run regex alone would redact order ids and timestamps; only
+    ~1 in 10 random digit strings passes Luhn."""
+    ds = F.regexp_replace(
+        cand if isinstance(cand, Column) else F.col(cand), "[ -]", "")
+    n = F.length(ds)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            i % 2 == 0,
+            F.when(ds.substr(n - i + 1, F.lit(1)).cast("int") * 2 > 9,
+                   ds.substr(n - i + 1, F.lit(1)).cast("int") * 2 - 9)
+            .otherwise(ds.substr(n - i + 1, F.lit(1)).cast("int") * 2))
+        .otherwise(ds.substr(n - i + 1, F.lit(1)).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def redact_card_numbers(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    placeholder: str = "<CARD>",
+) -> DataFrame:
+    """Redact Luhn-VALID payment-card numbers (corpus hygiene): extract
+    candidate digit spans, keep only those passing the Luhn checksum,
+    and literal-replace each valid span — invalid lookalikes (order
+    ids, phone-length digit runs) stay untouched, which a plain regex
+    redaction gets wrong. Adds ``n_card_candidates``, ``n_cards``
+    (validated) and ``{out_col}``.
+
+    Pure column expressions (regexp_extract_all + an array filter with
+    the checksum lambda + an array fold of literal replaces) — codegen,
+    zero shuffle, scan-stage; oracle-portable because every piece (\\b
+    pattern, checksum arithmetic, ordered fold) evaluates identically
+    in RE2-based SQL engines."""
+    out_col = out_col or f"{text_col}_redacted"
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid)
+    red = F.aggregate(
+        valid, c, lambda acc, v: F.replace(acc, v, F.lit(placeholder)))
+    return df.select(
+        "*",
+        F.size(cands).alias("n_card_candidates"),
+        F.size(valid).alias("n_cards"),
+        red.alias(out_col))
+
+
 def corpus_stats(
     df: DataFrame,
     stratum_col: str = "lang",

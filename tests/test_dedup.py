@@ -571,3 +571,33 @@ def test_minhash_index_on_object_store_backend(spark, tmp_path):
     out = dedup.dedup_against_index(batch, again, corpus,
                                     num_hashes=32, bands=8)
     assert [r["dup_of"] for r in out.collect()] == [3]
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from metrique_spark.functions.dedup import paragraph_dedup
+
+    d = spark.createDataFrame([
+        (1, "Header\nunique one\nFooter"),
+        (2, "header\nunique two\nFooter"),   # case-insensitive repeats
+        (3, "HEADER\nfooter"),               # nothing unique
+        (4, "  \n\n"),                       # no non-empty paragraphs
+        (5, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(d).collect()}
+    assert set(out) == {1, 2, 3}             # 4, 5 have no paragraphs
+    assert out[1]["text"] == "Header\nunique one\nFooter"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text"] == "unique two"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_paragraph_dedup_within_document_repeats(spark):
+    from metrique_spark.functions.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [(1, "same\nsame\nother\nsame")], "doc_id long, text string")
+    [r] = paragraph_dedup(d).collect()
+    assert r["text"] == "same\nother"
+    assert (r["n_paras"], r["n_kept"]) == (4, 2)

@@ -399,3 +399,32 @@ def test_gopher_word_split_excludes_no_engine_specific_whitespace(spark):
                 '[ \t\n\x0B\f\r]+'), w -> w != ''))"""
     ).fetchone()
     assert dn == 3
+
+
+def test_luhn_valid_known_vectors(spark):
+    from metrique_spark.functions.text import luhn_valid
+
+    d = spark.createDataFrame(
+        [("4111111111111111",), ("5500005555555559",),
+         ("4111-1111-1111-1111",), ("1234567890123456",),
+         ("1234 5678 9012 3456",)], "c string")
+    got = [r["ok"] for r in d.select(luhn_valid(F.col("c")).alias("ok"))
+           .collect()]
+    assert got == [True, True, True, False, False]
+
+
+def test_redact_card_numbers_validates_before_redacting(spark):
+    from metrique_spark.functions.text import redact_card_numbers
+
+    d = spark.createDataFrame([
+        (1, "pay 4111-1111-1111-1111 ref 1234 5678 9012 3456 order 12345"),
+        (2, "no cards"),
+        (3, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_card_numbers(d).collect()}
+    assert out[1]["n_card_candidates"] == 2
+    assert out[1]["n_cards"] == 1
+    assert out[1]["text_redacted"] == (
+        "pay <CARD> ref 1234 5678 9012 3456 order 12345")
+    assert out[2]["n_cards"] == 0 and out[2]["text_redacted"] == "no cards"
+    assert out[3]["text_redacted"] == ""
