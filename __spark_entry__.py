@@ -812,6 +812,24 @@ def sample_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-aware source mixing (sampling.epoch_mix): repeat factors
+    per source — src0 at 2.5 epochs (every doc twice + a deterministic
+    half by hash gets a third copy), src1 at 0.4 (deterministic
+    downsample), unlisted sources pass through at 1 — the LLaMA/DoReMi
+    repeat-weighting side of corpus mixing. Pure scan-stage arithmetic:
+    CASE chain + explode(sequence), no shuffle, no count job. The
+    oracle replays thresholds and copy expansion with unnest(range)."""
+    _utc(spark)
+    from metrique_spark.functions import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.epoch_mix(d, "source", {"src0": 2.5, "src1": 0.4},
+                             key_col="doc_id")
+    return out.select("doc_id", "source",
+                      F.col("copy").cast("long").alias("copy"))
+
+
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality-first selection under a total token budget: keep the
     best-quality docs while the running token sum stays ≤ 12000 —
@@ -1661,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_shards": sample_shards,
         "sample_cap_per_source": sample_cap_per_source,
         "sample_temperature_mix": sample_temperature_mix,
+        "sample_epoch_mix": sample_epoch_mix,
         "text_token_frequencies": text_token_frequencies,
         "text_quality_quantiles": text_quality_quantiles,
         "sample_mix_corpus_skew": sample_mix_corpus_skew,
@@ -2357,6 +2376,22 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN lang = 'en' THEN '40000000'
                WHEN lang = 'zh' THEN 'g'
                ELSE '80000000' END
+""",
+        "sample_epoch_mix": """
+    WITH marked AS (
+        SELECT doc_id, source,
+               CASE WHEN source = 'src0' THEN 2
+                    WHEN source = 'src1' THEN 0 ELSE 1 END
+               + CASE WHEN substr(md5(cast(doc_id AS varchar)), 1, 8)
+                           < CASE WHEN source = 'src0' THEN '80000000'
+                                  WHEN source = 'src1' THEN '66666666'
+                                  ELSE '0' END
+                      THEN 1 ELSE 0 END AS nc
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(1, nc + 1)) AS BIGINT) AS copy
+    FROM marked WHERE nc >= 1
 """,
         "sample_mix_corpus": r"""
     WITH counts AS (

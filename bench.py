@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sample_shards",
     "sample_cap_per_source",
     "sample_temperature_mix",
+    "sample_epoch_mix",
     "sample_token_budget",
     "text_quality_quantiles",
     "text_quality_quantiles_skew",

@@ -667,3 +667,48 @@ def key_skew_profile(
                     .cast("long").alias("share_ppm"),
                     F.col("n_rows").cast("long").alias("n_rows"),
                     F.col("n_keys").cast("long").alias("n_keys")))
+
+
+def epoch_mix(
+    df: DataFrame,
+    source_col: str,
+    epochs: dict,
+    key_col: str = "doc_id",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Epoch-aware source mixing for pretraining (the repeat-factor
+    side of corpus weighting — LLaMA/DoReMi-style source epochs, where
+    high-quality sources repeat >1× and bulk web <1×): source ``s``
+    with epoch ``e`` emits ``floor(e)`` copies of every row, plus one
+    extra copy for the deterministic ``frac(e)`` hash-fraction of keys
+    — so expected volume is exactly ``e · n_s``, the selection nests
+    (raising ``e`` only adds copies), and ``e < 1`` subsumes
+    deterministic downsampling (rows above the threshold emit zero
+    copies and drop). Sources absent from ``epochs`` pass through at
+    one copy. Output rows carry ``copy_col`` (1-based copy index) so a
+    downstream shuffle/shard can separate repeats.
+
+    Scale shape: pure scan-stage arithmetic — a CASE chain over the
+    (tiny) epochs dict picks ``floor(e)`` and the hash threshold, and
+    ``explode(sequence(1, n_copies))`` materializes copies with no
+    shuffle, no count job, and no driver state."""
+    from functools import reduce as _reduce
+
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epoch_mix: negative epoch {e!r} for {s!r}")
+    src = F.col(source_col)
+    whole = _reduce(
+        lambda acc, s: F.when(src == s, F.lit(int(epochs[s]))).otherwise(acc),
+        sorted(epochs), F.lit(1))
+    extra_thr = _reduce(
+        lambda acc, s: F.when(
+            src == s,
+            F.lit(_hex_threshold(epochs[s] - int(epochs[s])))).otherwise(acc),
+        sorted(epochs), F.lit("0"))
+    n_copies = whole + (hash_bucket(F.col(key_col)) < extra_thr).cast("int")
+    return (df.withColumn("__nc", n_copies)
+            .where(F.col("__nc") >= 1)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1), F.col("__nc"))))
+            .drop("__nc"))

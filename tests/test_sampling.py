@@ -413,3 +413,49 @@ def test_cap_per_group_high_cardinality_never_collects_counts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert "row_number" in plan
+
+
+def test_epoch_mix_copies_and_downsample(spark):
+    import hashlib
+
+    rows = [(i, "wiki" if i % 3 == 0 else "web") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sampling.epoch_mix(df, "src", {"wiki": 2.5, "web": 0.5})
+    got = [(r["doc_id"], r["src"], r["copy"]) for r in out.collect()]
+
+    def hb(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:8]
+
+    expect = []
+    for i, src in rows:
+        e = 2.5 if src == "wiki" else 0.5
+        nc = int(e) + (1 if hb(i) < format(int((e - int(e)) * 16**8),
+                                           "08x") else 0)
+        expect.extend((i, src, c) for c in range(1, nc + 1))
+    assert sorted(got) == sorted(expect)
+    # expected volume ≈ e·n per source
+    wiki = sum(1 for _, s, _ in got if s == "wiki")
+    web = sum(1 for _, s, _ in got if s == "web")
+    assert abs(wiki - 2.5 * 100) < 25 and abs(web - 0.5 * 200) < 30
+
+
+def test_epoch_mix_unlisted_passthrough_and_nesting(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(50)],
+                               "doc_id long, src string")
+    out = sampling.epoch_mix(df, "src", {})
+    assert sorted((r["doc_id"], r["copy"]) for r in out.collect()) == \
+        [(i, 1) for i in range(50)]
+    # nesting: copies at e=1.2 are a subset of copies at e=1.7
+    lo = {(r["doc_id"], r["copy"]) for r in
+          sampling.epoch_mix(df, "src", {"a": 1.2}).collect()}
+    hi = {(r["doc_id"], r["copy"]) for r in
+          sampling.epoch_mix(df, "src", {"a": 1.7}).collect()}
+    assert lo <= hi
+
+
+def test_epoch_mix_negative_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        sampling.epoch_mix(df, "src", {"a": -1.0})
