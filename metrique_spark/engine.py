@@ -627,7 +627,8 @@ class Engine:
         )
         return self._written_relpaths(out, buckets, timepart)
 
-    def compact(self, cube: str, target_partitions: int | None = None) -> int:
+    def compact(self, cube: str, target_partitions: int | None = None,
+                sort_by: Sequence[str] | None = None) -> int:
         """Consolidate the history partition's per-upsert-batch directories.
 
         Every snapshot upsert appends one token-keyed ``__batch``
@@ -638,16 +639,30 @@ class Engine:
         rewrites ALL closed rows into one consolidated batch directory and
         removes the originals. Returns the number of directories removed.
 
+        ``sort_by`` (e.g. ``["_start"]``) range-partitions and sorts the
+        rewritten rows on the given columns, so each output file covers
+        a tight, largely disjoint slice of the sort key and its parquet
+        row-group min/max statistics become selective: an as-of or
+        date-range scan then skips most files/row-groups at the reader
+        even within a single period directory — the clustering half of
+        the data-skipping story that partition pruning alone can't give
+        (a month of 100 TB history is still thousands of files).
+
         Crash-safe under the engine's single-writer assumption: the
         consolidated directory's name is the same order-insensitive
         content checksum the upsert commit uses, and rows are deduped by
         ``_id`` on read — so a crash between write and delete leaves
         duplicates that the NEXT compact (or any retry) collapses back;
-        re-running with no new data converges to the same directory."""
+        re-running with no new data converges to the same directory.
+        Consequence: re-compacting IDENTICAL content with a different
+        ``sort_by`` is a no-op (same token, live directory, overwrite
+        would tear readers) — cluster on the first compact, or after
+        new batches land."""
         with self._write_lock(cube):
-            return self._compact_locked(cube, target_partitions)
+            return self._compact_locked(cube, target_partitions, sort_by)
 
-    def _compact_locked(self, cube: str, target_partitions: int | None) -> int:
+    def _compact_locked(self, cube: str, target_partitions: int | None,
+                        sort_by: Sequence[str] | None = None) -> int:
         path = self._path(cube)
         state, meta, raw = self._cube_state(path)
         if state == "premanifest":
@@ -663,7 +678,17 @@ class Engine:
             # leaving visible duplicates; the manifested read can't (a
             # stranded consolidated dir is never referenced)
             closed = closed.dropDuplicates(["_id"])
-        if target_partitions:
+        if sort_by:
+            # range-partition + in-task sort: each rewritten file covers
+            # a tight slice of the sort key, making row-group min/max
+            # stats selective for later scans (partitionBy preserves a
+            # task's row order into the files it writes)
+            nparts = (target_partitions
+                      or self.spark.sparkContext.defaultParallelism)
+            closed = (closed.repartitionByRange(
+                nparts, *[F.col(c) for c in sort_by])
+                .sortWithinPartitions(*sort_by))
+        elif target_partitions:
             closed = closed.repartition(target_partitions)
         # localCheckpoint: the write below rewrites the directories this
         # plan reads from

@@ -486,3 +486,34 @@ def test_point_lookup_float_probe_of_integer_cube(spark, tmp_path):
                                           fields="val").collect()]
         want = [20] if probe[0] in (2, 2.0) else []
         assert got == want, (probe, got)
+
+
+def test_compact_sort_by_clusters_files(spark, tmp_path):
+    """compact(sort_by=...) must range-partition + sort the rewritten
+    history so each file covers a tight, disjoint slice of the sort key
+    (selective row-group stats = reader-side data skipping within a
+    directory)."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=1)
+    # 6 upsert batches, months interleaved so pre-compact files mix keys
+    for m in (3, 1, 5, 2, 6, 4):
+        rows = [(o, m * 100 + o) for o in range(1, 41)]
+        df = spark.createDataFrame(rows, "oid long, v long")
+        eng.upsert("cl", stamp(
+            df, oid="oid",
+            start=F.to_timestamp(F.lit(f"2014-{m:02d}-01"))), stamped=True)
+    assert eng.count("cl", date="~") == 240
+    removed = eng.compact("cl", target_partitions=4, sort_by=["_start"])
+    assert removed > 0
+    assert eng.count("cl", date="~") == 240
+
+    hist = (eng.table("cl").where(F.col("_end").isNotNull())
+            .select(F.input_file_name().alias("f"), "_start"))
+    spans = (hist.groupBy("f")
+             .agg(F.min("_start").alias("lo"), F.max("_start").alias("hi"))
+             .collect())
+    assert len(spans) >= 2
+    ordered = sorted(((r["lo"], r["hi"]) for r in spans))
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2, (hi1, lo2)   # files cover disjoint key ranges
