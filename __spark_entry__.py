@@ -1507,6 +1507,42 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-format probing (multimodal.probe_media): genuine
+    PNG and GIF headers are synthesized JVM-side (hex → to_binary, the
+    actual byte layouts: PNG big-endian IHDR, GIF little-endian screen
+    descriptor) with per-doc dimensions, plus md5-byte garbage rows for
+    the unknown path — the mapInPandas parser reads the bytes back with
+    no image library, and the oracle checks the parsed dimensions
+    against the injected arithmetic. This is the decode-free metadata
+    pass a media pipeline runs before any pixel work."""
+    _utc(spark)
+    from metrique_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 300 + 16).cast("int")
+    h = (F.col("doc_id") % 200 + 16).cast("int")
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"))
+    gif_hex = F.concat(
+        F.lit("474946383961"),
+        F.lpad(F.hex(w % 256), 2, "0"),
+        F.lpad(F.hex(F.floor(w / 256).cast("int")), 2, "0"),
+        F.lpad(F.hex(h % 256), 2, "0"),
+        F.lpad(F.hex(F.floor(h / 256).cast("int")), 2, "0"))
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.to_binary(F.md5("text"), F.lit("hex")))
+        .when(F.col("doc_id") % 2 == 0, F.to_binary(png_hex, F.lit("hex")))
+        .otherwise(F.to_binary(gif_hex, F.lit("hex"))))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     payload.alias("payload"))
+    return mm.probe_media(media).select(
+        "media_id", "format", "width", "height")
+
+
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal frame sampling e2e: document text bytes stand in for
     video payloads, and the mapInPandas sampler's row expansion (frame
@@ -1727,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
+        "mm_probe_headers": mm_probe_headers,
         "mm_frame_samples": mm_frame_samples,
         "mm_resized": mm_resized,
         "events_daily_rollup": events_daily_rollup,
@@ -3128,6 +3165,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
                    sha256(text) AS digest
+            FROM documents
+        """,
+        "mm_probe_headers": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'png'
+                        ELSE 'gif' END AS format,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(doc_id % 300 + 16 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(doc_id % 200 + 16 AS INTEGER) END AS height
             FROM documents
         """,
         "mm_frame_samples": """

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sim_semantic_dedup",
     "sim_cluster_summary",
     "mm_frame_samples",
+    "mm_probe_headers",
     "events_daily_rollup",
     "events_funnel",
     "events_retention",

@@ -219,3 +219,49 @@ def test_fetch_retries_then_succeeds(monkeypatch, tmp_path):
     with pytest.raises(RuntimeError, match="after 2 attempts"):
         files._fetch_with_retries("http://x/", str(tmp_path / "out"),
                                   retries=2)
+
+
+def test_probe_media_bytes_real_formats():
+    import struct
+
+    from metrique_spark.functions.multimodal import probe_media_bytes
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 640, 480) + b"rest")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"x" * 8
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<i", 100)
+           + struct.pack("<i", -50) + b"\x00" * 4)   # top-down height
+    jpg = (b"\xff\xd8" + b"\xff\xe0\x00\x04\x00\x00"      # APP0
+           + b"\xff\xc2\x00\x11\x08"                       # SOF2
+           + struct.pack(">HH", 480, 640) + b"\x00" * 5)
+    assert probe_media_bytes(png) == ("png", 640, 480)
+    assert probe_media_bytes(gif) == ("gif", 320, 200)
+    assert probe_media_bytes(bmp) == ("bmp", 100, 50)
+    assert probe_media_bytes(jpg) == ("jpeg", 640, 480)
+    assert probe_media_bytes(b"garbage-bytes-here") == (None, None, None)
+    assert probe_media_bytes(None) == (None, None, None)
+    assert probe_media_bytes(b"\x89PNG\r\n\x1a\n\x00") == (None, None, None)
+    # jpeg with no SOF before truncation: format known, dims unknown
+    assert probe_media_bytes(b"\xff\xd8\xff\xe0\x00\x04\x00\x00\x00\x00"
+                             ) == ("jpeg", None, None)
+
+
+def test_probe_media_dataframe_roundtrip(spark):
+    import struct
+
+    from metrique_spark.functions import multimodal as mm
+
+    rows = [
+        (1, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+                               + struct.pack(">II", 12, 34))),
+        (2, "image", bytearray(b"GIF87a" + struct.pack("<HH", 56, 78)
+                               + b"p" * 6)),
+        (3, "image", bytearray(b"not an image, just bytes")),
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in mm.probe_media(df).collect()}
+    assert got == {1: ("png", 12, 34), 2: ("gif", 56, 78),
+                   3: (None, None, None), 4: (None, None, None)}
