@@ -49,7 +49,8 @@ class Engine:
                  fs: FileSystem | None = None,
                  lock_ttl: float | None = None,
                  oid_buckets: int = 16,
-                 time_partition: str | None = None):
+                 time_partition: str | None = None,
+                 keep_generations: int = 0):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -93,6 +94,16 @@ class Engine:
         # the idempotent per-batch commit. Off by default: compaction
         # rewrites all closed rows, which the caller may want to schedule.
         self.auto_compact_batches = auto_compact_batches
+        # generation retention (time travel): keep the directory sets of
+        # the last N superseded generations in the manifest, so
+        # ``table(cube, generation=g)`` reads an exact committed
+        # snapshot — the reproducibility pin a training run needs ("this
+        # model saw corpus generation 41"). Retained generations'
+        # directories are excluded from the post-commit sweep; 0 (the
+        # default) keeps only the live generation, today's behavior.
+        if keep_generations < 0:
+            raise ValueError("keep_generations must be >= 0")
+        self.keep_generations = keep_generations
         self._views: dict[str, DataFrame] = {}
         # advisory index registry: cube -> [{"name", "column_names"}]
         # (underscore-prefixed sidecar files are invisible to Spark's
@@ -114,7 +125,8 @@ class Engine:
         self._views[cube] = df
         df.createOrReplaceTempView(cube)
 
-    def _read_raw(self, path: str) -> DataFrame:
+    def _read_raw(self, path: str,
+                  generation: int | None = None) -> DataFrame:
         """Cube read KEEPING the internal partition columns (``__batch``,
         ``__obucket``) — the bounded history import needs them to rewrite
         kept rows back into their own directories.
@@ -130,10 +142,28 @@ class Engine:
         by design, rather than silently mixing generations.) Legacy
         cubes (no manifest) fall back to the root-listing read."""
         meta = self._manifest(path)
+        if generation is not None and meta is None:
+            raise ValueError(
+                f"cube at {path!r} has no generation manifest — "
+                "time-travel reads need a manifested cube")
         if meta is None:
             df = self.spark.read.parquet(path)
         else:
-            dirs = meta["dirs"]
+            if generation is None or generation == meta["gen"]:
+                dirs = meta["dirs"]
+            else:
+                for h in meta.get("history", []):
+                    if h["gen"] == generation:
+                        dirs = h["dirs"]
+                        break
+                else:
+                    have = [meta["gen"]] + [h["gen"]
+                                            for h in meta.get("history", [])]
+                    raise ValueError(
+                        f"generation {generation} of cube {path!r} is "
+                        f"expired or unknown; retained: {sorted(have)} "
+                        "(raise Engine(keep_generations=...) to retain "
+                        "more)")
             if not dirs:
                 raise RuntimeError(
                     f"cube manifest at {path!r} lists no data directories")
@@ -144,17 +174,33 @@ class Engine:
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
         return df
 
-    def _read(self, path: str) -> DataFrame:
-        df = self._read_raw(path)
+    def _read(self, path: str, generation: int | None = None) -> DataFrame:
+        df = self._read_raw(path, generation=generation)
         # internal commit-batch / oid-bucket / period keys, not data
         return df.drop(*[c for c in ("__batch", "__obucket", "__stime")
                          if c in df.columns])
 
-    def table(self, cube: str) -> DataFrame:
-        """The cube as a DataFrame (reference ``get_table``)."""
+    def table(self, cube: str, generation: int | None = None) -> DataFrame:
+        """The cube as a DataFrame (reference ``get_table``).
+        ``generation`` reads an exact retained snapshot instead of the
+        live one (time travel — see ``keep_generations``): the
+        reproducibility pin for "re-run against the corpus state a
+        training job actually saw"."""
         if cube in self._views:
+            if generation is not None:
+                raise ValueError(
+                    f"{cube!r} is a registered view — generations exist "
+                    "only for warehouse cubes")
             return self._views[cube]
-        return self._read(self._path(cube))
+        return self._read(self._path(cube), generation=generation)
+
+    def generations(self, cube: str) -> list[int]:
+        """Generation numbers readable right now: the live one plus any
+        retained by ``keep_generations`` — newest first."""
+        meta = self._manifest(self._path(cube))
+        if meta is None:
+            return []
+        return [meta["gen"]] + [h["gen"] for h in meta.get("history", [])]
 
     def ls(self) -> list[str]:
         """List cubes (reference ``sqlalchemy.py:877-888``)."""
@@ -399,14 +445,40 @@ class Engine:
                 "back to a listing read")
         return meta
 
+    def _push_history(self, meta: dict | None) -> list[dict]:
+        """History entries for the NEXT manifest: the superseded current
+        generation first, then the previously retained ones, truncated
+        to ``keep_generations``."""
+        if not self.keep_generations or meta is None:
+            return []
+        hist = ([{"gen": meta["gen"], "dirs": meta["dirs"]}]
+                + meta.get("history", []))
+        return hist[: self.keep_generations]
+
+    @staticmethod
+    def _retained_dirs(meta: dict | None) -> set[str]:
+        """Directories referenced by any RETAINED generation (current +
+        history) — the set no writer may overwrite and no sweep may
+        delete."""
+        if meta is None:
+            return set()
+        dirs = set(meta["dirs"])
+        for h in meta.get("history", []):
+            dirs.update(h["dirs"])
+        return dirs
+
     def _manifest_flip(self, path: str, old_raw: str | None,
-                       gen: int, dirs: set[str]) -> None:
+                       gen: int, dirs: set[str],
+                       history: list[dict] | None = None) -> None:
         """The commit point: ONE atomic pointer write. CAS against the
         text read at operation start — under the writer lease this only
         fails if a TTL-expired zombie writer raced us; fail loud."""
         import json
 
-        new = json.dumps({"gen": gen, "dirs": sorted(dirs)})
+        body: dict = {"gen": gen, "dirs": sorted(dirs)}
+        if history:
+            body["history"] = history
+        new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
             # first flip is a CAS too (put-if-absent): two racing first
@@ -698,13 +770,15 @@ class Engine:
         if meta is not None:
             gen = meta["gen"] + 1
             live = set(meta["dirs"])
-            _, rels = self._write_closed_batch(closed, path,
-                                               buckets=buckets, live=live,
-                                               timepart=timepart)
+            _, rels = self._write_closed_batch(
+                closed, path, buckets=buckets,
+                live=self._retained_dirs(meta), timepart=timepart)
             dirs = ({d for d in live if d.startswith("_current=true")}
                     | rels)
-            self._manifest_flip(path, raw, gen, dirs)
-            self._sweep_unreferenced(path, dirs)
+            hist = self._push_history(meta)
+            self._manifest_flip(path, raw, gen, dirs, hist)
+            self._sweep_unreferenced(
+                path, dirs | {d for h in hist for d in h["dirs"]})
             return len({d for d in live
                         if d.startswith("_current=false")} - dirs)
         token, _ = self._write_closed_batch(closed, path, buckets=buckets)
@@ -837,8 +911,10 @@ class Engine:
                 open_batch=f"ins-g{gen}", hist_batch=f"insh-g{gen}",
                 collect_dirs=True, timepart=timepart)
             dirs = set(meta["dirs"]) | new_dirs
-            self._manifest_flip(path, raw, gen, dirs)
-            self._sweep_unreferenced(path, dirs)
+            hist = self._push_history(meta)
+            self._manifest_flip(path, raw, gen, dirs, hist)
+            self._sweep_unreferenced(
+                path, dirs | {d for h in hist for d in h["dirs"]})
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, **stamp_kw) -> None:
@@ -889,15 +965,19 @@ class Engine:
                 gen = meta["gen"] + 1
                 live = set(meta["dirs"])
                 _, closed_rels = self._write_closed_batch(
-                    closed, path, buckets=buckets, live=live,
+                    closed, path, buckets=buckets,
+                    live=self._retained_dirs(meta),  # history dirs too:
+                    # overwriting one would corrupt a retained snapshot
                     timepart=timepart)
                 open_rels = self._write_open(
                     new_open, path, buckets=buckets,
                     open_batch=f"open-g{gen}", timepart=timepart)
                 dirs = ({d for d in live if not d.startswith("_current=true")}
                         | closed_rels | open_rels)
-                self._manifest_flip(path, raw, gen, dirs)
-                self._sweep_unreferenced(path, dirs)
+                hist = self._push_history(meta)
+                self._manifest_flip(path, raw, gen, dirs, hist)
+                self._sweep_unreferenced(
+                    path, dirs | {d for h in hist for d in h["dirs"]})
             else:
                 # legacy in-place commit (no isolation): closed rows
                 # FIRST (idempotent token-keyed partition), open
@@ -1002,8 +1082,10 @@ class Engine:
         )
         new_rels = self._written_relpaths(union, buckets, timepart)
         dirs = (live - replaced_dirs) | new_rels
-        self._manifest_flip(path, raw_manifest, gen, dirs)
-        self._sweep_unreferenced(path, dirs)
+        hist = self._push_history(meta)
+        self._manifest_flip(path, raw_manifest, gen, dirs, hist)
+        self._sweep_unreferenced(
+            path, dirs | {d for h in hist for d in h["dirs"]})
 
     def _closed_batch_dirs(self, path: str) -> list[str]:
         """Full paths of every history ``__batch=`` directory — from the

@@ -329,14 +329,14 @@ def test_reader_mid_snapshot_upsert_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs):
+    def spy(self, path, old_raw, gen, dirs, history=None):
         if "pre_total" not in seen:  # first flip after setup
             seen["pre_total"] = engine.count("iso", date="~")
             seen["pre_cur"] = {r["_oid"]: r["col_1"]
                                for r in engine.find("iso").collect()}
             seen["pre_closed"] = engine.count("iso", "_end != None",
                                               date="~")
-        return orig(self, path, old_raw, gen, dirs)
+        return orig(self, path, old_raw, gen, dirs, history)
 
     monkeypatch.setattr(Engine, "_manifest_flip", spy)
     engine.upsert("iso", _objs(spark, [(1, 11)], "2014-02-01"),
@@ -363,13 +363,13 @@ def test_reader_mid_history_replace_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs):
+    def spy(self, path, old_raw, gen, dirs, history=None):
         if "pre" not in seen:
             seen["pre"] = sorted(
                 (r["col_1"], str(r["_end"]))
                 for r in engine.find("hiso", "_oid == 1", date="~",
                                      fields="col_1").collect())
-        return orig(self, path, old_raw, gen, dirs)
+        return orig(self, path, old_raw, gen, dirs, history)
 
     rows = [(1, 1, "2013-01-01", "2013-06-01"), (1, 2, "2013-06-01", None)]
     hist = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
@@ -394,10 +394,10 @@ def test_reader_mid_insert_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs):
+    def spy(self, path, old_raw, gen, dirs, history=None):
         if gen > 1 and "pre" not in seen:
             seen["pre"] = engine.count("ains", date="~")
-        return orig(self, path, old_raw, gen, dirs)
+        return orig(self, path, old_raw, gen, dirs, history)
 
     monkeypatch.setattr(Engine, "_manifest_flip", spy)
     engine.insert("ains", _objs(spark, [(2, 20)], "2014-02-01"),
@@ -416,12 +416,12 @@ def test_manifest_cas_detects_zombie_writer(spark, engine, monkeypatch):
     engine.upsert("zc", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
     orig = Engine._manifest_flip
 
-    def racing(self, path, old_raw, gen, dirs):
+    def racing(self, path, old_raw, gen, dirs, history=None):
         if old_raw is not None:
             # zombie writer bumps the pointer right before our CAS
             p = self.fs.join(path, self._MANIFEST_SIDECAR)
             self.fs.write_text(p, old_raw + " ")
-        return orig(self, path, old_raw, gen, dirs)
+        return orig(self, path, old_raw, gen, dirs, history)
 
     monkeypatch.setattr(Engine, "_manifest_flip", racing)
     with pytest.raises(ConcurrentWriteError, match="manifest"):
@@ -488,7 +488,7 @@ def test_crashed_first_write_still_retries_as_new(spark, engine,
 
     orig = Engine._manifest_flip
 
-    def boom(self, path, old_raw, gen, dirs):
+    def boom(self, path, old_raw, gen, dirs, history=None):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_manifest_flip", boom)
@@ -527,3 +527,66 @@ def test_first_manifest_flip_is_cas(spark, engine):
     path = engine._path("cas1")
     with _pytest.raises(ConcurrentWriteError, match="first writer"):
         engine._manifest_flip(path, None, 1, {"_current=true/__batch=x"})
+
+
+def test_time_travel_reads_exact_retained_snapshots(spark, tmp_path):
+    """keep_generations=2: every commit retains the superseded
+    generations' directory sets, and table(generation=g) reads the
+    EXACT committed snapshot — the reproducibility pin for 'this
+    training run saw corpus generation g'."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), keep_generations=2)
+    snaps = {}
+    for i, (rows, start) in enumerate([
+            ([(1, 10), (2, 20)], "2014-01-01"),
+            ([(1, 11)], "2014-02-01"),
+            ([(3, 30)], "2014-03-01"),
+            ([(2, 21)], "2014-04-01")], start=1):
+        eng.upsert("tt", _objs(spark, rows, start), stamped=True)
+        gen = eng.generations("tt")[0]
+        snaps[gen] = sorted(map(tuple, eng.table("tt")
+                                .select("_oid", "col_1", "_end").collect()))
+    gens = eng.generations("tt")
+    assert len(gens) == 3 and gens[0] == max(gens)
+    for g in gens:
+        got = sorted(map(tuple, eng.table("tt", generation=g)
+                         .select("_oid", "col_1", "_end").collect()))
+        assert got == snaps[g], g
+    # generation older than the retention window is gone, loudly
+    expired = min(snaps) if min(snaps) not in gens else None
+    if expired is not None:
+        with pytest.raises(ValueError, match="expired or unknown"):
+            eng.table("tt", generation=expired).collect()
+
+
+def test_time_travel_survives_compact(spark, tmp_path):
+    """Compaction consolidates the live generation but must not disturb
+    retained snapshots: their directories survive the sweep and read
+    back exactly."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), keep_generations=3)
+    eng.upsert("tc2", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    eng.upsert("tc2", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    eng.upsert("tc2", _objs(spark, [(1, 12)], "2014-03-01"), stamped=True)
+    g_before = eng.generations("tc2")[0]
+    before = sorted(map(tuple, eng.table("tc2").select(
+        "_oid", "col_1", "_end").collect()))
+    assert eng.compact("tc2") > 0
+    # live read consolidated, identical content
+    assert sorted(map(tuple, eng.table("tc2").select(
+        "_oid", "col_1", "_end").collect())) == before
+    # the pre-compact generation still reads via its own directories
+    assert sorted(map(tuple, eng.table("tc2", generation=g_before).select(
+        "_oid", "col_1", "_end").collect())) == before
+
+
+def test_no_retention_keeps_current_behavior(spark, engine):
+    engine.upsert("nr", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    engine.upsert("nr", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    assert engine.generations("nr") == [engine.generations("nr")[0]]
+    with pytest.raises(ValueError, match="expired or unknown"):
+        engine.table("nr", generation=1).collect()
+
+
+def test_time_travel_view_rejected(spark, engine, versions):
+    engine.register("vv", versions)
+    with pytest.raises(ValueError, match="registered view"):
+        engine.table("vv", generation=1)
