@@ -1145,6 +1145,24 @@ def sim_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sim").alias("min_sim"))
 
 
+def text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trigram LM quality scores with two-level Stupid Backoff (Brants
+    2007): trigram ratio when seen, else alpha x the bigram score, else
+    alpha^2 x the unigram/OOV floor — scored cross-corpus (holdout
+    doc_id % 7 == 0 under a model trained on the rest) so every backoff
+    branch fires. One context order past text_bigram_logprob."""
+    _utc(spark)
+    from metrique_spark.functions import text
+
+    d = _t(spark, sf_dir, "documents")
+    out = text.trigram_logprob_scores(
+        d.where(F.col("doc_id") % 7 == 0),
+        train_df=d.where(F.col("doc_id") % 7 != 0))
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "mean_logprob")
+
+
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bigram LM quality scores with Stupid Backoff (Brants 2007): score
     a holdout slice (doc_id % 7 == 0) under a model trained on the REST
@@ -1728,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_summary": sim_cluster_summary,
         "text_unigram_logprob": text_unigram_logprob,
         "text_bigram_logprob": text_bigram_logprob,
+        "text_trigram_logprob": text_trigram_logprob,
         "dedup_remove_spans": dedup_remove_spans,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_normalize": text_normalize,
@@ -2657,6 +2676,60 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN uni u ON o.token = u.token
         LEFT JOIN uni p ON o.prev = p.token
         LEFT JOIN bi b ON o.prev = b.prev AND o.token = b.token
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS mean_logprob
+    FROM scored GROUP BY doc_id
+""",
+        "text_trigram_logprob": r"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^\W_]+') AS toks
+        FROM documents
+    ),
+    occ_all AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(
+                       token := toks[i],
+                       prev := CASE WHEN i > 1 THEN toks[i-1] END,
+                       prev2 := CASE WHEN i > 2 THEN toks[i-2] END)),
+                   recursive := true)
+        FROM t WHERE len(toks) >= 1
+    ),
+    occ AS (SELECT * FROM occ_all WHERE doc_id % 7 = 0),
+    train AS (SELECT * FROM occ_all WHERE doc_id % 7 != 0),
+    uni AS (SELECT token, count(*) AS c FROM train GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT prev, token, count(*) AS bc FROM train
+           WHERE prev IS NOT NULL GROUP BY prev, token),
+    tri AS (SELECT prev2, prev, token, count(*) AS tc FROM train
+            WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+    scored AS (
+        SELECT o.doc_id,
+               CASE WHEN o.prev IS NULL
+                        THEN coalesce(ln(u.c), ln(0.4))
+                             - ln((SELECT n FROM tot))
+                    WHEN o.prev2 IS NULL THEN
+                        CASE WHEN b.bc IS NOT NULL
+                                 THEN ln(b.bc) - ln(p.c)
+                             ELSE ln(0.4) + (coalesce(ln(u.c), ln(0.4))
+                                  - ln((SELECT n FROM tot)))
+                        END
+                    WHEN tr.tc IS NOT NULL THEN ln(tr.tc) - ln(cb.bc)
+                    ELSE ln(0.4) +
+                        CASE WHEN b.bc IS NOT NULL
+                                 THEN ln(b.bc) - ln(p.c)
+                             ELSE ln(0.4) + (coalesce(ln(u.c), ln(0.4))
+                                  - ln((SELECT n FROM tot)))
+                        END
+               END AS lp
+        FROM occ o
+        LEFT JOIN uni u ON o.token = u.token
+        LEFT JOIN uni p ON o.prev = p.token
+        LEFT JOIN bi b ON o.prev = b.prev AND o.token = b.token
+        LEFT JOIN bi cb ON o.prev2 = cb.prev AND o.prev = cb.token
+        LEFT JOIN tri tr ON o.prev2 = tr.prev2 AND o.prev = tr.prev
+                        AND o.token = tr.token
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(lp), 4) AS mean_logprob

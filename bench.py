@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "text_token_frequencies",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "text_trigram_logprob",
     "text_token_estimate",
     "text_gopher_filters",
     "pipeline_curate",

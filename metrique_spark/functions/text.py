@@ -772,6 +772,91 @@ def bigram_logprob_scores(
     )
 
 
+def trigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    decimals: int = 4,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean token log-score under a TRIGRAM LM with Stupid
+    Backoff (Brants et al. 2007) — one context order up from
+    ``bigram_logprob_scores``: token t_i after (t_{i-2}, t_{i-1})
+    scores the trigram ratio when that trigram was seen in training,
+    else ``ln(alpha)`` + the bigram score, which itself backs off by
+    another ``ln(alpha)`` to the unigram (with the same OOV floor
+    ``alpha/N``). A document's first token scores at the unigram
+    level, its second at the bigram level. Returns
+    ``(id_col, n_tokens, mean_logprob)``.
+
+    Scale shape: three training-side frequency aggregates (unigram,
+    bigram, trigram — all map-side combined); the exploded
+    (doc, prev2, prev, token) stream then takes five keyed joins
+    (unigram for token and prev, bigram for (prev, token) and the
+    trigram context (prev2, prev), trigram) and one per-doc
+    re-aggregate. Nothing is broadcast by hand — a web corpus has
+    billions of trigram types; AQE broadcasts the tables that are
+    actually small."""
+    import math
+
+    def _occ(frame):
+        src = frame.select(F.col(id_col).alias("id"),
+                           F.col(text_col).alias("__t"))
+        t = src.select("id", tokens("__t").alias("__toks"))
+        triples = F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("token"),
+                F.when(i > 1, F.element_at("__toks", i - 1)).alias("prev"),
+                F.when(i > 2, F.element_at("__toks", i - 2)).alias("prev2")))
+        return (t.where(F.size("__toks") >= 1)
+                .select("id", F.explode(triples).alias("x"))
+                .select("id", "x.token", "x.prev", "x.prev2"))
+
+    occ = _occ(df)
+    train = occ if train_df is None else _occ(train_df)
+    uni = train.groupBy("token").agg(F.count("*").alias("__c"))
+    total = uni.agg(F.sum("__c").alias("__n"))
+    uni = uni.crossJoin(F.broadcast(total)).select(
+        "token", "__c", (F.log("__c") - F.log("__n")).alias("__ulp"))
+    bi = (train.where(F.col("prev").isNotNull())
+          .groupBy("prev", "token").agg(F.count("*").alias("__bc")))
+    tri = (train.where(F.col("prev2").isNotNull())
+           .groupBy("prev2", "prev", "token")
+           .agg(F.count("*").alias("__tc")))
+    occ = occ.crossJoin(F.broadcast(total))
+    ulp_eff = F.coalesce(
+        F.col("__ulp"), F.lit(math.log(alpha)) - F.log("__n"))
+    bi_lp = (
+        F.when(F.col("__bc").isNotNull(), F.log("__bc") - F.log("__pc"))
+        .otherwise(F.lit(math.log(alpha)) + ulp_eff))
+    lp = (
+        F.when(F.col("prev").isNull(), ulp_eff)
+        .when(F.col("prev2").isNull(), bi_lp)
+        .when(F.col("__tc").isNotNull(), F.log("__tc") - F.log("__cc"))
+        .otherwise(F.lit(math.log(alpha)) + bi_lp)
+    )
+    scored = (
+        occ.join(uni.select("token", "__ulp"), "token", "left")
+        .join(uni.select(F.col("token").alias("prev"),
+                         F.col("__c").alias("__pc")), "prev", "left")
+        .join(bi, ["prev", "token"], "left")
+        .join(bi.select(F.col("prev").alias("prev2"),
+                        F.col("token").alias("prev"),
+                        F.col("__bc").alias("__cc")),
+              ["prev2", "prev"], "left")
+        .join(tri, ["prev2", "prev", "token"], "left")
+        .select("id", lp.alias("__lp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("__lp"), decimals).alias("mean_logprob"))
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )
+
+
 def winnowed_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -428,3 +428,30 @@ def test_redact_card_numbers_validates_before_redacting(spark):
         "pay <CARD> ref 1234 5678 9012 3456 order 12345")
     assert out[2]["n_cards"] == 0 and out[2]["text_redacted"] == "no cards"
     assert out[3]["text_redacted"] == ""
+
+
+def test_trigram_backoff_levels(spark):
+    """The three scoring levels must be exercised and ordered: a seen
+    trigram scores higher than its alpha-discounted bigram backoff,
+    which scores higher than the double-discounted unigram/OOV floor."""
+    import math
+
+    from metrique_spark.functions.text import trigram_logprob_scores
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "b d")],
+        "doc_id long, text string")
+    # doc 10: pure seen trigrams; doc 11 ends with an unseen trigram
+    # whose bigram (b d) IS seen; doc 12 ends fully out of model
+    score = {r["doc_id"]: r["mean_logprob"]
+             for r in trigram_logprob_scores(
+                 spark.createDataFrame(
+                     [(10, "a b c"), (11, "a b d"), (12, "a b zz")],
+                     "doc_id long, text string"),
+                 train_df=train).collect()}
+    assert score[10] > score[11] > score[12]
+
+    # exact hand computation for doc 10: ln(c(a)/N), ln(c(ab)/c(a)),
+    # ln(c(abc)/c(ab)) -> ln(3/11), ln(3/3), ln(3/3)
+    exp10 = round((math.log(3 / 11) + 0.0 + 0.0) / 3, 4)
+    assert abs(score[10] - exp10) < 1e-9
