@@ -425,3 +425,46 @@ def test_event_paths_pre_prunes_before_global_window(spark):
     ref = event_paths(ev, k=3, prune_salts=1)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, ref.collect()))
+
+
+def test_paragraph_dedup_no_window_over_hash(spark):
+    """The keeper table must be a map-combinable min-struct aggregate,
+    never a window partitioned by the paragraph hash — a boilerplate
+    paragraph repeated a billion times would serialize onto one window
+    task, while partial aggregation collapses it per map partition."""
+    p = _plan(spark, "dedup_paragraphs")
+    assert not audit.has_cartesian(p)
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            raise AssertionError(f"unexpected window: {line}")
+    # find+join+rebuild: hash agg (partial+final), join, doc rebuild
+    assert audit.count_exchanges(p) <= 5
+
+
+def test_epoch_mix_is_scan_stage(spark):
+    """Copy expansion must be pure scan-stage arithmetic — no shuffle,
+    no count job, no Python."""
+    p = _plan(spark, "sample_epoch_mix")
+    assert audit.count_exchanges(p) == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_card_redaction_is_scan_stage(spark):
+    p = _plan(spark, "text_pii_cards")
+    assert audit.count_exchanges(p) == 0, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_probe_headers_single_arrow_stage_no_shuffle(spark):
+    """Header probing: one ArrowEvalPython/mapInPandas stage over the
+    scan, zero shuffles — payload bytes cross into Python once."""
+    p = _plan(spark, "mm_probe_headers")
+    assert audit.count_exchanges(p) == 0, p
+    assert p.count("MapInPandas") == 1
+
+
+def test_trigram_logprob_bounded_no_cartesian(spark):
+    p = _plan(spark, "text_trigram_logprob")
+    assert not audit.has_cartesian(p)
+    # 3 freq aggregates + 5 keyed joins; AQE may broadcast small sides
+    assert audit.count_exchanges(p) <= 14, audit.count_exchanges(p)
