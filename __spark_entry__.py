@@ -1550,8 +1550,13 @@ def mm_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.hex(h % 256), 2, "0"),
         F.lpad(F.hex(F.floor(h / 256).cast("int")), 2, "0"))
     payload = (
+        # garbage rows: 0x00-prefixed md5 bytes — the leading NUL can
+        # never match a container magic, so the probe's NULL verdict is
+        # deterministic (raw md5 could start with the JPEG SOI marker
+        # at ~1/65536 per doc and flip the gate nondeterministically)
         F.when(F.col("doc_id") % 7 == 0,
-               F.to_binary(F.md5("text"), F.lit("hex")))
+               F.to_binary(F.concat(F.lit("00"), F.md5("text")),
+                           F.lit("hex")))
         .when(F.col("doc_id") % 2 == 0, F.to_binary(png_hex, F.lit("hex")))
         .otherwise(F.to_binary(gif_hex, F.lit("hex"))))
     media = d.select(F.col("doc_id").alias("media_id"),
@@ -3759,8 +3764,12 @@ _CARDS_ORACLE = rf"""
     ),
     cand AS (
         SELECT doc_id, text,
-               regexp_extract_all(text,
-                   '\b(?:\d[ -]?){{12,18}}\d\b') AS cands
+               list_filter(
+                   list_transform(
+                       string_split_regex(text, '[^0-9 -]+'),
+                       p -> regexp_replace(p, '^[ -]+|[ -]+$', '', 'g')),
+                   p -> length(replace(replace(p, ' ', ''), '-', ''))
+                        BETWEEN 13 AND 19) AS cands
         FROM injected
     ),
     val AS (

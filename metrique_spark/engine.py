@@ -387,7 +387,8 @@ class Engine:
         return tp
 
     def _write_layout(self, path: str, buckets: int,
-                      timepart: str | None = None) -> None:
+                      timepart: str | None = None,
+                      keep_generations: int = 0) -> None:
         import json
 
         # "format": 2 marks a sidecar written under the generation-
@@ -400,8 +401,32 @@ class Engine:
         if timepart:
             meta["time_partition"] = timepart
             meta["time_zone"] = self._session_tz()
+        if keep_generations:
+            meta["keep_generations"] = keep_generations
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps(meta))
+
+    def set_retention(self, cube: str, keep_generations: int) -> None:
+        """Change the cube's recorded generation-retention count (takes
+        effect at the NEXT commit; lowering it lets that commit sweep
+        the excess snapshots). Retention is per-CUBE state, like
+        ``oid_buckets``/``time_partition`` — if it lived only in writer
+        config, a maintenance job with a default engine would silently
+        truncate the history and sweep snapshots someone pinned."""
+        import json
+
+        if keep_generations < 0:
+            raise ValueError("keep_generations must be >= 0")
+        with self._write_lock(cube):
+            path = self._path(cube)
+            layout = self._cube_layout(path)
+            if layout is None:
+                raise ValueError(
+                    f"cube {cube!r} has no layout sidecar — retention "
+                    "applies to warehouse cubes only")
+            layout["keep_generations"] = keep_generations
+            self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
+                               json.dumps(layout))
 
     # -- generation-pointer manifest (snapshot-isolated commits) -------------
     #
@@ -445,15 +470,17 @@ class Engine:
                 "back to a listing read")
         return meta
 
-    def _push_history(self, meta: dict | None) -> list[dict]:
+    def _push_history(self, meta: dict | None, keep: int) -> list[dict]:
         """History entries for the NEXT manifest: the superseded current
         generation first, then the previously retained ones, truncated
-        to ``keep_generations``."""
-        if not self.keep_generations or meta is None:
+        to ``keep`` — the CUBE's recorded retention (layout sidecar),
+        not this writer's config, so a maintenance engine with default
+        settings cannot silently truncate pinned snapshots."""
+        if not keep or meta is None:
             return []
         hist = ([{"gen": meta["gen"], "dirs": meta["dirs"]}]
                 + meta.get("history", []))
-        return hist[: self.keep_generations]
+        return hist[:keep]
 
     @staticmethod
     def _retained_dirs(meta: dict | None) -> set[str]:
@@ -765,8 +792,10 @@ class Engine:
         # localCheckpoint: the write below rewrites the directories this
         # plan reads from
         closed = closed.localCheckpoint(eager=True)
-        buckets = self._cube_buckets(path)
-        timepart = self._cube_timepart(path, for_write=True)
+        layout = self._cube_layout(path)
+        buckets = layout.get("oid_buckets") if layout else None
+        timepart = self._cube_timepart(path, for_write=True, layout=layout)
+        keep = layout.get("keep_generations", 0) if layout else 0
         if meta is not None:
             gen = meta["gen"] + 1
             live = set(meta["dirs"])
@@ -775,7 +804,7 @@ class Engine:
                 live=self._retained_dirs(meta), timepart=timepart)
             dirs = ({d for d in live if d.startswith("_current=true")}
                     | rels)
-            hist = self._push_history(meta)
+            hist = self._push_history(meta, keep)
             self._manifest_flip(path, raw, gen, dirs, hist)
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
@@ -858,7 +887,8 @@ class Engine:
         is the commit point — until it lands, readers see nothing and a
         retry rewrites the same gen-1 directories."""
         buckets = self.oid_buckets
-        self._write_layout(path, buckets, self.time_partition)
+        self._write_layout(path, buckets, self.time_partition,
+                           self.keep_generations)
         # checkpoint: the data write and the relpath distinct below must
         # see the SAME rows — stamp()'s default _start is
         # current_timestamp() (fixed per QUERY, different across the two
@@ -911,7 +941,8 @@ class Engine:
                 open_batch=f"ins-g{gen}", hist_batch=f"insh-g{gen}",
                 collect_dirs=True, timepart=timepart)
             dirs = set(meta["dirs"]) | new_dirs
-            hist = self._push_history(meta)
+            hist = self._push_history(
+                meta, layout.get("keep_generations", 0) if layout else 0)
             self._manifest_flip(path, raw, gen, dirs, hist)
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
@@ -974,7 +1005,9 @@ class Engine:
                     open_batch=f"open-g{gen}", timepart=timepart)
                 dirs = ({d for d in live if not d.startswith("_current=true")}
                         | closed_rels | open_rels)
-                hist = self._push_history(meta)
+                hist = self._push_history(
+                    meta,
+                    layout.get("keep_generations", 0) if layout else 0)
                 self._manifest_flip(path, raw, gen, dirs, hist)
                 self._sweep_unreferenced(
                     path, dirs | {d for h in hist for d in h["dirs"]})
@@ -994,7 +1027,8 @@ class Engine:
         elif meta is not None:
             self._history_replace_manifested(
                 path, incoming.select(*cols), cols, buckets, meta, raw,
-                timepart=timepart)
+                timepart=timepart,
+                keep=layout.get("keep_generations", 0) if layout else 0)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
@@ -1016,7 +1050,7 @@ class Engine:
     def _history_replace_manifested(
         self, path: str, incoming: DataFrame, cols: list[str],
         buckets: int | None, meta: dict, raw_manifest: str,
-        timepart: str | None = None,
+        timepart: str | None = None, keep: int = 0,
     ) -> None:
         """Bounded, snapshot-isolated history import: rewrite ONLY the
         oid-bucket directories containing incoming oids (reference
@@ -1082,7 +1116,7 @@ class Engine:
         )
         new_rels = self._written_relpaths(union, buckets, timepart)
         dirs = (live - replaced_dirs) | new_rels
-        hist = self._push_history(meta)
+        hist = self._push_history(meta, keep)
         self._manifest_flip(path, raw_manifest, gen, dirs, hist)
         self._sweep_unreferenced(
             path, dirs | {d for h in hist for d in h["dirs"]})

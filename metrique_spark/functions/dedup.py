@@ -1345,11 +1345,17 @@ def paragraph_dedup(
     broadcasts the keeper side when small, skew-splits it when not);
     reassembly is a per-document aggregate over the document's own
     paragraphs."""
+    import re as _re
+
     paras = (
         df.select(
             F.col(id_col).alias("id"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+                # F.split takes a REGEX; sep is a literal (it is also
+                # the literal the rebuild joins with) — escape it so a
+                # metachar separator ('|', '.') doesn't shred the text
+                F.split(F.coalesce(F.col(text_col), F.lit("")),
+                        _re.escape(sep))
             ).alias("idx", "para"))
         .where(F.trim("para") != ""))
     keyed = paras.withColumn("h", F.md5(F.lower(F.trim(F.col("para")))))

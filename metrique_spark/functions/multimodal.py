@@ -270,17 +270,32 @@ def probe_media_bytes(payload) -> tuple:
                 abs(int.from_bytes(b[22:26], "little", signed=True)))
     if b[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
                 return ("jpeg", None, None)  # corrupt segment stream
-            marker = b[i + 1]
+            # spec-legal fill: any run of 0xFF bytes precedes the marker
+            j = i + 1
+            while j < len(b) and b[j] == 0xFF:
+                j += 1
+            if j >= len(b):
+                break
+            marker = b[j]
             if marker in _SOF_MARKERS:
-                return ("jpeg", int.from_bytes(b[i + 7:i + 9], "big"),
-                        int.from_bytes(b[i + 5:i + 7], "big"))
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone marker, no length field
+                if j + 8 >= len(b):
+                    break
+                return ("jpeg", int.from_bytes(b[j + 6:j + 8], "big"),
+                        int.from_bytes(b[j + 4:j + 6], "big"))
+            if marker == 0xD9:           # EOI before any SOF
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xD8:
+                i = j + 1                # standalone: no length field
                 continue
-            i += 2 + int.from_bytes(b[i + 2:i + 4], "big")
+            if j + 2 >= len(b):
+                break
+            seglen = int.from_bytes(b[j + 1:j + 3], "big")
+            if seglen < 2:
+                return ("jpeg", None, None)
+            i = j + 1 + seglen
         return ("jpeg", None, None)
     return (None, None, None)
 

@@ -706,7 +706,12 @@ def epoch_mix(
             src == s,
             F.lit(_hex_threshold(epochs[s] - int(epochs[s])))).otherwise(acc),
         sorted(epochs), F.lit("0"))
-    n_copies = whole + (hash_bucket(F.col(key_col)) < extra_thr).cast("int")
+    # null keys have no sampling coordinate: they take floor(e) copies
+    # and never the fractional extra (coalesce — otherwise the null
+    # comparison nulls n_copies and the row silently vanishes, even for
+    # pass-through sources)
+    n_copies = whole + F.coalesce(
+        (hash_bucket(F.col(key_col)) < extra_thr).cast("int"), F.lit(0))
     return (df.withColumn("__nc", n_copies)
             .where(F.col("__nc") >= 1)
             .withColumn(copy_col,

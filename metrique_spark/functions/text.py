@@ -359,10 +359,17 @@ def redact_pii(
     return df.select("*", *counts, red.alias(out_col))
 
 
-# candidate card-number span: 13-19 digits with optional single space/
-# dash separators, word-bounded. \b (not lookaround) so the pattern
-# behaves identically under Java regex and RE2 — RE2 has no lookbehind.
-CARD_CANDIDATE_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+# candidate card-number spans are MAXIMAL runs of digit/space/dash
+# characters (split on everything else), trimmed and kept when they
+# carry 13-19 digits. Deliberately NOT a \b-bounded regex: Java's \b is
+# Unicode-aware while RE2's is ASCII, so a digit run adjacent to a CJK
+# or accented word char matches under one engine and not the other —
+# the maximal-run split uses only ASCII classes and behaves identically
+# everywhere. Two cards separated by a single space merge into one
+# over-long run and are skipped (the single-space separator grammar is
+# genuinely ambiguous there).
+_CARD_RUN_SPLIT = r"[^0-9 \-]+"
+_CARD_TRIM = r"^[ -]+|[ -]+$"
 
 
 def luhn_valid(cand) -> Column:
@@ -401,14 +408,20 @@ def redact_card_numbers(
     redaction gets wrong. Adds ``n_card_candidates``, ``n_cards``
     (validated) and ``{out_col}``.
 
-    Pure column expressions (regexp_extract_all + an array filter with
-    the checksum lambda + an array fold of literal replaces) — codegen,
-    zero shuffle, scan-stage; oracle-portable because every piece (\\b
-    pattern, checksum arithmetic, ordered fold) evaluates identically
-    in RE2-based SQL engines."""
+    Pure column expressions (maximal-run split + array filters with the
+    checksum lambda + an array fold of literal replaces) — codegen,
+    zero shuffle, scan-stage; oracle-portable because every piece
+    (ASCII-only split classes, checksum arithmetic, ordered fold)
+    evaluates identically in RE2-based SQL engines."""
     out_col = out_col or f"{text_col}_redacted"
     c = F.coalesce(F.col(text_col), F.lit(""))
-    cands = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)
+    runs = F.transform(
+        F.split(c, _CARD_RUN_SPLIT),
+        lambda p: F.regexp_replace(p, _CARD_TRIM, ""))
+    n_digits = (lambda p:
+                F.length(F.regexp_replace(p, "[ -]", "")))
+    cands = F.filter(runs, lambda p: (n_digits(p) >= 13)
+                     & (n_digits(p) <= 19))
     valid = F.filter(cands, luhn_valid)
     red = F.aggregate(
         valid, c, lambda acc, v: F.replace(acc, v, F.lit(placeholder)))

@@ -601,3 +601,13 @@ def test_paragraph_dedup_within_document_repeats(spark):
     [r] = paragraph_dedup(d).collect()
     assert r["text"] == "same\nother"
     assert (r["n_paras"], r["n_kept"]) == (4, 2)
+
+
+def test_paragraph_dedup_metachar_separator(spark):
+    from metrique_spark.functions.dedup import paragraph_dedup
+
+    d = spark.createDataFrame([(1, "dup|unique|dup")],
+                              "doc_id long, text string")
+    [r] = paragraph_dedup(d, sep="|").collect()
+    assert (r["n_paras"], r["n_kept"]) == (3, 2)
+    assert r["text"] == "dup|unique"

@@ -459,3 +459,18 @@ def test_epoch_mix_negative_raises(spark):
 
     with _pytest.raises(ValueError, match="negative"):
         sampling.epoch_mix(df, "src", {"a": -1.0})
+
+
+def test_epoch_mix_null_key_gets_whole_copies(spark):
+    """A null key has no sampling coordinate: whole copies, never the
+    fractional extra — and never a silent drop."""
+    df = spark.createDataFrame(
+        [(None, "src"), (None, "other"), (1, "src")],
+        "doc_id long, src string")
+    out = sampling.epoch_mix(df, "src", {"src": 2.5})
+    got = [(r["doc_id"], r["src"], r["copy"]) for r in out.collect()]
+    nulls = sorted((g for g in got if g[0] is None),
+                   key=lambda g: (g[1], g[2]))
+    assert (None, "other", 1) in nulls          # pass-through at 1 copy
+    assert [g for g in nulls if g[1] == "src"] == [
+        (None, "src", 1), (None, "src", 2)]     # floor(2.5), no extra

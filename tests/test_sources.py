@@ -265,3 +265,19 @@ def test_probe_media_dataframe_roundtrip(spark):
            for r in mm.probe_media(df).collect()}
     assert got == {1: ("png", 12, 34), 2: ("gif", 56, 78),
                    3: (None, None, None), 4: (None, None, None)}
+
+
+def test_probe_jpeg_fill_bytes_and_standalone_markers():
+    import struct
+
+    from metrique_spark.functions.multimodal import probe_media_bytes
+
+    # fill 0xFF run before SOF, TEM standalone marker, then SOF0
+    jpg = (b"\xff\xd8"
+           + b"\xff\x01"                       # TEM: standalone
+           + b"\xff\xff\xff\xc0\x00\x11\x08"   # fill bytes + SOF0
+           + struct.pack(">HH", 480, 640) + b"\x00" * 5)
+    assert probe_media_bytes(jpg) == ("jpeg", 640, 480)
+    # EOI before any SOF: format known, dims unknown
+    assert probe_media_bytes(b"\xff\xd8\xff\xd9\x00\x00\x00\x00\x00\x00"
+                             ) == ("jpeg", None, None)

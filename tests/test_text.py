@@ -455,3 +455,22 @@ def test_trigram_backoff_levels(spark):
     # ln(c(abc)/c(ab)) -> ln(3/11), ln(3/3), ln(3/3)
     exp10 = round((math.log(3 / 11) + 0.0 + 0.0) / 3, 4)
     assert abs(score[10] - exp10) < 1e-9
+
+
+def test_card_redaction_unicode_adjacent(spark):
+    """The maximal-run extraction must find a Luhn-valid card adjacent
+    to non-ASCII word chars — the case where Java's Unicode-aware \\b
+    and RE2's ASCII \\b disagree and a boundary regex diverges."""
+    from metrique_spark.functions.text import redact_card_numbers
+
+    d = spark.createDataFrame(
+        [(1, "文4111111111111111文"),
+         (2, "é5500005555555559 done"),
+         (3, "id123456789012345678901234 long run")],  # 24 digits: no card
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_card_numbers(d).collect()}
+    assert out[1]["n_cards"] == 1
+    assert out[1]["text_redacted"] == "文<CARD>文"
+    assert out[2]["n_cards"] == 1
+    assert out[3]["n_cards"] == 0
+    assert out[3]["text_redacted"] == out[3]["text"]

@@ -590,3 +590,25 @@ def test_time_travel_view_rejected(spark, engine, versions):
     engine.register("vv", versions)
     with pytest.raises(ValueError, match="registered view"):
         engine.table("vv", generation=1)
+
+
+def test_retention_recorded_per_cube_not_per_writer(spark, tmp_path):
+    """A maintenance engine with DEFAULT config must not truncate a
+    cube's retained snapshots: the retention count lives in the layout
+    sidecar, like oid_buckets/time_partition."""
+    a = Engine(spark, warehouse=str(tmp_path / "wh"), keep_generations=3)
+    a.upsert("rp", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    a.upsert("rp", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    pinned = a.generations("rp")[1]  # the superseded snapshot
+    want = sorted(map(tuple, a.table("rp", generation=pinned).collect()))
+
+    maint = Engine(spark, warehouse=str(tmp_path / "wh"))  # defaults
+    maint.upsert("rp", _objs(spark, [(1, 12)], "2014-03-01"), stamped=True)
+    maint.compact("rp")
+    # the pinned snapshot still reads exactly
+    got = sorted(map(tuple, maint.table("rp", generation=pinned).collect()))
+    assert got == want
+    # and set_retention governs future commits
+    maint.set_retention("rp", 0)
+    maint.upsert("rp", _objs(spark, [(1, 13)], "2014-04-01"), stamped=True)
+    assert len(maint.generations("rp")) == 1
