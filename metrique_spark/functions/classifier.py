@@ -147,8 +147,14 @@ def train_logreg(
     n = feats.count()
     if n == 0:
         raise ValueError("train_logreg: empty feature frame")
+    from pyspark import StorageLevel
+
     for _ in range(iters):
-        sc = _scored(feats, w, bias, z_decimals, p_decimals)
+        # persist barrier before the gradient explode (see train_softmax:
+        # Generate re-evaluates the sigmoid chain per output row — here
+        # B+1 times per document without it)
+        sc = _scored(feats, w, bias, z_decimals, p_decimals).persist(
+            StorageLevel.MEMORY_AND_DISK)
         grad = (
             sc.withColumn("err", F.col("p") - F.col("y"))
             .select("err", F.posexplode(
@@ -156,6 +162,7 @@ def train_logreg(
             .groupBy("j")
             .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
         ).collect()
+        sc.unpersist(blocking=False)
         gmap = {r["j"]: float(r["g"]) for r in grad}
         w = [_round_half_away(w[j] - lr * (gmap.get(j, 0.0) / n),
                               w_decimals)
@@ -246,9 +253,18 @@ def train_softmax(
     n = feats.count()
     if n == 0:
         raise ValueError("train_softmax: empty feature frame")
+    from pyspark import StorageLevel
+
     for _ in range(iters):
+        # persist barrier before the gradient's generators: a Generate
+        # re-evaluates its input expressions per OUTPUT row, so without
+        # materialization the whole K-dot softmax chain runs ~K·(B+1)
+        # times per document inside the explode stage (measured 10×
+        # the scoring pass at sf0.1). Persist (not localCheckpoint):
+        # a lost block recomputes instead of killing the job.
         sc = _softmax_scored(feats, W, biases, z_decimals, e_decimals,
-                             p_decimals)
+                             p_decimals).persist(
+            StorageLevel.MEMORY_AND_DISK)
         grad = (
             sc.select("y", "x", F.posexplode("ps").alias("k", "pk"))
             .withColumn("err", F.col("pk") -
@@ -258,6 +274,7 @@ def train_softmax(
             .groupBy("k", "j")
             .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
         ).collect()
+        sc.unpersist(blocking=False)
         g = {(r["k"], r["j"]): float(r["g"]) for r in grad}
         W = [[_round_half_away(
                 W[k][j] - lr * (g.get((k, j), 0.0) / n), w_decimals)
