@@ -184,3 +184,55 @@ def test_year_granularity(spark, tmp_path):
 def test_bad_granularity_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="time_partition"):
         Engine(spark, warehouse=str(tmp_path / "wh"), time_partition="day")
+
+
+def test_fuzz_date_specs_pruned_equals_unpruned(spark, tmp_path):
+    """Property: for RANDOM date specs, a time-partitioned cube's
+    find/count equals the identical un-partitioned cube's — the prune
+    is an optimization, never a semantics change. Seeded so failures
+    reproduce."""
+    import random
+
+    rng = random.Random(1307)
+    tp = Engine(spark, warehouse=str(tmp_path / "a"), time_partition="month")
+    plain = Engine(spark, warehouse=str(tmp_path / "b"))
+    rows, start_months = [], ["2013-11", "2013-12"] + [
+        f"2014-{m:02d}" for m in range(1, 13)]
+    hist = []
+    for oid in range(1, 25):
+        months = sorted(rng.sample(range(len(start_months)), 3))
+        for vi, mi in enumerate(months):
+            s = f"{start_months[mi]}-{rng.randint(1, 28):02d}"
+            e = (None if vi == len(months) - 1 and rng.random() < 0.7
+                 else f"{start_months[min(mi + 1, len(start_months) - 1)]}-28")
+            hist.append((oid, oid * 100 + vi, s, e))
+    df = spark.createDataFrame(hist, "oid long, v long, s string, e string")
+    obj = _hist(spark, [(o, v, s, e) for o, v, s, e in hist])
+    tp.upsert("fz", obj, autosnap=False, stamped=True)
+    plain.upsert("fz", obj, autosnap=False, stamped=True)
+
+    def rand_date(rng):
+        def d():
+            return (f"2014-{rng.randint(1, 12):02d}-"
+                    f"{rng.randint(1, 28):02d}")
+        kind = rng.randrange(6)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return "~"
+        if kind == 2:
+            return d()
+        if kind == 3:
+            return f"{d()}~"
+        if kind == 4:
+            return f"~{d()}"
+        lo, hi = sorted([d(), d()])
+        return f"{lo}~{hi}"
+
+    for _ in range(25):
+        date = rand_date(rng)
+        a = sorted(map(tuple, tp.find(
+            "fz", date=date, fields="col_1").collect()))
+        b = sorted(map(tuple, plain.find(
+            "fz", date=date, fields="col_1").collect()))
+        assert a == b, date
