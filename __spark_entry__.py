@@ -1566,6 +1566,50 @@ def mm_probe_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "format", "width", "height")
 
 
+def mm_probe_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE parsing (multimodal.probe_audio): byte-exact WAV
+    headers (chunked layout, little-endian fmt descriptor) synthesized
+    JVM-side with per-doc channels/rate/size, plus garbage rows — the
+    mapInPandas parser walks the chunk list with no audio library and
+    the oracle checks channels/rate/bits/duration against the injected
+    arithmetic."""
+    _utc(spark)
+    from metrique_spark.functions import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+
+    def le(v, n):
+        return F.concat(*[
+            F.lpad(F.hex(F.floor(v / F.lit(256 ** i)).cast("long") % 256),
+                   2, "0")
+            for i in range(n)])
+
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = (F.when(F.col("doc_id") % 3 == 0, 8000)
+            .when(F.col("doc_id") % 3 == 1, 16000)
+            .otherwise(44100)).cast("long")
+    byte_rate = rate * ch * 2
+    block = ch * 2
+    dsz = ((F.col("doc_id") % 1000 + 1) * 128).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), le(dsz + 36, 4), F.lit("57415645"),
+        F.lit("666d7420"), F.lit("10000000"), F.lit("0100"),
+        le(ch, 2), le(rate, 4), le(byte_rate, 4), le(block, 2),
+        F.lit("1000"),
+        F.lit("64617461"), le(dsz, 4))
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.to_binary(F.concat(F.lit("00"), F.md5("text")),
+                           F.lit("hex")))
+        .otherwise(F.to_binary(wav_hex, F.lit("hex"))))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("audio").alias("kind"),
+                     payload.alias("payload"))
+    return mm.probe_audio(media).select(
+        "media_id", "format", "channels", "sample_rate_hz",
+        "bits_per_sample", "duration_ms")
+
+
 def mm_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal frame sampling e2e: document text bytes stand in for
     video payloads, and the mapInPandas sampler's row expansion (frame
@@ -1788,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
         "mm_probe_headers": mm_probe_headers,
+        "mm_probe_audio": mm_probe_audio,
         "mm_frame_samples": mm_frame_samples,
         "mm_resized": mm_resized,
         "events_daily_rollup": events_daily_rollup,
@@ -3255,6 +3300,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 7 = 0 THEN NULL
                         ELSE CAST(doc_id % 200 + 16 AS INTEGER) END AS height
             FROM documents
+        """,
+        "mm_probe_audio": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+                       CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+                                 WHEN doc_id % 3 = 1 THEN 16000
+                                 ELSE 44100 END AS INTEGER) AS rate,
+                       (doc_id % 1000 + 1) * 128 AS dsz
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'wav' END
+                       AS format,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE ch END
+                       AS channels,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE rate END
+                       AS sample_rate_hz,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(16 AS INTEGER) END AS bits_per_sample,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE CAST(dsz * 1000 // (rate * ch * 2)
+                                  AS BIGINT) END AS duration_ms
+            FROM base
         """,
         "mm_frame_samples": """
             WITH m AS (

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sim_cluster_summary",
     "mm_frame_samples",
     "mm_probe_headers",
+    "mm_probe_audio",
     "events_daily_rollup",
     "events_funnel",
     "events_retention",

@@ -319,3 +319,70 @@ def probe_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             })
 
     return src.mapInPandas(_probe, schema=PROBE_SCHEMA)
+
+
+AUDIO_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("sample_rate_hz", T.IntegerType(), True),
+    T.StructField("bits_per_sample", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+
+def probe_audio_bytes(payload) -> tuple:
+    """REAL RIFF/WAVE container parsing — (format, channels,
+    sample_rate_hz, bits_per_sample, duration_ms) from the header
+    bytes, no audio library. Walks the chunk list (chunks are
+    word-aligned: odd sizes pad one byte) collecting the ``fmt ``
+    descriptor and the ``data`` chunk size; duration is
+    ``data_size · 1000 / byte_rate``. Unknown/truncated payloads
+    return all-None; a WAV whose fmt or data chunk is missing returns
+    ``('wav', None, ...)`` — triage, not crash."""
+    if payload is None or len(payload) < 12:
+        return (None, None, None, None, None)
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None, None)
+    channels = rate = bits = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        csz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            if i + 24 <= len(b):
+                bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data_size = csz
+        i += 8 + csz + (csz & 1)
+    dur = (data_size * 1000 // byte_rate
+           if data_size is not None and byte_rate else None)
+    return ("wav", channels, rate, bits, dur)
+
+
+def probe_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio-container probe over a binary column via ``mapInPandas`` —
+    the audio sibling of ``probe_media``: decode-free metadata (channel
+    layout, sample rate, duration) for routing and length filtering
+    before any sample decoding."""
+    src = df.select("media_id", "kind", F.col(payload_col).alias("__p"))
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = pdf["__p"].map(probe_audio_bytes)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "format": probed.map(lambda t: t[0]),
+                "channels": probed.map(lambda t: t[1]),
+                "sample_rate_hz": probed.map(lambda t: t[2]),
+                "bits_per_sample": probed.map(lambda t: t[3]),
+                "duration_ms": probed.map(lambda t: t[4]),
+            })
+
+    return src.mapInPandas(_probe, schema=AUDIO_PROBE_SCHEMA)

@@ -281,3 +281,33 @@ def test_probe_jpeg_fill_bytes_and_standalone_markers():
     # EOI before any SOF: format known, dims unknown
     assert probe_media_bytes(b"\xff\xd8\xff\xd9\x00\x00\x00\x00\x00\x00"
                              ) == ("jpeg", None, None)
+
+
+def test_probe_audio_bytes_wav():
+    import struct
+
+    from metrique_spark.functions.multimodal import probe_audio_bytes
+
+    def wav(ch, rate, bits, nbytes, extra_chunk=False):
+        byte_rate = rate * ch * bits // 8
+        fmt = (b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, ch, rate, byte_rate,
+                             ch * bits // 8, bits))
+        pre = (b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+               if extra_chunk else b"")   # odd size: word-aligned pad
+        data = b"data" + struct.pack("<I", nbytes)
+        body = b"WAVE" + pre + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert probe_audio_bytes(wav(2, 44100, 16, 44100 * 4)) == \
+        ("wav", 2, 44100, 16, 1000)
+    assert probe_audio_bytes(wav(1, 8000, 16, 8000)) == \
+        ("wav", 1, 8000, 16, 500)
+    # chunk walking skips unknown chunks (with odd-size padding)
+    assert probe_audio_bytes(wav(1, 16000, 16, 16000, extra_chunk=True)) \
+        == ("wav", 1, 16000, 16, 500)
+    assert probe_audio_bytes(b"RIFFxxxxNOPE") == (None,) * 5
+    assert probe_audio_bytes(None) == (None,) * 5
+    # fmt present but no data chunk: format known, duration unknown
+    nofmt = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    assert probe_audio_bytes(nofmt) == ("wav", None, None, None, None)
