@@ -1166,12 +1166,13 @@ class Engine:
                        .distinct().collect() if r["b"] is not None})
 
     def _scoped(self, cube: str | DataFrame, query: str | None,
-                date: str | None, oids: Sequence | None = None) -> DataFrame:
+                date: str | None, oids: Sequence | None = None,
+                generation: int | None = None) -> DataFrame:
         oids = list(oids) if oids is not None else None
         if isinstance(cube, DataFrame):
             df = cube
         elif cube in self._views or not self.warehouse:
-            df = self.table(cube)
+            df = self.table(cube, generation=generation)
         else:
             # warehouse cube: express every prune the date spec / oid
             # list implies as a predicate on the PARTITION columns
@@ -1180,7 +1181,7 @@ class Engine:
             path = self._path(cube)
             layout = self._cube_layout(path)  # ONE sidecar fetch/query
             buckets = layout.get("oid_buckets") if layout else None
-            raw = self._read_raw(path)
+            raw = self._read_raw(path, generation=generation)
             if oids and buckets and "__obucket" in raw.columns:
                 # point lookup: turn the oid list into literal __obucket
                 # partition values so the scan PRUNES to the ~|oids|/N
@@ -1237,11 +1238,15 @@ class Engine:
         distinct: bool = False,
         default_fields: bool = True,
         oids: Sequence | None = None,
+        generation: int | None = None,
     ) -> DataFrame:
         """MQL find (reference ``sqlalchemy.py:753-785``). ``oids``
         narrows to specific objects AND prunes the scan to their oid
-        buckets on bucketed cubes — the fast path for point lookups."""
-        df = self._scoped(cube, query, date, oids=oids)
+        buckets on bucketed cubes — the fast path for point lookups.
+        ``generation`` queries a retained snapshot (time travel) with
+        the full MQL/date surface; partition prunes apply there too."""
+        df = self._scoped(cube, query, date, oids=oids,
+                          generation=generation)
         cols = parse_fields(fields)
         if cols is not None:
             if default_fields:
@@ -1271,9 +1276,11 @@ class Engine:
 
     def count(self, cube: str | DataFrame, query: str | None = None,
               date: str | None = None,
-              oids: Sequence | None = None) -> int:
+              oids: Sequence | None = None,
+              generation: int | None = None) -> int:
         """Count matches (reference ``sqlalchemy.py:641-664``)."""
-        return self._scoped(cube, query, date, oids=oids).count()
+        return self._scoped(cube, query, date, oids=oids,
+                            generation=generation).count()
 
     def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
                  date: str | None = "~") -> DataFrame:

@@ -612,3 +612,22 @@ def test_retention_recorded_per_cube_not_per_writer(spark, tmp_path):
     maint.set_retention("rp", 0)
     maint.upsert("rp", _objs(spark, [(1, 13)], "2014-04-01"), stamped=True)
     assert len(maint.generations("rp")) == 1
+
+
+def test_find_queries_a_retained_generation(spark, tmp_path):
+    """Time travel composes with the MQL/date query surface: find
+    against a retained generation applies the same predicates to the
+    snapshot's directories."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), keep_generations=2)
+    eng.upsert("fg", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+               stamped=True)
+    eng.upsert("fg", _objs(spark, [(1, 11)], "2014-02-01"), stamped=True)
+    old, new = eng.generations("fg")[1], eng.generations("fg")[0]
+    assert eng.count("fg", generation=old) == 2
+    assert eng.count("fg", generation=new) == 2
+    assert eng.find_scalar("fg", query="_oid == 1", fields="col_1",
+                           generation=old) == 10
+    assert eng.find_scalar("fg", query="_oid == 1", fields="col_1",
+                           generation=new) == 11
+    assert eng.count("fg", date="~", generation=old) == 2
+    assert eng.count("fg", date="~", generation=new) == 3
