@@ -652,6 +652,21 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(d.unionByName(dup))
 
 
+def dedup_paragraphs_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph dedup under boilerplate skew: ONE cookie-banner
+    paragraph prepended to EVERY document (the hot-hash case the
+    min-struct keeper design absorbs in partial aggregation — a window
+    over the hash would sort the whole corpus's banner rows in one
+    task). Output: the per-doc keep stats; only doc min(doc_id) keeps
+    the banner."""
+    _utc(spark)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("ACCEPT COOKIES to continue\n"),
+                 F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    return dedup.paragraph_dedup(d).select("doc_id", "n_paras", "n_kept")
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram-shingle Jaccard near-dup pairs ≥ 0.8 via inverted-index
     self-join (no cartesian)."""
@@ -1772,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_paragraphs": dedup_paragraphs,
+        "dedup_paragraphs_skew": dedup_paragraphs_skew,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_jaccard_prefix": dedup_jaccard_prefix,
         "dedup_components": dedup_components,
@@ -2332,6 +2348,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_kept,
                    coalesce(string_agg(CASE WHEN keep THEN para END,
                                        chr(10) ORDER BY idx), '') AS text
+            FROM marked GROUP BY doc_id
+        """,
+        "dedup_paragraphs_skew": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       'ACCEPT COOKIES to continue' || chr(10)
+                           || coalesce(text, '') AS text
+                FROM documents
+            ),
+            paras AS (
+                SELECT doc_id,
+                       unnest(range(len(ps))) AS idx,
+                       unnest(ps) AS para
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS ps
+                      FROM corpus)
+            ),
+            keyed AS (
+                SELECT doc_id, idx, para, md5(lower(trim(para))) AS h
+                FROM paras WHERE trim(para) != ''
+            ),
+            k1 AS (SELECT h, min(doc_id) AS kid FROM keyed GROUP BY h),
+            k2 AS (SELECT ky.h, k1.kid, min(ky.idx) AS kidx
+                   FROM keyed ky
+                   JOIN k1 ON ky.h = k1.h AND ky.doc_id = k1.kid
+                   GROUP BY 1, 2),
+            marked AS (
+                SELECT ky.doc_id,
+                       (ky.doc_id = k2.kid AND ky.idx = k2.kidx) AS keep
+                FROM keyed ky JOIN k2 ON ky.h = k2.h
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
         """,
         "dedup_jaccard_pairs": _JACCARD_ORACLE,

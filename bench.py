@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_exact_groups",
     "dedup_paragraphs",
+    "dedup_paragraphs_skew",
     "dedup_components",
     "text_contamination",
     "text_repetition",

@@ -406,6 +406,21 @@ class Engine:
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps(meta))
 
+    def vacuum(self, cube: str) -> None:
+        """Sweep directories no retained generation references — the
+        leftovers of a writer that crashed after its data write but
+        before the manifest flip. Normally the NEXT commit sweeps them;
+        ``vacuum`` does it on demand (e.g. after a failed bulk import
+        on a rarely-written cube) without advancing the generation.
+        Runs under the writer lease; no-op on legacy cubes (their
+        listing IS the data)."""
+        with self._write_lock(cube):
+            path = self._path(cube)
+            meta = self._manifest(path)
+            if meta is None:
+                return
+            self._sweep_unreferenced(path, self._retained_dirs(meta))
+
     def set_retention(self, cube: str, keep_generations: int) -> None:
         """Change the cube's recorded generation-retention count (takes
         effect at the NEXT commit; lowering it lets that commit sweep

@@ -631,3 +631,41 @@ def test_find_queries_a_retained_generation(spark, tmp_path):
                            generation=new) == 11
     assert eng.count("fg", date="~", generation=old) == 2
     assert eng.count("fg", date="~", generation=new) == 3
+
+
+def test_vacuum_sweeps_stranded_dirs(spark, engine, monkeypatch):
+    """A crash after the data write, before the flip, strands unreferenced
+    directories; vacuum removes them on demand without a commit, and
+    never touches retained ones."""
+    import os
+
+    engine.upsert("vac", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    orig = Engine._manifest_flip
+
+    def boom(self, path, old_raw, gen, dirs, history=None):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(Engine, "_manifest_flip", boom)
+    with pytest.raises(RuntimeError):
+        engine.upsert("vac", _objs(spark, [(1, 11)], "2014-02-01"),
+                      stamped=True)
+    monkeypatch.setattr(Engine, "_manifest_flip", orig)
+
+    path = engine._path("vac")
+
+    def batch_dirs():
+        out = set()
+        for root, dirs, _ in os.walk(path):
+            for d in dirs:
+                if d.startswith("__batch="):
+                    out.add(os.path.join(root, d))
+        return out
+
+    before = batch_dirs()
+    live = set(engine._manifest(path)["dirs"])
+    assert len(before) > len(live)        # stranded dirs exist
+    engine.vacuum("vac")
+    after = batch_dirs()
+    assert len(after) == len(live)
+    # cube still reads the committed generation
+    assert engine.count("vac", date="~") == 1
