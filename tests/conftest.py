@@ -15,6 +15,10 @@ def pytest_configure(config):
         "markers",
         "oracle: full Spark-vs-DuckDB parity sweep over every queries() "
         "entry (needs duckdb + driver testdata)")
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running fuzz/model tests (storage-layer op-sequence "
+        "model check)")
 
 
 @pytest.fixture(scope="session")
