@@ -91,6 +91,9 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         return f"{y}-{m:02d}-{rng.randint(1, 28):02d}"
 
     first = True
+    import copy
+
+    gen_states: dict[int, list] = {}   # engine gen -> model snapshot
     for step in range(14):
         op = rng.choice(["snap", "snap", "snap", "replace", "compact",
                          "vacuum"])
@@ -125,7 +128,27 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         else:
             eng.vacuum(cube)
 
+        # record the model state for the engine's CURRENT generation
+        gens = eng.generations(cube)
+        if gens:
+            gen_states[gens[0]] = copy.deepcopy(model.versions)
+
         probes = [None, "~", date_of(rng.randrange(14))]
         for date in probes:
             assert _cube_rows(eng, cube, date) == model.rows(date), (
                 step, op, date)
+        # time travel: every RETAINED generation must read exactly the
+        # model state at its commit (compact keeps content identical,
+        # so a gen recorded pre-compact still matches)
+        for g in gens:
+            if g not in gen_states:
+                continue
+            snap = _Model()
+            snap.versions = gen_states[g]
+            got = sorted(map(tuple, eng.find(
+                cube, date="~", fields="col_1", generation=g).select(
+                "_oid", "col_1",
+                F.date_format("_start", "yyyy-MM-dd").alias("s"),
+                F.coalesce(F.date_format("_end", "yyyy-MM-dd"),
+                           F.lit("")).alias("e")).collect()))
+            assert got == snap.rows("~"), (step, op, "gen", g)
