@@ -1120,6 +1120,22 @@ def sim_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """product-quantization ANN (similarity.pq_train/encode/topk; Jégou
+    2011): 16 subspaces × 16 L2 codewords (md5-seeded deterministic
+    Lloyd, rounded-distance argmin, decimal-exact means), corpus scored
+    through its 16 codes alone by ADC lookup tables. Approximate by
+    construction — the oracle replays the IDENTICAL training + encode +
+    ADC computation as chained CTEs, so value-parity is exact even
+    though the neighbors are approximate; recall is pinned separately
+    (the synthetic corpus is near-random, PQ's worst case)."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(e, m=16, k=16, iters=1)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.pq_topk(e, q, books, k=5)
+
+
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distributed Lloyd's k-means (k=8, 2 exact iterations) over the
     embeddings table — the clustering primitive under SemDeDup / IVF.
@@ -1807,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_range_search": sim_range_search,
         "sim_knn_accuracy": sim_knn_accuracy,
         "sim_kmeans_clusters": sim_kmeans_clusters,
+        "sim_pq_topk": sim_pq_topk,
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_cluster_summary": sim_cluster_summary,
         "text_unigram_logprob": text_unigram_logprob,
@@ -2713,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product(cv, cv))), 4) >= 0.4
         """,
         "sim_kmeans_clusters": _KMEANS_ORACLE,
+        "sim_pq_topk": _PQ_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
         "sim_knn_classify": """
@@ -3646,6 +3664,97 @@ _KMEANS_ORACLE = (
                        + [_kmeans_assign_cte("c2", "afinal")])
     + "\nSELECT vec_id, cluster, sim FROM afinal"
 )
+
+
+# --- product-quantization oracle: replays pq_train's per-subspace L2
+# Lloyd (shared md5 seed order, rounded |x|²−2xc+|c|² argmin, decimal
+# means), pq_encode, and pq_topk's ADC scoring as chained CTEs — the
+# approximate computation itself is value-checked, code for code.
+
+
+def _pq_assign_cte(j: int, bname: str, aname: str) -> str:
+    return f"""
+{aname} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, b.code,
+           round(list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, b.cvec)
+                 + list_dot_product(b.cvec, b.cvec), 6) AS d2
+    FROM e{j} e, {bname} b
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, code) = 1
+)"""
+
+
+def _pq_ctes(m: int, k: int, iters: int, dim: int) -> list[str]:
+    sub_len = dim // m
+    ctes = [f"""seeds AS (
+  SELECT vec_id, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM embeddings QUALIFY code < {k}
+)"""]
+    for j in range(m):
+        lo, hi = j * sub_len + 1, (j + 1) * sub_len
+        ctes.append(f"""e{j} AS (
+  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v
+  FROM embeddings)""")
+        ctes.append(f"""b{j}_0 AS (
+  SELECT s.code, e.v AS cvec FROM seeds s JOIN e{j} e USING (vec_id))""")
+        for i in range(1, iters + 1):
+            ctes.append(_pq_assign_cte(j, f"b{j}_{i - 1}", f"a{j}_{i}"))
+            ctes.append(f"""u{j}_{i} AS (
+  SELECT code, list(mval ORDER BY dim) AS cvec FROM (
+    SELECT code, dim,
+           round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS mval
+    FROM (SELECT a.code, unnest(e.v) AS x,
+                 generate_subscripts(e.v, 1) - 1 AS dim
+          FROM a{j}_{i} a JOIN e{j} e USING (vec_id))
+    GROUP BY code, dim) GROUP BY code
+),
+b{j}_{i} AS (
+  SELECT * FROM u{j}_{i}
+  UNION ALL
+  SELECT code, cvec FROM b{j}_{i - 1}
+  WHERE code NOT IN (SELECT code FROM u{j}_{i})
+)""")
+        ctes.append(_pq_assign_cte(j, f"b{j}_{iters}", f"enc{j}"))
+    return ctes
+
+
+def _pq_oracle(m: int = 16, k: int = 16, iters: int = 1, dim: int = 64,
+               topk: int = 5, n_queries: int = 10) -> str:
+    sub_len = dim // m
+    ctes = _pq_ctes(m, k, iters, dim)
+    num = " + ".join(
+        f"list_dot_product(q.qv[{j * sub_len + 1}:{(j + 1) * sub_len}], "
+        f"w{j}.cvec)" for j in range(m))
+    rn2 = " + ".join(
+        f"list_dot_product(w{j}.cvec, w{j}.cvec)" for j in range(m))
+    joins = "\n    ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = x.vec_id "
+        f"JOIN b{j}_{iters} w{j} ON w{j}.code = enc{j}.code"
+        for j in range(m))
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries})""")
+    ctes.append(f"""scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         round(({num})
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({rn2})),
+               4) AS score
+  FROM q, (SELECT vec_id FROM embeddings) x
+    {joins}
+  WHERE x.vec_id != q.query_id
+)""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) <= {topk}
+""")
+
+
+_PQ_ORACLE = _pq_oracle()
 
 _CLUSTER_SUMMARY_ORACLE = (
     "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)

@@ -1045,3 +1045,234 @@ def cosine_range_search(
         .where(F.col("sim") >= min_sim)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the compressed-codes scale path — at 100 TB
+# of embeddings the scoring pass reads m small codes per vector instead
+# of the full float payload, and the codebooks are driver-resident
+# (m·k·(dim/m) doubles). Canonical L2 formulation: codewords minimize
+# squared distance to the subvector (magnitude matters — the code must
+# RECONSTRUCT the subvector for the dot-product approximation), with
+# the distance computed via the expansion |x|² − 2·x·c + |c|² rounded
+# at fixed decimals so both engines argmin the identical values.
+
+
+def _book_lit_sql(book: list) -> str:
+    """One SQL literal for a whole codebook — a single parsed expression
+    instead of thousands of py4j ``F.lit`` round trips (measured: the
+    Column-by-Column construction costs seconds of DRIVER time per
+    codebook set before any job runs). ``repr(float)`` is the shortest
+    round-trip rendering, so the parsed doubles are bit-identical."""
+    cws = ",".join(
+        "named_struct('cvec', array({}), 'cn2', {!r}D)".format(
+            ",".join(f"{float(x)!r}D" for x in vec),
+            float(sum(x * x for x in vec)))
+        for vec in book)
+    return f"array({cws})"
+
+
+def _l2_best_code(sub: Column, book: list, dist_decimals: int) -> Column:
+    """Argmin codeword index for one subspace (ties to the LOWER code):
+    rounded squared L2 via the dot expansion, codewords as one parsed
+    SQL literal. ``array_position`` of the min returns the FIRST
+    occurrence, which IS the lowest code."""
+    xn2 = _dot(sub, sub)
+    cents = F.expr(_book_lit_sql(book))
+    d2s = F.transform(
+        cents,
+        lambda cw: F.round(xn2 - 2 * _dot(sub, cw["cvec"]) + cw["cn2"],
+                           dist_decimals))
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_decimals: int = 6,
+    dist_decimals: int = 6,
+) -> list:
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and fit a DETERMINISTIC L2 k-means codebook in
+    each — md5-seeded init (the k subvectors with the lowest
+    ``md5(id)``), rounded-distance argmin with ties to the lower code,
+    DECIMAL(38,12) per-dimension means — so the whole training replays
+    bit-identically in a SQL oracle. Returns the driver-resident
+    codebooks: a list of ``m`` lists of ``k`` subvectors; the CODE of a
+    codeword is its position (seed-id order for the initial set).
+
+    Scale: ``m · iters`` single-job corpus passes (each round is one
+    map-only scan with literal codewords + one combinable
+    (code, dim) shuffle collected as k·(dim/m) rows); the corpus never
+    shuffles and the driver holds only the codebooks."""
+    first = df.select(_as_double(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dim = len(first["v"])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub_len = dim // m
+    seed_rows = (
+        df.select(F.col(id_col).alias("cid"),
+                  _as_double(vec_col).alias("v"),
+                  F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h", "cid").limit(k).select("cid", "v").collect())
+    books = [[list(r["v"][j * sub_len:(j + 1) * sub_len])
+              for r in seed_rows] for j in range(m)]
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    v = _as_double(vec_col)
+    # the argmin folds are interpreted HOFs — a single-row-group input
+    # would run them all on one core (spread_small_scan is a no-op at
+    # real scale where the input has thousands of splits)
+    subs = spread_small_scan(df.select(
+        *[F.slice(v, j * sub_len + 1, sub_len)
+          .alias(f"__s{j}") for j in range(m)]))
+    for _ in range(iters):
+        # ALL m subspace argmins in one pass, then ONE combinable
+        # (sub, code, dim) shuffle collected as m·k·(dim/m) rows — an
+        # iteration is a single job whatever m is (per-subspace jobs
+        # would scan the corpus m times). Persist before the explode:
+        # Generate re-evaluates its input per output row, which would
+        # rerun every argmin fold m times per vector (the classifier
+        # gradient lesson).
+        from pyspark import StorageLevel
+
+        assigned = subs.select(
+            *[F.col(f"__s{j}") for j in range(m)],
+            *[_l2_best_code(F.col(f"__s{j}"), books[j], dist_decimals)
+              .alias(f"__c{j}") for j in range(m)]).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        rows = (assigned.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("sub"),
+                     F.col(f"__c{j}").alias("code"),
+                     F.col(f"__s{j}").alias("sv"))
+            for j in range(m)])).alias("r"))
+            .select("r.sub", "r.code", F.posexplode("r.sv")
+                    .alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+                 F.count("*").alias("n"))
+            .select("sub", "code", "dim",
+                    F.round(F.col("s").cast("double") / F.col("n"),
+                            centroid_decimals).alias("mval"))
+            ).collect()
+        assigned.unpersist(blocking=False)
+        upd: dict = {}
+        for r in rows:
+            upd.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mval"]
+        for (j, c), dm in upd.items():   # empty codes keep their codeword
+            books[j][c] = [dm[i] for i in range(sub_len)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to ``m`` codebook
+    indices by rounded-L2 argmin. Map-only: codebooks ride into the
+    scan as literals; the subspace slices are materialized in their own
+    projection so the argmin folds don't re-inline the slicing."""
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    m = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    v = _as_double(vec_col)
+    sliced = spread_small_scan(df.select(
+        F.col(id_col),
+        *[F.slice(v, j * sub_len + 1, sub_len).alias(f"__s{j}")
+          for j in range(m)]))
+    return sliced.select(
+        F.col(id_col),
+        F.array(*[
+            _l2_best_code(F.col(f"__s{j}"), codebooks[j], dist_decimals)
+            for j in range(m)]).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC): the corpus is scored through its codes alone —
+    ``cos(q, x) ≈ Σ_j dot(q_j, codeword_j) / (|q| · |x̃|)`` with ``x̃``
+    the codebook reconstruction — so per (query, vector) the work is
+    ``m`` lookup-table reads, never a full-vector dot. Query lookup
+    tables (m·k dots each) are built once per query on the broadcast
+    side; reconstruction norms come from a codebook-norm table and the
+    codes. Returns ``(query_id, neighbor_id, score)``, self-matches
+    excluded, ties to the lower neighbor id. Approximate by
+    construction — recall rides the bit budget m·log2(k) (pinned by
+    test; note the synthetic gate corpus is near-random, PQ's worst
+    case) — but the SQL oracle replays the identical computation, so
+    value-parity holds exactly."""
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+
+    m = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    # persist the codes: the scoring expressions reference them several
+    # times (ADC numerator + reconstruction norm) and the encode argmin
+    # folds are interpreted HOFs — re-inlining them per reference is
+    # the dominant cost. Caller releases via functions.cache.release.
+    codes = pq_encode(corpus, codebooks, id_col=id_col,
+                      vec_col=vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    qv = _as_double(vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       qv.alias("__qv"))
+    # codebooks as single parsed SQL literals (see _book_lit_sql): the
+    # lookup tables become one transform per subspace over them
+    def _vecs_lit(book):
+        return F.expr("array({})".format(",".join(
+            "array({})".format(",".join(f"{float(x)!r}D" for x in vec))
+            for vec in book)))
+
+    # closure factory, not default-arg capture: PySpark types a HOF by
+    # its lambda's parameter count (the bpe.py lesson)
+    def _lut_for(j, book):
+        sub = F.slice(F.col("__qv"), j * sub_len + 1, sub_len)
+        return F.transform(_vecs_lit(book), lambda cv: _dot(sub, cv))
+
+    luts = F.array(*[_lut_for(j, book)
+                     for j, book in enumerate(codebooks)])
+    q = q.select("query_id", _norm(F.col("__qv")).alias("__qn"),
+                 luts.alias("__lut"))
+    normsq_lit = F.expr("array({})".format(",".join(
+        "array({})".format(",".join(
+            f"{float(sum(x * x for x in vec))!r}D" for vec in book))
+        for book in codebooks)))
+    num = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__lut"),
+                   lambda c, lut: F.element_at(lut, c + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    rn2 = F.aggregate(
+        F.zip_with(F.col("codes"), normsq_lit,
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    scored = (codes.crossJoin(F.broadcast(q))
+              .where(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      F.round(num / (F.col("__qn") * F.sqrt(rn2)),
+                              score_decimals).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    out = (scored.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= k).drop("__rk"))
+    return track(out, codes)

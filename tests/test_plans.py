@@ -468,3 +468,12 @@ def test_trigram_logprob_bounded_no_cartesian(spark):
     assert not audit.has_cartesian(p)
     # 3 freq aggregates + 5 keyed joins; AQE may broadcast small sides
     assert audit.count_exchanges(p) <= 14, audit.count_exchanges(p)
+
+
+def test_pq_topk_broadcasts_queries_no_cartesian(spark):
+    """ADC scoring: corpus codes scanned once, the (tiny) query LUT side
+    broadcast; the only shuffle is the top-k window."""
+    p = _plan(spark, "sim_pq_topk")
+    assert not audit.has_cartesian(p)
+    assert audit.broadcast_join_count(p) >= 1
+    assert audit.count_exchanges(p) <= 2, audit.count_exchanges(p)

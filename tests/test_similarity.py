@@ -512,3 +512,44 @@ def test_semantic_dedup_rejects_non_integral_ids(spark):
         "vec_id string, embedding array<double>")
     with pytest.raises(ValueError, match="integral"):
         sim.semantic_dedup(df)
+
+
+def test_pq_roundtrip_deterministic_and_recall(spark, sf_dir):
+    from metrique_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.pq_train(e, m=16, k=16, iters=2)
+    assert len(books) == 16 and len(books[0]) == 16
+    assert len(books[0][0]) == 4
+    # bit-identical retrain (md5 seeds, rounded distances, decimal means)
+    assert books == S.pq_train(e, m=16, k=16, iters=2)
+
+    q = e.where(F.col("vec_id") < 10)
+    appx = {(r["query_id"], r["neighbor_id"])
+            for r in S.pq_topk(e, q, books, k=3).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(e, q, k=3).collect()}
+    # the synthetic corpus is near-random — PQ's worst case; at 64 bits
+    # this config measures ~0.23 recall@3, so pin a buffered floor that
+    # still catches a broken codebook (random guessing is ~3/500)
+    assert len(appx & exact) / len(exact) >= 0.12
+
+
+def test_pq_codes_shape_and_bounds(spark, sf_dir):
+    from metrique_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    books = S.pq_train(e, m=4, k=8, iters=1)
+    codes = S.pq_encode(e, books).collect()
+    assert len(codes) == 50
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_dim_mismatch_raises(spark, sf_dir):
+    from metrique_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_train(e, m=7)
