@@ -418,6 +418,13 @@ class Engine:
             path = self._path(cube)
             meta = self._manifest(path)
             if meta is None:
+                state, _, _ = self._cube_state(path)
+                if state == "new" and self.fs.isdir(path):
+                    # crashed FIRST write (format-2 sidecar, no
+                    # manifest): nothing is committed, every data dir
+                    # is stranded — sweep them all
+                    self._sweep_unreferenced(path, set())
+                # legacy / premanifest: the listing IS the data
                 return
             self._sweep_unreferenced(path, self._retained_dirs(meta))
 
@@ -552,10 +559,15 @@ class Engine:
                 elif (d.startswith(("__obucket=", "__stime="))
                         and self.fs.isdir(full)):
                     walk(full, r)
+                    if not self.fs.listdir(full):
+                        self.fs.delete_dir(full)  # emptied shell
 
         for cur in self.fs.listdir(path):
             if cur.startswith("_current="):
-                walk(self.fs.join(path, cur), cur)
+                full = self.fs.join(path, cur)
+                walk(full, cur)
+                if not self.fs.listdir(full):
+                    self.fs.delete_dir(full)
 
     def _written_relpaths(self, out: DataFrame, buckets: int | None,
                           timepart: str | None = None) -> set[str]:
@@ -1185,6 +1197,10 @@ class Engine:
                 generation: int | None = None) -> DataFrame:
         oids = list(oids) if oids is not None else None
         if isinstance(cube, DataFrame):
+            if generation is not None:
+                raise ValueError(
+                    "generations exist only for warehouse cubes — a "
+                    "DataFrame input has no generation manifest")
             df = cube
         elif cube in self._views or not self.warehouse:
             df = self.table(cube, generation=generation)

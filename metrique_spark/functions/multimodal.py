@@ -351,12 +351,15 @@ def probe_audio_bytes(payload) -> tuple:
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         csz = int.from_bytes(b[i + 4:i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
-            channels = int.from_bytes(b[i + 10:i + 12], "little")
-            rate = int.from_bytes(b[i + 12:i + 16], "little")
-            byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
-            if i + 24 <= len(b):
-                bits = int.from_bytes(b[i + 22:i + 24], "little")
+        # field reads are bounded by the CHUNK's declared size, not the
+        # payload length — a malformed short fmt chunk must not read
+        # the next chunk's id bytes as a sample rate
+        body = b[i + 8:i + 8 + csz]
+        if cid == b"fmt " and csz >= 16 and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+            bits = int.from_bytes(body[14:16], "little")
         elif cid == b"data":
             data_size = csz
         i += 8 + csz + (csz & 1)

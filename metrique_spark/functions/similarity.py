@@ -1073,17 +1073,24 @@ def _book_lit_sql(book: list) -> str:
     return f"array({cws})"
 
 
-def _l2_best_code(sub: Column, book: list, dist_decimals: int) -> Column:
-    """Argmin codeword index for one subspace (ties to the LOWER code):
-    rounded squared L2 via the dot expansion, codewords as one parsed
-    SQL literal. ``array_position`` of the min returns the FIRST
-    occurrence, which IS the lowest code."""
+def _l2_d2s(sub: Column, book: list, dist_decimals: int) -> Column:
+    """Per-codeword rounded squared-L2 distances (dot expansion,
+    codewords as one parsed SQL literal). Callers MUST alias this in
+    its own projection before taking the argmin — ``array_position(d,
+    array_min(d))`` references it twice, and without the alias the
+    interpreted k-fold transform evaluates twice per row (CollapseProject
+    keeps a multi-use non-cheap alias materialized)."""
     xn2 = _dot(sub, sub)
     cents = F.expr(_book_lit_sql(book))
-    d2s = F.transform(
+    return F.transform(
         cents,
         lambda cw: F.round(xn2 - 2 * _dot(sub, cw["cvec"]) + cw["cn2"],
                            dist_decimals))
+
+
+def _argmin_code(d2s: Column) -> Column:
+    """Argmin index over a distances array — first occurrence of the
+    min IS the lowest code (the deterministic tie-break)."""
     return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
 
@@ -1143,11 +1150,15 @@ def pq_train(
         # gradient lesson).
         from pyspark import StorageLevel
 
-        assigned = subs.select(
+        assigned = (subs.select(
             *[F.col(f"__s{j}") for j in range(m)],
-            *[_l2_best_code(F.col(f"__s{j}"), books[j], dist_decimals)
-              .alias(f"__c{j}") for j in range(m)]).persist(
-            StorageLevel.MEMORY_AND_DISK)
+            *[_l2_d2s(F.col(f"__s{j}"), books[j], dist_decimals)
+              .alias(f"__d{j}") for j in range(m)])
+            .select(
+            *[F.col(f"__s{j}") for j in range(m)],
+            *[_argmin_code(F.col(f"__d{j}")).alias(f"__c{j}")
+              for j in range(m)])
+            .persist(StorageLevel.MEMORY_AND_DISK))
         rows = (assigned.select(F.explode(F.array(*[
             F.struct(F.lit(j).alias("sub"),
                      F.col(f"__c{j}").alias("code"),
@@ -1191,11 +1202,14 @@ def pq_encode(
         F.col(id_col),
         *[F.slice(v, j * sub_len + 1, sub_len).alias(f"__s{j}")
           for j in range(m)]))
-    return sliced.select(
+    dists = sliced.select(
         F.col(id_col),
-        F.array(*[
-            _l2_best_code(F.col(f"__s{j}"), codebooks[j], dist_decimals)
-            for j in range(m)]).alias("codes"))
+        *[_l2_d2s(F.col(f"__s{j}"), codebooks[j], dist_decimals)
+          .alias(f"__d{j}") for j in range(m)])
+    return dists.select(
+        F.col(id_col),
+        F.array(*[_argmin_code(F.col(f"__d{j}"))
+                  for j in range(m)]).alias("codes"))
 
 
 def pq_topk(

@@ -311,3 +311,16 @@ def test_probe_audio_bytes_wav():
     # fmt present but no data chunk: format known, duration unknown
     nofmt = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
     assert probe_audio_bytes(nofmt) == ("wav", None, None, None, None)
+
+
+def test_probe_audio_malformed_short_fmt_chunk():
+    import struct
+
+    from metrique_spark.functions.multimodal import probe_audio_bytes
+
+    # fmt chunk claims csz=4: too short for the descriptor — fields must
+    # stay None instead of reading the NEXT chunk's bytes as a rate
+    bad = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+           + b"data" + struct.pack("<I", 100))
+    assert probe_audio_bytes(bad) == ("wav", None, None, None, None)

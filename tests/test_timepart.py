@@ -206,8 +206,7 @@ def test_fuzz_date_specs_pruned_equals_unpruned(spark, tmp_path):
             e = (None if vi == len(months) - 1 and rng.random() < 0.7
                  else f"{start_months[min(mi + 1, len(start_months) - 1)]}-28")
             hist.append((oid, oid * 100 + vi, s, e))
-    df = spark.createDataFrame(hist, "oid long, v long, s string, e string")
-    obj = _hist(spark, [(o, v, s, e) for o, v, s, e in hist])
+    obj = _hist(spark, hist)
     tp.upsert("fz", obj, autosnap=False, stamped=True)
     plain.upsert("fz", obj, autosnap=False, stamped=True)
 

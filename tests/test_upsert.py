@@ -669,3 +669,33 @@ def test_vacuum_sweeps_stranded_dirs(spark, engine, monkeypatch):
     assert len(after) == len(live)
     # cube still reads the committed generation
     assert engine.count("vac", date="~") == 1
+
+
+def test_vacuum_sweeps_crashed_first_write(spark, engine, monkeypatch):
+    """The docstring's own example: a bulk import into a NEW cube
+    crashes before the gen-1 flip — vacuum must reclaim the stranded
+    directories (nothing is committed), and the cube stays creatable."""
+    import os
+
+    orig = Engine._manifest_flip
+
+    def boom(self, path, old_raw, gen, dirs, history=None):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(Engine, "_manifest_flip", boom)
+    with pytest.raises(RuntimeError):
+        engine.upsert("vfw", _objs(spark, [(1, 10)], "2014-01-01"),
+                      stamped=True)
+    monkeypatch.setattr(Engine, "_manifest_flip", orig)
+    path = engine._path("vfw")
+    assert any(d.startswith("_current=") for d in os.listdir(path))
+    engine.vacuum("vfw")
+    assert not any(d.startswith("_current=") for d in os.listdir(path))
+    engine.upsert("vfw", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    assert engine.count("vfw") == 1
+
+
+def test_generation_on_dataframe_input_raises(spark, engine, versions):
+    with pytest.raises(ValueError, match="warehouse cubes"):
+        engine.count(versions, generation=1)
