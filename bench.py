@@ -175,11 +175,49 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # ingest throughput: temporal snapshot upsert of the events table
+    # into a fresh warehouse cube (stamp + merge + partitioned write) —
+    # the direct analogue of the reference's per-object ingest loop,
+    # whose single-process floor is ~8-17k values/s
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+    from metrique_spark.sources.testdata import load_table
+
+    wh = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        batch = stamp(ev, oid="event_id",
+                      start=F.col("ts").cast("timestamp"))
+        batch = batch.localCheckpoint(eager=True)  # exclude source read
+        n_rows = batch.count()
+        n_values = n_rows * len(ev.columns)
+        eng = Engine(spark, warehouse=wh)
+        t0 = time.time()
+        eng.upsert("ingest_bench", batch, stamped=True)
+        dt = time.time() - t0
+        ingest = {
+            "rows": n_rows,
+            "values": n_values,
+            "sec": round(dt, 3),
+            "rows_per_s": round(n_rows / dt),
+            "values_per_s": round(n_values / dt),
+        }
+        print(f"# ingest: {n_rows} rows in {dt:.3f}s "
+              f"({ingest['values_per_s']} values/s)", file=sys.stderr)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "ingest": ingest,
         "sf": sf,
     }))
 
