@@ -1191,3 +1191,32 @@ def test_stream_paths_sink_state_bounded_after_compaction(spark, tmp_path):
     # only the latest batch's partial may add its own <= k rows
     assert state.groupBy("u").count().agg(
         F.max("count")).first()[0] <= 4
+
+
+@pytest.mark.parametrize("backend", ["local", "objectstore"])
+def test_transitions_and_paths_sinks_on_backends(spark, tmp_path, backend):
+    """The round's new sinks run their full control plane (batch dirs,
+    gen folding, sidecar flips) on the rename-free object-store backend
+    too, with aggressive compaction and a replay."""
+    from metrique_spark.fs import ObjectStoreFS
+
+    fs = ObjectStoreFS() if backend == "objectstore" else None
+
+    tr_sink = ev.stream_transitions_sink(
+        str(tmp_path / "ts"), str(tmp_path / "to"), compact_after=2, fs=fs)
+    pa_sink = ev.stream_paths_sink(
+        str(tmp_path / "ps"), str(tmp_path / "po"), k=2,
+        compact_after=2, fs=fs)
+    for b, (eid, t, ty) in enumerate([
+            (1, "00:01:00", "A"), (2, "00:02:00", "B"),
+            (3, "00:03:00", "C"), (4, "00:04:00", "A")]):
+        batch = _mk_ev(spark, [(eid, 1, f"2024-01-01 {t}", ty)])
+        tr_sink(batch, b)
+        pa_sink(batch, b)
+    tr_sink(_mk_ev(spark, [(4, 1, "2024-01-01 00:04:00", "A")]), 3)  # replay
+    rows = {(r["from_type"], r["to_type"]): r["n"]
+            for r in spark.read.parquet(str(tmp_path / "to")).collect()}
+    assert rows == {("A", "B"): 1, ("B", "C"): 1, ("C", "A"): 1}
+    paths = {r["path"]: r["n_users"]
+             for r in spark.read.parquet(str(tmp_path / "po")).collect()}
+    assert paths == {"A>B": 1}
