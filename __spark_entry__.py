@@ -1136,6 +1136,22 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(e, q, books, k=5)
 
 
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composed IVF-PQ index (similarity.ivfpq_topk; Jégou 2011 IVFADC,
+    raw-vector codebooks): deterministic coarse k-means routes vectors
+    to 8 lists, each query probes its 2 nearest lists and ADC-scores
+    only those lists' vectors through 16 PQ codes — coarse pruning ×
+    compression, the standard big-ANN layout. Doubly approximate; the
+    oracle replays coarse training, routing, probe selection, PQ
+    training, encoding, and ADC as one generated CTE chain, so
+    value-parity is exact."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(e, q, nlist=8, nprobe=2, m=16, k=16,
+                                 coarse_iters=1, pq_iters=1, topk=5)
+
+
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distributed Lloyd's k-means (k=8, 2 exact iterations) over the
     embeddings table — the clustering primitive under SemDeDup / IVF.
@@ -1824,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_accuracy": sim_knn_accuracy,
         "sim_kmeans_clusters": sim_kmeans_clusters,
         "sim_pq_topk": sim_pq_topk,
+        "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_cluster_summary": sim_cluster_summary,
         "text_unigram_logprob": text_unigram_logprob,
@@ -2731,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_kmeans_clusters": _KMEANS_ORACLE,
         "sim_pq_topk": _PQ_ORACLE,
+        "sim_ivfpq_topk": _IVFPQ_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
         "sim_knn_classify": """
@@ -3755,6 +3773,61 @@ def _pq_oracle(m: int = 16, k: int = 16, iters: int = 1, dim: int = 64,
 
 
 _PQ_ORACLE = _pq_oracle()
+
+
+def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,
+                  k: int = 16, coarse_iters: int = 1, pq_iters: int = 1,
+                  dim: int = 64, topk: int = 5,
+                  n_queries: int = 10) -> str:
+    """IVF-PQ replay: the coarse k-means unroll (shared generator with
+    sim_kmeans_clusters), per-subspace PQ unrolls, top-nprobe probe
+    selection, and ADC scoring restricted to the probed lists."""
+    sub_len = dim // m
+    ctes = _kmeans_ctes(k=nlist, iters=coarse_iters)
+    ctes.append(_kmeans_assign_cte(f"c{coarse_iters}", "afinal"))
+    ctes.extend(_pq_ctes(m, k, pq_iters, dim))
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries})""")
+    ctes.append(f"""probes AS (
+  SELECT query_id, centroid_id AS cluster FROM (
+    SELECT q.query_id, c.centroid_id,
+           round(list_dot_product(q.qv, c.cvec)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+    FROM q, c{coarse_iters} c
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, centroid_id)
+            <= {nprobe}
+)""")
+    num = " + ".join(
+        f"list_dot_product(q.qv[{j * sub_len + 1}:{(j + 1) * sub_len}], "
+        f"w{j}.cvec)" for j in range(m))
+    rn2 = " + ".join(
+        f"list_dot_product(w{j}.cvec, w{j}.cvec)" for j in range(m))
+    joins = "\n    ".join(
+        f"JOIN enc{j} ON enc{j}.vec_id = x.vec_id "
+        f"JOIN b{j}_{pq_iters} w{j} ON w{j}.code = enc{j}.code"
+        for j in range(m))
+    ctes.append(f"""scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         round(({num})
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({rn2})),
+               4) AS score
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN afinal x ON x.cluster = p.cluster
+    {joins}
+  WHERE x.vec_id != q.query_id
+)""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) <= {topk}
+""")
+
+
+_IVFPQ_ORACLE = _ivfpq_oracle()
 
 _CLUSTER_SUMMARY_ORACLE = (
     "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "sim_kmeans_clusters",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
     "sim_semantic_dedup",
     "sim_cluster_summary",
     "mm_frame_samples",

@@ -1212,6 +1212,53 @@ def pq_encode(
                   for j in range(m)]).alias("codes"))
 
 
+def _pq_query_frame(queries: DataFrame, codebooks: list,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, __qn, __lut): each query's norm and per-subspace ADC
+    lookup tables — one dot per codeword, codebooks as single parsed
+    SQL literals (see _book_lit_sql). Broadcast side of every ADC
+    scorer."""
+    m = len(codebooks)
+    sub_len = len(codebooks[0][0])
+    qv = _as_double(vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       qv.alias("__qv"))
+
+    def _vecs_lit(book):
+        return F.expr("array({})".format(",".join(
+            "array({})".format(",".join(f"{float(x)!r}D" for x in vec))
+            for vec in book)))
+
+    # closure factory, not default-arg capture: PySpark types a HOF by
+    # its lambda's parameter count (the bpe.py lesson)
+    def _lut_for(j, book):
+        sub = F.slice(F.col("__qv"), j * sub_len + 1, sub_len)
+        return F.transform(_vecs_lit(book), lambda cv: _dot(sub, cv))
+
+    luts = F.array(*[_lut_for(j, book)
+                     for j, book in enumerate(codebooks)])
+    return q.select("query_id", _norm(F.col("__qv")).alias("__qn"),
+                    luts.alias("__lut"))
+
+
+def _adc_exprs(codebooks: list):
+    """(numerator, reconstruction-norm²) ADC expressions over a frame
+    carrying ``codes`` and the broadcast ``__lut``."""
+    normsq_lit = F.expr("array({})".format(",".join(
+        "array({})".format(",".join(
+            f"{float(sum(x * x for x in vec))!r}D" for vec in book))
+        for book in codebooks)))
+    num = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("__lut"),
+                   lambda c, lut: F.element_at(lut, c + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    rn2 = F.aggregate(
+        F.zip_with(F.col("codes"), normsq_lit,
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda a, x: a + x)
+    return num, rn2
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1248,38 +1295,8 @@ def pq_topk(
     # the dominant cost. Caller releases via functions.cache.release.
     codes = pq_encode(corpus, codebooks, id_col=id_col,
                       vec_col=vec_col).persist(StorageLevel.MEMORY_AND_DISK)
-    qv = _as_double(vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       qv.alias("__qv"))
-    # codebooks as single parsed SQL literals (see _book_lit_sql): the
-    # lookup tables become one transform per subspace over them
-    def _vecs_lit(book):
-        return F.expr("array({})".format(",".join(
-            "array({})".format(",".join(f"{float(x)!r}D" for x in vec))
-            for vec in book)))
-
-    # closure factory, not default-arg capture: PySpark types a HOF by
-    # its lambda's parameter count (the bpe.py lesson)
-    def _lut_for(j, book):
-        sub = F.slice(F.col("__qv"), j * sub_len + 1, sub_len)
-        return F.transform(_vecs_lit(book), lambda cv: _dot(sub, cv))
-
-    luts = F.array(*[_lut_for(j, book)
-                     for j, book in enumerate(codebooks)])
-    q = q.select("query_id", _norm(F.col("__qv")).alias("__qn"),
-                 luts.alias("__lut"))
-    normsq_lit = F.expr("array({})".format(",".join(
-        "array({})".format(",".join(
-            f"{float(sum(x * x for x in vec))!r}D" for vec in book))
-        for book in codebooks)))
-    num = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("__lut"),
-                   lambda c, lut: F.element_at(lut, c + 1)),
-        F.lit(0.0), lambda a, x: a + x)
-    rn2 = F.aggregate(
-        F.zip_with(F.col("codes"), normsq_lit,
-                   lambda c, l: F.element_at(l, c + 1)),
-        F.lit(0.0), lambda a, x: a + x)
+    q = _pq_query_frame(queries, codebooks, id_col, vec_col)
+    num, rn2 = _adc_exprs(codebooks)
     scored = (codes.crossJoin(F.broadcast(q))
               .where(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),
@@ -1289,4 +1306,96 @@ def pq_topk(
         F.col("score").desc(), F.col("neighbor_id"))
     out = (scored.withColumn("__rk", F.row_number().over(w))
            .where(F.col("__rk") <= k).drop("__rk"))
+    return track(out, codes)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    k: int = 16,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ composed index (Jégou 2011 §IVFADC, simplified: codebooks
+    trained on raw vectors, not residuals — documented deviation):
+    a deterministic coarse k-means routes every vector to one of
+    ``nlist`` inverted lists; each query probes its ``nprobe`` nearest
+    lists (rounded cosine, ties to the lower centroid id) and scores
+    ONLY those lists' vectors through their ``m`` PQ codes by ADC.
+
+    The 100 TB shape this buys: the scan prunes to ~nprobe/nlist of the
+    corpus (list id is the partition key), and what it reads per vector
+    is ``m`` small codes, not the float payload — coarse pruning ×
+    compression, the standard big-ANN layout. Doubly approximate
+    (list recall × code quantization), but every step is deterministic
+    (md5 seeds, fixed-decimal rounding, first-occurrence ties), so a
+    SQL oracle replays the identical computation and value-parity is
+    exact. Returns (query_id, neighbor_id, score)."""
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+
+    cents = kmeans_fit(corpus, k=nlist, iters=coarse_iters,
+                       id_col=id_col, vec_col=vec_col,
+                       sim_decimals=sim_decimals)
+    assigned = kmeans_assign(corpus, cents, id_col=id_col,
+                             vec_col=vec_col, sim_decimals=sim_decimals)
+    books = pq_train(corpus, m=m, k=k, iters=pq_iters,
+                     id_col=id_col, vec_col=vec_col)
+    codes = (pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+             .join(assigned.select(F.col(id_col), "cluster"), id_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # query probes: top-nprobe centroids by the SAME rounded cosine the
+    # corpus assignment used (sort comparator: sim desc, then cid asc)
+    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                       for r in cents.collect())
+    cent_lit = F.array(*[
+        F.struct(F.lit(cid).alias("cid"),
+                 F.expr("array({})".format(",".join(
+                     f"{float(x)!r}D" for x in vec))).alias("cvec"),
+                 F.lit(_py_norm(vec)).alias("cn"))
+        for cid, vec in cent_rows])
+    q = _pq_query_frame(queries, books, id_col, vec_col)
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("__qv"))
+    qn = _norm(F.col("__qv"))
+    scored_cents = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(_dot(F.col("__qv"), c["cvec"]) / (qn * c["cn"]),
+                    sim_decimals).alias("sim"),
+            c["cid"].alias("cid")))
+    ordered = F.array_sort(
+        scored_cents,
+        lambda l, r: F.when(l["sim"] > r["sim"], -1)
+        .when(l["sim"] < r["sim"], 1)
+        .when(l["cid"] < r["cid"], -1)
+        .when(l["cid"] > r["cid"], 1).otherwise(0))
+    probes = (qv.select(
+        "query_id",
+        F.explode(F.transform(
+            F.slice(ordered, 1, nprobe), lambda s: s["cid"]))
+        .alias("cluster")))
+
+    num, rn2 = _adc_exprs(books)
+    joined = (codes.join(F.broadcast(probes), "cluster")
+              .join(F.broadcast(q), "query_id")
+              .where(F.col(id_col) != F.col("query_id")))
+    scored = joined.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.round(num / (F.col("__qn") * F.sqrt(rn2)),
+                score_decimals).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    out = (scored.withColumn("__rk", F.row_number().over(w))
+           .where(F.col("__rk") <= topk).drop("__rk"))
     return track(out, codes)

@@ -477,3 +477,12 @@ def test_pq_topk_broadcasts_queries_no_cartesian(spark):
     assert not audit.has_cartesian(p)
     assert audit.broadcast_join_count(p) >= 1
     assert audit.count_exchanges(p) <= 2, audit.count_exchanges(p)
+
+
+def test_ivfpq_topk_keyed_joins_no_cartesian(spark):
+    """IVF-PQ scoring: codes join probed lists on the cluster key and
+    the query LUTs broadcast — no cartesian anywhere in the composed
+    index."""
+    p = _plan(spark, "sim_ivfpq_topk")
+    assert not audit.has_cartesian(p)
+    assert audit.broadcast_join_count(p) >= 2

@@ -553,3 +553,29 @@ def test_pq_dim_mismatch_raises(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="divisible"):
         S.pq_train(e, m=7)
+
+
+def test_ivfpq_probes_subset_of_pq(spark, sf_dir):
+    """IVF pruning only REMOVES candidates: every IVFPQ neighbor set at
+    nprobe=nlist must equal plain-PQ ranking restricted to the same
+    codebooks (full probe = no pruning), and nprobe < nlist returns a
+    subset of the probed lists' vectors with identical ADC scores."""
+    from metrique_spark.functions import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    full = S.ivfpq_topk(e, q, nlist=4, nprobe=4, m=16, k=16,
+                        coarse_iters=1, topk=3)
+    books = S.pq_train(e, m=16, k=16, iters=1)
+    plain = S.pq_topk(e, q, books, k=3)
+    got = sorted(map(tuple, full.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want  # full probe ≡ un-pruned PQ ranking
+
+    pruned = S.ivfpq_topk(e, q, nlist=4, nprobe=1, m=16, k=16,
+                          coarse_iters=1, topk=3)
+    plain_all = {(r["query_id"], r["neighbor_id"]): r["score"]
+                 for r in S.pq_topk(e, q, books, k=10**6).collect()}
+    for r in pruned.collect():
+        # pruning never changes a surviving pair's ADC score
+        assert plain_all[(r["query_id"], r["neighbor_id"])] == r["score"]
