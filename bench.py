@@ -7,6 +7,15 @@
 Each query is executed to completion with the no-op sink (forces full
 materialization without collect/driver transfer). A warmup query absorbs
 JVM/codegen startup so per-query numbers reflect plan execution.
+
+The driver retains only the last 2,000 characters of stdout and parses the
+contract JSON line out of that window, so the stdout line MUST stay short:
+it carries 2-decimal timings for the stable CONTRACT subset of the bench
+(twin/variant entries — skew twins, md5 twins, sibling probes — are run
+and timed but reported only in the full record). The complete per-query
+timings, the ingest-throughput block, and run metadata are written to
+``BENCH_DETAIL.json`` at the repo root (and mirrored per-query on stderr).
+``tests/test_bench_contract.py`` pins the worst-case line length < 1800.
 """
 
 from __future__ import annotations
@@ -98,6 +107,53 @@ BENCH_QUERIES = [
     "events_seasonal_anomalies",
     "text_quality_histogram",
 ]
+
+# Entries whose timings live only in BENCH_DETAIL.json / stderr: each is a
+# twin or variant of a contract entry (skew twin, md5 twin, downstream
+# sibling), so the stdout contract line stays under the driver's 2,000-char
+# stdout-retention window while the full record keeps every number.
+CONTRACT_EXCLUDE = {
+    "dedup_paragraphs_skew",        # skew twin of dedup_paragraphs
+    "sample_mix_corpus_skew",       # skew twin of sample_mix_corpus
+    "text_quality_quantiles_skew",  # skew twin of text_quality_quantiles
+    "text_bpe_token_counts",        # downstream twin of text_bpe_merges
+    "events_seasonal_anomalies",    # variant of events_error_anomalies
+    "mm_probe_audio",               # sibling of mm_probe_headers
+    "sim_range_search",             # sibling of sim_cosine_topk
+    "dedup_remove_spans",           # downstream of dedup_substring_windows
+    "text_pii_cards",               # variant of text_pii_redaction
+    "text_unigram_logprob",         # subsumed by text_trigram_logprob
+    "text_bigram_logprob",          # subsumed by text_trigram_logprob
+    "tmp_last_version",             # lightweight sibling of tmp_last_chain
+    "text_token_estimate",          # lightweight scan-stage sibling
+    "sample_temperature_mix",       # sibling of sample_mix_corpus
+    "sample_epoch_mix",             # sibling of sample_mix_corpus
+    "text_normalize",               # lightweight scan-stage sibling
+}
+
+CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]
+
+
+def contract_line(timings: dict, total: float, sf) -> str:
+    """The ONE stdout JSON line the driver parses.
+
+    Compact separators, 2-decimal timings, contract subset only; the full
+    per-query dict is in BENCH_DETAIL.json (the ``detail`` key points there).
+    ``value`` is the total across ALL benched queries, contract or not.
+    """
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {
+                n: round(timings[n], 2) for n in CONTRACT_QUERIES if n in timings
+            },
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 
 def main() -> None:
@@ -213,14 +269,27 @@ def main() -> None:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
-    print(json.dumps({
+    # full machine-readable record: every query (3-decimal), ingest, config
+    detail = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "contract_queries": [n for n in CONTRACT_QUERIES if n in timings],
         "ingest": ingest,
         "sf": sf,
-    }))
+        "cpus": int(cpus),
+        "runs": runs,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# full record -> {detail_path}", file=sys.stderr)
+
+    # the contract line goes to stdout LAST and alone: the driver keeps only
+    # the tail of stdout, so nothing may print to stdout after this
+    print(contract_line(timings, total, sf))
 
 
 if __name__ == "__main__":
