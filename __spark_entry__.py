@@ -1052,11 +1052,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (scale path: probes 4/16 buckets)."""
+    """IVF-bucketed approximate top-5 (scale path: probes 4/16 lists) on
+    the deterministic replayable coarse stage (similarity.
+    ivf_topk_rounded — md5-seeded decimal-exact k-means, rounded-cosine
+    routing and probe selection, the ivfpq pipeline minus PQ). The
+    oracle replays coarse training + routing + probe selection + raw-
+    vector scoring as chained CTEs, so the approximate result itself is
+    value-checked; recall vs exact top-k is pinned separately in
+    tests/test_similarity.py."""
     _utc(spark)
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=4)
+    return similarity.ivf_topk_rounded(e, q, k=5, nlist=16, nprobe=4,
+                                       coarse_iters=1)
 
 
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3349,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
         """,
         # full-probe IVF is exact ⇒ same oracle as brute force
+        "sim_ivf_topk": _IVF_ORACLE,
         "sim_ivf_fullprobe": _IVF_FULLPROBE_ORACLE,
         # the storage-backed index at full probe is exact too — same oracle
         "sim_ivf_indexed": _IVF_FULLPROBE_ORACLE,
@@ -3775,6 +3784,59 @@ def _pq_oracle(m: int = 16, k: int = 16, iters: int = 1, dim: int = 64,
 _PQ_ORACLE = _pq_oracle()
 
 
+def _query_cte(n_queries: int) -> str:
+    return f"""q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries})"""
+
+
+def _probe_cte(cname: str, nprobe: int) -> str:
+    """Top-``nprobe`` inverted lists per query — the SQL twin of
+    similarity._probe_lists (rounded cosine, sim desc / centroid asc)."""
+    return f"""probes AS (
+  SELECT query_id, centroid_id AS cluster FROM (
+    SELECT q.query_id, c.centroid_id,
+           round(list_dot_product(q.qv, c.cvec)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+    FROM q, {cname} c
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, centroid_id)
+            <= {nprobe}
+)"""
+
+
+def _ivf_oracle(nlist: int = 16, nprobe: int = 4, coarse_iters: int = 1,
+                topk: int = 5, n_queries: int = 10) -> str:
+    """Raw-vector IVF replay (similarity.ivf_topk_rounded): the IVF-PQ
+    oracle minus the PQ stage — coarse k-means unroll, rounded-cosine
+    routing, top-nprobe probe selection, then exact cosine on the probed
+    lists' vectors alone."""
+    ctes = _kmeans_ctes(k=nlist, iters=coarse_iters)
+    ctes.append(_kmeans_assign_cte(f"c{coarse_iters}", "afinal"))
+    ctes.append(_query_cte(n_queries))
+    ctes.append(_probe_cte(f"c{coarse_iters}", nprobe))
+    ctes.append("""scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 4) AS sim
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN afinal x ON x.cluster = p.cluster
+  JOIN e ON e.vec_id = x.vec_id
+  WHERE x.vec_id != q.query_id
+)""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, sim FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= {topk}
+""")
+
+
+_IVF_ORACLE = _ivf_oracle()
+
+
 def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,
                   k: int = 16, coarse_iters: int = 1, pq_iters: int = 1,
                   dim: int = 64, topk: int = 5,
@@ -3786,20 +3848,8 @@ def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,
     ctes = _kmeans_ctes(k=nlist, iters=coarse_iters)
     ctes.append(_kmeans_assign_cte(f"c{coarse_iters}", "afinal"))
     ctes.extend(_pq_ctes(m, k, pq_iters, dim))
-    ctes.append(f"""q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {n_queries})""")
-    ctes.append(f"""probes AS (
-  SELECT query_id, centroid_id AS cluster FROM (
-    SELECT q.query_id, c.centroid_id,
-           round(list_dot_product(q.qv, c.cvec)
-                 / (sqrt(list_dot_product(q.qv, q.qv))
-                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
-    FROM q, c{coarse_iters} c
-  ) QUALIFY row_number() OVER (PARTITION BY query_id
-                               ORDER BY sim DESC, centroid_id)
-            <= {nprobe}
-)""")
+    ctes.append(_query_cte(n_queries))
+    ctes.append(_probe_cte(f"c{coarse_iters}", nprobe))
     num = " + ".join(
         f"list_dot_product(q.qv[{j * sub_len + 1}:{(j + 1) * sub_len}], "
         f"w{j}.cvec)" for j in range(m))

@@ -1309,6 +1309,99 @@ def pq_topk(
     return track(out, codes)
 
 
+def _probe_lists(
+    qv: DataFrame, centroids: DataFrame, nprobe: int, sim_decimals: int
+) -> DataFrame:
+    """Top-``nprobe`` inverted lists per query, by the SAME rounded cosine
+    the corpus assignment used (sort comparator: sim desc, then centroid
+    id asc — the cross-engine-reproducible order). Map-only: the
+    centroids ride into the scan as a driver literal (k·dim doubles) and
+    the selection is an in-row array sort + slice — no join, no window,
+    no shuffle of the query frame.
+
+    ``qv``: (query_id, __qv double array). Returns (query_id, cluster),
+    ``nprobe`` rows per query."""
+    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                       for r in centroids.collect())
+    cent_lit = F.array(*[
+        F.struct(F.lit(cid).alias("cid"),
+                 F.expr("array({})".format(",".join(
+                     f"{float(x)!r}D" for x in vec))).alias("cvec"),
+                 F.lit(_py_norm(vec)).alias("cn"))
+        for cid, vec in cent_rows])
+    qn = _norm(F.col("__qv"))
+    scored_cents = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            F.round(_dot(F.col("__qv"), c["cvec"]) / (qn * c["cn"]),
+                    sim_decimals).alias("sim"),
+            c["cid"].alias("cid")))
+    ordered = F.array_sort(
+        scored_cents,
+        lambda l, r: F.when(l["sim"] > r["sim"], -1)
+        .when(l["sim"] < r["sim"], 1)
+        .when(l["cid"] < r["cid"], -1)
+        .when(l["cid"] > r["cid"], 1).otherwise(0))
+    return qv.select(
+        "query_id",
+        F.explode(F.transform(
+            F.slice(ordered, 1, nprobe), lambda s: s["cid"]))
+        .alias("cluster"))
+
+
+def ivf_topk_rounded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF top-k on RAW vectors with the deterministic, cross-engine-
+    reproducible coarse stage (the ``ivfpq_topk`` pipeline minus the PQ
+    compression): md5-seeded decimal-exact k-means trains ``nlist``
+    centroids, every corpus vector routes to its nearest list on ROUNDED
+    cosine (ties to the lower centroid id), each query probes its
+    ``nprobe`` nearest lists by the same rounded comparator, and only the
+    probed lists' vectors are scored (cosine rounded to
+    ``score_decimals``).
+
+    Same output contract as ``ivf_topk`` (query_id, neighbor_id, sim);
+    unlike ``ivf_topk``'s xxhash-seeded/unrounded path, every step here
+    is replayable in ANSI SQL, so the approximate result itself is
+    value-checkable against an oracle. Scale shape is identical: the
+    probe join touches ~``nprobe/nlist`` of the corpus, the corpus never
+    shuffles (assignment is a map-only literal fold), and the centroids
+    live on the driver (nlist·dim doubles)."""
+    cents = kmeans_fit(corpus, k=nlist, iters=coarse_iters, id_col=id_col,
+                       vec_col=vec_col, sim_decimals=sim_decimals)
+    vectors = corpus.select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    assigned = _assign_rounded(vectors, cents, sim_decimals).select(
+        F.col("__vid").alias("neighbor_id"), "v", "cluster")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("__qv"))
+    probes = _probe_lists(qv, cents, nprobe, sim_decimals)
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(qv), "query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("__qv"), F.col("v")),
+                                   score_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1354,37 +1447,10 @@ def ivfpq_topk(
              .join(assigned.select(F.col(id_col), "cluster"), id_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
 
-    # query probes: top-nprobe centroids by the SAME rounded cosine the
-    # corpus assignment used (sort comparator: sim desc, then cid asc)
-    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
-                       for r in cents.collect())
-    cent_lit = F.array(*[
-        F.struct(F.lit(cid).alias("cid"),
-                 F.expr("array({})".format(",".join(
-                     f"{float(x)!r}D" for x in vec))).alias("cvec"),
-                 F.lit(_py_norm(vec)).alias("cn"))
-        for cid, vec in cent_rows])
     q = _pq_query_frame(queries, books, id_col, vec_col)
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(vec_col).alias("__qv"))
-    qn = _norm(F.col("__qv"))
-    scored_cents = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            F.round(_dot(F.col("__qv"), c["cvec"]) / (qn * c["cn"]),
-                    sim_decimals).alias("sim"),
-            c["cid"].alias("cid")))
-    ordered = F.array_sort(
-        scored_cents,
-        lambda l, r: F.when(l["sim"] > r["sim"], -1)
-        .when(l["sim"] < r["sim"], 1)
-        .when(l["cid"] < r["cid"], -1)
-        .when(l["cid"] > r["cid"], 1).otherwise(0))
-    probes = (qv.select(
-        "query_id",
-        F.explode(F.transform(
-            F.slice(ordered, 1, nprobe), lambda s: s["cid"]))
-        .alias("cluster")))
+    probes = _probe_lists(qv, cents, nprobe, sim_decimals)
 
     num, rn2 = _adc_exprs(books)
     joined = (codes.join(F.broadcast(probes), "cluster")
