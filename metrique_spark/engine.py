@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from metrique_spark import temporal, upsert as _upsert
 from metrique_spark.fs import FileSystem, LeaseHeldError, LeaseLock, LocalFS
-from metrique_spark.mql import (compile_mql, date_is_current_only,
+from metrique_spark.mql import (compile_mql, date_end_lower_bound,
+                                date_is_current_only,
                                 date_range_predicate,
                                 date_start_upper_bound, parse_fields,
                                 to_timestamp_lit)
@@ -41,6 +42,43 @@ class ConcurrentWriteError(RuntimeError):
     open partition, close different version sets, and overwrite each
     other's open rewrite — silently corrupting version chains. Fail fast
     instead."""
+
+
+# wall-clock rendering for the per-directory max(_end) stats: zero-padded
+# to microseconds so string order == chronological order, matching the
+# normalized probe bound from _norm_ts_bound
+_END_STAT_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _norm_ts_bound(s: str) -> str | None:
+    """Normalize a date-spec bound to the zero-padded microsecond form
+    the directory stats are recorded in, or None when the string is not
+    a plain local timestamp (exotic formats Spark parses but this
+    helper can't stay conservative about — no pruning, never wrong).
+    Timezone-suffixed bounds are declined for the same reason: the
+    stats are wall-clock strings in the recording session's zone."""
+    from datetime import datetime
+
+    try:
+        dt = datetime.fromisoformat(s.strip().replace("T", " "))
+    except (ValueError, TypeError):
+        return None
+    if dt.tzinfo is not None:
+        return None
+    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def _is_swept_read_error(exc: BaseException) -> bool:
+    """Does this exception look like the swept-generation race — a scan
+    (or its plan-time file listing) hitting directories a concurrent
+    commit deleted after we resolved the manifest pointer? Matched on
+    the JVM exception text: Spark surfaces the executor-side miss as a
+    ``FileNotFoundException`` (with a REFRESH TABLE hint) and the
+    plan-time miss as ``[PATH_NOT_FOUND]``."""
+    s = str(exc)
+    return ("FileNotFoundException" in s
+            or "PATH_NOT_FOUND" in s
+            or "FileNotFound" in s)
 
 
 class Engine:
@@ -126,7 +164,8 @@ class Engine:
         df.createOrReplaceTempView(cube)
 
     def _read_raw(self, path: str,
-                  generation: int | None = None) -> DataFrame:
+                  generation: int | None = None,
+                  min_end: str | None = None) -> DataFrame:
         """Cube read KEEPING the internal partition columns (``__batch``,
         ``__obucket``) — the bounded history import needs them to rewrite
         kept rows back into their own directories.
@@ -137,18 +176,23 @@ class Engine:
         manifest names exactly one committed generation's directories,
         writers only ever create NEW directories and flip the pointer
         (CAS), so a reader sees exactly-old or exactly-new, never a mix.
-        (A reader that resolved the old pointer can fail cleanly on a
-        swept file if it scans after the next commit — fail-and-retry,
-        by design, rather than silently mixing generations.) Legacy
-        cubes (no manifest) fall back to the root-listing read."""
-        meta = self._manifest(path)
-        if generation is not None and meta is None:
-            raise ValueError(
-                f"cube at {path!r} has no generation manifest — "
-                "time-travel reads need a manifested cube")
-        if meta is None:
-            df = self.spark.read.parquet(path)
-        else:
+        (A reader that resolved the old pointer and scans after the next
+        commit sweeps it fails cleanly on the missing files rather than
+        silently mixing generations; the engine's materializing readers
+        — ``count``/``find_one``/``find_scalar``/``get_last_field``/
+        ``deptree`` — and the plan-time read below auto-retry ONCE from
+        a fresh manifest resolution, then fail loud.) Legacy cubes (no
+        manifest) fall back to the root-listing read."""
+        df = None
+        for attempt in (0, 1):
+            meta = self._manifest(path)
+            if generation is not None and meta is None:
+                raise ValueError(
+                    f"cube at {path!r} has no generation manifest — "
+                    "time-travel reads need a manifested cube")
+            if meta is None:
+                df = self.spark.read.parquet(path)
+                break
             if generation is None or generation == meta["gen"]:
                 dirs = meta["dirs"]
             else:
@@ -167,15 +211,48 @@ class Engine:
             if not dirs:
                 raise RuntimeError(
                     f"cube manifest at {path!r} lists no data directories")
-            df = (self.spark.read.option("basePath", path)
-                  .parquet(*[self.fs.join(path, d) for d in dirs]))
+            dirs = self._prune_by_end_stats(meta, dirs, min_end)
+            try:
+                df = (self.spark.read.option("basePath", path)
+                      .parquet(*[self.fs.join(path, d) for d in dirs]))
+                break
+            except Exception as e:
+                # the swept-generation race at PLAN time: our manifest
+                # resolution named directories a concurrent commit has
+                # since swept — re-resolve once from the fresh pointer
+                if attempt or not _is_swept_read_error(e):
+                    raise
         if "_current" in df.columns:
             # partition-value inference yields string; restore boolean
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
         return df
 
-    def _read(self, path: str, generation: int | None = None) -> DataFrame:
-        df = self._read_raw(path, generation=generation)
+    def _prune_by_end_stats(self, meta: dict, dirs: list,
+                            min_end: str | None) -> list:
+        """Planning-time directory skipping from the manifest's
+        per-directory ``max(_end)`` stats: when the date spec requires
+        ``_end >= L`` of closed rows, a closed directory whose whole
+        content ended before L cannot contribute — skip it before the
+        scan ever lists its files. Open directories, directories without
+        a recorded stat, and stats recorded under a different session
+        timezone are always kept (skipped-not-wrong). If everything is
+        skipped, fall back to the unpruned set: the row predicate still
+        guarantees correctness, and an empty parquet source has no
+        schema to offer."""
+        if not min_end:
+            return dirs
+        st = meta.get("stats")
+        if not st or st.get("tz") != self._session_tz():
+            return dirs
+        me = st.get("max_end") or {}
+        kept = [d for d in dirs
+                if not d.startswith("_current=false")
+                or d not in me or me[d] >= min_end]
+        return kept or dirs
+
+    def _read(self, path: str, generation: int | None = None,
+              min_end: str | None = None) -> DataFrame:
+        df = self._read_raw(path, generation=generation, min_end=min_end)
         # internal commit-batch / oid-bucket / period keys, not data
         return df.drop(*[c for c in ("__batch", "__obucket", "__stime")
                          if c in df.columns])
@@ -516,9 +593,36 @@ class Engine:
             dirs.update(h["dirs"])
         return dirs
 
+    def _merged_stats(self, meta: dict | None,
+                      new_stats: dict[str, str | None] | None,
+                      dirs: set[str],
+                      history: list[dict] | None) -> dict | None:
+        """The ``stats`` block for the next manifest: per-directory
+        ``max(_end)`` carried forward for every retained directory and
+        extended with this commit's writes. Prior stats recorded under a
+        DIFFERENT session timezone are dropped, not converted — the
+        strings are wall-clock renderings, and a reader only consults
+        stats whose recorded zone matches its own session (skipped, not
+        wrong, on mismatch — same contract as the ``__stime`` prune)."""
+        tz = self._session_tz()
+        prior = (meta or {}).get("stats") or {}
+        merged: dict[str, str] = {}
+        if prior.get("tz") == tz:
+            merged.update(prior.get("max_end") or {})
+        for d, v in (new_stats or {}).items():
+            if v is not None:
+                merged[d] = v
+            else:
+                merged.pop(d, None)  # rewritten as an open dir
+        retained = set(dirs) | {d for h in (history or [])
+                                for d in h["dirs"]}
+        kept = {d: merged[d] for d in sorted(retained) if d in merged}
+        return {"tz": tz, "max_end": kept} if kept else None
+
     def _manifest_flip(self, path: str, old_raw: str | None,
                        gen: int, dirs: set[str],
-                       history: list[dict] | None = None) -> None:
+                       history: list[dict] | None = None,
+                       stats: dict | None = None) -> None:
         """The commit point: ONE atomic pointer write. CAS against the
         text read at operation start — under the writer lease this only
         fails if a TTL-expired zombie writer raced us; fail loud."""
@@ -527,6 +631,8 @@ class Engine:
         body: dict = {"gen": gen, "dirs": sorted(dirs)}
         if history:
             body["history"] = history
+        if stats:
+            body["stats"] = stats
         new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
@@ -569,14 +675,24 @@ class Engine:
                 if not self.fs.listdir(full):
                     self.fs.delete_dir(full)
 
-    def _written_relpaths(self, out: DataFrame, buckets: int | None,
-                          timepart: str | None = None) -> set[str]:
+    def _written_dir_stats(self, out: DataFrame, buckets: int | None,
+                           timepart: str | None = None) -> dict[str,
+                                                                str | None]:
         """Manifest-relative directory paths a partitioned write of
-        ``out`` produces — computed from the DATA (one small distinct
-        over the partition columns), not from a listing."""
+        ``out`` produces, each with its ``max(_end)`` (None for open
+        directories) — computed from the DATA (one small aggregate over
+        the partition columns, the same shuffle the old relpath distinct
+        cost), not from a listing. The stats land in the manifest and
+        let as-of reads skip closed directories whose whole content
+        ended before the probe date (the lakehouse data-skipping
+        pattern, at directory granularity)."""
         cols = self._partition_keys(buckets, timepart)
-        rels = set()
-        for r in out.select(*cols).distinct().collect():
+        agg = (out.groupBy(*cols)
+               .agg(F.date_format(F.max("_end"), _END_STAT_FMT)
+                    .alias("__max_end"))
+               .collect())
+        stats: dict[str, str | None] = {}
+        for r in agg:
             parts = []
             for c in cols:
                 v = r[c]
@@ -591,8 +707,12 @@ class Engine:
                         f"null {c} partition value (null _start?) — "
                         "time-partitioned cubes require non-null _start")
                 parts.append(f"{c}={v}")
-            rels.add("/".join(parts))
-        return rels
+            stats["/".join(parts)] = r["__max_end"]
+        return stats
+
+    def _written_relpaths(self, out: DataFrame, buckets: int | None,
+                          timepart: str | None = None) -> set[str]:
+        return set(self._written_dir_stats(out, buckets, timepart))
 
     @staticmethod
     def _check_oid_type(stored: DataFrame, incoming: DataFrame) -> None:
@@ -656,7 +776,7 @@ class Engine:
         buckets: int | None = None, open_batch: str = "open",
         hist_batch: str = "hist", collect_dirs: bool = False,
         timepart: str | None = None,
-    ) -> set[str] | None:
+    ) -> dict[str, str | None] | None:
         out = df.withColumn("_current", F.col("_end").isNull())
         # second-level __batch partition key: open rows live in one fixed
         # partition; closed (history) rows land in per-upsert-batch
@@ -680,7 +800,7 @@ class Engine:
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
         )
-        return (self._written_relpaths(out, buckets, timepart)
+        return (self._written_dir_stats(out, buckets, timepart)
                 if collect_dirs else None)
 
     def _batch_token(self, closed: DataFrame) -> str | None:
@@ -704,25 +824,26 @@ class Engine:
     def _write_closed_batch(
         self, closed: DataFrame, path: str, buckets: int | None = None,
         live: set[str] | None = None, timepart: str | None = None,
-    ) -> tuple[str | None, set[str]]:
+    ) -> tuple[str | None, dict[str, str | None]]:
         """Write newly-closed rows into a history partition keyed by a
         deterministic content token: retrying the same merge overwrites the
         SAME directory instead of appending duplicates. Returns the token
-        and the directory relpaths holding it. When ``live`` manifest
-        dirs are given and the token's directories are ALREADY referenced
-        (re-upserting byte-identical content), the write is skipped —
-        overwriting a live directory would tear a concurrent reader."""
+        and the per-directory stats (relpath -> max(_end)) of the
+        directories holding it. When ``live`` manifest dirs are given and
+        the token's directories are ALREADY referenced (re-upserting
+        byte-identical content), the write is skipped — overwriting a
+        live directory would tear a concurrent reader."""
         token = self._batch_token(closed)
         if token is None:
-            return None, set()
+            return None, {}
         out = (closed.withColumn("_current", F.lit(False))
                .withColumn("__batch", F.lit(token)))
         if buckets:
             out = out.withColumn("__obucket", self._obucket(buckets))
         if timepart:
             out = out.withColumn("__stime", self._stime_col(timepart))
-        rels = self._written_relpaths(out, buckets, timepart)
-        if live is not None and rels and rels <= live:
+        rels = self._written_dir_stats(out, buckets, timepart)
+        if live is not None and rels and set(rels) <= live:
             return token, rels
         (
             out.write.mode("overwrite")
@@ -830,9 +951,11 @@ class Engine:
                 closed, path, buckets=buckets,
                 live=self._retained_dirs(meta), timepart=timepart)
             dirs = ({d for d in live if d.startswith("_current=true")}
-                    | rels)
+                    | set(rels))
             hist = self._push_history(meta, keep)
-            self._manifest_flip(path, raw, gen, dirs, hist)
+            self._manifest_flip(path, raw, gen, dirs, hist,
+                                stats=self._merged_stats(meta, rels, dirs,
+                                                         hist))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
             return len({d for d in live
@@ -932,8 +1055,10 @@ class Engine:
             # the "new" state (no manifest) instead of committing an
             # empty generation every read would refuse
             return
-        self._manifest_flip(path, None, 1, dirs)
-        self._sweep_unreferenced(path, dirs)
+        self._manifest_flip(path, None, 1, set(dirs),
+                            stats=self._merged_stats(None, dirs,
+                                                     set(dirs), None))
+        self._sweep_unreferenced(path, set(dirs))
 
     def insert(self, cube: str, df: DataFrame, stamped: bool = False, **stamp_kw) -> None:
         """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``).
@@ -967,10 +1092,12 @@ class Engine:
                 obj, path, "overwrite", buckets=buckets,
                 open_batch=f"ins-g{gen}", hist_batch=f"insh-g{gen}",
                 collect_dirs=True, timepart=timepart)
-            dirs = set(meta["dirs"]) | new_dirs
+            dirs = set(meta["dirs"]) | set(new_dirs)
             hist = self._push_history(
                 meta, layout.get("keep_generations", 0) if layout else 0)
-            self._manifest_flip(path, raw, gen, dirs, hist)
+            self._manifest_flip(path, raw, gen, dirs, hist,
+                                stats=self._merged_stats(meta, new_dirs,
+                                                         dirs, hist))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
 
@@ -1031,11 +1158,13 @@ class Engine:
                     new_open, path, buckets=buckets,
                     open_batch=f"open-g{gen}", timepart=timepart)
                 dirs = ({d for d in live if not d.startswith("_current=true")}
-                        | closed_rels | open_rels)
+                        | set(closed_rels) | open_rels)
                 hist = self._push_history(
                     meta,
                     layout.get("keep_generations", 0) if layout else 0)
-                self._manifest_flip(path, raw, gen, dirs, hist)
+                self._manifest_flip(path, raw, gen, dirs, hist,
+                                    stats=self._merged_stats(
+                                        meta, closed_rels, dirs, hist))
                 self._sweep_unreferenced(
                     path, dirs | {d for h in hist for d in h["dirs"]})
             else:
@@ -1141,10 +1270,12 @@ class Engine:
             .partitionBy(*part_cols)
             .parquet(path)
         )
-        new_rels = self._written_relpaths(union, buckets, timepart)
-        dirs = (live - replaced_dirs) | new_rels
+        new_rels = self._written_dir_stats(union, buckets, timepart)
+        dirs = (live - replaced_dirs) | set(new_rels)
         hist = self._push_history(meta, keep)
-        self._manifest_flip(path, raw_manifest, gen, dirs, hist)
+        self._manifest_flip(path, raw_manifest, gen, dirs, hist,
+                            stats=self._merged_stats(meta, new_rels, dirs,
+                                                     hist))
         self._sweep_unreferenced(
             path, dirs | {d for h in hist for d in h["dirs"]})
 
@@ -1212,7 +1343,13 @@ class Engine:
             path = self._path(cube)
             layout = self._cube_layout(path)  # ONE sidecar fetch/query
             buckets = layout.get("oid_buckets") if layout else None
-            raw = self._read_raw(path, generation=generation)
+            # as-of / since specs bound _end from below: closed dirs
+            # whose recorded max(_end) precedes the bound are skipped at
+            # manifest resolution (directory-level data skipping)
+            lo = date_end_lower_bound(date)
+            raw = self._read_raw(
+                path, generation=generation,
+                min_end=_norm_ts_bound(lo) if lo else None)
             if oids and buckets and "__obucket" in raw.columns:
                 # point lookup: turn the oid list into literal __obucket
                 # partition values so the scan PRUNES to the ~|oids|/N
@@ -1291,18 +1428,35 @@ class Engine:
             df = df.limit(limit)
         return df
 
+    def _retry_swept(self, action):
+        """Run a callable that BUILDS a cube read from its name and
+        materializes it. If it fails on the swept-generation race (a
+        concurrent commit deleted the directories our earlier manifest
+        resolution named — see ``_read_raw``), run it once more: the
+        rebuild re-resolves the manifest pointer, so the retry sees
+        exactly the new committed generation. A second miss fails loud —
+        that is no longer the race, it is a broken cube."""
+        try:
+            return action()
+        except Exception as e:
+            if not _is_swept_read_error(e):
+                raise
+            return action()
+
     def find_one(self, cube: str | DataFrame, query: str | None = None,
                  **kw):
         """First matching row as a dict, or None (reference ``one=True``,
         ``sqlalchemy.py:769-771``)."""
-        row = self.find(cube, query, **kw).first()
+        row = self._retry_swept(
+            lambda: self.find(cube, query, **kw).first())
         return row.asDict(recursive=True) if row is not None else None
 
     def find_scalar(self, cube: str | DataFrame, query: str | None = None,
                     **kw):
         """First column of the first matching row (reference
         ``scalar=True``, ``sqlalchemy.py:772-774``)."""
-        row = self.find(cube, query, **kw).first()
+        row = self._retry_swept(
+            lambda: self.find(cube, query, **kw).first())
         return row[0] if row is not None else None
 
     def count(self, cube: str | DataFrame, query: str | None = None,
@@ -1310,8 +1464,9 @@ class Engine:
               oids: Sequence | None = None,
               generation: int | None = None) -> int:
         """Count matches (reference ``sqlalchemy.py:641-664``)."""
-        return self._scoped(cube, query, date, oids=oids,
-                            generation=generation).count()
+        return self._retry_swept(
+            lambda: self._scoped(cube, query, date, oids=oids,
+                                 generation=generation).count())
 
     def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
                  date: str | None = "~") -> DataFrame:
@@ -1340,13 +1495,19 @@ class Engine:
     def get_last_field(self, cube: str | DataFrame, field: str):
         """Max value of a field across all history (reference
         ``sqlalchemy.py:787-803``) — one aggregate, no sort."""
-        df = cube if isinstance(cube, DataFrame) else self.table(cube)
-        return df.agg(F.max(field).alias(field)).first()[field]
+        def run():
+            df = cube if isinstance(cube, DataFrame) else self.table(cube)
+            return df.agg(F.max(field).alias(field)).first()[field]
+
+        return self._retry_swept(run)
 
     def deptree(self, cube: str | DataFrame, field: str, oids: Sequence,
                 date: str | None = None, level: int | None = None) -> list:
-        df = cube if isinstance(cube, DataFrame) else self.table(cube)
-        return temporal.deptree(df, field, oids, level=level, date=date)
+        def run():
+            df = cube if isinstance(cube, DataFrame) else self.table(cube)
+            return temporal.deptree(df, field, oids, level=level, date=date)
+
+        return self._retry_swept(run)
 
     def dfind(self, cube: str | DataFrame, fields: Iterable[str] | None = None,
               query: str | None = None, date: str | None = "~") -> DataFrame:

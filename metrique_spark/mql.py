@@ -123,6 +123,27 @@ def date_start_upper_bound(date: str | None) -> str | None:
     return split[1] or None
 
 
+def date_end_lower_bound(date: str | None) -> str | None:
+    """The lower bound L the date spec places on ``_end`` (every
+    matching CLOSED row has ``_end >= L``; open rows always match), or
+    None when the spec leaves ``_end`` unbounded. Drives planning-time
+    directory skipping on manifested cubes whose commit recorded per-
+    directory ``max(_end)`` stats: a closed directory with
+    ``max_end < L`` cannot contain a matching row, so an as-of read of
+    a long history touches only the directories overlapping the probe
+    date. Mirrors ``date_range_predicate``'s grammar exactly."""
+    if isinstance(date, str):
+        date = date.strip()
+    if not date or date == "~":
+        return None
+    split = [s.strip() for s in date.split("~")]
+    if len(split) == 1:
+        return split[0]
+    if len(split) != 2:
+        raise MQLError(f"bad date range: {date!r}")
+    return split[0] or None
+
+
 def date_is_current_only(date: str | None) -> bool:
     """True when the spec selects only CURRENT versions (``_end IS
     NULL``) — the empty/None spec. Lets the engine prune the scan to the

@@ -137,6 +137,26 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         for date in probes:
             assert _cube_rows(eng, cube, date) == model.rows(date), (
                 step, op, date)
+        # concurrent-read probe: a reader whose resolved generation has
+        # been fully swept by a later commit must retry onto the live
+        # pointer and read exactly the current model — never error,
+        # never mix generations (see Engine._retry_swept / _read_raw)
+        if step % 4 == 2:
+            swept_meta = {"gen": -1,
+                          "dirs": ["_current=true/__batch=__swept__"]}
+            real_manifest = eng._manifest
+            calls = {"n": 0}
+
+            def stale_first(path, _r=real_manifest, _c=calls):
+                _c["n"] += 1
+                return swept_meta if _c["n"] == 1 else _r(path)
+
+            eng._manifest = stale_first
+            try:
+                got = eng.count(cube, date="~")
+            finally:
+                eng._manifest = real_manifest
+            assert got == len(model.versions), (step, op, "swept-read")
         # time travel: every RETAINED generation must read exactly the
         # model state at its commit (compact keeps content identical,
         # so a gen recorded pre-compact still matches)

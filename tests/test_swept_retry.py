@@ -1,0 +1,122 @@
+"""The swept-generation reader race: a reader resolves the manifest
+pointer, a concurrent commit flips it and sweeps the old generation's
+directories, and the reader's scan then hits deleted files. The engine's
+materializing readers must re-resolve the manifest ONCE and return
+exactly the new committed generation — never a mixed or stale-partial
+result, and never an error for a single race. A second miss fails loud.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine, _is_swept_read_error
+from metrique_spark.objects import stamp
+
+
+def _objs(spark, rows, start):
+    df = spark.createDataFrame(rows, "oid long, col_1 long")
+    return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _gen1_then_gen2(spark, engine, cube="c"):
+    """Commit gen 1, capture its manifest, commit gen 2 (which sweeps
+    gen 1's directories under keep_generations=0). Returns the stale
+    gen-1 meta."""
+    engine.upsert(cube, _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    path = engine._path(cube)
+    stale = json.loads(engine._manifest_raw(path))
+    engine.upsert(cube, _objs(spark, [(1, 11), (3, 30)], "2014-02-01"),
+                  stamped=True)
+    # the race must be real: every gen-1 directory is gone
+    live = set(json.loads(engine._manifest_raw(path))["dirs"])
+    assert not (set(stale["dirs"]) & live)
+    for d in stale["dirs"]:
+        assert not engine.fs.isdir(engine.fs.join(path, d))
+    return stale
+
+
+def test_plan_time_race_retries_to_new_generation(spark, engine,
+                                                  monkeypatch):
+    # reader resolves the OLD pointer, scan planning then hits the swept
+    # directories -> _read_raw re-resolves once and reads gen 2 exactly
+    stale = _gen1_then_gen2(spark, engine)
+    real = engine._manifest
+    calls = {"n": 0}
+
+    def stale_first(path):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(engine, "_manifest", stale_first)
+    assert engine.count("c") == 3          # gen 2: oids 1, 2, 3 current
+    assert calls["n"] >= 2                 # the retry actually re-resolved
+
+
+def test_execution_time_race_retries_to_new_generation(spark, tmp_path,
+                                                       monkeypatch):
+    # plan built while gen 1's files exist; a commit+sweep lands before
+    # the tasks read them -> executor FileNotFound -> engine-level retry
+    # rebuilds from the fresh pointer
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.upsert("c", _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+               stamped=True)
+    real_scoped = eng._scoped
+    state = {"raced": False}
+
+    def racing_scoped(*a, **kw):
+        df = real_scoped(*a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            writer = Engine(spark, warehouse=str(tmp_path / "wh"))
+            writer.upsert("c", _objs(spark, [(1, 11), (3, 30)],
+                                     "2014-02-01"), stamped=True)
+        return df
+
+    monkeypatch.setattr(eng, "_scoped", racing_scoped)
+    assert eng.count("c") == 3
+
+
+def test_find_one_retries(spark, engine, monkeypatch):
+    stale = _gen1_then_gen2(spark, engine)
+    real = engine._manifest
+    calls = {"n": 0}
+
+    def stale_first(path):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(path)
+
+    monkeypatch.setattr(engine, "_manifest", stale_first)
+    row = engine.find_one("c", query="_oid == 3")
+    assert row is not None and row["col_1"] == 30
+
+
+def test_second_miss_fails_loud(spark, engine, monkeypatch):
+    # a manifest that KEEPS naming missing directories is a broken cube,
+    # not the race — one retry, then the error propagates
+    stale = _gen1_then_gen2(spark, engine)
+    monkeypatch.setattr(engine, "_manifest", lambda path: stale)
+    with pytest.raises(Exception) as ei:
+        engine.count("c")
+    assert _is_swept_read_error(ei.value)
+
+
+def test_non_race_errors_propagate(spark, engine):
+    engine.upsert("c", _objs(spark, [(1, 10)], "2014-01-01"),
+                  stamped=True)
+    # unknown generation is a user error: no retry loop, clear message
+    with pytest.raises(ValueError, match="expired or unknown"):
+        engine.count("c", generation=99)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))

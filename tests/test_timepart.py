@@ -235,3 +235,79 @@ def test_fuzz_date_specs_pruned_equals_unpruned(spark, tmp_path):
         b = sorted(map(tuple, plain.find(
             "fz", date=date, fields="col_1").collect()))
         assert a == b, date
+
+
+def _build_long(engine, spark, cube="lh"):
+    """Four monthly snapshots -> three closed version batches whose
+    max(_end) ascends month by month."""
+    for m, val in [("2014-01-01", 10), ("2014-02-01", 11),
+                   ("2014-03-01", 12), ("2014-04-01", 13)]:
+        engine.upsert(cube, _objs(spark, [(1, val), (2, 20)], m),
+                      stamped=True)
+    return cube
+
+
+def test_asof_skips_closed_dirs_ended_before_probe(spark, engine):
+    """The as-of LOWER bound: closed directories whose recorded
+    max(_end) precedes the probe date are skipped at manifest
+    resolution — the __stime prune alone (start-derived) would still
+    read every older period."""
+    _build_long(engine, spark)
+    meta = engine._manifest(engine._path("lh"))
+    stats = (meta.get("stats") or {}).get("max_end") or {}
+    assert stats, "commit should have recorded per-dir max(_end) stats"
+    assert all(d.startswith("_current=false") for d in stats)
+
+    df = engine.find("lh", date="2014-03-15")
+    files = _files_read(df)
+    # versions started in jan/feb all ended by 2014-03-01 < probe:
+    # their closed directories must not be touched at all
+    assert not any("_current=false" in f and
+                   ("__stime=2014-01" in f or "__stime=2014-02" in f)
+                   for f in files), files
+    # ...while the march closed dir (ends 2014-04-01 >= probe) is read
+    assert any("_current=false" in f and "__stime=2014-03" in f
+               for f in files)
+    assert {(r["_oid"], r["col_1"]) for r in df.collect()} == {
+        (1, 12), (2, 20)}
+
+
+def test_end_stats_prune_works_without_timepart(spark, tmp_path):
+    """The stats prune is per-directory, not per-period: an
+    UN-partitioned manifested cube's per-upsert closed batches skip the
+    same way."""
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _build_long(e, spark)
+    df = e.find("lh", date="2014-03-15")
+    meta = e._manifest(e._path("lh"))
+    stats = (meta.get("stats") or {}).get("max_end") or {}
+    probe = "2014-03-15 00:00:00.000000"
+    dead = {d for d, v in stats.items() if v < probe}
+    assert dead, "some closed batches should end before the probe"
+    files = _files_read(df)
+    assert not any(d in f for d in dead for f in files), (dead, files)
+    assert {(r["_oid"], r["col_1"]) for r in df.collect()} == {
+        (1, 12), (2, 20)}
+
+
+def test_since_spec_uses_end_stats(spark, engine):
+    _build_long(engine, spark)
+    # 'd~' (everything alive at or after d) has the same _end lower bound
+    df = engine.find("lh", date="2014-03-15~")
+    files = _files_read(df)
+    assert not any("_current=false" in f and "__stime=2014-01" in f
+                   for f in files)
+    assert engine.count("lh", date="2014-03-15~") == 3  # (1,12),(1,13),(2,20)
+
+
+def test_end_stats_survive_compact(spark, engine):
+    _build_long(engine, spark)
+    engine.compact("lh")
+    meta = engine._manifest(engine._path("lh"))
+    stats = (meta.get("stats") or {}).get("max_end") or {}
+    live_closed = {d for d in meta["dirs"]
+                   if d.startswith("_current=false")}
+    assert live_closed and live_closed <= set(stats)
+    df = engine.find("lh", date="2014-03-15")
+    assert {(r["_oid"], r["col_1"]) for r in df.collect()} == {
+        (1, 12), (2, 20)}
