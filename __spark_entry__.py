@@ -1547,6 +1547,61 @@ def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, k=5, nlist=16, nprobe=16)
 
 
+def _index_dir(sf_dir: str, name: str) -> str:
+    """Stable per-(scale-factor, index-kind) path under the tmp dir for
+    the index-once/probe-many entries — the first call builds, later
+    calls (and a bench's second timed run) pay only the probe. Safe to
+    reuse across calls: the training/encode pipeline is deterministic,
+    so a rebuilt index is value-identical; the sidecar's params/format
+    are validated on read and a mismatch rebuilds."""
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                        f"{name}_{base}")
+
+
+def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage-backed PQ: train + encode ONCE into a persisted index
+    (codes parquet + codebook sidecar, similarity.write_pq_index), then
+    ADC-probe the stored codes — the index-once/search-many path the
+    in-plan sim_pq_topk (which retrains per call) is not. Identical
+    params to sim_pq_topk, so the same training+encode+ADC SQL replay
+    value-checks the STORED index content end-to-end."""
+    import tempfile
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    path = _index_dir(sf_dir, "pqidx_m16k16i1")
+    try:
+        return similarity.pq_topk_indexed(spark, path, q, k=5)
+    except ValueError:
+        similarity.write_pq_index(e, path, m=16, k=16, iters=1)
+        return similarity.pq_topk_indexed(spark, path, q, k=5)
+
+
+def sim_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage-backed IVF-PQ: coarse centroids + PQ codebooks in the
+    sidecar, codes parquet PARTITIONED BY coarse cluster
+    (similarity.write_ivfpq_index) — a probe's cluster equi-join prunes
+    to the probed directories, so the stored search pays
+    ~nprobe/nlist of the code scan and none of the training/encode.
+    Same params as sim_ivfpq_topk; the composed SQL replay value-checks
+    the stored index content."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    path = _index_dir(sf_dir, "ivfpqidx_n8p2m16k16")
+    try:
+        return similarity.ivfpq_topk_indexed(spark, path, q, nprobe=2,
+                                             topk=5)
+    except ValueError:
+        similarity.write_ivfpq_index(e, path, nlist=8, m=16, k=16)
+        return similarity.ivfpq_topk_indexed(spark, path, q, nprobe=2,
+                                             topk=5)
+
+
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """storage-backed ANN: write the IVF index (bucket-partitioned
     vectors + centroids) to disk, read it back, search it at full probe —
@@ -1886,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim_ivf_topk,
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
         "sim_ivf_indexed": sim_ivf_indexed,
+        "sim_pq_indexed": sim_pq_indexed,
+        "sim_ivfpq_indexed": sim_ivfpq_indexed,
         "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
@@ -2756,7 +2813,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_kmeans_clusters": _KMEANS_ORACLE,
         "sim_pq_topk": _PQ_ORACLE,
+        "sim_pq_indexed": _PQ_ORACLE,
         "sim_ivfpq_topk": _IVFPQ_ORACLE,
+        "sim_ivfpq_indexed": _IVFPQ_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
         "sim_knn_classify": """

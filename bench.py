@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "sim_kmeans_clusters",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "sim_pq_indexed",
+    "sim_ivfpq_indexed",
     "sim_semantic_dedup",
     "sim_cluster_summary",
     "mm_frame_samples",
@@ -129,6 +131,7 @@ CONTRACT_EXCLUDE = {
     "sample_temperature_mix",       # sibling of sample_mix_corpus
     "sample_epoch_mix",             # sibling of sample_mix_corpus
     "text_normalize",               # lightweight scan-stage sibling
+    "sim_ivfpq_indexed",            # stored sibling of sim_pq_indexed
 }
 
 CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]

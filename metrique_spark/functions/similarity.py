@@ -1267,6 +1267,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 4,
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Approximate cosine top-k by asymmetric distance computation
     (ADC): the corpus is scored through its codes alone —
@@ -1280,21 +1281,64 @@ def pq_topk(
     construction — recall rides the bit budget m·log2(k) (pinned by
     test; note the synthetic gate corpus is near-random, PQ's worst
     case) — but the SQL oracle replays the identical computation, so
-    value-parity holds exactly."""
-    from pyspark.sql import Window
+    value-parity holds exactly.
 
+    COMPRESSION, NOT PRUNING: every code row is scored against every
+    query — the scan is |corpus|·|queries| lookup folds (the rank≤k
+    window is map-side-limited, but the scan cost is real). That is the
+    right trade for a small interactive query batch over a corpus whose
+    float payload doesn't fit; a LARGE query batch belongs on
+    ``ivfpq_topk`` (coarse probes prune the scan to ~nprobe/nlist) or a
+    stored ``write_ivfpq_index`` + ``ivfpq_topk_indexed``. The
+    ``max_query_rows`` guard (one cheap ``limit().count()`` probe on
+    the query side) fails loud instead of silently running the
+    quadratic scan — pass None to override deliberately."""
     from pyspark import StorageLevel
 
     from metrique_spark.functions.cache import track
 
-    m = len(codebooks)
-    sub_len = len(codebooks[0][0])
     # persist the codes: the scoring expressions reference them several
     # times (ADC numerator + reconstruction norm) and the encode argmin
     # folds are interpreted HOFs — re-inlining them per reference is
     # the dominant cost. Caller releases via functions.cache.release.
     codes = pq_encode(corpus, codebooks, id_col=id_col,
                       vec_col=vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    out = pq_topk_codes(codes, codebooks, queries, k=k, id_col=id_col,
+                        vec_col=vec_col, score_decimals=score_decimals,
+                        max_query_rows=max_query_rows)
+    return track(out, codes)
+
+
+def pq_topk_codes(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    max_query_rows: int | None = 10_000,
+) -> DataFrame:
+    """ADC top-k against an ALREADY-ENCODED corpus — the scoring half of
+    ``pq_topk``, shared with the storage-backed path
+    (``read_pq_index`` → search): per (query, vector) the work is ``m``
+    lookup-table reads over the ``codes`` column; queries broadcast with
+    their per-subspace LUTs. NOTE this is compression without pruning —
+    every code row is scored per query batch (``max_query_rows`` guards
+    the quadratic scan, see ``pq_topk``); large query batches belong on
+    ``ivfpq_topk``/``ivfpq_topk_indexed`` where coarse probes prune the
+    scan."""
+    from pyspark.sql import Window
+
+    if max_query_rows is not None:
+        nq = queries.limit(max_query_rows + 1).count()
+        if nq > max_query_rows:
+            raise ValueError(
+                f"pq_topk: query side exceeds {max_query_rows} rows — "
+                "the flat ADC scan is |corpus|x|queries|; use "
+                "ivfpq_topk / ivfpq_topk_indexed (coarse probes prune "
+                "the scan), or pass max_query_rows=None to force")
+
     q = _pq_query_frame(queries, codebooks, id_col, vec_col)
     num, rn2 = _adc_exprs(codebooks)
     scored = (codes.crossJoin(F.broadcast(q))
@@ -1304,9 +1348,8 @@ def pq_topk(
                               score_decimals).alias("score")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id"))
-    out = (scored.withColumn("__rk", F.row_number().over(w))
-           .where(F.col("__rk") <= k).drop("__rk"))
-    return track(out, codes)
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
 
 
 def _probe_lists(
@@ -1323,6 +1366,15 @@ def _probe_lists(
     ``nprobe`` rows per query."""
     cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
                        for r in centroids.collect())
+    return _probe_lists_lit(qv, cent_rows, nprobe, sim_decimals)
+
+
+def _probe_lists_lit(
+    qv: DataFrame, cent_rows: list, nprobe: int, sim_decimals: int
+) -> DataFrame:
+    """``_probe_lists`` from a driver-side ``[(cid, vec), ...]`` list —
+    the storage-backed path hands centroids straight from the index
+    sidecar without a DataFrame round-trip."""
     cent_lit = F.array(*[
         F.struct(F.lit(cid).alias("cid"),
                  F.expr("array({})".format(",".join(
@@ -1447,10 +1499,51 @@ def ivfpq_topk(
              .join(assigned.select(F.col(id_col), "cluster"), id_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
 
+    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                       for r in cents.collect())
+    out = ivfpq_topk_codes(codes, cent_rows, books, queries,
+                           nprobe=nprobe, topk=topk, id_col=id_col,
+                           vec_col=vec_col, score_decimals=score_decimals,
+                           sim_decimals=sim_decimals)
+    return track(out, codes)
+
+
+def ivfpq_topk_codes(
+    codes: DataFrame,
+    cent_rows: list,
+    books: list,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    sim_decimals: int = 6,
+    static_prune: bool = False,
+) -> DataFrame:
+    """IVF-PQ search against an already-routed, already-encoded corpus
+    (``codes``: id, codes, cluster) — the scoring half of ``ivfpq_topk``,
+    shared with the storage-backed path (``read_ivfpq_index`` → search,
+    where the cluster equi-join on the cluster-partitioned layout prunes
+    at the directory level). ``cent_rows``: driver-side
+    ``[(cid, vec), ...]`` sorted by cid.
+
+    ``static_prune`` (the storage-backed default): collect the DISTINCT
+    probed cluster ids first (≤ nlist values — bounded by the index
+    geometry, not the query count) and filter the code scan with the
+    literal set, so the cluster-partitioned layout prunes at PLANNING
+    time — guaranteed directory skipping instead of relying on runtime
+    dynamic partition pruning to fire. Costs one extra tiny job over the
+    query side; the in-plan caller skips it (its codes aren't a
+    partitioned source, there is nothing to prune)."""
     q = _pq_query_frame(queries, books, id_col, vec_col)
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(vec_col).alias("__qv"))
-    probes = _probe_lists(qv, cents, nprobe, sim_decimals)
+    probes = _probe_lists_lit(qv, cent_rows, nprobe, sim_decimals)
+    if static_prune:
+        hit = [r["cluster"] for r in
+               probes.select("cluster").distinct().collect()]
+        codes = codes.where(F.col("cluster").isin(hit))
 
     num, rn2 = _adc_exprs(books)
     joined = (codes.join(F.broadcast(probes), "cluster")
@@ -1462,6 +1555,206 @@ def ivfpq_topk(
                 score_decimals).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id"))
-    out = (scored.withColumn("__rk", F.row_number().over(w))
-           .where(F.col("__rk") <= topk).drop("__rk"))
-    return track(out, codes)
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= topk).drop("__rk"))
+
+
+# --- persisted PQ / IVF-PQ indexes: train + encode ONCE, search many.
+# At scale, encoding is the dominant cost (m argmin folds per vector over
+# the whole corpus) — recomputing it per query batch is what makes the
+# in-plan pq_topk/ivfpq_topk a demo path. The stored layout keeps the
+# codebooks (m·k·sub_len doubles — driver-resident by the PQ contract)
+# in a JSON sidecar and the corpus codes in parquet; IVF-PQ additionally
+# partitions the codes by coarse cluster so a probe's equi-join prunes
+# at the directory level. The sidecar is written LAST: its presence is
+# the commit point, so a crashed write is re-run, never half-read.
+
+_PQ_SIDECAR = "_pq.json"
+_PQ_FORMAT = 1
+
+
+def _default_fs(fs):
+    if fs is not None:
+        return fs
+    from metrique_spark.fs import LocalFS
+
+    return LocalFS()
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> list:
+    """Train PQ codebooks on ``df`` and persist the index: codes to
+    ``path/codes`` (parquet), codebooks + params to the ``_pq.json``
+    sidecar. Returns the trained codebooks. Flat-PQ search reads every
+    code (compression, not pruning) — for a pruned stored layout use
+    ``write_ivfpq_index``."""
+    import json
+
+    fs = _default_fs(fs)
+    books = pq_train(df, m=m, k=k, iters=iters, id_col=id_col,
+                     vec_col=vec_col)
+    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("overwrite").parquet(path + "/codes")
+    meta = {"format": _PQ_FORMAT, "kind": "pq", "m": m, "k": k,
+            "iters": iters, "id_col": id_col,
+            "sub_len": len(books[0][0]), "books": books}
+    fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
+    return books
+
+
+def read_pq_index(spark, path: str, fs=None) -> tuple[DataFrame, dict]:
+    """(codes, meta) back from ``write_pq_index``/``write_ivfpq_index``
+    output; ``meta`` carries the codebooks (JSON floats round-trip
+    doubles exactly) and, for IVF-PQ, the coarse centroids. Fails loud
+    on a missing or mismatched sidecar — codes without their codebooks
+    are meaningless, and silently retraining would score against the
+    wrong codewords."""
+    import json
+
+    fs = _default_fs(fs)
+    side = fs.join(path, _PQ_SIDECAR)
+    if not fs.isfile(side):
+        raise ValueError(
+            f"no PQ index at {path!r} ({_PQ_SIDECAR} missing — "
+            "uncommitted or not a PQ index)")
+    meta = json.loads(fs.read_text(side))
+    if meta.get("format") != _PQ_FORMAT or "books" not in meta:
+        raise ValueError(
+            f"PQ index sidecar at {path!r} has format "
+            f"{meta.get('format')!r}, reader supports {_PQ_FORMAT}")
+    return spark.read.parquet(path + "/codes"), meta
+
+
+def append_to_pq_index(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    fs=None,
+) -> None:
+    """Extend a stored PQ index with a new batch: encode against the
+    STORED codebooks (frozen — code semantics never shift under readers)
+    and append the slim (id, codes[, cluster]) rows. Cost is O(batch)
+    argmin folds — the existing corpus is never re-read or re-encoded.
+    Codebooks drifting from the data distribution degrade recall, not
+    correctness; re-run the writer when they do."""
+    import json
+
+    fs = _default_fs(fs)
+    meta = json.loads(fs.read_text(fs.join(path, _PQ_SIDECAR)))
+    books = meta["books"]
+    id_col = meta["id_col"]
+    dim = len(books) * meta["sub_len"]
+    first = batch.select(_as_double(vec_col).alias("v")).first()
+    if first is not None and len(first["v"]) != dim:
+        raise ValueError(
+            f"append_to_pq_index: batch vectors have dim "
+            f"{len(first['v'])}, index was trained at dim {dim}")
+    codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
+    if meta.get("kind") == "ivfpq":
+        cent_rows = [(c[0], c[1]) for c in meta["centroids"]]
+        vecs = batch.select(F.col(id_col).alias("__vid"),
+                            _as_double(vec_col).alias("v"))
+        assigned = _assign_lit(vecs, sorted(cent_rows),
+                               meta["sim_decimals"]).select(
+            F.col("__vid").alias(id_col), "cluster")
+        (codes.join(assigned, id_col)
+         .write.partitionBy("cluster").mode("append")
+         .parquet(path + "/codes"))
+    else:
+        codes.write.mode("append").parquet(path + "/codes")
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    fs=None,
+) -> DataFrame:
+    """Top-k against a stored flat-PQ index: read codes + codebooks,
+    ADC-score. The probe pays only the code scan — no training, no
+    encoding."""
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    return pq_topk_codes(codes, meta["books"], queries, k=k,
+                         id_col=meta["id_col"], vec_col=vec_col,
+                         score_decimals=score_decimals)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 16,
+    k: int = 16,
+    coarse_iters: int = 1,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int = 6,
+    fs=None,
+) -> None:
+    """Persist the composed IVF-PQ layout: deterministic coarse k-means
+    routes every vector to an inverted list, codes land in parquet
+    PARTITIONED BY cluster (a probe's equi-join prunes to the probed
+    directories — the scan cost rides nprobe/nlist), coarse centroids +
+    PQ codebooks go to the sidecar."""
+    import json
+
+    fs = _default_fs(fs)
+    cents = kmeans_fit(df, k=nlist, iters=coarse_iters, id_col=id_col,
+                       vec_col=vec_col, sim_decimals=sim_decimals)
+    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col,
+                             sim_decimals=sim_decimals)
+    books = pq_train(df, m=m, k=k, iters=pq_iters, id_col=id_col,
+                     vec_col=vec_col)
+    codes = (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+             .join(assigned.select(F.col(id_col), "cluster"), id_col))
+    codes.write.partitionBy("cluster").mode("overwrite").parquet(
+        path + "/codes")
+    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                       for r in cents.collect())
+    meta = {"format": _PQ_FORMAT, "kind": "ivfpq", "m": m, "k": k,
+            "iters": pq_iters, "nlist": nlist,
+            "coarse_iters": coarse_iters, "id_col": id_col,
+            "sim_decimals": sim_decimals,
+            "sub_len": len(books[0][0]), "books": books,
+            "centroids": [[cid, vec] for cid, vec in cent_rows]}
+    fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    fs=None,
+) -> DataFrame:
+    """Top-k against a stored IVF-PQ index: probes select clusters, the
+    cluster-partitioned code scan prunes to those directories, ADC
+    scores the codes. Probe-many cost: nprobe/nlist of the code scan —
+    training and encoding were paid once at write time."""
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(
+            f"index at {path!r} is a flat PQ index — probe it with "
+            "pq_topk_indexed, or rebuild with write_ivfpq_index")
+    cent_rows = [(c[0], list(c[1])) for c in meta["centroids"]]
+    return ivfpq_topk_codes(codes, cent_rows, meta["books"], queries,
+                            nprobe=nprobe, topk=topk,
+                            id_col=meta["id_col"], vec_col=vec_col,
+                            score_decimals=score_decimals,
+                            sim_decimals=meta["sim_decimals"],
+                            static_prune=True)

@@ -486,3 +486,17 @@ def test_ivfpq_topk_keyed_joins_no_cartesian(spark):
     p = _plan(spark, "sim_ivfpq_topk")
     assert not audit.has_cartesian(p)
     assert audit.broadcast_join_count(p) >= 2
+
+
+def test_ivfpq_indexed_prunes_to_probed_cluster_dirs(spark):
+    """Stored IVF-PQ search: the code scan carries a PLANNING-time
+    partition filter on the probed cluster ids (static_prune collects
+    the ≤nlist distinct probes and pins them as a literal IN — no
+    reliance on runtime DPP), and keeps the keyed-join / broadcast
+    shape of the in-plan variant."""
+    df = entry.queries()["sim_ivfpq_indexed"](spark, SF)
+    p = audit.executed_plan(df)
+    assert not audit.has_cartesian(p)
+    assert audit.broadcast_join_count(p) >= 2
+    pf = [f for f in audit.partition_filters(p) if "cluster" in f]
+    assert pf, audit.partition_filters(p)

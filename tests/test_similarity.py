@@ -579,3 +579,85 @@ def test_ivfpq_probes_subset_of_pq(spark, sf_dir):
     for r in pruned.collect():
         # pruning never changes a surviving pair's ADC score
         assert plain_all[(r["query_id"], r["neighbor_id"])] == r["score"]
+
+
+def test_pq_index_roundtrip_append_and_guards(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)
+
+    path = str(tmp_path / "pq")
+    books = sim.write_pq_index(df, path, m=4, k=8, iters=1)
+    stored = sorted(map(tuple, sim.pq_topk_indexed(
+        spark, path, q, k=3).collect()))
+    inplan = sorted(map(tuple, sim.pq_topk(df, q, books, k=3).collect()))
+    assert stored == inplan and len(stored) == 12
+
+    # append: encode against the FROZEN codebooks, old corpus untouched
+    batch = df.withColumn("vec_id", F.col("vec_id") + 1000).limit(6)
+    sim.append_to_pq_index(batch, path)
+    codes, meta = sim.read_pq_index(spark, path)
+    assert codes.count() == 126
+    assert meta["m"] == 4 and len(meta["books"]) == 4
+    # appended codes equal a fresh encode with the stored books
+    fresh = {(r["vec_id"], tuple(r["codes"])) for r in
+             sim.pq_encode(batch, meta["books"]).collect()}
+    got = {(r["vec_id"], tuple(r["codes"])) for r in
+           codes.where("vec_id >= 1000").collect()}
+    assert got == fresh
+
+    # dim-mismatch append fails loud
+    bad = spark.createDataFrame([(5000, [1.0] * 6)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        sim.append_to_pq_index(bad, path)
+
+    # missing index fails loud (no silent retrain)
+    with pytest.raises(ValueError, match="missing"):
+        sim.read_pq_index(spark, str(tmp_path / "nope"))
+
+
+def test_ivfpq_index_roundtrip_and_cluster_partitioned_layout(
+        spark, tmp_path):
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)
+
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq_index(df, path, nlist=4, m=4, k=8)
+    stored = sorted(map(tuple, sim.ivfpq_topk_indexed(
+        spark, path, q, nprobe=2, topk=3).collect()))
+    inplan = sorted(map(tuple, sim.ivfpq_topk(
+        df, q, nlist=4, nprobe=2, m=4, k=8, topk=3).collect()))
+    assert stored == inplan and len(stored) == 12
+
+    # layout: one directory per coarse cluster — the pruning surface
+    cluster_dirs = [d for d in os.listdir(path + "/codes")
+                    if d.startswith("cluster=")]
+    assert len(cluster_dirs) == 4
+
+    # probing a flat index with the ivfpq prober fails loud
+    sim.write_pq_index(df, str(tmp_path / "flat"), m=4, k=8)
+    with pytest.raises(ValueError, match="flat"):
+        sim.ivfpq_topk_indexed(spark, str(tmp_path / "flat"), q)
+
+
+def test_pq_topk_large_query_batch_guard(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.pq_train(df, m=2, k=4, iters=1)
+    with pytest.raises(ValueError, match="ivfpq_topk"):
+        sim.pq_topk(df, df, books, k=2, max_query_rows=10)
+    # explicit override runs the flat scan
+    out = sim.pq_topk(df, df.limit(12), books, k=2, max_query_rows=None)
+    assert out.count() > 0
