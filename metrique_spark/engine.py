@@ -165,7 +165,8 @@ class Engine:
 
     def _read_raw(self, path: str,
                   generation: int | None = None,
-                  min_end: str | None = None) -> DataFrame:
+                  min_end: str | None = None,
+                  start_upper: str | None = None) -> DataFrame:
         """Cube read KEEPING the internal partition columns (``__batch``,
         ``__obucket``) — the bounded history import needs them to rewrite
         kept rows back into their own directories.
@@ -211,7 +212,8 @@ class Engine:
             if not dirs:
                 raise RuntimeError(
                     f"cube manifest at {path!r} lists no data directories")
-            dirs = self._prune_by_end_stats(meta, dirs, min_end)
+            dirs = self._prune_by_end_stats(meta, dirs, min_end,
+                                            start_upper)
             try:
                 df = (self.spark.read.option("basePath", path)
                       .parquet(*[self.fs.join(path, d) for d in dirs]))
@@ -228,31 +230,46 @@ class Engine:
         return df
 
     def _prune_by_end_stats(self, meta: dict, dirs: list,
-                            min_end: str | None) -> list:
+                            min_end: str | None,
+                            start_upper: str | None = None) -> list:
         """Planning-time directory skipping from the manifest's
-        per-directory ``max(_end)`` stats: when the date spec requires
-        ``_end >= L`` of closed rows, a closed directory whose whole
-        content ended before L cannot contribute — skip it before the
-        scan ever lists its files. Open directories, directories without
-        a recorded stat, and stats recorded under a different session
+        per-directory stats: when the date spec requires ``_end >= L``
+        of closed rows, a closed directory whose whole content ended
+        before L cannot contribute; when it requires ``_start < U``, a
+        directory whose earliest ``_start`` is already >= U cannot
+        either — skip them before the scan ever lists their files
+        (works on ANY manifested cube; the ``__stime`` layout adds the
+        same start prune at period granularity for legacy-stats cubes).
+        Open directories without a max_end stat, directories without a
+        recorded stat, and stats recorded under a different session
         timezone are always kept (skipped-not-wrong). If everything is
         skipped, fall back to the unpruned set: the row predicate still
         guarantees correctness, and an empty parquet source has no
         schema to offer."""
-        if not min_end:
+        if not min_end and not start_upper:
             return dirs
         st = meta.get("stats")
         if not st or st.get("tz") != self._session_tz():
             return dirs
         me = st.get("max_end") or {}
-        kept = [d for d in dirs
-                if not d.startswith("_current=false")
-                or d not in me or me[d] >= min_end]
+        ms = st.get("min_start") or {}
+
+        def keep(d: str) -> bool:
+            if min_end and d.startswith("_current=false") \
+                    and d in me and me[d] < min_end:
+                return False
+            if start_upper and d in ms and ms[d] >= start_upper:
+                return False
+            return True
+
+        kept = [d for d in dirs if keep(d)]
         return kept or dirs
 
     def _read(self, path: str, generation: int | None = None,
-              min_end: str | None = None) -> DataFrame:
-        df = self._read_raw(path, generation=generation, min_end=min_end)
+              min_end: str | None = None,
+              start_upper: str | None = None) -> DataFrame:
+        df = self._read_raw(path, generation=generation, min_end=min_end,
+                            start_upper=start_upper)
         # internal commit-batch / oid-bucket / period keys, not data
         return df.drop(*[c for c in ("__batch", "__obucket", "__stime")
                          if c in df.columns])
@@ -606,18 +623,28 @@ class Engine:
         wrong, on mismatch — same contract as the ``__stime`` prune)."""
         tz = self._session_tz()
         prior = (meta or {}).get("stats") or {}
-        merged: dict[str, str] = {}
+        end_m: dict[str, str] = {}
+        start_m: dict[str, str] = {}
         if prior.get("tz") == tz:
-            merged.update(prior.get("max_end") or {})
+            end_m.update(prior.get("max_end") or {})
+            start_m.update(prior.get("min_start") or {})
         for d, v in (new_stats or {}).items():
-            if v is not None:
-                merged[d] = v
+            if v.get("max_end") is not None:
+                end_m[d] = v["max_end"]
             else:
-                merged.pop(d, None)  # rewritten as an open dir
+                end_m.pop(d, None)  # rewritten as an open dir
+            if v.get("min_start") is not None:
+                start_m[d] = v["min_start"]
+            else:
+                start_m.pop(d, None)
         retained = set(dirs) | {d for h in (history or [])
                                 for d in h["dirs"]}
-        kept = {d: merged[d] for d in sorted(retained) if d in merged}
-        return {"tz": tz, "max_end": kept} if kept else None
+        kept_end = {d: end_m[d] for d in sorted(retained) if d in end_m}
+        kept_start = {d: start_m[d] for d in sorted(retained)
+                      if d in start_m}
+        if not kept_end and not kept_start:
+            return None
+        return {"tz": tz, "max_end": kept_end, "min_start": kept_start}
 
     def _manifest_flip(self, path: str, old_raw: str | None,
                        gen: int, dirs: set[str],
@@ -689,9 +716,11 @@ class Engine:
         cols = self._partition_keys(buckets, timepart)
         agg = (out.groupBy(*cols)
                .agg(F.date_format(F.max("_end"), _END_STAT_FMT)
-                    .alias("__max_end"))
+                    .alias("__max_end"),
+                    F.date_format(F.min("_start"), _END_STAT_FMT)
+                    .alias("__min_start"))
                .collect())
-        stats: dict[str, str | None] = {}
+        stats: dict[str, dict] = {}
         for r in agg:
             parts = []
             for c in cols:
@@ -707,7 +736,8 @@ class Engine:
                         f"null {c} partition value (null _start?) — "
                         "time-partitioned cubes require non-null _start")
                 parts.append(f"{c}={v}")
-            stats["/".join(parts)] = r["__max_end"]
+            stats["/".join(parts)] = {"max_end": r["__max_end"],
+                                      "min_start": r["__min_start"]}
         return stats
 
     def _written_relpaths(self, out: DataFrame, buckets: int | None,
@@ -1347,9 +1377,11 @@ class Engine:
             # whose recorded max(_end) precedes the bound are skipped at
             # manifest resolution (directory-level data skipping)
             lo = date_end_lower_bound(date)
+            hi = date_start_upper_bound(date)
             raw = self._read_raw(
                 path, generation=generation,
-                min_end=_norm_ts_bound(lo) if lo else None)
+                min_end=_norm_ts_bound(lo) if lo else None,
+                start_upper=_norm_ts_bound(hi) if hi else None)
             if oids and buckets and "__obucket" in raw.columns:
                 # point lookup: turn the oid list into literal __obucket
                 # partition values so the scan PRUNES to the ~|oids|/N

@@ -311,3 +311,23 @@ def test_end_stats_survive_compact(spark, engine):
     df = engine.find("lh", date="2014-03-15")
     assert {(r["_oid"], r["col_1"]) for r in df.collect()} == {
         (1, 12), (2, 20)}
+
+
+def test_start_upper_bound_prunes_dirs_without_timepart(spark, tmp_path):
+    """'~d' bounds _start from above: directories whose min(_start)
+    stat is already past the bound are skipped at manifest resolution —
+    on a plain (non-__stime) manifested cube, where no partition key
+    could express this."""
+    e = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _build_long(e, spark)
+    meta = e._manifest(e._path("lh"))
+    ms = (meta.get("stats") or {}).get("min_start") or {}
+    assert ms, "commit should have recorded per-dir min(_start) stats"
+    bound = "2014-01-15 00:00:00.000000"
+    dead = {d for d, v in ms.items() if v >= bound}
+    assert dead, "later-started dirs should exist"
+    df = e.find("lh", date="~2014-01-15")
+    files = _files_read(df)
+    assert not any(d in f for d in dead for f in files), (dead, files)
+    assert {(r["_oid"], r["col_1"]) for r in df.collect()} == {
+        (1, 10), (2, 20)}
