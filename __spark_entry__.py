@@ -1144,6 +1144,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(e, q, books, k=5)
 
 
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized cosine top-5 (similarity.sq8_topk; the
+    FAISS-SQ8 compression scheme): per-dimension [min,max] affine codes,
+    vectors reconstructed on the fly below the query join. The oracle
+    replays train + encode + reconstruction + scoring exactly (exact
+    extrema, pinned IEEE expression order), so the approximate result
+    itself is value-checked; recall vs exact is pinned in tests."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.sq8_topk(e, q, k=5)
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composed IVF-PQ index (similarity.ivfpq_topk; Jégou 2011 IVFADC,
     raw-vector codebooks): deterministic coarse k-means routes vectors
@@ -1903,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_accuracy": sim_knn_accuracy,
         "sim_kmeans_clusters": sim_kmeans_clusters,
         "sim_pq_topk": sim_pq_topk,
+        "sim_sq8_topk": sim_sq8_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_cluster_summary": sim_cluster_summary,
@@ -2813,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_kmeans_clusters": _KMEANS_ORACLE,
         "sim_pq_topk": _PQ_ORACLE,
+        "sim_sq8_topk": _SQ8_ORACLE,
         "sim_pq_indexed": _PQ_ORACLE,
         "sim_ivfpq_topk": _IVFPQ_ORACLE,
         "sim_ivfpq_indexed": _IVFPQ_ORACLE,
@@ -3894,6 +3909,47 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, coarse_iters: int = 1,
 
 
 _IVF_ORACLE = _ivf_oracle()
+
+
+def _sq8_oracle(topk: int = 5, n_queries: int = 10) -> str:
+    """SQ8 replay (similarity.sq8_train/encode/topk): exact per-dim
+    extrema, the identical code arithmetic ``round((x-mn)*255/(mx-mn))``
+    and reconstruction ``mn + code*((mx-mn)/255)``, then rounded cosine
+    over the reconstructions."""
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT vec_id, unnest(v) AS x,
+         generate_subscripts(v, 1) - 1 AS dim FROM e),
+dims AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
+rec AS (
+  SELECT vec_id, list(rx ORDER BY dim) AS r FROM (
+    SELECT x.vec_id, x.dim,
+           CASE WHEN d.mx = d.mn THEN d.mn
+                ELSE d.mn
+                     + CAST(round((x.x - d.mn) * 255.0 / (d.mx - d.mn),
+                                  0) AS INT)
+                       * ((d.mx - d.mn) / 255.0)
+           END AS rx
+    FROM x JOIN dims d USING (dim))
+  GROUP BY vec_id),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, r.r)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(r.r, r.r))), 4) AS score
+  FROM q, rec r WHERE r.vec_id != q.query_id)
+SELECT query_id, neighbor_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) <= {topk}
+"""
+
+
+_SQ8_ORACLE = _sq8_oracle()
 
 
 def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,

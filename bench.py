@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "sim_kmeans_clusters",
     "sim_pq_topk",
+    "sim_sq8_topk",
     "sim_ivfpq_topk",
     "sim_pq_indexed",
     "sim_ivfpq_indexed",
@@ -132,6 +133,7 @@ CONTRACT_EXCLUDE = {
     "sample_epoch_mix",             # sibling of sample_mix_corpus
     "text_normalize",               # lightweight scan-stage sibling
     "sim_ivfpq_indexed",            # stored sibling of sim_pq_indexed
+    "sim_sq8_topk",                 # compression sibling of sim_pq_topk
 }
 
 CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]

@@ -1758,3 +1758,127 @@ def ivfpq_topk_indexed(
                             score_decimals=score_decimals,
                             sim_decimals=meta["sim_decimals"],
                             static_prune=True)
+
+
+# --- scalar quantization (SQ8): the third standard compression scheme
+# in the big-ANN toolbox (public technique — e.g. FAISS's SQ8): each
+# dimension affinely quantized to an 8-bit code against the corpus's
+# per-dimension [min, max]. 8x smaller scan payload than float64 with
+# near-exact recall at moderate dimensionality — the cheap middle
+# ground between exact cosine (full payload) and PQ (m codes, lossier).
+# Deterministic end-to-end (exact per-dim min/max, fixed rounding,
+# identical IEEE expression order both engines), so the SQL oracle
+# value-replays train + encode + reconstruction + scoring.
+
+
+def sq8_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> list:
+    """Per-dimension quantization params from the corpus: returns the
+    raw ``[(mn, mx), ...]`` extrema (the derived span/denominator are
+    computed from them in ONE place so the SQL oracle's arithmetic
+    chain is bit-identical). ONE map-side-combinable (dim) shuffle whose
+    result is ``dim`` rows collected to the driver — the corpus never
+    shuffles and the params are literal-sized by construction."""
+    dims = (df.select(F.posexplode(_as_double(vec_col))
+                      .alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect())
+    out = [None] * len(dims)
+    for r in dims:
+        out[r["dim"]] = (float(r["mn"]), float(r["mx"]))
+    return out
+
+
+def _sq8_params_lit(params: list) -> Column:
+    """The per-dim (mn, span, denominator) params as ONE parsed SQL
+    literal (repr round-trips doubles exactly; a nested F.lit build
+    would be py4j-bound — the codebook-literal lesson). ``dn = mx - mn``
+    and ``sp = (mx - mn) / 255`` are evaluated HERE in Python doubles —
+    the exact IEEE chain the oracle's SQL expressions replay."""
+    return F.expr("array({})".format(",".join(
+        f"named_struct('mn',{mn!r}D,'sp',{(mx - mn) / 255.0!r}D,"
+        f"'dn',{mx - mn!r}D)"
+        for mn, mx in params)))
+
+
+def sq8_encode(
+    df: DataFrame,
+    params: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each dimension quantized to
+    ``round((x - mn) * 255 / (mx - mn))`` (0 for constant dims) — map-
+    only, params as a literal. The expression order is pinned: the SQL
+    oracle must evaluate the identical IEEE chain for code parity."""
+    p = _sq8_params_lit(params)
+    v = _as_double(vec_col)
+    codes = F.zip_with(
+        v, p,
+        lambda x, pp: F.when(pp["dn"] == 0.0, F.lit(0))
+        .otherwise(F.round((x - pp["mn"]) * 255.0 / pp["dn"], 0)
+                   .cast("int")))
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    return spread_small_scan(df.select(F.col(id_col),
+                                       codes.alias("codes")))
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    params: list | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    max_query_rows: int | None = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k over 8-bit scalar-quantized vectors:
+    codes are reconstructed on the fly (``mn + code·span``) BELOW the
+    query join, so the reconstruction and its norm cost |corpus| folds,
+    not |corpus|·|queries| — per (query, vector) pair only the dot fold
+    runs. Same contract as ``cosine_topk``/``pq_topk``
+    (query_id, neighbor_id, score), self-matches excluded, ties to the
+    lower neighbor id. Like ``pq_topk`` this is compression without
+    pruning (``max_query_rows`` guards the flat scan); compose with IVF
+    routing for a pruned layout."""
+    if max_query_rows is not None:
+        nq = queries.limit(max_query_rows + 1).count()
+        if nq > max_query_rows:
+            raise ValueError(
+                f"sq8_topk: query side exceeds {max_query_rows} rows — "
+                "the flat scan is |corpus|x|queries|; route through an "
+                "IVF layout, or pass max_query_rows=None to force")
+    from pyspark.sql import Window
+
+    if params is None:
+        params = sq8_train(corpus, vec_col=vec_col)
+    codes = sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
+    p = _sq8_params_lit(params)
+    rec = F.zip_with(F.col("codes"), p,
+                     lambda c, pp: pp["mn"]
+                     + c.cast("double") * pp["sp"])
+    # materialize __rec and its norm BELOW the join: both are
+    # query-independent, and a projection under the join is physically
+    # written into the streamed row, so the per-pair work is one fold
+    recs = codes.select(
+        F.col(id_col).alias("neighbor_id"), rec.alias("__rec"),
+    ).withColumn("__rn2", _dot(F.col("__rec"), F.col("__rec")))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("__qv"))
+    q = q.withColumn("__qn", _norm(F.col("__qv")))  # once per query,
+    # on the broadcast side — not once per (query, vector) pair
+    scored = (recs.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(_dot(F.col("__qv"), F.col("__rec"))
+                              / (F.col("__qn") * F.sqrt(F.col("__rn2"))),
+                              score_decimals).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

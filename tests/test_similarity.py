@@ -661,3 +661,39 @@ def test_pq_topk_large_query_batch_guard(spark):
     # explicit override runs the flat scan
     out = sim.pq_topk(df, df.limit(12), books, k=2, max_query_rows=None)
     assert out.count() > 0
+
+
+def test_sq8_recall_and_reconstruction_quality(spark):
+    """SQ8 at 8 bits/dim should be near-exact: on the driver corpus the
+    quantized top-5 must overlap the exact top-5 heavily, every reported
+    neighbor's quantized score must be within the quantization error of
+    the true cosine, and reruns are bit-identical."""
+    e = _entry()
+    sq = e.queries()["sim_sq8_topk"](spark, SF0001).collect()
+    ex = e.queries()["sim_cosine_topk"](spark, SF0001).collect()
+    assert len(sq) == 50
+    approx = {(r.query_id, r.neighbor_id): r.score for r in sq}
+    exact = {(r.query_id, r.neighbor_id): r.sim for r in ex}
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, recall                 # 8-bit ~ near-exact
+    # scores close to the true cosine for pairs in both
+    both = set(approx) & set(exact)
+    assert all(abs(approx[k] - exact[k]) < 0.01 for k in both)
+    sq2 = e.queries()["sim_sq8_topk"](spark, SF0001).collect()
+    assert sorted(map(tuple, sq)) == sorted(map(tuple, sq2))
+
+
+def test_sq8_guard_and_constant_dim(spark):
+    # constant dimension quantizes to code 0 / exact reconstruction
+    rows = [(i, [float(i), 7.5, -float(i)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = sim.sq8_train(df)
+    assert params[1] == (7.5, 7.5)
+    enc = {r["vec_id"]: list(r["codes"])
+           for r in sim.sq8_encode(df, params).collect()}
+    assert all(c[1] == 0 for c in enc.values())
+    assert enc[0][0] == 0 and enc[29][0] == 255
+    out = sim.sq8_topk(df, df.where("vec_id < 2"), k=3)
+    assert out.count() == 6
+    with pytest.raises(ValueError, match="IVF"):
+        sim.sq8_topk(df, df, k=2, max_query_rows=5)
