@@ -1615,6 +1615,23 @@ def sim_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              topk=5)
 
 
+def sim_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """storage-backed SQ8: encode the corpus ONCE into a persisted 8-bit
+    code table (similarity.write_sq8_index), probe the stored codes —
+    8x smaller scan payload, training+encode paid at write time. Same
+    params as sim_sq8_topk, so the same train+encode+reconstruct replay
+    value-checks the stored index content."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    path = _index_dir(sf_dir, "sq8idx")
+    try:
+        return similarity.sq8_topk_indexed(spark, path, q, k=5)
+    except ValueError:
+        similarity.write_sq8_index(e, path)
+        return similarity.sq8_topk_indexed(spark, path, q, k=5)
+
+
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """storage-backed ANN: write the IVF index (bucket-partitioned
     vectors + centroids) to disk, read it back, search it at full probe —
@@ -1956,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_fullprobe": sim_ivf_fullprobe,
         "sim_ivf_indexed": sim_ivf_indexed,
         "sim_pq_indexed": sim_pq_indexed,
+        "sim_sq8_indexed": sim_sq8_indexed,
         "sim_ivfpq_indexed": sim_ivfpq_indexed,
         "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -2828,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_kmeans_clusters": _KMEANS_ORACLE,
         "sim_pq_topk": _PQ_ORACLE,
         "sim_sq8_topk": _SQ8_ORACLE,
+        "sim_sq8_indexed": _SQ8_ORACLE,
         "sim_pq_indexed": _PQ_ORACLE,
         "sim_ivfpq_topk": _IVFPQ_ORACLE,
         "sim_ivfpq_indexed": _IVFPQ_ORACLE,

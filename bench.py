@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "sim_sq8_topk",
     "sim_ivfpq_topk",
     "sim_pq_indexed",
+    "sim_sq8_indexed",
     "sim_ivfpq_indexed",
     "sim_semantic_dedup",
     "sim_cluster_summary",
@@ -134,6 +135,7 @@ CONTRACT_EXCLUDE = {
     "text_normalize",               # lightweight scan-stage sibling
     "sim_ivfpq_indexed",            # stored sibling of sim_pq_indexed
     "sim_sq8_topk",                 # compression sibling of sim_pq_topk
+    "sim_sq8_indexed",              # stored sibling of sim_pq_indexed
 }
 
 CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]

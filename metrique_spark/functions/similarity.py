@@ -1626,7 +1626,8 @@ def read_pq_index(spark, path: str, fs=None) -> tuple[DataFrame, dict]:
             f"no PQ index at {path!r} ({_PQ_SIDECAR} missing — "
             "uncommitted or not a PQ index)")
     meta = json.loads(fs.read_text(side))
-    if meta.get("format") != _PQ_FORMAT or "books" not in meta:
+    needs = "params" if meta.get("kind") == "sq8" else "books"
+    if meta.get("format") != _PQ_FORMAT or needs not in meta:
         raise ValueError(
             f"PQ index sidecar at {path!r} has format "
             f"{meta.get('format')!r}, reader supports {_PQ_FORMAT}")
@@ -1685,6 +1686,11 @@ def pq_topk_indexed(
     ADC-score. The probe pays only the code scan — no training, no
     encoding."""
     codes, meta = read_pq_index(spark, path, fs=fs)
+    if meta.get("kind") not in (None, "pq"):
+        raise ValueError(
+            f"index at {path!r} is kind {meta.get('kind')!r}, not a "
+            "flat PQ index — probe it with its own family's search "
+            "function (sq8_topk_indexed / ivfpq_topk_indexed)")
     return pq_topk_codes(codes, meta["books"], queries, k=k,
                          id_col=meta["id_col"], vec_col=vec_col,
                          score_decimals=score_decimals)
@@ -1827,6 +1833,54 @@ def sq8_encode(
                                        codes.alias("codes")))
 
 
+def write_sq8_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> list:
+    """Persist an SQ8 index: codes to ``path/codes`` (8x smaller scan
+    payload than the float corpus), per-dim params to the ``_pq.json``
+    sidecar (kind ``sq8``; sidecar written last = commit point).
+    Returns the trained params. Encode once, probe many — the probe
+    pays only the code scan + reconstruction folds."""
+    import json
+
+    fs = _default_fs(fs)
+    params = sq8_train(df, vec_col=vec_col)
+    codes = sq8_encode(df, params, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("overwrite").parquet(path + "/codes")
+    meta = {"format": _PQ_FORMAT, "kind": "sq8", "id_col": id_col,
+            "params": [[mn, mx] for mn, mx in params]}
+    fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
+    return params
+
+
+def sq8_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    max_query_rows: int | None = 10_000,
+    fs=None,
+) -> DataFrame:
+    """Top-k against a stored SQ8 index (``read_pq_index`` reads the
+    shared sidecar layout; kind-checked)."""
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    if meta.get("kind") != "sq8":
+        raise ValueError(
+            f"index at {path!r} is kind {meta.get('kind')!r}, not sq8 — "
+            "probe it with its own family's search function")
+    params = [(p[0], p[1]) for p in meta["params"]]
+    return sq8_topk_codes(codes, params, queries, k=k,
+                          id_col=meta["id_col"], vec_col=vec_col,
+                          score_decimals=score_decimals,
+                          max_query_rows=max_query_rows)
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1846,6 +1900,26 @@ def sq8_topk(
     lower neighbor id. Like ``pq_topk`` this is compression without
     pruning (``max_query_rows`` guards the flat scan); compose with IVF
     routing for a pruned layout."""
+    if params is None:
+        params = sq8_train(corpus, vec_col=vec_col)
+    codes = sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
+    return sq8_topk_codes(codes, params, queries, k=k, id_col=id_col,
+                          vec_col=vec_col, score_decimals=score_decimals,
+                          max_query_rows=max_query_rows)
+
+
+def sq8_topk_codes(
+    codes: DataFrame,
+    params: list,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    max_query_rows: int | None = 10_000,
+) -> DataFrame:
+    """The scoring half of ``sq8_topk`` over an already-encoded corpus —
+    shared with the storage-backed ``sq8_topk_indexed``."""
     if max_query_rows is not None:
         nq = queries.limit(max_query_rows + 1).count()
         if nq > max_query_rows:
@@ -1855,9 +1929,6 @@ def sq8_topk(
                 "IVF layout, or pass max_query_rows=None to force")
     from pyspark.sql import Window
 
-    if params is None:
-        params = sq8_train(corpus, vec_col=vec_col)
-    codes = sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
     p = _sq8_params_lit(params)
     rec = F.zip_with(F.col("codes"), p,
                      lambda c, pp: pp["mn"]

@@ -697,3 +697,22 @@ def test_sq8_guard_and_constant_dim(spark):
     assert out.count() == 6
     with pytest.raises(ValueError, match="IVF"):
         sim.sq8_topk(df, df, k=2, max_query_rows=5)
+
+
+def test_sq8_index_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)
+    path = str(tmp_path / "sq8")
+    params = sim.write_sq8_index(df, path)
+    stored = sorted(map(tuple, sim.sq8_topk_indexed(
+        spark, path, q, k=3).collect()))
+    inplan = sorted(map(tuple, sim.sq8_topk(df, q, params, k=3).collect()))
+    assert stored == inplan and len(stored) == 12
+    # kind cross-probing fails loud
+    with pytest.raises(ValueError, match="sq8"):
+        sim.pq_topk_indexed(spark, path, q)  # books missing -> format err
