@@ -1561,17 +1561,25 @@ def sim_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_dir(sf_dir: str, name: str) -> str:
-    """Stable per-(scale-factor, index-kind) path under the tmp dir for
-    the index-once/probe-many entries — the first call builds, later
-    calls (and a bench's second timed run) pay only the probe. Safe to
-    reuse across calls: the training/encode pipeline is deterministic,
-    so a rebuilt index is value-identical; the sidecar's params/format
-    are validated on read and a mismatch rebuilds."""
+    """Stable per-(corpus, index-kind) path under the tmp dir for the
+    index-once/probe-many entries — the first call builds, later calls
+    (and a bench's second timed run) pay only the probe. The path is
+    keyed by the corpus FILE's identity (mtime+size fingerprint), not
+    just the scale-factor name: regenerated test data gets a fresh
+    directory instead of silently serving neighbors from a stale index
+    (the sidecar would otherwise look perfectly committed). Reuse is
+    safe because training/encode are deterministic — a rebuild of the
+    same bytes is value-identical."""
     import tempfile
 
     base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    except OSError:
+        fp = "nofp"
     return os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
-                        f"{name}_{base}")
+                        f"{name}_{base}_{fp}")
 
 
 def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,8 +1589,6 @@ def sim_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan sim_pq_topk (which retrains per call) is not. Identical
     params to sim_pq_topk, so the same training+encode+ADC SQL replay
     value-checks the STORED index content end-to-end."""
-    import tempfile
-
     _utc(spark)
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)

@@ -50,6 +50,16 @@ class ConcurrentWriteError(RuntimeError):
 _END_STAT_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _fmt_ts(dt) -> str:
+    """Zero-padded ``yyyy-MM-dd HH:mm:ss.SSSSSS`` — strftime's %Y is NOT
+    zero-padded for years < 1000 on glibc, which would break the
+    lexicographic stat comparison, so the year is formatted explicitly
+    (Spark's ``yyyy`` side is always 4-digit padded)."""
+    return (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} "
+            f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}."
+            f"{dt.microsecond:06d}")
+
+
 def _norm_ts_bound(s: str) -> str | None:
     """Normalize a date-spec bound to the zero-padded microsecond form
     the directory stats are recorded in, or None when the string is not
@@ -65,7 +75,28 @@ def _norm_ts_bound(s: str) -> str | None:
         return None
     if dt.tzinfo is not None:
         return None
-    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return _fmt_ts(dt)
+
+
+def _shift_ts_bound(s: str, hours: int) -> str | None:
+    """Slacken a normalized bound by ``hours`` for the stat comparison:
+    the stats and the bound are WALL-CLOCK renderings, while the row
+    predicate compares instants — in a zone with UTC-offset transitions
+    (DST fall-back, historical jumps) the two orderings can disagree by
+    the offset delta. A ±26 h slack dominates any legal delta (even the
+    Samoa 2011 +24 h day skip), so a directory is only skipped when no
+    rendering ambiguity could make it match; sub-day precision is all
+    the buffer costs."""
+    from datetime import datetime, timedelta
+
+    try:
+        dt = datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+    except (ValueError, OverflowError):
+        return None
+    try:
+        return _fmt_ts(dt + timedelta(hours=hours))
+    except (OverflowError, ValueError):
+        return None  # bound at datetime's min/max edge — skip pruning
 
 
 def _is_swept_read_error(exc: BaseException) -> bool:
@@ -253,12 +284,16 @@ class Engine:
             return dirs
         me = st.get("max_end") or {}
         ms = st.get("min_start") or {}
+        # ±26 h slack: the stats and bounds are wall-clock strings while
+        # the row predicate compares instants — see _shift_ts_bound
+        end_b = _shift_ts_bound(min_end, -26) if min_end else None
+        start_b = _shift_ts_bound(start_upper, 26) if start_upper else None
 
         def keep(d: str) -> bool:
-            if min_end and d.startswith("_current=false") \
-                    and d in me and me[d] < min_end:
+            if end_b and d.startswith("_current=false") \
+                    and d in me and me[d] < end_b:
                 return False
-            if start_upper and d in ms and ms[d] >= start_upper:
+            if start_b and d in ms and ms[d] >= start_b:
                 return False
             return True
 
@@ -611,7 +646,7 @@ class Engine:
         return dirs
 
     def _merged_stats(self, meta: dict | None,
-                      new_stats: dict[str, str | None] | None,
+                      new_stats: dict[str, dict[str, str | None]] | None,
                       dirs: set[str],
                       history: list[dict] | None) -> dict | None:
         """The ``stats`` block for the next manifest: per-directory
@@ -702,9 +737,10 @@ class Engine:
                 if not self.fs.listdir(full):
                     self.fs.delete_dir(full)
 
-    def _written_dir_stats(self, out: DataFrame, buckets: int | None,
-                           timepart: str | None = None) -> dict[str,
-                                                                str | None]:
+    def _written_dir_stats(
+        self, out: DataFrame, buckets: int | None,
+        timepart: str | None = None,
+    ) -> dict[str, dict[str, str | None]]:
         """Manifest-relative directory paths a partitioned write of
         ``out`` produces, each with its ``max(_end)`` (None for open
         directories) — computed from the DATA (one small aggregate over
@@ -806,7 +842,7 @@ class Engine:
         buckets: int | None = None, open_batch: str = "open",
         hist_batch: str = "hist", collect_dirs: bool = False,
         timepart: str | None = None,
-    ) -> dict[str, str | None] | None:
+    ) -> dict[str, dict[str, str | None]] | None:
         out = df.withColumn("_current", F.col("_end").isNull())
         # second-level __batch partition key: open rows live in one fixed
         # partition; closed (history) rows land in per-upsert-batch
@@ -854,7 +890,7 @@ class Engine:
     def _write_closed_batch(
         self, closed: DataFrame, path: str, buckets: int | None = None,
         live: set[str] | None = None, timepart: str | None = None,
-    ) -> tuple[str | None, dict[str, str | None]]:
+    ) -> tuple[str | None, dict[str, dict[str, str | None]]]:
         """Write newly-closed rows into a history partition keyed by a
         deterministic content token: retrying the same merge overwrites the
         SAME directory instead of appending duplicates. Returns the token

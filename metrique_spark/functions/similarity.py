@@ -1433,16 +1433,23 @@ def ivf_topk_rounded(
                        vec_col=vec_col, sim_decimals=sim_decimals)
     vectors = corpus.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
+    # norms hoisted BELOW the joins: |Q| + |C| interpreted folds instead
+    # of 3 folds per scored pair (the cosine_topk lesson); the hoisted
+    # _norm is the identical expression, so the rounded sims — and the
+    # SQL oracle parity — are unchanged
     assigned = _assign_rounded(vectors, cents, sim_decimals).select(
-        F.col("__vid").alias("neighbor_id"), "v", "cluster")
+        F.col("__vid").alias("neighbor_id"), "v", "cluster",
+    ).withColumn("__vn", _norm(F.col("v")))
     qv = queries.select(F.col(id_col).alias("query_id"),
                         _as_double(vec_col).alias("__qv"))
     probes = _probe_lists(qv, cents, nprobe, sim_decimals)
     scored = (
         assigned.join(F.broadcast(probes), "cluster")
-        .join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(qv.withColumn("__qn", _norm(F.col("__qv")))),
+              "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("__qv"), F.col("v")),
+        .withColumn("sim", F.round(_dot(F.col("__qv"), F.col("v"))
+                                   / (F.col("__qn") * F.col("__vn")),
                                    score_decimals))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1566,8 +1573,14 @@ def ivfpq_topk_codes(
 # codebooks (m·k·sub_len doubles — driver-resident by the PQ contract)
 # in a JSON sidecar and the corpus codes in parquet; IVF-PQ additionally
 # partitions the codes by coarse cluster so a probe's equi-join prunes
-# at the directory level. The sidecar is written LAST: its presence is
-# the commit point, so a crashed write is re-run, never half-read.
+# at the directory level. Commit protocol: on REBUILD the old sidecar is
+# deleted FIRST (readers fail loud on the missing marker instead of
+# scoring new codes with stale codebooks), the codes are written, and
+# the new sidecar is written LAST — its presence is the commit point,
+# so a crashed write is re-run, never half-read. Appends land in
+# content-token-keyed ``__abatch`` partitions (dynamic overwrite), so a
+# retried or duplicated append of the same batch converges to one copy
+# instead of doubling rows that would then occupy two top-k slots.
 
 _PQ_SIDECAR = "_pq.json"
 _PQ_FORMAT = 1
@@ -1579,6 +1592,24 @@ def _default_fs(fs):
     from metrique_spark.fs import LocalFS
 
     return LocalFS()
+
+
+def _invalidate_index(fs, path: str) -> None:
+    """Rebuild prologue: drop the commit marker before touching codes."""
+    side = fs.join(path, _PQ_SIDECAR)
+    if fs.isfile(side):
+        fs.delete(side)
+
+
+def _abatch_token(df: DataFrame, id_col: str) -> str:
+    """Order-insensitive content token for an append batch (count + sum
+    of per-id hashes — constant memory per task, same scheme as the
+    engine's closed-batch token)."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.col(id_col).cast("string"))
+              .cast("decimal(38,0)")).alias("s")).first()
+    return f"b{r['n']}x{r['s']}"
 
 
 def write_pq_index(
@@ -1599,10 +1630,13 @@ def write_pq_index(
     import json
 
     fs = _default_fs(fs)
+    _invalidate_index(fs, path)
     books = pq_train(df, m=m, k=k, iters=iters, id_col=id_col,
                      vec_col=vec_col)
     codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
-    codes.write.mode("overwrite").parquet(path + "/codes")
+    (codes.withColumn("__abatch", F.lit("base"))
+     .write.partitionBy("__abatch").mode("overwrite")
+     .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "pq", "m": m, "k": k,
             "iters": iters, "id_col": id_col,
             "sub_len": len(books[0][0]), "books": books}
@@ -1640,37 +1674,56 @@ def append_to_pq_index(
     vec_col: str = "embedding",
     fs=None,
 ) -> None:
-    """Extend a stored PQ index with a new batch: encode against the
-    STORED codebooks (frozen — code semantics never shift under readers)
-    and append the slim (id, codes[, cluster]) rows. Cost is O(batch)
-    argmin folds — the existing corpus is never re-read or re-encoded.
-    Codebooks drifting from the data distribution degrade recall, not
+    """Extend a stored PQ / IVF-PQ / SQ8 index with a new batch: encode
+    against the STORED parameters (frozen — code semantics never shift
+    under readers) and land the slim (id, codes[, cluster]) rows in a
+    content-token-keyed ``__abatch`` partition. Idempotent: a retried
+    or duplicated append of the same batch dynamically OVERWRITES its
+    own token directory instead of doubling rows (duplicate ids would
+    otherwise occupy two top-k slots). Cost is O(batch) argmin folds —
+    the existing corpus is never re-read or re-encoded. Parameters
+    drifting from the data distribution degrade recall, not
     correctness; re-run the writer when they do."""
     import json
 
     fs = _default_fs(fs)
-    meta = json.loads(fs.read_text(fs.join(path, _PQ_SIDECAR)))
-    books = meta["books"]
+    side = fs.join(path, _PQ_SIDECAR)
+    if not fs.isfile(side):
+        raise ValueError(
+            f"no committed index at {path!r} ({_PQ_SIDECAR} missing)")
+    meta = json.loads(fs.read_text(side))
     id_col = meta["id_col"]
-    dim = len(books) * meta["sub_len"]
+    kind = meta.get("kind")
+    if kind == "sq8":
+        params = [(p[0], p[1]) for p in meta["params"]]
+        dim = len(params)
+    else:
+        books = meta["books"]
+        dim = len(books) * meta["sub_len"]
     first = batch.select(_as_double(vec_col).alias("v")).first()
     if first is not None and len(first["v"]) != dim:
         raise ValueError(
             f"append_to_pq_index: batch vectors have dim "
             f"{len(first['v'])}, index was trained at dim {dim}")
-    codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
-    if meta.get("kind") == "ivfpq":
+    if kind == "sq8":
+        codes = sq8_encode(batch, params, id_col=id_col, vec_col=vec_col)
+    else:
+        codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
+    token = _abatch_token(batch, id_col)
+    out = codes.withColumn("__abatch", F.lit(token))
+    part_cols = ["__abatch"]
+    if kind == "ivfpq":
         cent_rows = [(c[0], c[1]) for c in meta["centroids"]]
         vecs = batch.select(F.col(id_col).alias("__vid"),
                             _as_double(vec_col).alias("v"))
         assigned = _assign_lit(vecs, sorted(cent_rows),
                                meta["sim_decimals"]).select(
             F.col("__vid").alias(id_col), "cluster")
-        (codes.join(assigned, id_col)
-         .write.partitionBy("cluster").mode("append")
-         .parquet(path + "/codes"))
-    else:
-        codes.write.mode("append").parquet(path + "/codes")
+        out = out.join(assigned, id_col)
+        part_cols = ["cluster", "__abatch"]
+    (out.write.partitionBy(*part_cols).mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/codes"))
 
 
 def pq_topk_indexed(
@@ -1717,6 +1770,7 @@ def write_ivfpq_index(
     import json
 
     fs = _default_fs(fs)
+    _invalidate_index(fs, path)
     cents = kmeans_fit(df, k=nlist, iters=coarse_iters, id_col=id_col,
                        vec_col=vec_col, sim_decimals=sim_decimals)
     assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col,
@@ -1725,8 +1779,9 @@ def write_ivfpq_index(
                      vec_col=vec_col)
     codes = (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
              .join(assigned.select(F.col(id_col), "cluster"), id_col))
-    codes.write.partitionBy("cluster").mode("overwrite").parquet(
-        path + "/codes")
+    (codes.withColumn("__abatch", F.lit("base"))
+     .write.partitionBy("cluster", "__abatch").mode("overwrite")
+     .parquet(path + "/codes"))
     cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
                        for r in cents.collect())
     meta = {"format": _PQ_FORMAT, "kind": "ivfpq", "m": m, "k": k,
@@ -1754,9 +1809,13 @@ def ivfpq_topk_indexed(
     training and encoding were paid once at write time."""
     codes, meta = read_pq_index(spark, path, fs=fs)
     if meta.get("kind") != "ivfpq":
+        probe = {"pq": "pq_topk_indexed", None: "pq_topk_indexed",
+                 "sq8": "sq8_topk_indexed"}.get(meta.get("kind"),
+                                                "its own family's probe")
         raise ValueError(
-            f"index at {path!r} is a flat PQ index — probe it with "
-            "pq_topk_indexed, or rebuild with write_ivfpq_index")
+            f"index at {path!r} is kind {meta.get('kind') or 'pq'!r}, "
+            f"not ivfpq — probe it with {probe}, or rebuild with "
+            "write_ivfpq_index")
     cent_rows = [(c[0], list(c[1])) for c in meta["centroids"]]
     return ivfpq_topk_codes(codes, cent_rows, meta["books"], queries,
                             nprobe=nprobe, topk=topk,
@@ -1848,9 +1907,12 @@ def write_sq8_index(
     import json
 
     fs = _default_fs(fs)
+    _invalidate_index(fs, path)
     params = sq8_train(df, vec_col=vec_col)
     codes = sq8_encode(df, params, id_col=id_col, vec_col=vec_col)
-    codes.write.mode("overwrite").parquet(path + "/codes")
+    (codes.withColumn("__abatch", F.lit("base"))
+     .write.partitionBy("__abatch").mode("overwrite")
+     .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "sq8", "id_col": id_col,
             "params": [[mn, mx] for mn, mx in params]}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))

@@ -716,3 +716,47 @@ def test_sq8_index_roundtrip(spark, tmp_path):
     # kind cross-probing fails loud
     with pytest.raises(ValueError, match="sq8"):
         sim.pq_topk_indexed(spark, path, q)  # books missing -> format err
+
+
+def test_index_rebuild_serves_new_corpus_and_append_idempotent(
+        spark, tmp_path):
+    """Rebuild over an existing path must never serve stale codebooks
+    (the sidecar is invalidated first), and a duplicated append of the
+    same batch converges to ONE copy (token-keyed dynamic overwrite)."""
+    import numpy as np
+
+    rng = np.random.default_rng(37)
+
+    def corpus(seed_shift, n=80):
+        rows = [(i, [float(x) for x in
+                     rng.standard_normal(8)]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    a, b = corpus(0), corpus(1)
+    path = str(tmp_path / "pq")
+    sim.write_pq_index(a, path, m=4, k=8)
+    q = b.where(F.col("vec_id") < 3)
+    sim.write_pq_index(b, path, m=4, k=8)  # REBUILD on new corpus
+    books_b = sim.read_pq_index(spark, path)[1]["books"]
+    got = sorted(map(tuple, sim.pq_topk_indexed(
+        spark, path, q, k=3).collect()))
+    fresh = sorted(map(tuple, sim.pq_topk(b, q, books_b, k=3).collect()))
+    assert got == fresh
+
+    # idempotent append: same batch twice -> one copy
+    batch = b.withColumn("vec_id", F.col("vec_id") + 500).limit(5)
+    sim.append_to_pq_index(batch, path)
+    n1 = sim.read_pq_index(spark, path)[0].count()
+    sim.append_to_pq_index(batch, path)
+    n2 = sim.read_pq_index(spark, path)[0].count()
+    assert n1 == n2 == 85
+
+    # sq8 appends are supported against the frozen params
+    sq = str(tmp_path / "sq8")
+    sim.write_sq8_index(a, sq)
+    sim.append_to_pq_index(batch, sq)
+    codes, meta = sim.read_pq_index(spark, sq)
+    assert meta["kind"] == "sq8" and codes.count() == 85
+    sim.append_to_pq_index(batch, sq)
+    assert sim.read_pq_index(spark, sq)[0].count() == 85

@@ -120,3 +120,43 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_ts_bound_normalization_and_slack():
+    """The stat-prune bound arithmetic: years are 4-digit padded (glibc
+    %Y is not), and the ±26h DST/offset slack keeps directories within
+    the wall-clock ambiguity window."""
+    from metrique_spark.engine import _norm_ts_bound, _shift_ts_bound
+
+    assert _norm_ts_bound("0999-12-31") == "0999-12-31 00:00:00.000000"
+    assert _norm_ts_bound("2014-02-01T10:30") == \
+        "2014-02-01 10:30:00.000000"
+    assert _norm_ts_bound("2014-02-01T10:00:00+02:00") is None  # tz-aware
+    assert _norm_ts_bound("not a date") is None
+    b = _norm_ts_bound("2014-11-02 01:45:00")
+    assert _shift_ts_bound(b, -26) == "2014-10-31 23:45:00.000000"
+    assert _shift_ts_bound(b, 26) == "2014-11-03 03:45:00.000000"
+
+
+def test_prune_respects_dst_slack(spark, tmp_path):
+    """A closed dir whose max(_end) is within 26h of the bound is KEPT
+    (wall-clock/instant orderings can disagree there); beyond the slack
+    it is pruned."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.upsert("s", _objs(spark, [(1, 10)], "2014-01-01 00:00:00"),
+               stamped=True)
+    eng.upsert("s", _objs(spark, [(1, 11)], "2014-01-05 00:00:00"),
+               stamped=True)  # closes v1 at jan 5
+    meta = eng._manifest(eng._path("s"))
+    me = meta["stats"]["max_end"]
+    [closed] = [d for d in me]
+    # probe 20h after the close: inside the slack -> dir kept
+    kept = eng._prune_by_end_stats(
+        meta, list(meta["dirs"]), "2014-01-05 20:00:00.000000")
+    assert closed in kept
+    # probe 3 days after: outside the slack -> dir pruned
+    kept2 = eng._prune_by_end_stats(
+        meta, list(meta["dirs"]), "2014-01-08 00:00:00.000000")
+    assert closed not in kept2
