@@ -1157,6 +1157,20 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(e, q, k=5)
 
 
+def sim_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composed IVF×SQ8 index (similarity.ivfsq8_topk; the FAISS
+    "IVF,SQ8" layout): deterministic coarse k-means routes vectors to 8
+    lists, each query probes its 2 nearest and scores ONLY those lists'
+    vectors through their 8-bit scalar codes — coarse pruning × cheap
+    near-exact compression, the no-training-codebook sibling of
+    sim_ivfpq_topk. The oracle replays coarse training, routing, probe
+    selection, quantization and reconstruction as chained CTEs."""
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivfsq8_topk(e, q, nlist=8, nprobe=2, topk=5)
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composed IVF-PQ index (similarity.ivfpq_topk; Jégou 2011 IVFADC,
     raw-vector codebooks): deterministic coarse k-means routes vectors
@@ -1940,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans_clusters": sim_kmeans_clusters,
         "sim_pq_topk": sim_pq_topk,
         "sim_sq8_topk": sim_sq8_topk,
+        "sim_ivfsq8_topk": sim_ivfsq8_topk,
         "sim_ivfpq_topk": sim_ivfpq_topk,
         "sim_semantic_dedup": sim_semantic_dedup,
         "sim_cluster_summary": sim_cluster_summary,
@@ -2855,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_sq8_indexed": _SQ8_ORACLE,
         "sim_pq_indexed": _PQ_ORACLE,
         "sim_ivfpq_topk": _IVFPQ_ORACLE,
+        "sim_ivfsq8_topk": _IVFSQ8_ORACLE,
         "sim_ivfpq_indexed": _IVFPQ_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
@@ -3936,19 +3952,18 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, coarse_iters: int = 1,
 _IVF_ORACLE = _ivf_oracle()
 
 
-def _sq8_oracle(topk: int = 5, n_queries: int = 10) -> str:
-    """SQ8 replay (similarity.sq8_train/encode/topk): exact per-dim
-    extrema, the identical code arithmetic ``round((x-mn)*255/(mx-mn))``
-    and reconstruction ``mn + code*((mx-mn)/255)``, then rounded cosine
-    over the reconstructions."""
-    return f"""WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-x AS (
+def _sq8_rec_ctes() -> list[str]:
+    """SQ8 quantize+reconstruct as CTEs over an existing ``e`` (vec_id,
+    v): exact per-dim extrema, the identical code arithmetic
+    ``round((x-mn)*255/(mx-mn))`` and reconstruction
+    ``mn + code*((mx-mn)/255)`` — shared by the flat and the IVF-routed
+    replays."""
+    return ["""x AS (
   SELECT vec_id, unnest(v) AS x,
-         generate_subscripts(v, 1) - 1 AS dim FROM e),
-dims AS (
-  SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim),
-rec AS (
+         generate_subscripts(v, 1) - 1 AS dim FROM e)""",
+            """dims AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim)""",
+            """rec AS (
   SELECT vec_id, list(rx ORDER BY dim) AS r FROM (
     SELECT x.vec_id, x.dim,
            CASE WHEN d.mx = d.mn THEN d.mn
@@ -3958,23 +3973,62 @@ rec AS (
                        * ((d.mx - d.mn) / 255.0)
            END AS rx
     FROM x JOIN dims d USING (dim))
-  GROUP BY vec_id),
-q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {n_queries}),
-scored AS (
+  GROUP BY vec_id)"""]
+
+
+def _sq8_oracle(topk: int = 5, n_queries: int = 10) -> str:
+    """SQ8 replay (similarity.sq8_train/encode/topk): rounded cosine
+    over the reconstructions, full corpus scan."""
+    ctes = ["""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""]
+    ctes.extend(_sq8_rec_ctes())
+    ctes.append(_query_cte(n_queries))
+    ctes.append("""scored AS (
   SELECT q.query_id, r.vec_id AS neighbor_id,
          round(list_dot_product(q.qv, r.r)
                / (sqrt(list_dot_product(q.qv, q.qv))
                   * sqrt(list_dot_product(r.r, r.r))), 4) AS score
-  FROM q, rec r WHERE r.vec_id != q.query_id)
+  FROM q, rec r WHERE r.vec_id != q.query_id)""")
+    return ("WITH " + ",".join(ctes) + f"""
 SELECT query_id, neighbor_id, score FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, neighbor_id) <= {topk}
-"""
+""")
 
 
 _SQ8_ORACLE = _sq8_oracle()
+
+
+def _ivfsq8_oracle(nlist: int = 8, nprobe: int = 2,
+                   coarse_iters: int = 1, topk: int = 5,
+                   n_queries: int = 10) -> str:
+    """IVF×SQ8 replay (similarity.ivfsq8_topk): the coarse k-means
+    unroll + routing + probe selection shared with the IVF/IVF-PQ
+    oracles, then SQ8 reconstruction scoring restricted to the probed
+    lists."""
+    ctes = _kmeans_ctes(k=nlist, iters=coarse_iters)
+    ctes.append(_kmeans_assign_cte(f"c{coarse_iters}", "afinal"))
+    ctes.extend(_sq8_rec_ctes())
+    ctes.append(_query_cte(n_queries))
+    ctes.append(_probe_cte(f"c{coarse_iters}", nprobe))
+    ctes.append("""scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, r.r)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(r.r, r.r))), 4) AS score
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN afinal a ON a.cluster = p.cluster
+  JOIN rec r ON r.vec_id = a.vec_id
+  WHERE a.vec_id != q.query_id)""")
+    return ("WITH " + ",".join(ctes) + f"""
+SELECT query_id, neighbor_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) <= {topk}
+""")
+
+
+_IVFSQ8_ORACLE = _ivfsq8_oracle()
 
 
 def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,

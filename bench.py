@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "sim_kmeans_clusters",
     "sim_pq_topk",
     "sim_sq8_topk",
+    "sim_ivfsq8_topk",
     "sim_ivfpq_topk",
     "sim_pq_indexed",
     "sim_sq8_indexed",
@@ -136,6 +137,7 @@ CONTRACT_EXCLUDE = {
     "sim_ivfpq_indexed",            # stored sibling of sim_pq_indexed
     "sim_sq8_topk",                 # compression sibling of sim_pq_topk
     "sim_sq8_indexed",              # stored sibling of sim_pq_indexed
+    "sim_ivfsq8_topk",              # composed sibling of sim_ivfpq_topk
 }
 
 CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]

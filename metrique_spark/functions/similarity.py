@@ -1943,6 +1943,92 @@ def sq8_topk_indexed(
                           max_query_rows=max_query_rows)
 
 
+def ivfsq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 2,
+    coarse_iters: int = 1,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Composed IVF × SQ8 index (the FAISS "IVF,SQ8" layout): the
+    deterministic coarse k-means routes vectors to ``nlist`` inverted
+    lists, each query probes its ``nprobe`` nearest lists, and only
+    those lists' vectors are scored — through their 8-bit scalar codes.
+    Coarse pruning × cheap compression: versus IVF-PQ this trades a
+    larger code payload (dim bytes vs m) for near-exact per-list recall
+    and no codebook training. Deterministic end-to-end; the SQL oracle
+    replays coarse training, routing, probe selection, quantization and
+    reconstruction exactly."""
+    cents = kmeans_fit(corpus, k=nlist, iters=coarse_iters,
+                       id_col=id_col, vec_col=vec_col,
+                       sim_decimals=sim_decimals)
+    assigned = kmeans_assign(corpus, cents, id_col=id_col,
+                             vec_col=vec_col, sim_decimals=sim_decimals)
+    params = sq8_train(corpus, vec_col=vec_col)
+    codes = (sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
+             .join(assigned.select(F.col(id_col), "cluster"), id_col))
+    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                       for r in cents.collect())
+    return ivfsq8_topk_codes(codes, cent_rows, params, queries,
+                             nprobe=nprobe, topk=topk, id_col=id_col,
+                             vec_col=vec_col,
+                             score_decimals=score_decimals,
+                             sim_decimals=sim_decimals)
+
+
+def ivfsq8_topk_codes(
+    codes: DataFrame,
+    cent_rows: list,
+    params: list,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+    sim_decimals: int = 6,
+    static_prune: bool = False,
+) -> DataFrame:
+    """IVF×SQ8 search over an already-routed, already-quantized corpus
+    (``codes``: id, codes, cluster) — reconstruction and its norm are
+    materialized BELOW the probe join (query-independent), queries
+    broadcast with their norms; ``static_prune`` as in
+    ``ivfpq_topk_codes``."""
+    from pyspark.sql import Window
+
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("__qv"))
+    probes = _probe_lists_lit(qv, cent_rows, nprobe, sim_decimals)
+    if static_prune:
+        hit = [r["cluster"] for r in
+               probes.select("cluster").distinct().collect()]
+        codes = codes.where(F.col("cluster").isin(hit))
+    p = _sq8_params_lit(params)
+    rec = F.zip_with(F.col("codes"), p,
+                     lambda c, pp: pp["mn"]
+                     + c.cast("double") * pp["sp"])
+    recs = codes.select(
+        F.col(id_col).alias("neighbor_id"), rec.alias("__rec"), "cluster",
+    ).withColumn("__rn2", _dot(F.col("__rec"), F.col("__rec")))
+    q = qv.withColumn("__qn", _norm(F.col("__qv")))
+    scored = (recs.join(F.broadcast(probes), "cluster")
+              .join(F.broadcast(q), "query_id")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(_dot(F.col("__qv"), F.col("__rec"))
+                              / (F.col("__qn") * F.sqrt(F.col("__rn2"))),
+                              score_decimals).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= topk).drop("__rk"))
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,

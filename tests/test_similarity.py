@@ -760,3 +760,24 @@ def test_index_rebuild_serves_new_corpus_and_append_idempotent(
     assert meta["kind"] == "sq8" and codes.count() == 85
     sim.append_to_pq_index(batch, sq)
     assert sim.read_pq_index(spark, sq)[0].count() == 85
+
+
+def test_ivfsq8_full_probe_equals_sq8_and_partial_is_subset(spark):
+    """With nprobe == nlist the IVF routing is a no-op: IVF×SQ8 must
+    equal the flat SQ8 scan exactly. Partial probing returns <= topk
+    true-scored rows per query."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    full = sorted(map(tuple, sim.ivfsq8_topk(
+        emb, q, nlist=4, nprobe=4, topk=3).collect()))
+    flat = sorted(map(tuple, sim.sq8_topk(emb, q, k=3).collect()))
+    assert full == flat
+    part = sim.ivfsq8_topk(emb, q, nlist=4, nprobe=1, topk=3).collect()
+    flat_scores = {(r[0], r[1]): r[2] for r in
+                   sim.sq8_topk(emb, q, k=10**6).collect()}
+    assert all(flat_scores[(r["query_id"], r["neighbor_id"])] == r["score"]
+               for r in part)
+    counts = {}
+    for r in part:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert all(v <= 3 for v in counts.values())
