@@ -406,6 +406,142 @@ class Engine:
                             out[cube].append(e)
         return out
 
+    # -- vector (ANN) indexes ------------------------------------------------
+    # The similarity module's persisted index family (IVF / PQ / IVF-PQ /
+    # SQ8), managed under the cube's directory with the warehouse's own
+    # protocols: built under the writer lease from the COMMITTED
+    # generation, stamped with that generation number, and checked for
+    # staleness at search time against the live manifest pointer — a
+    # search against an index built before the corpus changed fails loud
+    # instead of silently returning neighbors from a superseded corpus.
+
+    _ANN_KINDS = ("ivf", "pq", "ivfpq", "sq8")
+
+    def _ann_path(self, cube: str, name: str) -> str:
+        # underscore prefix: invisible to Spark's parquet discovery, so
+        # the index lives inside the cube directory without polluting it
+        return self.fs.join(self._path(cube), f"_ann_{name}")
+
+    def _ann_meta_path(self, cube: str, name: str) -> str:
+        return self.fs.join(self._ann_path(cube, name), "_ann.json")
+
+    def build_vector_index(self, cube: str, name: str, vec_col: str,
+                           kind: str = "ivf", id_col: str = "_oid",
+                           **params) -> None:
+        """Build (or rebuild) a persisted ANN index over a cube's vector
+        column — CURRENT versions only (an embedding index over history
+        rows would return superseded objects). ``params`` pass through
+        to the family writer (nlist/m/k/iters/...). The ``_ann.json``
+        marker is written LAST with the cube generation the build read,
+        making the build crash-safe and the staleness check possible.
+
+        NOTE: vector columns must be ingested with
+        ``stamp(sort_arrays=False)`` — the default container
+        normalization SORTS array fields for order-insensitive hashing,
+        which destroys vector semantics (every sorted gaussian vector
+        looks like every other; similarities collapse toward 1)."""
+        import json
+
+        from metrique_spark.functions import similarity as _sim
+
+        if kind not in self._ANN_KINDS:
+            raise ValueError(
+                f"unknown vector-index kind {kind!r}; one of "
+                f"{self._ANN_KINDS}")
+        path = self._path(cube)
+        with self._write_lock(cube):
+            meta = self._manifest(path)
+            gen = meta["gen"] if meta else None
+            df = self._read(path).where(F.col("_end").isNull())
+            apath = self._ann_path(cube, name)
+            amarker = self._ann_meta_path(cube, name)
+            if self.fs.isfile(amarker):
+                self.fs.delete(amarker)  # rebuild: invalidate first
+            if kind == "ivf":
+                _sim.write_ivf_index(df, apath, id_col=id_col,
+                                     vec_col=vec_col, **params)
+            elif kind == "pq":
+                _sim.write_pq_index(df, apath, id_col=id_col,
+                                    vec_col=vec_col, fs=self.fs, **params)
+            elif kind == "ivfpq":
+                _sim.write_ivfpq_index(df, apath, id_col=id_col,
+                                       vec_col=vec_col, fs=self.fs,
+                                       **params)
+            else:
+                _sim.write_sq8_index(df, apath, id_col=id_col,
+                                     vec_col=vec_col, fs=self.fs)
+            self.fs.write_text(amarker, json.dumps(
+                {"kind": kind, "gen": gen, "vec_col": vec_col,
+                 "id_col": id_col, "params": params}))
+
+    def vector_index_list(self, cube: str) -> dict[str, dict]:
+        """Committed ANN indexes on the cube: name → its ``_ann.json``
+        metadata plus a ``stale`` flag (built generation != live)."""
+        import json
+
+        path = self._path(cube)
+        meta = self._manifest(path)
+        live = meta["gen"] if meta else None
+        out: dict[str, dict] = {}
+        if not self.fs.isdir(path):
+            return out
+        for d in self.fs.listdir(path):
+            if not d.startswith("_ann_"):
+                continue
+            marker = self.fs.join(path, d, "_ann.json")
+            if not self.fs.isfile(marker):
+                continue  # crashed build — uncommitted
+            m = json.loads(self.fs.read_text(marker))
+            m["stale"] = (m.get("gen") != live)
+            out[d[len("_ann_"):]] = m
+        return out
+
+    def vector_search(self, cube: str, name: str, queries: DataFrame,
+                      k: int = 5, nprobe: int | None = None,
+                      allow_stale: bool = False) -> DataFrame:
+        """Search a cube's persisted ANN index. Fails loud when the
+        index was built against a superseded generation (the corpus
+        changed under it) unless ``allow_stale=True`` — a stale ANN
+        answer LOOKS fine, which is exactly why it must not be silent.
+        Returns the family's (query_id, neighbor_id, sim|score) frame;
+        neighbor ids are the cube's ``_oid`` values by default."""
+        import json
+
+        from metrique_spark.functions import similarity as _sim
+
+        marker = self._ann_meta_path(cube, name)
+        if not self.fs.isfile(marker):
+            raise ValueError(
+                f"cube {cube!r} has no committed vector index {name!r} "
+                "(build_vector_index, or a crashed build — rebuild)")
+        m = json.loads(self.fs.read_text(marker))
+        meta = self._manifest(self._path(cube))
+        live = meta["gen"] if meta else None
+        if m.get("gen") != live and not allow_stale:
+            raise ValueError(
+                f"vector index {name!r} on cube {cube!r} was built at "
+                f"generation {m.get('gen')} but the cube is at {live} — "
+                "rebuild_vector_index, or pass allow_stale=True to "
+                "search the superseded corpus deliberately")
+        apath = self._ann_path(cube, name)
+        kind = m["kind"]
+        if kind == "ivf":
+            assigned, centroids = _sim.read_ivf_index(self.spark, apath)
+            return _sim.ivf_topk_indexed(
+                assigned, centroids, queries, k=k,
+                nprobe=nprobe if nprobe is not None else 4,
+                id_col=m["id_col"], vec_col=m["vec_col"])
+        if kind == "pq":
+            return _sim.pq_topk_indexed(self.spark, apath, queries, k=k,
+                                        vec_col=m["vec_col"], fs=self.fs)
+        if kind == "ivfpq":
+            kw = {} if nprobe is None else {"nprobe": nprobe}
+            return _sim.ivfpq_topk_indexed(self.spark, apath, queries,
+                                           topk=k, vec_col=m["vec_col"],
+                                           fs=self.fs, **kw)
+        return _sim.sq8_topk_indexed(self.spark, apath, queries, k=k,
+                                     vec_col=m["vec_col"], fs=self.fs)
+
     # -- writes -------------------------------------------------------------
 
     def _write_lock(self, cube: str):

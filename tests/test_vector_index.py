@@ -1,0 +1,121 @@
+"""Engine-managed ANN indexes: built under the writer lease from the
+committed generation, stamped with it, staleness-checked at search time
+against the live manifest pointer — a search against an index whose
+corpus has since changed fails loud instead of silently returning
+neighbors from a superseded generation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+from metrique_spark.functions import similarity as sim
+from metrique_spark.objects import stamp
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _emb_cube(spark, engine, cube="vecs"):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    # sort_arrays=False: stamp's container normalization sorts array
+    # fields for order-insensitive hashing, which would destroy vector
+    # semantics — the documented requirement for vector cubes
+    obj = stamp(emb.select(F.col("vec_id").alias("oid"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("embedding"), "label"),
+                oid="oid", start=F.to_timestamp(F.lit("2014-01-01")),
+                sort_arrays=False)
+    engine.upsert(cube, obj, stamped=True)
+    return emb
+
+
+def test_build_search_matches_inplan(spark, engine):
+    emb = _emb_cube(spark, engine)
+    engine.build_vector_index("vecs", "e_sq8", vec_col="embedding",
+                              kind="sq8")
+    q = (engine.find("vecs", fields="embedding")
+         .where(F.col("_oid") < 5)
+         .select(F.col("_oid"), "embedding"))
+    got = sorted(map(tuple, engine.vector_search(
+        "vecs", "e_sq8", q, k=3).collect()))
+    want = sorted(map(tuple, sim.sq8_topk(
+        emb.select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("embedding")),
+        emb.where("vec_id < 5").select(
+            "vec_id", F.col("embedding").cast("array<double>")
+            .alias("embedding")), k=3).collect()))
+    assert got == want and len(got) == 15
+    ix = engine.vector_index_list("vecs")
+    assert ix["e_sq8"]["kind"] == "sq8" and not ix["e_sq8"]["stale"]
+
+
+def test_stale_index_fails_loud_until_rebuilt(spark, engine):
+    _emb_cube(spark, engine)
+    engine.build_vector_index("vecs", "ix", vec_col="embedding",
+                              kind="ivfpq", nlist=4, m=4, k=8)
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert engine.vector_search("vecs", "ix", q, k=3).count() == 3
+    # the corpus moves on -> the index is stale
+    upd = stamp(spark.createDataFrame(
+        [(1, [0.5] * 64, 0)], "oid long, embedding array<double>, label int"),
+        oid="oid", start=F.to_timestamp(F.lit("2014-02-01")))
+    engine.upsert("vecs", upd, stamped=True)
+    assert engine.vector_index_list("vecs")["ix"]["stale"]
+    with pytest.raises(ValueError, match="generation"):
+        engine.vector_search("vecs", "ix", q, k=3)
+    # deliberate stale read still possible; rebuild clears it
+    assert engine.vector_search("vecs", "ix", q, k=3,
+                                allow_stale=True).count() == 3
+    engine.build_vector_index("vecs", "ix", vec_col="embedding",
+                              kind="ivfpq", nlist=4, m=4, k=8)
+    assert not engine.vector_index_list("vecs")["ix"]["stale"]
+    assert engine.vector_search("vecs", "ix", q, k=3).count() == 3
+
+
+def test_unknown_kind_and_missing_index(spark, engine):
+    _emb_cube(spark, engine)
+    with pytest.raises(ValueError, match="kind"):
+        engine.build_vector_index("vecs", "x", vec_col="embedding",
+                                  kind="hnsw")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    with pytest.raises(ValueError, match="no committed"):
+        engine.vector_search("vecs", "nope", q)
+
+
+def test_index_survives_commits_and_search_uses_current_only(
+        spark, engine):
+    _emb_cube(spark, engine)
+    # two more upserts create TWO closed batches so the later compact
+    # is a real commit (<=1 closed token is a documented no-op)
+    for i, day in ((1, "2014-02-01"), (2, "2014-03-01")):
+        upd = stamp(spark.createDataFrame(
+            [(i, [0.5 + i] * 64, 0)],
+            "oid long, embedding array<double>, label int"),
+            oid="oid", start=F.to_timestamp(F.lit(day)),
+            sort_arrays=False)
+        engine.upsert("vecs", upd, stamped=True)
+    engine.build_vector_index("vecs", "ivf", vec_col="embedding",
+                              kind="ivf", nlist=4)
+    assert not engine.vector_index_list("vecs")["ivf"]["stale"]
+    # compact is a commit too: the index dir survives the sweep but the
+    # generation moved -> stale
+    engine.compact("vecs")
+    assert engine.vector_index_list("vecs")["ivf"]["stale"]
+    engine.build_vector_index("vecs", "ivf", vec_col="embedding",
+                              kind="ivf", nlist=4)
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    out = engine.vector_search("vecs", "ivf", q, k=3, nprobe=4)
+    assert out.count() == 3
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
