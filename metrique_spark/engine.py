@@ -448,15 +448,43 @@ class Engine:
             raise ValueError(
                 f"unknown vector-index kind {kind!r}; one of "
                 f"{self._ANN_KINDS}")
+        if kind == "sq8" and params:
+            # sq8 has no tuning knobs; recording ignored params in the
+            # marker would report configuration that was never applied
+            raise TypeError(
+                f"sq8 vector indexes take no extra params, got "
+                f"{sorted(params)}")
         path = self._path(cube)
         with self._write_lock(cube):
             meta = self._manifest(path)
-            gen = meta["gen"] if meta else None
-            df = self._read(path).where(F.col("_end").isNull())
+            if meta is None:
+                # staleness detection rides the generation pointer; a
+                # legacy in-place cube has none, so gen would stay None
+                # forever and the stale check could never fire — the
+                # silent-stale failure this API exists to prevent
+                raise ValueError(
+                    f"cube {cube!r} has no generation manifest — vector "
+                    "indexes need a manifested cube (any new commit "
+                    "adopts a pre-manifest cube automatically)")
+            gen = meta["gen"]
+            # _current is the partition column (== _end IS NULL by
+            # construction): filtering on it prunes every closed history
+            # directory at plan time instead of scanning years of
+            # superseded versions just to drop them
+            df = self._read(path)
+            if "_current" in df.columns:
+                df = df.where(F.col("_current")).drop("_current")
+            else:
+                df = df.where(F.col("_end").isNull())
             apath = self._ann_path(cube, name)
             amarker = self._ann_meta_path(cube, name)
             if self.fs.isfile(amarker):
                 self.fs.delete(amarker)  # rebuild: invalidate first
+            if self.fs.isdir(apath):
+                # and clear the previous build entirely: a kind switch
+                # would otherwise leave the old family's data AND its
+                # own committed-looking sidecar behind
+                self.fs.delete_dir(apath)
             if kind == "ivf":
                 _sim.write_ivf_index(df, apath, id_col=id_col,
                                      vec_col=vec_col, **params)
@@ -521,7 +549,7 @@ class Engine:
             raise ValueError(
                 f"vector index {name!r} on cube {cube!r} was built at "
                 f"generation {m.get('gen')} but the cube is at {live} — "
-                "rebuild_vector_index, or pass allow_stale=True to "
+                "re-run build_vector_index, or pass allow_stale=True to "
                 "search the superseded corpus deliberately")
         apath = self._ann_path(cube, name)
         kind = m["kind"]

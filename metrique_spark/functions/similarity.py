@@ -1869,6 +1869,40 @@ def _sq8_params_lit(params: list) -> Column:
         for mn, mx in params)))
 
 
+def _sq8_rec_frame(codes: DataFrame, params: list, id_col: str,
+                   keep: tuple = ()) -> DataFrame:
+    """(neighbor_id, __rec, __rn2[, keep...]) — reconstruction and its
+    norm materialized ONCE per corpus row (below whatever join scores
+    them). SHARED by the flat and IVF-routed scorers: the expression
+    chain here is what the DuckDB oracles' ``rec`` CTE replays, so both
+    families stay IEEE-identical by construction."""
+    p = _sq8_params_lit(params)
+    rec = F.zip_with(F.col("codes"), p,
+                     lambda c, pp: pp["mn"]
+                     + c.cast("double") * pp["sp"])
+    out = codes.select(
+        F.col(id_col).alias("neighbor_id"), rec.alias("__rec"), *keep)
+    return out.withColumn("__rn2", _dot(F.col("__rec"), F.col("__rec")))
+
+
+def _sq8_score_topk(joined: DataFrame, topk: int,
+                    score_decimals: int) -> DataFrame:
+    """Rounded-cosine scoring + top-k over a frame carrying
+    (query_id, neighbor_id, __qv, __qn, __rec, __rn2) — the shared tail
+    of every SQ8 scorer."""
+    from pyspark.sql import Window
+
+    scored = (joined.where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(_dot(F.col("__qv"), F.col("__rec"))
+                              / (F.col("__qn") * F.sqrt(F.col("__rn2"))),
+                              score_decimals).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= topk).drop("__rk"))
+
+
 def sq8_encode(
     df: DataFrame,
     params: list,
@@ -2008,25 +2042,11 @@ def ivfsq8_topk_codes(
         hit = [r["cluster"] for r in
                probes.select("cluster").distinct().collect()]
         codes = codes.where(F.col("cluster").isin(hit))
-    p = _sq8_params_lit(params)
-    rec = F.zip_with(F.col("codes"), p,
-                     lambda c, pp: pp["mn"]
-                     + c.cast("double") * pp["sp"])
-    recs = codes.select(
-        F.col(id_col).alias("neighbor_id"), rec.alias("__rec"), "cluster",
-    ).withColumn("__rn2", _dot(F.col("__rec"), F.col("__rec")))
+    recs = _sq8_rec_frame(codes, params, id_col, keep=("cluster",))
     q = qv.withColumn("__qn", _norm(F.col("__qv")))
-    scored = (recs.join(F.broadcast(probes), "cluster")
-              .join(F.broadcast(q), "query_id")
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(_dot(F.col("__qv"), F.col("__rec"))
-                              / (F.col("__qn") * F.sqrt(F.col("__rn2"))),
-                              score_decimals).alias("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= topk).drop("__rk"))
+    joined = (recs.join(F.broadcast(probes), "cluster")
+              .join(F.broadcast(q), "query_id"))
+    return _sq8_score_topk(joined, topk, score_decimals)
 
 
 def sq8_topk(
@@ -2075,29 +2095,13 @@ def sq8_topk_codes(
                 f"sq8_topk: query side exceeds {max_query_rows} rows — "
                 "the flat scan is |corpus|x|queries|; route through an "
                 "IVF layout, or pass max_query_rows=None to force")
-    from pyspark.sql import Window
-
-    p = _sq8_params_lit(params)
-    rec = F.zip_with(F.col("codes"), p,
-                     lambda c, pp: pp["mn"]
-                     + c.cast("double") * pp["sp"])
-    # materialize __rec and its norm BELOW the join: both are
-    # query-independent, and a projection under the join is physically
-    # written into the streamed row, so the per-pair work is one fold
-    recs = codes.select(
-        F.col(id_col).alias("neighbor_id"), rec.alias("__rec"),
-    ).withColumn("__rn2", _dot(F.col("__rec"), F.col("__rec")))
+    # __rec and its norm materialize BELOW the join (query-independent;
+    # a projection under the join is physically written into the
+    # streamed row), query norms once on the broadcast side — so the
+    # per-pair work is one dot fold
+    recs = _sq8_rec_frame(codes, params, id_col)
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("__qv"))
-    q = q.withColumn("__qn", _norm(F.col("__qv")))  # once per query,
-    # on the broadcast side — not once per (query, vector) pair
-    scored = (recs.crossJoin(F.broadcast(q))
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(_dot(F.col("__qv"), F.col("__rec"))
-                              / (F.col("__qn") * F.sqrt(F.col("__rn2"))),
-                              score_decimals).alias("score")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= k).drop("__rk"))
+    q = q.withColumn("__qn", _norm(F.col("__qv")))
+    return _sq8_score_topk(recs.crossJoin(F.broadcast(q)), k,
+                           score_decimals)
