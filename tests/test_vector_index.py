@@ -119,3 +119,36 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_vector_index_on_object_store_backend(spark, tmp_path):
+    """The ANN lifecycle's control-plane writes (marker, sidecar,
+    invalidation) go through the FileSystem interface, so the protocol
+    must hold end-to-end on the rename-free ObjectStoreFS backend too."""
+    from metrique_spark.fs import ObjectStoreFS
+
+    store = ObjectStoreFS()
+    eng = Engine(spark, warehouse=str(tmp_path / "objwh"), fs=store,
+                 lock_ttl=3600)
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet").limit(200)
+    obj = stamp(emb.select(F.col("vec_id").alias("oid"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("embedding")),
+                oid="oid", start=F.to_timestamp(F.lit("2014-01-01")),
+                sort_arrays=False)
+    eng.upsert("vo", obj, stamped=True)
+    eng.build_vector_index("vo", "s", vec_col="embedding", kind="sq8")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vo", "s", q, k=3).count() == 3
+    assert not eng.vector_index_list("vo")["s"]["stale"]
+    # a commit moves the generation -> stale detection through the store
+    upd = stamp(spark.createDataFrame(
+        [(1, [0.5] * 64)], "oid long, embedding array<double>"),
+        oid="oid", start=F.to_timestamp(F.lit("2014-02-01")),
+        sort_arrays=False)
+    eng.upsert("vo", upd, stamped=True)
+    with pytest.raises(ValueError, match="generation"):
+        eng.vector_search("vo", "s", q, k=3)
+    eng.build_vector_index("vo", "s", vec_col="embedding", kind="sq8")
+    assert eng.vector_search("vo", "s", q, k=3).count() == 3
