@@ -428,6 +428,47 @@ def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_disk_timepart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the SAME two-batch snapshot merge as upsert_snapshot, but driven
+    through the FULL storage engine on disk — time-partitioned
+    (month), oid-bucketed, generation-manifested warehouse: stamp →
+    upsert batch 1 → upsert batch 2 (merge against the read-back
+    table) → read all history back. Value-checks the write path itself
+    (partitioning, manifest commit, per-dir stats, merge-on-read-back)
+    against the pure-merge oracle — if any layer of the storage stack
+    mangled a row, the hash check catches it."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "upsert_tp_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4,
+                 time_partition="month")
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < cut)),
+               stamped=True)
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= cut)),
+               stamped=True)
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def upsert_history_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """history import (autosnap=False, reference sqlalchemy.py:955-963):
     every stored version of the incoming oids is dropped, then the supplied
@@ -1919,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_persistent_counts": tmp_persistent_counts,
         "tmp_age": tmp_age,
         "upsert_snapshot": upsert_snapshot,
+        "upsert_disk_timepart": upsert_disk_timepart,
         "upsert_history_replace": upsert_history_replace,
         "activity_reconstruct": activity_reconstruct,
         "tmp_history_forecast": tmp_history_forecast,
@@ -2009,6 +2051,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": events_paths,
         "events_paths_skew": events_paths_skew,
     }
+
+
+_UPSERT_SNAPSHOT_ORACLE = """
+            WITH s1 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts < TIMESTAMP '2024-01-16')
+                WHERE rn = 1
+            ), s2 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+                WHERE rn = 1
+            ),
+            kept AS (
+                SELECT a._oid, a.event_type, a.value, a._start,
+                       CAST(NULL AS TIMESTAMP) AS _end
+                FROM s1 a LEFT JOIN s2 b ON a._oid = b._oid
+                WHERE b._oid IS NULL
+                   OR (a.event_type = b.event_type AND a.value = b.value)
+            ),
+            inserted AS (
+                SELECT b._oid, b.event_type, b.value, b._start,
+                       CAST(NULL AS TIMESTAMP) AS _end
+                FROM s2 b LEFT JOIN s1 a ON a._oid = b._oid
+                WHERE a._oid IS NULL
+                   OR NOT (a.event_type = b.event_type AND a.value = b.value)
+            ),
+            closed AS (
+                SELECT a._oid, a.event_type, a.value, a._start, b._start AS _end
+                FROM s1 a JOIN s2 b ON a._oid = b._oid
+                WHERE NOT (a.event_type = b.event_type AND a.value = b.value)
+            )
+            SELECT * FROM kept
+            UNION ALL SELECT * FROM inserted
+            UNION ALL SELECT * FROM closed
+        
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2252,43 +2334,8 @@ def oracle_sql() -> dict[str, str]:
                               - epoch(first_start)) AS BIGINT) AS age
             FROM m WHERE rn = 1
         """,
-        "upsert_snapshot": """
-            WITH s1 AS (
-                SELECT user_id AS _oid, event_type, value, ts AS _start
-                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                                   ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events WHERE ts < TIMESTAMP '2024-01-16')
-                WHERE rn = 1
-            ), s2 AS (
-                SELECT user_id AS _oid, event_type, value, ts AS _start
-                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                                   ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events WHERE ts >= TIMESTAMP '2024-01-16')
-                WHERE rn = 1
-            ),
-            kept AS (
-                SELECT a._oid, a.event_type, a.value, a._start,
-                       CAST(NULL AS TIMESTAMP) AS _end
-                FROM s1 a LEFT JOIN s2 b ON a._oid = b._oid
-                WHERE b._oid IS NULL
-                   OR (a.event_type = b.event_type AND a.value = b.value)
-            ),
-            inserted AS (
-                SELECT b._oid, b.event_type, b.value, b._start,
-                       CAST(NULL AS TIMESTAMP) AS _end
-                FROM s2 b LEFT JOIN s1 a ON a._oid = b._oid
-                WHERE a._oid IS NULL
-                   OR NOT (a.event_type = b.event_type AND a.value = b.value)
-            ),
-            closed AS (
-                SELECT a._oid, a.event_type, a.value, a._start, b._start AS _end
-                FROM s1 a JOIN s2 b ON a._oid = b._oid
-                WHERE NOT (a.event_type = b.event_type AND a.value = b.value)
-            )
-            SELECT * FROM kept
-            UNION ALL SELECT * FROM inserted
-            UNION ALL SELECT * FROM closed
-        """,
+        "upsert_snapshot": _UPSERT_SNAPSHOT_ORACLE,
+        "upsert_disk_timepart": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_history_replace": f"""
             WITH v AS ({_V}),
             tbl AS (SELECT * FROM v WHERE _start < TIMESTAMP '2024-01-16'),
