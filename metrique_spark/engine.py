@@ -226,11 +226,11 @@ class Engine:
                 df = self.spark.read.parquet(path)
                 break
             if generation is None or generation == meta["gen"]:
-                dirs = meta["dirs"]
+                dirs, schema = meta["dirs"], meta.get("schema")
             else:
                 for h in meta.get("history", []):
                     if h["gen"] == generation:
-                        dirs = h["dirs"]
+                        dirs, schema = h["dirs"], h.get("schema")
                         break
                 else:
                     have = [meta["gen"]] + [h["gen"]
@@ -246,8 +246,14 @@ class Engine:
             dirs = self._prune_by_end_stats(meta, dirs, min_end,
                                             start_upper)
             try:
-                df = (self.spark.read.option("basePath", path)
-                      .parquet(*[self.fs.join(path, d) for d in dirs]))
+                reader = self.spark.read.option("basePath", path)
+                if schema is not None:
+                    # the generation's authoritative schema: no footer
+                    # sampling at plan time, and files written before a
+                    # column evolved in read back as typed nulls
+                    from pyspark.sql.types import StructType
+                    reader = reader.schema(StructType.fromJson(schema))
+                df = reader.parquet(*[self.fs.join(path, d) for d in dirs])
                 break
             except Exception as e:
                 # the swept-generation race at PLAN time: our manifest
@@ -793,8 +799,14 @@ class Engine:
         settings cannot silently truncate pinned snapshots."""
         if not keep or meta is None:
             return []
-        hist = ([{"gen": meta["gen"], "dirs": meta["dirs"]}]
-                + meta.get("history", []))
+        cur: dict = {"gen": meta["gen"], "dirs": meta["dirs"]}
+        if meta.get("schema") is not None:
+            # each retained generation keeps ITS OWN read schema: after a
+            # schema evolution, a time-travel read of an old snapshot
+            # must reproduce exactly the frame a job saw then — not the
+            # union schema with phantom null columns
+            cur["schema"] = meta["schema"]
+        hist = [cur] + meta.get("history", [])
         return hist[:keep]
 
     @staticmethod
@@ -848,10 +860,20 @@ class Engine:
     def _manifest_flip(self, path: str, old_raw: str | None,
                        gen: int, dirs: set[str],
                        history: list[dict] | None = None,
-                       stats: dict | None = None) -> None:
+                       stats: dict | None = None,
+                       schema: dict | None = None) -> None:
         """The commit point: ONE atomic pointer write. CAS against the
         text read at operation start — under the writer lease this only
-        fails if a TTL-expired zombie writer raced us; fail loud."""
+        fails if a TTL-expired zombie writer raced us; fail loud.
+
+        ``schema`` is the generation's authoritative read schema (data
+        columns + directory-encoded partition columns, StructType JSON):
+        readers pass it to the parquet scan instead of sampling file
+        footers, which (a) makes schema EVOLUTION sound — files written
+        before a column existed read back as typed nulls instead of the
+        footer-picked-at-random roulette — and (b) skips the footer
+        schema-merge job entirely at plan time (at 100 TB a listing of a
+        million files never needs a schema-inference pass)."""
         import json
 
         body: dict = {"gen": gen, "dirs": sorted(dirs)}
@@ -859,6 +881,8 @@ class Engine:
             body["history"] = history
         if stats:
             body["stats"] = stats
+        if schema is not None:
+            body["schema"] = schema
         new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
@@ -1000,6 +1024,88 @@ class Engine:
             keys.append("__stime")
         keys.append("__batch")
         return keys
+
+    def _manifest_schema(self, data_schema, buckets: int | None,
+                         timepart: str | None = None) -> dict:
+        """StructType JSON for the manifest's ``schema`` field: the DATA
+        columns as committed (minus any partition/internal columns that
+        may ride along) followed by the directory-encoded partition
+        columns in nesting order — exactly the frame
+        ``spark.read.schema(...).option("basePath", ...)`` returns, so
+        a stored-schema read is byte-compatible with the footer-inferred
+        read it replaces."""
+        from pyspark.sql.types import (BooleanType, IntegerType,
+                                       StringType, StructField, StructType)
+
+        part = self._partition_keys(buckets, timepart)
+        fields = [f for f in data_schema.fields
+                  if f.name not in part and f.name != "__batch"]
+        types = {"_current": BooleanType(), "__obucket": IntegerType(),
+                 "__stime": StringType(), "__batch": StringType()}
+        fields += [StructField(k, types[k]) for k in part]
+        return StructType(fields).jsonValue()
+
+    @staticmethod
+    def _refuse_legacy_evolution(table: DataFrame, incoming: DataFrame,
+                                 meta: dict | None) -> None:
+        """Schema evolution needs the manifest's authoritative read
+        schema — on a legacy (listing-read) cube, files with different
+        footer schemas read back nondeterministically (Spark picks one
+        footer unless mergeSchema), so refuse new columns there instead
+        of silently writing an unreadable mix."""
+        if meta is not None:
+            return
+        new = [c for c in incoming.columns
+               if c not in table.columns and c != "_current"]
+        if new:
+            raise ValueError(
+                f"incoming batch adds column(s) {sorted(new)} but the "
+                "cube predates the generation manifest — legacy cubes "
+                "cannot evolve schema (their footer-inferred read would "
+                "be nondeterministic); drop the columns or rebuild the "
+                "cube under the manifested layout")
+
+    @staticmethod
+    def _align_incoming(table: DataFrame, incoming: DataFrame,
+                        evolve: bool) -> tuple[DataFrame, DataFrame, list[str]]:
+        """Schema-align a write batch against the stored cube: missing
+        stored columns are null-filled into the batch (the reference's
+        store is schemaless dicts — an object that stops carrying a
+        field simply has no value for it, ``core_api.py:505-520``), NEW
+        batch columns widen the cube's schema when ``evolve`` (files
+        already on disk never rewrite; the manifest schema makes them
+        read back as typed nulls), and a same-name type conflict always
+        fails loud — parquet directories with mixed physical types for
+        one column are unreadable roulette, and a silent cast hides
+        upstream drift. Returns ``(table', incoming', cols)`` both
+        selected to the union column order (stored order first, new
+        columns appended; ``_current`` excluded)."""
+        stored = {f.name: f.dataType for f in table.schema.fields
+                  if f.name != "_current"}
+        inc = {f.name: f.dataType for f in incoming.schema.fields
+               if f.name != "_current"}
+        conflicts = [
+            f"{n}: incoming {inc[n].simpleString()} != stored "
+            f"{stored[n].simpleString()}"
+            for n in stored if n in inc and inc[n] != stored[n]]
+        if conflicts:
+            raise TypeError(
+                "incoming column type(s) differ from the stored cube's "
+                "(cast before writing): " + "; ".join(sorted(conflicts)))
+        new = [n for n in inc if n not in stored]
+        if new and not evolve:
+            raise ValueError(
+                f"incoming batch adds column(s) {sorted(new)} the cube "
+                "does not have; pass evolve=True to widen the cube "
+                "schema, or drop them before writing")
+        missing = [n for n in stored if n not in inc]
+        for n in missing:
+            incoming = incoming.withColumn(n, F.lit(None).cast(stored[n]))
+        cols = [n for n in stored] + new
+        for n in new:
+            table = table.withColumn(n, F.lit(None).cast(inc[n]))
+        keep = cols + (["_current"] if "_current" in table.columns else [])
+        return table.select(*keep), incoming.select(*cols), cols
 
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True,
@@ -1185,7 +1291,8 @@ class Engine:
             hist = self._push_history(meta, keep)
             self._manifest_flip(path, raw, gen, dirs, hist,
                                 stats=self._merged_stats(meta, rels, dirs,
-                                                         hist))
+                                                         hist),
+                                schema=meta.get("schema"))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
             return len({d for d in live
@@ -1287,14 +1394,19 @@ class Engine:
             return
         self._manifest_flip(path, None, 1, set(dirs),
                             stats=self._merged_stats(None, dirs,
-                                                     set(dirs), None))
+                                                     set(dirs), None),
+                            schema=self._manifest_schema(
+                                obj.schema, buckets, self.time_partition))
         self._sweep_unreferenced(path, set(dirs))
 
-    def insert(self, cube: str, df: DataFrame, stamped: bool = False, **stamp_kw) -> None:
+    def insert(self, cube: str, df: DataFrame, stamped: bool = False,
+               evolve: bool = True, **stamp_kw) -> None:
         """Plain append (reference ``insert``, ``sqlalchemy.py:865-875``).
         On manifested cubes the append is a commit like any other: rows
         land in fresh generation-scoped directories, the pointer flip
-        makes them visible atomically."""
+        makes them visible atomically. Schema-aligned against the stored
+        cube like ``upsert`` (see ``_align_incoming``): missing columns
+        null-fill, new columns widen the cube schema when ``evolve``."""
         obj = df if stamped else stamp(df, **stamp_kw)
         validate(obj)
         path = self._path(cube)
@@ -1309,7 +1421,10 @@ class Engine:
             buckets = layout.get("oid_buckets") if layout else None
             timepart = self._cube_timepart(path, for_write=True,
                                            layout=layout)
-            self._check_oid_type(self._read(path), obj)
+            table = self._read(path)
+            self._check_oid_type(table, obj)
+            self._refuse_legacy_evolution(table, obj, meta)
+            _, obj, _ = self._align_incoming(table, obj, evolve)
             if state == "legacy":
                 self._write_partitioned(obj, path, "append", buckets=buckets)
                 return
@@ -1327,21 +1442,31 @@ class Engine:
                 meta, layout.get("keep_generations", 0) if layout else 0)
             self._manifest_flip(path, raw, gen, dirs, hist,
                                 stats=self._merged_stats(meta, new_dirs,
-                                                         dirs, hist))
+                                                         dirs, hist),
+                                schema=self._manifest_schema(
+                                    obj.schema, buckets, timepart))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
-               stamped: bool = False, **stamp_kw) -> None:
+               stamped: bool = False, evolve: bool = True,
+               **stamp_kw) -> None:
         """Temporal upsert (reference ``sqlalchemy.py:906-975``); see
-        ``upsert.py`` for semantics and the partition-local write strategy."""
+        ``upsert.py`` for semantics and the partition-local write
+        strategy. The batch is schema-aligned against the stored cube
+        (``_align_incoming``): columns the batch stops carrying
+        null-fill (the reference's dict objects simply lack the key),
+        NEW columns widen the cube schema when ``evolve`` — on-disk
+        files never rewrite; the manifest's authoritative schema makes
+        pre-evolution files read back as typed nulls. ``evolve=False``
+        fails loud on new columns instead."""
         incoming = df if stamped else stamp(df, **stamp_kw)
         validate(incoming)
         path = self._path(cube)
         with self._write_lock(cube):
-            self._upsert_locked(cube, path, incoming, autosnap)
+            self._upsert_locked(cube, path, incoming, autosnap, evolve)
 
-    def _upsert_locked(self, cube, path, incoming, autosnap):
+    def _upsert_locked(self, cube, path, incoming, autosnap, evolve=True):
         if autosnap is None:
             autosnap = _upsert.detect_autosnap(incoming)
         if autosnap:
@@ -1359,7 +1484,9 @@ class Engine:
         timepart = self._cube_timepart(path, for_write=True, layout=layout)
         table = self._read(path)
         self._check_oid_type(table, incoming)
-        cols = [c for c in table.columns if c != "_current"]
+        self._refuse_legacy_evolution(table, incoming, meta)
+        table, incoming, cols = self._align_incoming(table, incoming, evolve)
+        msch = self._manifest_schema(incoming.schema, buckets, timepart)
         if autosnap:
             open_rows = table.where(F.col("_current")).select(*cols)
             # one join, one materialization (must happen before rewriting
@@ -1394,7 +1521,8 @@ class Engine:
                     layout.get("keep_generations", 0) if layout else 0)
                 self._manifest_flip(path, raw, gen, dirs, hist,
                                     stats=self._merged_stats(
-                                        meta, closed_rels, dirs, hist))
+                                        meta, closed_rels, dirs, hist),
+                                    schema=msch)
                 self._sweep_unreferenced(
                     path, dirs | {d for h in hist for d in h["dirs"]})
             else:
@@ -1414,7 +1542,8 @@ class Engine:
             self._history_replace_manifested(
                 path, incoming.select(*cols), cols, buckets, meta, raw,
                 timepart=timepart,
-                keep=layout.get("keep_generations", 0) if layout else 0)
+                keep=layout.get("keep_generations", 0) if layout else 0,
+                schema=msch)
         else:
             replaced = _upsert.history_replace(
                 table.select(*cols), incoming.select(*cols)
@@ -1437,6 +1566,7 @@ class Engine:
         self, path: str, incoming: DataFrame, cols: list[str],
         buckets: int | None, meta: dict, raw_manifest: str,
         timepart: str | None = None, keep: int = 0,
+        schema: dict | None = None,
     ) -> None:
         """Bounded, snapshot-isolated history import: rewrite ONLY the
         oid-bucket directories containing incoming oids (reference
@@ -1479,6 +1609,14 @@ class Engine:
             replaced_dirs = set(live)
         keys = incoming.select("_oid").distinct()
         kept = pruned.join(F.broadcast(keys), "_oid", "left_anti")
+        # the kept rows were read under the PRE-commit manifest schema;
+        # when this import evolves the schema, null-fill the new columns
+        # so the union below lines up (their files stay as-is — the new
+        # manifest schema null-fills them on every later read too)
+        inc_types = {f.name: f.dataType for f in incoming.schema.fields}
+        for c in cols:
+            if c not in kept.columns:
+                kept = kept.withColumn(c, F.lit(None).cast(inc_types[c]))
         inc = _upsert._regen_id(incoming)
         inc_part = inc.withColumn("_current", F.col("_end").isNull())
         kept_part = kept.withColumn(
@@ -1505,7 +1643,9 @@ class Engine:
         hist = self._push_history(meta, keep)
         self._manifest_flip(path, raw_manifest, gen, dirs, hist,
                             stats=self._merged_stats(meta, new_rels, dirs,
-                                                     hist))
+                                                     hist),
+                            schema=schema if schema is not None
+                            else meta.get("schema"))
         self._sweep_unreferenced(
             path, dirs | {d for h in hist for d in h["dirs"]})
 
