@@ -329,14 +329,14 @@ def test_reader_mid_snapshot_upsert_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def spy(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         if "pre_total" not in seen:  # first flip after setup
             seen["pre_total"] = engine.count("iso", date="~")
             seen["pre_cur"] = {r["_oid"]: r["col_1"]
                                for r in engine.find("iso").collect()}
             seen["pre_closed"] = engine.count("iso", "_end != None",
                                               date="~")
-        return orig(self, path, old_raw, gen, dirs, history, stats=stats)
+        return orig(self, path, old_raw, gen, dirs, history, stats=stats, **kw)
 
     monkeypatch.setattr(Engine, "_manifest_flip", spy)
     engine.upsert("iso", _objs(spark, [(1, 11)], "2014-02-01"),
@@ -363,13 +363,13 @@ def test_reader_mid_history_replace_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def spy(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         if "pre" not in seen:
             seen["pre"] = sorted(
                 (r["col_1"], str(r["_end"]))
                 for r in engine.find("hiso", "_oid == 1", date="~",
                                      fields="col_1").collect())
-        return orig(self, path, old_raw, gen, dirs, history, stats=stats)
+        return orig(self, path, old_raw, gen, dirs, history, stats=stats, **kw)
 
     rows = [(1, 1, "2013-01-01", "2013-06-01"), (1, 2, "2013-06-01", None)]
     hist = spark.createDataFrame(rows, "oid long, col_1 long, s string, e string")
@@ -394,10 +394,10 @@ def test_reader_mid_insert_sees_single_generation(spark, engine,
     seen = {}
     orig = Engine._manifest_flip
 
-    def spy(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def spy(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         if gen > 1 and "pre" not in seen:
             seen["pre"] = engine.count("ains", date="~")
-        return orig(self, path, old_raw, gen, dirs, history, stats=stats)
+        return orig(self, path, old_raw, gen, dirs, history, stats=stats, **kw)
 
     monkeypatch.setattr(Engine, "_manifest_flip", spy)
     engine.insert("ains", _objs(spark, [(2, 20)], "2014-02-01"),
@@ -416,12 +416,12 @@ def test_manifest_cas_detects_zombie_writer(spark, engine, monkeypatch):
     engine.upsert("zc", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
     orig = Engine._manifest_flip
 
-    def racing(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def racing(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         if old_raw is not None:
             # zombie writer bumps the pointer right before our CAS
             p = self.fs.join(path, self._MANIFEST_SIDECAR)
             self.fs.write_text(p, old_raw + " ")
-        return orig(self, path, old_raw, gen, dirs, history, stats=stats)
+        return orig(self, path, old_raw, gen, dirs, history, stats=stats, **kw)
 
     monkeypatch.setattr(Engine, "_manifest_flip", racing)
     with pytest.raises(ConcurrentWriteError, match="manifest"):
@@ -488,7 +488,7 @@ def test_crashed_first_write_still_retries_as_new(spark, engine,
 
     orig = Engine._manifest_flip
 
-    def boom(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def boom(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_manifest_flip", boom)
@@ -642,7 +642,7 @@ def test_vacuum_sweeps_stranded_dirs(spark, engine, monkeypatch):
     engine.upsert("vac", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
     orig = Engine._manifest_flip
 
-    def boom(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def boom(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_manifest_flip", boom)
@@ -679,7 +679,7 @@ def test_vacuum_sweeps_crashed_first_write(spark, engine, monkeypatch):
 
     orig = Engine._manifest_flip
 
-    def boom(self, path, old_raw, gen, dirs, history=None, stats=None):
+    def boom(self, path, old_raw, gen, dirs, history=None, stats=None, **kw):
         raise RuntimeError("injected crash")
 
     monkeypatch.setattr(Engine, "_manifest_flip", boom)
