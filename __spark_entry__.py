@@ -469,6 +469,50 @@ def upsert_disk_timepart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_evolve_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the full on-disk engine: batch 1 writes
+    the per-user latest state WITHOUT the ``value`` column; batch 2
+    arrives WITH it (evolve=True, the default) and widens the cube —
+    generation 2's manifest records the new authoritative read schema,
+    and batch-1-era parquet files (which physically lack the column)
+    read back as typed NULLs through the manifest-schema'd scan
+    (engine.py `_manifest_schema`/`_align_incoming`/`reader.schema`).
+    The hash check vs the DuckDB twin (explicit NULL back-fill) value-
+    verifies that read path, not just unit-tests it. Because the two
+    batches hash over different column sets, every overlapping oid is
+    closed-and-reinserted — the twin mirrors that exactly."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest(df: DataFrame, cols: list) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), *cols,
+                        F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "upsert_ev_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4,
+                 time_partition="month")
+    if eng.exists("state_ev"):
+        eng.drop("state_ev")
+    eng.upsert("state_ev", latest(ev.where(F.col("ts") < cut),
+                                  ["event_type"]), stamped=True)
+    eng.upsert("state_ev", latest(ev.where(F.col("ts") >= cut),
+                                  ["event_type", "value"]), stamped=True)
+    return eng.find("state_ev", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def upsert_history_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """history import (autosnap=False, reference sqlalchemy.py:955-963):
     every stored version of the incoming oids is dropped, then the supplied
@@ -1961,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tmp_age": tmp_age,
         "upsert_snapshot": upsert_snapshot,
         "upsert_disk_timepart": upsert_disk_timepart,
+        "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
         "activity_reconstruct": activity_reconstruct,
         "tmp_history_forecast": tmp_history_forecast,
@@ -2336,6 +2381,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "upsert_snapshot": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_disk_timepart": _UPSERT_SNAPSHOT_ORACLE,
+        "upsert_evolve_disk": """
+            -- evolution twin: batch 1 has no value column, so every
+            -- batch-1-era row reads back with an explicit NULL value
+            -- (the typed-null back-fill the manifest schema promises),
+            -- and every overlapping oid closes (the content hashes of
+            -- the two batches can never match — different column sets)
+            WITH s1 AS (
+                SELECT user_id AS _oid, event_type, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts < TIMESTAMP '2024-01-16')
+                WHERE rn = 1
+            ), s2 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+                WHERE rn = 1
+            ),
+            kept AS (
+                SELECT a._oid, a.event_type, CAST(NULL AS DOUBLE) AS value,
+                       a._start, CAST(NULL AS TIMESTAMP) AS _end
+                FROM s1 a LEFT JOIN s2 b ON a._oid = b._oid
+                WHERE b._oid IS NULL
+            ),
+            closed AS (
+                SELECT a._oid, a.event_type, CAST(NULL AS DOUBLE) AS value,
+                       a._start, b._start AS _end
+                FROM s1 a JOIN s2 b ON a._oid = b._oid
+            ),
+            inserted AS (
+                SELECT _oid, event_type, value, _start,
+                       CAST(NULL AS TIMESTAMP) AS _end
+                FROM s2
+            )
+            SELECT * FROM kept
+            UNION ALL SELECT * FROM closed
+            UNION ALL SELECT * FROM inserted
+        """,
         "upsert_history_replace": f"""
             WITH v AS ({_V}),
             tbl AS (SELECT * FROM v WHERE _start < TIMESTAMP '2024-01-16'),

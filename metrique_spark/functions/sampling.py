@@ -27,8 +27,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metrique_spark.functions.num import round_half_away
-
 _PREC = 8  # hex digits of hash compared; 16^8 ≈ 4.3e9 buckets
 
 
@@ -86,22 +84,6 @@ def stratified_sample(
     return df.where(hash_bucket(F.col(key_col)) < thr)
 
 
-def _offsets_df(spark, cnt_rows, stratum_type: str):
-    """Driver prefix offsets from per-(partition, stratum) counts: the
-    rank offset of (pid, s) is the total count of s in earlier pids.
-    Returns (offsets DataFrame ``__opid int, __s <t>, __off long``,
-    per-stratum totals dict)."""
-    acc: dict = {}
-    offs = []
-    for r in sorted(cnt_rows, key=lambda r: r["__pid"]):
-        offs.append((r["__pid"], r["__s"], acc.get(r["__s"], 0)))
-        acc[r["__s"]] = acc.get(r["__s"], 0) + r["__c"]
-    return (
-        spark.createDataFrame(offs, f"__opid int, __s {stratum_type}, __off long"),
-        acc,
-    )
-
-
 def hash_ranked_within_strata(
     df: DataFrame,
     stratum_col: str,
@@ -109,6 +91,7 @@ def hash_ranked_within_strata(
     rank_col: str = "__rn",
     n_partitions: int | None = None,
     prune_rank_over=None,
+    prune_rank_col: str | None = None,
 ) -> DataFrame:
     """Global rank of every row within its stratum by the deterministic
     selection order ``(md5-bucket(key), key)`` — fully parallel AND
@@ -132,7 +115,14 @@ def hash_ranked_within_strata(
     the per-stratum rank bound the CALLER will filter at
     (``__rn <= bound``) — slices whose offset already reaches the bound
     are dropped before the corpus join, so the over-bound tail of a
-    dominant stratum never shuffles."""
+    dominant stratum never shuffles.
+
+    ``prune_rank_col``: the DATA-carried sibling of ``prune_rank_over``
+    — the name of a column of ``df`` holding each row's per-stratum
+    bound (constant within a stratum, e.g. a joined-in quota). The
+    bound rides the same (pid, stratum) count aggregate via ``first()``,
+    so per-stratum bounds of web-scale cardinality never touch the
+    driver and never become a literal CASE chain."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -146,12 +136,19 @@ def hash_ranked_within_strata(
     withpid = df.withColumn("__pid", pid)
     woff = (Window.partitionBy("__s").orderBy("__opid")
             .rowsBetween(Window.unboundedPreceding, -1))
+    aggs = [F.count("*").alias("__c")]
+    if prune_rank_col is not None:
+        # the bound is constant within a stratum; first() folds it into
+        # the same tiny count aggregate — no extra join, no driver trip
+        aggs.append(F.first(prune_rank_col).alias("__bound"))
     offs = (withpid.groupBy(F.col("__pid").alias("__opid"),
                             stratum.alias("__s"))
-            .agg(F.count("*").alias("__c"))
+            .agg(*aggs)
             .withColumn("__off",
                         F.coalesce(F.sum("__c").over(woff), F.lit(0))))
-    if prune_rank_over is not None:
+    if prune_rank_col is not None:
+        offs = offs.where(F.col("__off") < F.col("__bound"))
+    elif prune_rank_over is not None:
         # a slice whose offset already reaches the bound can only
         # produce ranks > bound (rank = local rn + offset > bound)
         offs = offs.where(F.col("__off") < prune_rank_over(F.col("__s")))
@@ -230,35 +227,46 @@ def temperature_mix(
     NOT match Python's exact-binary quantize (measured: 21/5000 sqrt
     values differ at 1e-12).
 
-    Scale shape: one count aggregate → driver quotas → the shared
-    ``_take_per_stratum`` machinery (hash-threshold pre-cut + 
-    distributed rank + shortfall fallback) — the exact ranking sees
-    ~quota rows per stratum, never the whole corpus."""
+    Scale shape: one count aggregate → IN-PLAN quotas (the stratum count
+    table never touches the driver — per-domain mixing with millions of
+    strata is fine) → the shared ``_take_per_stratum`` machinery
+    (hash-threshold pre-cut + distributed rank + shortfall fallback) —
+    the exact ranking sees ~quota rows per stratum, never the whole
+    corpus."""
     if total < 0:
         raise ValueError(f"temperature_mix: total must be >= 0, got {total}")
-    import math
 
     src_df = df.where(F.col(stratum_col).isNotNull())
-    counts = {
-        r["s"]: r["c"]
-        for r in src_df.groupBy(F.col(stratum_col).alias("s"))
-        .agg(F.count("*").alias("c")).collect()
-    }
-    if not counts:
-        return df.where(F.lit(False))
-    ks = {s: math.floor(float(n) ** alpha * 1e9 + 0.5)
-          for s, n in counts.items()}
-    if any(k >= 2 ** 53 for k in ks.values()):
-        raise ValueError(
+    # quotas are computed IN-PLAN — the per-stratum count table never
+    # touches the driver, so a web-scale stratum cardinality (per-domain
+    # temperature mixing: millions of strata) costs the driver nothing.
+    # Arithmetic is the same integer folding as before: Spark's round is
+    # half-away (num.round_half_away documents the cross-engine
+    # precedent), the k sum is an exact integer, k/Σk one double division.
+    counts = (src_df.groupBy(F.col(stratum_col).alias("__s"))
+              .agg(F.count("*").alias("__n")))
+    k = F.floor(F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+                * F.lit(1e9) + F.lit(0.5)).cast("long")
+    kk = counts.withColumn(
+        "__k",
+        F.when(k >= F.lit(2 ** 53), F.raise_error(F.lit(
             "temperature_mix: n^alpha overflows exact-double range — "
             "lower alpha (the 1e9 weight scale assumes n^alpha < 9e6)")
-    sp = sum(ks.values())
-    quotas = {
-        s: min(counts[s], int(total * round_half_away(ks[s] / sp, 9)))
-        for s in counts
-    }
-    return _take_per_stratum(src_df, stratum_col, key_col, quotas,
-                             counts, margin_sigmas)
+        ).cast("long")).otherwise(k))
+    sk = kk.agg(F.sum("__k").alias("__sk"))
+    quota_df = (
+        kk.crossJoin(F.broadcast(sk))  # 1-row total: broadcast, no shuffle
+        .select(
+            "__s",
+            F.least(
+                F.col("__n"),
+                F.floor(F.lit(float(total))
+                        * F.round(F.col("__k").cast("double")
+                                  / F.col("__sk").cast("double"), 9))
+                .cast("long")).alias("__q"),
+            "__n"))
+    return _take_per_stratum(src_df, stratum_col, key_col, quota_df,
+                             margin_sigmas)
 
 
 def ranked_within_strata(
@@ -283,17 +291,19 @@ def ranked_within_strata(
     1. ``repartitionByRange(stratum, *order_cols)`` — every partition
        holds a contiguous slice of the sort order, sized by data volume
        (a 90%-of-corpus stratum spreads over ~90% of partitions);
-    2. one tiny aggregate collects per-(partition, stratum) row counts
-       (≤ partitions × strata rows) and the driver turns them into
-       prefix offsets;
+    2. a tiny per-(partition, stratum) count aggregate becomes prefix
+       offsets via a per-stratum cumulative-sum window — computed
+       DISTRIBUTED (never collected; the driver sees nothing per-group,
+       so web-scale stratum cardinality is fine);
     3. each partition ranks ONLY its own rows (parallel window) and adds
-       its offset via a broadcast join — never a literal CASE chain,
-       which would not scale past a few hundred (partition, stratum)
-       pairs.
+       its offset via a join (AQE broadcasts the count table when
+       small) — never a literal CASE chain, which would not scale past
+       a few hundred (partition, stratum) pairs.
 
-    The persist is CORRECTNESS, not tuning: ``repartitionByRange``
-    samples boundaries per execution, so the offsets collect and the
-    final rank job must see the SAME partitioning. The caller owns the
+    The persist (plus the one scalar ``count()`` that materializes it)
+    is CORRECTNESS, not tuning: ``repartitionByRange`` samples
+    boundaries per execution, so the offsets branch and the final rank
+    job must see the SAME partitioning. The caller owns the
     block — the result is ``cache``-tracked; ``release()`` it after
     materializing. On a multi-executor cluster a LOST cached block
     recomputes through a fresh boundary-sampling pass with DIFFERENT
@@ -327,13 +337,27 @@ def ranked_within_strata(
         ranged = spark.read.parquet(reliable_dir)
     else:
         ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    cnt = ranged.groupBy("__pid", stratum.alias("__s")) \
-                .agg(F.count("*").alias("__c")).collect()
-    off_df, acc = _offsets_df(
-        spark, cnt, df.schema[stratum_col].dataType.simpleString())
+        # materialize ONCE before any dependent job: boundary sampling
+        # must run exactly one time so the offsets branch and the rank
+        # branch read identical partition ids. A scalar count replaces
+        # the old per-(pid, stratum) collect — the driver sees one long.
+        ranged.count()
+    # rank offsets DISTRIBUTED (same cumulative-sum window as
+    # hash_ranked_within_strata): per-(pid, stratum) counts → per-stratum
+    # running sum over pid order → joined back (AQE broadcasts the count
+    # table when small). Nothing per-group ever reaches the driver, so
+    # web-scale stratum cardinality costs it nothing.
+    woff = (Window.partitionBy("__s").orderBy("__opid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cnts = (ranged.groupBy(F.col("__pid").alias("__opid"),
+                           stratum.alias("__s"))
+            .agg(F.count("*").alias("__c")))
+    offs = (cnts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0)))
+        .select("__opid", "__s", "__off"))
     w = Window.partitionBy("__pid", stratum_col).orderBy(*order_cols)
     out = (
-        ranged.join(F.broadcast(off_df),
+        ranged.join(offs,
                     (F.col("__pid") == F.col("__opid"))
                     # null-safe: a NULL stratum is a legitimate group and
                     # must not be silently dropped by the offset join
@@ -344,10 +368,11 @@ def ranked_within_strata(
     )
     if reliable_dir is None:
         out = track(out, ranged)  # caller releases the cached block
-    # per-stratum totals fall out of the same aggregate — callers that
-    # need group sizes (quantile targets) read them here instead of
-    # paying a second count pass
-    out._stratum_totals = dict(acc)
+    # per-stratum totals as a DATAFRAME (``__s``, ``__n``) off the same
+    # cached scan — callers that need group sizes (quantile targets)
+    # join this instead of paying a second count pass or a driver trip
+    out._stratum_totals_df = (cnts.groupBy("__s")
+                              .agg(F.sum("__c").alias("__n")))
     return out
 
 
@@ -378,20 +403,25 @@ def mix_corpus(
     (probability ~3e-5 at 4 sigma) falls back to ranking the full
     stratum, keeping the result exact rather than probabilistic.
     """
-    import math
-
+    # this collect is bounded by |weights| — the user literally typed the
+    # strata (target fractions are driver input by the API's nature), so
+    # the driver reads back at most as many rows as the dict it sent
     counts = {
         r["s"]: r["c"]
-        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        for r in df.where(F.col(stratum_col).isin(list(weights)))
+        .groupBy(F.col(stratum_col).alias("s"))
         .agg(F.count("*").alias("c")).collect()
-        if r["s"] in weights
     }
     missing = set(weights) - set(counts)
     if missing:
         raise ValueError(f"strata absent from the corpus: {sorted(missing)}")
     total = min(counts[s] / w for s, w in weights.items() if w > 0)
     quotas = {s: int(w * total) for s, w in weights.items()}
-    return _take_per_stratum(df, stratum_col, key_col, quotas, counts,
+    sdt = df.schema[stratum_col].dataType.simpleString()
+    quota_df = df.sparkSession.createDataFrame(
+        [(s, quotas[s], counts[s]) for s in sorted(quotas)],
+        f"__s {sdt}, __q long, __n long")
+    return _take_per_stratum(df, stratum_col, key_col, quota_df,
                              margin_sigmas)
 
 
@@ -399,64 +429,65 @@ def _take_per_stratum(
     df: DataFrame,
     stratum_col: str,
     key_col: str,
-    quotas: dict,
-    counts: dict,
+    quota_df: DataFrame,
     margin_sigmas: float = 4.0,
 ) -> DataFrame:
     """Exact per-stratum prefix selection shared by ``mix_corpus`` and
     ``temperature_mix``: keep each quota'd stratum's first ``quota_s``
-    rows in ``(md5-bucket(key), key)`` order. The exact ranking runs on
-    a hash-threshold PRE-CUT of each stratum (quota fraction plus a
-    ``margin_sigmas``-sigma binomial margin), so it sees ~quota_s rows,
-    not the whole stratum; the distributed rank needs no sampling job
-    and no persist (hash-range partition ids are scan-stage
-    expressions). Shortfall check rides the helper's per-partition
-    counts — undershoot (p ~3e-5 at 4 sigma) falls back to ranking the
-    short strata in full, keeping the result exact. NULL strata are not
-    supported (the CASE chains compare with ``==``) — callers exclude
-    them."""
-    import math
+    rows in ``(md5-bucket(key), key)`` order. ``quota_df`` carries one
+    row per quota'd stratum — ``__s`` (stratum), ``__q`` (quota),
+    ``__n`` (stratum size) — and quotas stay DATA end to end: the
+    pre-cut threshold is a scan-stage expression over the joined quota
+    row, the ranking prune and the final ``rank <= quota`` filter ride
+    the joined column, and nothing per-stratum is ever collected or
+    unrolled into a CASE chain (web-scale stratum cardinality is fine;
+    AQE broadcasts the quota side when it is small).
 
-    def _cut_fraction(s) -> float:
-        n, c = quotas[s], counts[s]
-        if not n:
-            return 0.0
-        f = n / c
-        return min(1.0, f + margin_sigmas * math.sqrt(f * (1 - f) / c) + 16 / c)
-
+    The exact ranking runs on a hash-threshold PRE-CUT of each stratum
+    (quota fraction plus a ``margin_sigmas``-sigma binomial margin), so
+    it sees ~quota_s rows, not the whole stratum. Shortfall check:
+    undershoot (p ~3e-5 at 4 sigma) falls back to ranking the short
+    strata in full, keeping the result exact — detected by ONE driver
+    boolean (an any-short existence probe), never per-stratum rows.
+    NULL strata are not supported (the joins compare with ``==``) —
+    callers exclude them."""
     stratum = F.col(stratum_col)
-    pre = df.where(stratum.isin(list(quotas))).where(
-        hash_bucket(F.col(key_col))
-        < reduce(
-            lambda acc, s: F.when(stratum == s,
-                                  F.lit(_hex_threshold(_cut_fraction(s))))
-            .otherwise(acc),
-            sorted(quotas), F.lit("0"),
-        )
-    )
-    # shortfall check: one tiny per-stratum count of the pre-cut (the
-    # only job before the final plan — offsets are distributed inside
-    # the ranking itself); undershoot falls back to ranking the short
-    # strata in full, keeping the result exact
-    got = {r["s"]: r["c"]
-           for r in pre.groupBy(stratum.alias("s"))
-           .agg(F.count("*").alias("c")).collect()}
-    short = [s for s, n in quotas.items() if got.get(s, 0) < n]
-    if short:
-        pre = pre.unionByName(
-            df.where(stratum.isin(short)).join(
-                pre.where(stratum.isin(short)), [key_col], "anti"))
-
-    def quota_of(c):
-        return reduce(
-            lambda acc, s: F.when(c == s, F.lit(quotas[s])).otherwise(acc),
-            sorted(quotas), F.lit(0),
-        )
-
+    extra = [c for c in df.columns if c in ("__s", "__q", "__n")]
+    if extra:
+        raise ValueError(f"_take_per_stratum: reserved columns in input: {extra}")
+    # cut fraction as a column over the joined (quota, size) pair —
+    # identical formula to the old driver arithmetic; the cut is a
+    # performance heuristic (the shortfall fallback restores exactness),
+    # so 1-ulp float drift vs the old Python computation is immaterial
+    fq = F.col("__q").cast("double") / F.col("__n").cast("double")
+    cut = F.when(F.col("__q") <= 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0),
+                fq + F.lit(float(margin_sigmas))
+                * F.sqrt(fq * (F.lit(1.0) - fq) / F.col("__n"))
+                + F.lit(16.0) / F.col("__n")))
+    # integer compare (hash as int vs floor(cut·16^8)) — cut >= 1.0
+    # yields 16^8, above every hash value, so keep-all really keeps all
+    hash_int = F.conv(hash_bucket(F.col(key_col)), 16, 10).cast("long")
+    joined = df.join(quota_df, stratum == F.col("__s"))
+    pre = joined.where(
+        hash_int < F.floor(cut * F.lit(float(16 ** _PREC))).cast("long"))
+    # shortfall probe: strata whose pre-cut undershot the quota, as a
+    # DataFrame; the driver reads ONE row (exists/not), not the counts
+    got = pre.groupBy(stratum.alias("__gs")).agg(F.count("*").alias("__got"))
+    short_q = (quota_df.join(got, F.col("__s") == F.col("__gs"), "left")
+               .where(F.coalesce(F.col("__got"), F.lit(0)) < F.col("__q"))
+               .select("__s", "__q", "__n"))
+    if short_q.limit(1).count() > 0:
+        fallback = (df.join(short_q, stratum == F.col("__s"))
+                    .join(pre.select(key_col), [key_col], "anti"))
+        pre = pre.unionByName(fallback)
+    # only the quota column rides into the ranking (``__s``/``__n`` would
+    # collide with the ranker's internal count-table aliases)
+    pre = pre.drop("__s", "__n")
     ranked = hash_ranked_within_strata(pre, stratum_col, key_col,
-                                       prune_rank_over=quota_of)
-    return (ranked.where(F.col("__rn") <= quota_of(stratum))
-            .drop("__rn", "__pid"))
+                                       prune_rank_col="__q")
+    return (ranked.where(F.col("__rn") <= F.col("__q"))
+            .drop("__rn", "__pid", "__q"))
 
 
 def select_by_token_budget(

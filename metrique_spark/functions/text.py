@@ -535,8 +535,6 @@ def stratum_quantiles(
     play, the ranked intermediate spills to that storage path instead of
     the recompute-unsafe cache (see its docstring); no persist/release
     then."""
-    import math
-
     from metrique_spark.functions.cache import track
     from metrique_spark.functions.sampling import ranked_within_strata
 
@@ -544,23 +542,26 @@ def stratum_quantiles(
                     F.col(value_col).cast("double").alias("v"))
     ranked = ranked_within_strata(src, "stratum", [F.col("v")],
                                   rank_col="r", reliable_dir=reliable_dir)
-    totals = ranked._stratum_totals
-    # driver-side targets: identical IEEE-double arithmetic to the
-    # previous in-plan form (1.0 + (n-1)*q, floor/ceil), so values are
-    # bit-stable across the rewrite
-    sdt = src.schema["stratum"].dataType.simpleString()
-    rows = []
-    for s, n in totals.items():
-        for q in quantiles:
-            p = 1.0 + (n - 1) * float(q)
-            rows.append((s, float(q), p, math.floor(p), math.ceil(p)))
-    tdf = ranked.sparkSession.createDataFrame(
-        rows, f"__ts {sdt}, q double, p double, rf long, rc long")
+    # targets computed IN-PLAN off the ranker's per-stratum totals frame
+    # (nothing per-stratum touches the driver — web-scale stratum
+    # cardinality is fine): identical IEEE-double arithmetic to the old
+    # driver form (1.0 + (n-1)*q, floor/ceil), so values are bit-stable
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    tdf = (ranked._stratum_totals_df
+           .crossJoin(F.broadcast(qdf))
+           .select(
+               F.col("__s").alias("__ts"), "q",
+               (F.lit(1.0) + (F.col("__n") - F.lit(1)).cast("double")
+                * F.col("q")).alias("p"))
+           .withColumn("rf", F.floor(F.col("p")).cast("long"))
+           .withColumn("rc", F.ceil(F.col("p")).cast("long")))
     # ONE pass over the ranked scan: each boundary row (floor or ceil
     # rank) joins its target(s), then a tiny |strata|·|quantiles|-group
-    # aggregate pivots the two boundary values back onto one row
+    # aggregate pivots the two boundary values back onto one row (the
+    # target side is |strata|·|quantiles| rows — AQE broadcasts it)
     hits = ranked.join(
-        F.broadcast(tdf),
+        tdf,
         (F.col("stratum") == F.col("__ts"))
         & ((F.col("r") == F.col("rf")) | (F.col("r") == F.col("rc"))))
     return track(

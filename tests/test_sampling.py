@@ -380,6 +380,58 @@ def test_temperature_mix_flattens_head(spark):
     assert a == b
 
 
+def test_temperature_mix_high_cardinality_never_collects(spark):
+    """temperature_mix quotas are computed IN-PLAN — for per-domain
+    temperature mixing the stratum column has web-scale cardinality and
+    a driver collect of the count table is a bottleneck. Pin: no
+    LocalTableScan (a driver-built quota relation) in the executed plan;
+    and the quotas are exact against a driver reference computed with
+    the documented integer arithmetic on a many-strata fixture."""
+    import math
+
+    from metrique_spark.functions.num import round_half_away
+    from metrique_spark.functions.sampling import temperature_mix
+
+    rng_sizes = {f"s{i:02d}": 5 + (i * 7) % 60 for i in range(30)}
+    rows = [(s + "_" + str(j), s) for s, n in rng_sizes.items()
+            for j in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = temperature_mix(df, "lang", total=200, alpha=0.5)
+    got = {r["lang"]: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    ks = {s: math.floor(float(n) ** 0.5 * 1e9 + 0.5)
+          for s, n in rng_sizes.items()}
+    sp = sum(ks.values())
+    exp = {s: min(rng_sizes[s], int(200 * round_half_away(ks[s] / sp, 9)))
+           for s in rng_sizes}
+    assert got == {s: q for s, q in exp.items() if q}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+
+
+def test_ranked_within_strata_offsets_distributed(spark):
+    """ranked_within_strata's prefix offsets ride a per-stratum
+    cumulative-sum window over the (pid, stratum) count table — never a
+    driver collect. Pin: no LocalTableScan (a driver-built offsets
+    relation) in the executed plan; ranks already correctness-pinned by
+    test_ranked_within_strata_matches_driver_sort."""
+    from metrique_spark.functions import cache
+    from metrique_spark.functions.sampling import ranked_within_strata
+
+    rows = [(i, f"g{i % 7}", i * 13 % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, s string, v long")
+    ranked = ranked_within_strata(df, "s", [F.col("v"), F.col("k")],
+                                  rank_col="r", n_partitions=5)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    # totals frame rides the same cached scan, one row per stratum
+    totals = {r["__s"]: r["__n"]
+              for r in ranked._stratum_totals_df.collect()}
+    cache.release(ranked)
+    assert totals == {f"g{i}": len([r for r in rows if r[1] == f"g{i}"])
+                      for i in range(7)}
+
+
 def test_cap_per_group_high_cardinality_never_collects_counts(spark):
     """cap_per_group's offsets are computed DISTRIBUTED (a cumulative-sum
     window over the (pid, group) count table joined back) — for its
