@@ -30,6 +30,10 @@ from metrique_spark.mql import (compile_mql, date_end_lower_bound,
                                 to_timestamp_lit)
 from metrique_spark.objects import stamp, validate
 
+import logging
+
+_log = logging.getLogger("metrique_spark.engine")
+
 # default fields always appended to explicit projections
 # (reference sqlalchemy.py:264-273)
 DEFAULT_FIELDS = ("_start", "_end", "_oid")
@@ -355,6 +359,112 @@ class Engine:
     def columns(self, cube: str) -> list[str]:
         return self.table(cube).columns
 
+    _DROPPED_SIDECAR = "_dropped.json"
+
+    def _dropped_registry(self, path: str) -> dict:
+        import json
+
+        p = self.fs.join(path, self._DROPPED_SIDECAR)
+        return json.loads(self.fs.read_text(p)) if self.fs.isfile(p) else {}
+
+    def _check_redrop(self, path: str, incoming: DataFrame,
+                      stored_cols) -> None:
+        """Re-adding a previously dropped column is allowed ONLY at its
+        recorded type: old files still hold the old physical values, so
+        a manifest schema naming the same column at a different type
+        would make them unreadable roulette. Same-type re-add is an
+        undrop for UNREWRITTEN files — pre-drop values resurface in
+        closed history rows, whose bytes never moved; open rows read
+        null because every snapshot commit rewrites the open set under
+        the then-current schema (the documented no-rewrite trade of
+        ``drop_column``)."""
+        reg = self._dropped_registry(path)
+        if not reg:
+            return
+        for f in incoming.schema.fields:
+            t = reg.get(f.name)
+            if (t is not None and f.name not in stored_cols
+                    and f.dataType.simpleString() != t):
+                raise TypeError(
+                    f"column {f.name!r} was previously dropped at type "
+                    f"{t} and cannot be re-added as "
+                    f"{f.dataType.simpleString()} — files written before "
+                    "the drop still hold the old physical type; re-add "
+                    f"at {t}, or use a different column name")
+
+    def drop_column(self, cube: str, col: str) -> None:
+        """Drop a data column from the cube's AUTHORITATIVE read schema
+        — a manifest-only commit: NO data rewrite (files keep their
+        bytes), the column disappears from every live read plan at the
+        pointer flip, and RETAINED generations still read it (each
+        history entry carries its own schema, so time travel reproduces
+        the pre-drop frame exactly). This is the undo for an accidental
+        ``evolve=True`` widening, and one half of a rename
+        (rename = ``drop_column(old)`` + a widening batch under the new
+        name; values don't migrate — old rows read the new name as
+        null, the schemaless-reference semantics). Note the open-row
+        caveat: open rows rewrite under the then-current schema on
+        every snapshot commit, so post-drop commits physically
+        null-fill them — only files that never rewrite (closed history
+        batches, retained generations) keep the dropped bytes.
+
+        The dropped name + type is recorded in a registry sidecar and
+        the name may only ever be re-added at the SAME type (see
+        ``_check_redrop``). System/partition columns can't drop; legacy
+        (pre-manifest) cubes can't drop — their footer-inferred read
+        has no authoritative schema to edit."""
+        import json
+
+        from pyspark.sql.types import StructType
+
+        from metrique_spark.objects import SYSTEM_FIELDS
+
+        reserved = set(SYSTEM_FIELDS) | {"_current", "__obucket",
+                                         "__stime", "__batch"}
+        if col in reserved:
+            raise ValueError(
+                f"cannot drop {col!r}: system/partition columns are the "
+                "temporal-versioning contract, not data")
+        path = self._path(cube)
+        with self._write_lock(cube):
+            state, meta, raw = self._cube_state(path)
+            if state == "premanifest":
+                meta, raw = self._adopt_premanifest(path)
+            elif state != "manifest":
+                raise ValueError(
+                    f"cube {cube!r} is {state} — drop_column needs a "
+                    "generation-manifested cube with a recorded schema")
+            if meta.get("schema") is None:
+                raise ValueError(
+                    f"cube {cube!r}'s manifest predates per-generation "
+                    "schemas — run any commit (e.g. compact) to record "
+                    "one, then drop")
+            sch = StructType.fromJson(meta["schema"])
+            hit = [f for f in sch.fields if f.name == col]
+            if not hit:
+                raise ValueError(
+                    f"cube {cube!r} has no column {col!r} "
+                    f"(schema: {[f.name for f in sch.fields]})")
+            newsch = StructType(
+                [f for f in sch.fields if f.name != col]).jsonValue()
+            # registry BEFORE the flip: a crash in between leaves an
+            # entry for a still-live column — harmless (_check_redrop
+            # only constrains columns absent from the stored schema)
+            reg = self._dropped_registry(path)
+            reg[col] = hit[0].dataType.simpleString()
+            self.fs.write_text(self.fs.join(path, self._DROPPED_SIDECAR),
+                               json.dumps(reg))
+            layout = self._cube_layout(path)
+            keep = layout.get("keep_generations", 0) if layout else 0
+            gen = meta["gen"] + 1
+            dirs = set(meta["dirs"])
+            hist = self._push_history(meta, keep)
+            self._manifest_flip(
+                path, raw, gen, dirs, hist,
+                stats=self._merged_stats(meta, None, dirs, hist),
+                schema=newsch)
+            # dirs unchanged — nothing to sweep
+
     def drop(self, cube: str) -> None:
         """Drop a cube (reference ``sqlalchemy.py:723-747``)."""
         self._views.pop(cube, None)
@@ -555,8 +665,10 @@ class Engine:
             raise ValueError(
                 f"vector index {name!r} on cube {cube!r} was built at "
                 f"generation {m.get('gen')} but the cube is at {live} — "
-                "re-run build_vector_index, or pass allow_stale=True to "
-                "search the superseded corpus deliberately")
+                "refresh_vector_index (incremental, needs the built "
+                "generation retained), re-run build_vector_index, or "
+                "pass allow_stale=True to search the superseded corpus "
+                "deliberately")
         apath = self._ann_path(cube, name)
         kind = m["kind"]
         if kind == "ivf":
@@ -575,6 +687,97 @@ class Engine:
                                            fs=self.fs, **kw)
         return _sim.sq8_topk_indexed(self.spark, apath, queries, k=k,
                                      vec_col=m["vec_col"], fs=self.fs)
+
+    def refresh_vector_index(self, cube: str, name: str) -> dict:
+        """Incrementally bring a committed ANN index up to the LIVE
+        generation without re-training or re-encoding the corpus: diff
+        the indexed generation's current rows against live current rows
+        on (id, vector), physically REMOVE superseded ids at partition
+        granularity (bucket dirs for IVF, ``__abatch``/cluster dirs for
+        the PQ families — only partitions that contain a removed id are
+        rewritten), encode-and-append only the new/changed rows against
+        the STORED model (frozen centroids/codebooks/params — recall
+        drifts with the data distribution, correctness doesn't; rebuild
+        when bucket sizes skew), and bump the marker generation. Cost is
+        O(delta) encoding + O(hit partitions) code copying — never the
+        corpus.
+
+        Removal-by-rewrite instead of read-side tombstone filtering is
+        deliberate: a tombstone anti-join would tax EVERY future search
+        while refreshes are rare — pay the write amplification once,
+        keep the probe path untouched (and exactly equal to a fresh
+        build's, so search parity is structural, not probabilistic).
+
+        Requires the indexed generation to still be retained
+        (``Engine(keep_generations=...)``): without the old snapshot
+        there is nothing exact to diff against — the read below then
+        fails loud with the retention hint; fall back to
+        ``build_vector_index``. Crash-safety matches the build: the
+        marker is deleted first and rewritten LAST, so a crash
+        mid-refresh leaves the index uncommitted (searches fail loud)
+        rather than silently half-refreshed. Returns
+        ``{"appended": n, "removed": n, "gen": live}``."""
+        import json
+
+        from metrique_spark.functions import similarity as _sim
+
+        with self._write_lock(cube):
+            marker = self._ann_meta_path(cube, name)
+            if not self.fs.isfile(marker):
+                raise ValueError(
+                    f"cube {cube!r} has no committed vector index "
+                    f"{name!r} (build_vector_index, or a crashed "
+                    "build/refresh — rebuild)")
+            m = json.loads(self.fs.read_text(marker))
+            path = self._path(cube)
+            meta = self._manifest(path)
+            live = meta["gen"] if meta else None
+            if m.get("gen") == live:
+                return {"appended": 0, "removed": 0, "gen": live}
+            id_col, vec_col = m["id_col"], m["vec_col"]
+
+            def _cur(df: DataFrame) -> DataFrame:
+                if "_current" in df.columns:
+                    return df.where(F.col("_current"))
+                return df.where(F.col("_end").isNull())
+
+            # raises with the keep_generations hint when the indexed
+            # generation was already vacuumed out of the manifest
+            oldc = (_cur(self._read(path, generation=m["gen"]))
+                    .select(F.col(id_col).alias("__old_id"),
+                            F.col(vec_col).alias("__old_v")))
+            newc = _cur(self._read(path)).select(id_col, vec_col)
+            same = ((F.col(id_col) == F.col("__old_id"))
+                    & F.col(vec_col).eqNullSafe(F.col("__old_v")))
+            # changed/new: live rows with no identical (id, vec) before;
+            # superseded: previously-indexed (id, vec) no longer live —
+            # a changed id lands in both (remove old entry, append new)
+            changed = (newc.join(oldc, same, "left_anti")
+                       .localCheckpoint(eager=True))
+            sup = (oldc.join(newc, same, "left_anti")
+                   .select(F.col("__old_id").alias(id_col)).distinct()
+                   .localCheckpoint(eager=True))
+            n_add, n_del = changed.count(), sup.count()
+            apath = self._ann_path(cube, name)
+            self.fs.delete(marker)  # uncommitted until rewritten below
+            if n_del:
+                if m["kind"] == "ivf":
+                    _sim.remove_from_ivf_index(self.spark, apath, sup,
+                                               id_col=id_col, fs=self.fs)
+                else:
+                    _sim.remove_from_pq_index(self.spark, apath, sup,
+                                              fs=self.fs)
+            if n_add:
+                if m["kind"] == "ivf":
+                    _sim.append_to_ivf_index(changed, apath,
+                                             id_col=id_col,
+                                             vec_col=vec_col)
+                else:
+                    _sim.append_to_pq_index(changed, apath,
+                                            vec_col=vec_col, fs=self.fs)
+            m["gen"] = live
+            self.fs.write_text(marker, json.dumps(m))
+            return {"appended": n_add, "removed": n_del, "gen": live}
 
     # -- writes -------------------------------------------------------------
 
@@ -1038,7 +1241,14 @@ class Engine:
                                        StringType, StructField, StructType)
 
         part = self._partition_keys(buckets, timepart)
-        fields = [f for f in data_schema.fields
+        # every data field is recorded nullable: pre-evolution files and
+        # null-filled kept rows MUST read the column as null, so a
+        # batch-copied nullable:false would make the stored contract
+        # self-inconsistent (reads work today only because Spark forces
+        # file-source user schemas nullable — an implementation detail
+        # the persisted schema must not lean on)
+        fields = [StructField(f.name, f.dataType, True)
+                  for f in data_schema.fields
                   if f.name not in part and f.name != "__batch"]
         types = {"_current": BooleanType(), "__obucket": IntegerType(),
                  "__stime": StringType(), "__batch": StringType()}
@@ -1084,10 +1294,17 @@ class Engine:
                   if f.name != "_current"}
         inc = {f.name: f.dataType for f in incoming.schema.fields
                if f.name != "_current"}
+        # simpleString comparison: nullability is NOT a physical type —
+        # an incoming array<double> built with containsNull=false (e.g.
+        # F.array(F.lit(1.0))) is write-compatible with a stored
+        # parquet-read array whose containsNull=true, and strict
+        # DataType equality would reject it spuriously
         conflicts = [
             f"{n}: incoming {inc[n].simpleString()} != stored "
             f"{stored[n].simpleString()}"
-            for n in stored if n in inc and inc[n] != stored[n]]
+            for n in stored
+            if n in inc
+            and inc[n].simpleString() != stored[n].simpleString()]
         if conflicts:
             raise TypeError(
                 "incoming column type(s) differ from the stored cube's "
@@ -1098,6 +1315,15 @@ class Engine:
                 f"incoming batch adds column(s) {sorted(new)} the cube "
                 "does not have; pass evolve=True to widen the cube "
                 "schema, or drop them before writing")
+        if new:
+            # widening is irreversible-by-default on the manifested
+            # layout (drop_column exists, but nobody audits what they
+            # didn't notice): make every widening VISIBLE so a typo'd
+            # column name doesn't silently become permanent schema
+            _log.warning(
+                "schema evolution: commit widens the cube with new "
+                "column(s) %s — drop_column() to undo an accidental "
+                "widening", sorted(new))
         missing = [n for n in stored if n not in inc]
         for n in missing:
             incoming = incoming.withColumn(n, F.lit(None).cast(stored[n]))
@@ -1424,6 +1650,7 @@ class Engine:
             table = self._read(path)
             self._check_oid_type(table, obj)
             self._refuse_legacy_evolution(table, obj, meta)
+            self._check_redrop(path, obj, set(table.columns))
             _, obj, _ = self._align_incoming(table, obj, evolve)
             if state == "legacy":
                 self._write_partitioned(obj, path, "append", buckets=buckets)
@@ -1485,6 +1712,7 @@ class Engine:
         table = self._read(path)
         self._check_oid_type(table, incoming)
         self._refuse_legacy_evolution(table, incoming, meta)
+        self._check_redrop(path, incoming, set(table.columns))
         table, incoming, cols = self._align_incoming(table, incoming, evolve)
         msch = self._manifest_schema(incoming.schema, buckets, timepart)
         if autosnap:

@@ -764,6 +764,100 @@ def append_to_ivf_index(
      .parquet(path + "/vectors"))
 
 
+def remove_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    fs=None,
+) -> None:
+    """Physically remove ids from a stored IVF index at BUCKET
+    granularity: only bucket directories that contain a removed id are
+    rewritten (read → anti-join → dynamic partition overwrite); buckets
+    the removed ids never touched are neither read nor written, and a
+    bucket left empty is deleted outright (dynamic overwrite cannot
+    rewrite a partition it produces zero rows for). Removal-by-rewrite
+    instead of read-side tombstones is deliberate: a tombstone anti-join
+    taxes EVERY future probe while removals are rare — pay the write
+    amplification once, keep the probe path untouched. The affected /
+    remaining bucket collects are bounded by ``nlist``."""
+    fs = _default_fs(fs)
+    vectors = spark.read.parquet(path + "/vectors")
+    rid = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
+    affected = [
+        r["bucket"] for r in vectors
+        .join(rid, vectors[id_col] == F.col("__rid"), "left_semi")
+        .select("bucket").distinct().collect()]
+    if not affected:
+        return
+    keep = (vectors.where(F.col("bucket").isin(affected))
+            .join(rid, vectors[id_col] == F.col("__rid"), "left_anti")
+            # materialize BEFORE overwriting the directories it reads
+            .localCheckpoint(eager=True))
+    remaining = {r["bucket"]
+                 for r in keep.select("bucket").distinct().collect()}
+    (keep.write.partitionBy("bucket").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/vectors"))
+    for b in affected:
+        if b not in remaining:
+            d = fs.join(path, "vectors", f"bucket={b}")
+            if fs.isdir(d):
+                fs.delete_dir(d)
+
+
+def remove_from_pq_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    fs=None,
+) -> None:
+    """Physically remove ids from a stored PQ / SQ8 / IVF-PQ index at
+    partition granularity (``__abatch`` for the flat families,
+    ``(cluster, __abatch)`` for IVF-PQ): only partitions containing a
+    removed id are rewritten; partitions left empty are deleted (and an
+    IVF-PQ cluster directory emptied of batches goes with them). Codes
+    are copied, never re-encoded — the rewrite cost is the slim code
+    payload of the hit partitions. Same removal-by-rewrite rationale as
+    ``remove_from_ivf_index``; the affected-partition collects are
+    bounded by clusters × append batches."""
+    fs = _default_fs(fs)
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    id_col = meta["id_col"]
+    part_cols = (["cluster", "__abatch"]
+                 if meta.get("kind") == "ivfpq" else ["__abatch"])
+    rid = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
+    hit = (codes.join(rid, codes[id_col] == F.col("__rid"), "left_semi")
+           .select(*part_cols).distinct())
+    affected = [tuple(r[c] for c in part_cols) for r in hit.collect()]
+    if not affected:
+        return
+    aff_df = spark.createDataFrame(
+        affected, hit.schema)  # bounded: clusters x batches rows
+    keep = (codes.join(aff_df, part_cols, "left_semi")
+            .join(rid, codes[id_col] == F.col("__rid"), "left_anti")
+            .localCheckpoint(eager=True))
+    remaining = {tuple(r[c] for c in part_cols)
+                 for r in keep.select(*part_cols).distinct().collect()}
+    (keep.write.partitionBy(*part_cols).mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/codes"))
+    for t in affected:
+        if t in remaining:
+            continue
+        d = fs.join(path, "codes",
+                    *[f"{c}={v}" for c, v in zip(part_cols, t)])
+        if fs.isdir(d):
+            fs.delete_dir(d)
+    if part_cols[0] == "cluster":
+        # drop cluster dirs emptied of every batch (a file-less dir is
+        # harmless to the reader but lies to anyone listing the layout)
+        for c in {t[0] for t in affected}:
+            cd = fs.join(path, "codes", f"cluster={c}")
+            if fs.isdir(cd) and not fs.listdir(cd):
+                fs.delete_dir(cd)
+
+
 def ivf_topk_indexed(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -19,6 +19,23 @@ def pytest_configure(config):
         "markers",
         "slow: long-running fuzz/model tests (storage-layer op-sequence "
         "model check)")
+    config.addinivalue_line(
+        "markers",
+        "oracle_sf01: full parity sweep at sf0.01 (opt-in — the driver "
+        "gate samples entries at this scale; run with -m oracle_sf01)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # the sf0.01 sweep is opt-in: multi-minute at that scale, so it only
+    # runs when the -m expression names it explicitly
+    expr = config.getoption("-m") or ""
+    if "oracle_sf01" in expr:
+        return
+    skip = pytest.mark.skip(
+        reason="sf0.01 sweep is opt-in: pytest -m oracle_sf01")
+    for it in items:
+        if "oracle_sf01" in it.keywords:
+            it.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -22,7 +22,7 @@ def test_contract_line_fits_driver_window_worst_case():
     # and a 5-digit total — still has to clear the 2,000-char window with
     # margin for envelope growth
     timings = {n: 999.99 for n in bench.BENCH_QUERIES}
-    line = bench.contract_line(timings, 99999.99, 0.1)
+    line = bench.contract_line(timings, 99999.99, 0.1, 31.99)
     assert len(line) < 1800, (
         f"contract line is {len(line)} chars; the driver parses only the "
         "last 2000 chars of stdout — move entries to CONTRACT_EXCLUDE"
@@ -32,12 +32,13 @@ def test_contract_line_fits_driver_window_worst_case():
 
 def test_contract_line_roundtrips_with_required_keys():
     timings = {n: 1.234 for n in bench.BENCH_QUERIES}
-    parsed = json.loads(bench.contract_line(timings, 75.25, 0.1))
+    parsed = json.loads(bench.contract_line(timings, 75.25, 0.1, 4.2))
     assert parsed["metric"] == "headline_queries_total"
     assert parsed["unit"] == "sec"
     assert parsed["sf"] == 0.1
     assert parsed["value"] == 75.25
     assert parsed["detail"] == "BENCH_DETAIL.json"
+    assert parsed["load"] == 4.2
     # 2-decimal rounding applied per query
     assert set(parsed["queries"]) == set(bench.CONTRACT_QUERIES)
     assert all(v == 1.23 for v in parsed["queries"].values())
@@ -60,7 +61,7 @@ def test_bench_sets_are_consistent():
 def test_contract_line_skips_absent_timings():
     # a partial run (e.g. bench interrupted) must still emit valid JSON
     timings = {bench.CONTRACT_QUERIES[0]: 1.0}
-    parsed = json.loads(bench.contract_line(timings, 1.0, None))
+    parsed = json.loads(bench.contract_line(timings, 1.0, None, 0.0))
     assert parsed["queries"] == {bench.CONTRACT_QUERIES[0]: 1.0}
     assert parsed["sf"] is None
 

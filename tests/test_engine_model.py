@@ -1,11 +1,21 @@
 """Model-based storage-layer fuzz: a seeded-random sequence of snapshot
-upserts, history replaces, compactions and vacuums runs against a cube
-(time-partitioned, bucketed, retention on) AND a driver-side reference
-model of the temporal-versioning semantics; after every mutation the
-cube's find() must equal the model under current / all-history / as-of
-probes. Catches cross-feature interaction bugs (merge × bounded replace
-× manifest generations × period partitioning) no single-feature test
-composes."""
+upserts, history replaces, SCHEMA EVOLUTIONS, compactions and vacuums
+runs against a cube (time-partitioned, bucketed, retention on) AND a
+driver-side reference model of the temporal-versioning semantics; after
+every mutation the cube's find() must equal the model under current /
+all-history / as-of probes, and every retained generation must time-
+travel to exactly the model state (and schema width) at its commit.
+Catches cross-feature interaction bugs (merge × bounded replace ×
+manifest generations × period partitioning × per-generation schemas)
+no single-feature test composes.
+
+Row content is modeled as a DICT, mirroring the engine's hash contract:
+``content_hash`` is sha1 over ``to_json(struct(...))`` and ``to_json``
+OMITS null fields — so a post-evolution row with ``col_2 = NULL`` is
+hash-equal to a pre-evolution row with the same ``col_1`` (a same-state
+snapshot stays a no-op across the widening), while any non-null
+``col_2`` closes the old version. The model drops ``None`` values from
+its dicts to encode exactly that."""
 
 import random
 
@@ -16,42 +26,72 @@ from metrique_spark.engine import Engine
 from metrique_spark.objects import stamp
 
 
-def _snap_batch(spark, pairs, start):
-    df = spark.createDataFrame(pairs, "oid long, col_1 long")
+def _snap_batch(spark, items, start, wide):
+    """items: list of (oid, content dict). ``wide`` adds col_2 to the
+    batch frame (None where the dict lacks it)."""
+    if wide:
+        rows = [(o, c.get("col_1"), c.get("col_2")) for o, c in items]
+        df = spark.createDataFrame(rows, "oid long, col_1 long, col_2 long")
+    else:
+        rows = [(o, c.get("col_1")) for o, c in items]
+        df = spark.createDataFrame(rows, "oid long, col_1 long")
     return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
 
 
-def _hist_batch(spark, rows):
-    df = spark.createDataFrame(
-        rows, "oid long, col_1 long, s string, e string")
+def _hist_batch(spark, rows, wide):
+    """rows: (oid, content dict, s, e)."""
+    if wide:
+        flat = [(o, c.get("col_1"), c.get("col_2"), s, e)
+                for o, c, s, e in rows]
+        df = spark.createDataFrame(
+            flat, "oid long, col_1 long, col_2 long, s string, e string")
+    else:
+        flat = [(o, c.get("col_1"), s, e) for o, c, s, e in rows]
+        df = spark.createDataFrame(
+            flat, "oid long, col_1 long, s string, e string")
     return stamp(df, oid="oid", start="s", end="e")
+
+
+def _null_low(t):
+    """Total order over row tuples with a nullable col_2 (None sorts
+    below every int — Python refuses None < int natively)."""
+    return (t[0], t[1], t[2] is not None, t[2] or 0, t[3], t[4])
 
 
 class _Model:
     """Reference semantics: snapshot merge closes a changed open version
-    at the incoming start (same-value incoming is a no-op); history
-    replace drops every version of the incoming oids and unions the
-    supplied history; compact/vacuum are storage-only."""
+    at the incoming start (same-CONTENT incoming is a no-op — content
+    compared as null-stripped dicts, matching the engine's to_json
+    hash); history replace drops every version of the incoming oids and
+    unions the supplied history; evolution only widens what reads
+    surface (old rows read the new column as None); compact/vacuum are
+    storage-only."""
 
     def __init__(self):
         self.versions: list[dict] = []
 
-    def snapshot(self, pairs, start):
-        for oid, val in pairs:
+    @staticmethod
+    def _strip(content: dict) -> dict:
+        return {k: v for k, v in content.items() if v is not None}
+
+    def snapshot(self, items, start):
+        for oid, content in items:
+            content = self._strip(content)
             cur = next((v for v in self.versions
                         if v["oid"] == oid and v["end"] is None), None)
             if cur is not None:
-                if cur["val"] == val:
+                if cur["content"] == content:
                     continue
                 cur["end"] = start
             self.versions.append(
-                dict(oid=oid, val=val, start=start, end=None))
+                dict(oid=oid, content=content, start=start, end=None))
 
     def replace(self, rows):
         oids = {r[0] for r in rows}
         self.versions = [v for v in self.versions if v["oid"] not in oids]
-        for oid, val, s, e in rows:
-            self.versions.append(dict(oid=oid, val=val, start=s, end=e))
+        for oid, content, s, e in rows:
+            self.versions.append(dict(oid=oid, content=self._strip(content),
+                                      start=s, end=e))
 
     def rows(self, date):
         if date is None:
@@ -62,18 +102,26 @@ class _Model:
             sel = [v for v in self.versions
                    if v["start"] < date
                    and (v["end"] is None or v["end"] >= date)]
-        return sorted((v["oid"], v["val"], v["start"], v["end"] or "")
-                      for v in sel)
+        return sorted(((v["oid"], v["content"].get("col_1"),
+                        v["content"].get("col_2"),
+                        v["start"], v["end"] or "")
+                       for v in sel), key=_null_low)
 
 
-def _cube_rows(eng, cube, date):
-    df = eng.find(cube, date=date, fields="col_1")
+def _cube_rows(eng, cube, date, generation=None):
+    # pre-evolution generations have no col_2 — read it as uniform None
+    # (exactly what the live manifest schema back-fills post-evolution)
+    has2 = "col_2" in eng.table(cube, generation=generation).columns
+    df = eng.find(cube, date=date,
+                  fields="col_1,col_2" if has2 else "col_1",
+                  generation=generation)
+    c2 = F.col("col_2") if has2 else F.lit(None).cast("long")
     out = df.select(
-        "_oid", "col_1",
+        "_oid", "col_1", c2.alias("col_2"),
         F.date_format("_start", "yyyy-MM-dd").alias("s"),
         F.coalesce(F.date_format("_end", "yyyy-MM-dd"), F.lit(""))
         .alias("e"))
-    return sorted(map(tuple, out.collect()))
+    return sorted(map(tuple, out.collect()), key=_null_low)
 
 
 @pytest.mark.slow
@@ -91,6 +139,8 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         return f"{y}-{m:02d}-{rng.randint(1, 28):02d}"
 
     first = True
+    evolved = False
+    ev_step = rng.randint(4, 8)   # the widening lands mid-sequence
     import copy
 
     gen_states: dict[int, list] = {}   # engine gen -> model snapshot
@@ -99,18 +149,33 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
                          "vacuum"])
         if first:
             op = "snap"
+        if step == ev_step:
+            op = "snap"            # forced evolving batch below
         if op == "snap":
-            pairs = sorted((o, rng.randint(0, 3) * 100 + o)
-                           for o in rng.sample(oids, rng.randint(1, 6)))
+            wide = evolved or step == ev_step
+            items = []
+            for o in sorted(rng.sample(oids, rng.randint(1, 6))):
+                content = {"col_1": rng.randint(0, 3) * 100 + o}
+                if wide:
+                    # None col_2 sometimes: exercises the to_json-omits-
+                    # null hash equivalence across the evolution boundary
+                    content["col_2"] = rng.choice(
+                        [None, rng.randint(1, 4) * 10])
+                items.append((o, content))
             start = date_of(step)
-            eng.upsert(cube, _snap_batch(spark, pairs, start),
+            eng.upsert(cube, _snap_batch(spark, items, start, wide),
                        stamped=True)
-            model.snapshot(pairs, start)
+            model.snapshot(items, start)
             first = False
+            if wide:
+                evolved = True
         elif op == "replace":
             oid = rng.choice(oids)
             n = rng.randint(1, 3)
-            # contiguous chain ending open or closed
+            # post-evolution replaces stay NARROW half the time: a
+            # col_1-only history batch into the widened cube must
+            # null-fill, not error or shrink the schema
+            wide = evolved and rng.random() < 0.5
             starts = sorted({date_of(step, -k) for k in range(n, 0, -1)})
             rows = []
             for vi, s in enumerate(starts):
@@ -118,9 +183,12 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
                      else (None if rng.random() < 0.6 else date_of(step)))
                 if e is not None and e <= s:
                     e = None
-                rows.append((oid, 1000 + vi, s, e))
-            eng.upsert(cube, _hist_batch(spark, rows), autosnap=False,
-                       stamped=True)
+                content = {"col_1": 1000 + vi}
+                if wide:
+                    content["col_2"] = rng.choice([None, 5000 + vi])
+                rows.append((oid, content, s, e))
+            eng.upsert(cube, _hist_batch(spark, rows, wide),
+                       autosnap=False, stamped=True)
             model.replace(rows)
         elif op == "compact":
             eng.compact(cube, sort_by=["_start"] if rng.random() < 0.5
@@ -158,17 +226,13 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
                 eng._manifest = real_manifest
             assert got == len(model.versions), (step, op, "swept-read")
         # time travel: every RETAINED generation must read exactly the
-        # model state at its commit (compact keeps content identical,
-        # so a gen recorded pre-compact still matches)
+        # model state at its commit — including its OWN schema width
+        # (a pre-evolution generation reads without col_2; _cube_rows
+        # normalizes it to None for the compare)
         for g in gens:
             if g not in gen_states:
                 continue
             snap = _Model()
             snap.versions = gen_states[g]
-            got = sorted(map(tuple, eng.find(
-                cube, date="~", fields="col_1", generation=g).select(
-                "_oid", "col_1",
-                F.date_format("_start", "yyyy-MM-dd").alias("s"),
-                F.coalesce(F.date_format("_end", "yyyy-MM-dd"),
-                           F.lit("")).alias("e")).collect()))
-            assert got == snap.rows("~"), (step, op, "gen", g)
+            assert _cube_rows(eng, cube, "~", generation=g) == \
+                snap.rows("~"), (step, op, "gen", g)

@@ -206,3 +206,123 @@ def test_mql_find_over_evolved_cube(spark, eng):
     # null comparison matches pre-evolution rows (the evolved column
     # null-fills on files written before it existed)
     assert eng.count("c", query="score == None") == 1
+
+
+def test_drop_column_manifest_only(spark, eng):
+    """drop_column is a manifest-only commit: the column vanishes from
+    live reads with no data rewrite, a retained pre-drop generation
+    still reads it (its history entry kept its own schema), and MQL
+    over the cube keeps working."""
+    eng.upsert("d", _batch(spark, [(1, "a", 5.0), (2, "b", 7.0)],
+                           "key long, name string, score double",
+                           "2024-01-01"), stamped=True)
+    g_before = eng.generations("d")[0]
+    eng.drop_column("d", "score")
+    t = eng.table("d")
+    assert "score" not in t.columns and "name" in t.columns
+    assert eng.count("d") == 2
+    assert {r["name"] for r in eng.find("d", fields="name").collect()} \
+        == {"a", "b"}
+    # time travel to the pre-drop generation reads the column + values
+    old = eng.table("d", generation=g_before)
+    assert "score" in old.columns
+    assert {r["score"] for r in old.collect()} == {5.0, 7.0}
+
+
+def test_drop_column_guards(spark, eng):
+    eng.upsert("d", _batch(spark, [(1, "a")], "key long, name string",
+                           "2024-01-01"), stamped=True)
+    with pytest.raises(ValueError, match="system"):
+        eng.drop_column("d", "_oid")
+    with pytest.raises(ValueError, match="no column"):
+        eng.drop_column("d", "nope")
+
+
+def test_drop_column_readd_same_type_is_undrop(spark, eng):
+    """Re-adding a dropped column at the SAME type: pre-drop values
+    resurface in UNREWRITTEN files (closed history rows — their bytes
+    never moved), while open rows read null (every snapshot commit
+    rewrites the open set under the then-current schema, so the very
+    commit that re-adds null-fills them). A DIFFERENT type fails loud —
+    old files still hold the old physical type."""
+    eng.upsert("d", _batch(spark, [(1, "a", 5.0)],
+                           "key long, name string, score double",
+                           "2024-01-01"), stamped=True)
+    # close (1, a, 5.0) — its closed copy lands on disk WITH the value
+    eng.upsert("d", _batch(spark, [(1, "b", 6.0)],
+                           "key long, name string, score double",
+                           "2024-02-01"), stamped=True)
+    eng.drop_column("d", "score")
+    assert "score" not in eng.table("d").columns
+    # different type -> refused before anything is written
+    bad = _batch(spark, [(2, "c", "high")],
+                 "key long, name string, score string", "2024-03-01")
+    with pytest.raises(TypeError, match="previously dropped"):
+        eng.upsert("d", bad, stamped=True)
+    # same type -> widens again
+    eng.upsert("d", _batch(spark, [(2, "c", 9.0)],
+                           "key long, name string, score double",
+                           "2024-03-01"), stamped=True)
+    rows = {(r["_oid"], r["name"]): r["score"]
+            for r in eng.find("d", date="~",
+                              fields="name,score").collect()}
+    # closed history file untouched since before the drop: resurfaces
+    assert rows[(1, "a")] == 5.0
+    # open rows were rewritten by the re-adding commit: null
+    assert rows[(1, "b")] is None
+    assert rows[(2, "c")] == 9.0
+
+
+def test_widening_warns(spark, eng, caplog):
+    """An evolve=True widening logs a visible warning naming the new
+    columns — the guard against a typo'd column name silently becoming
+    permanent schema."""
+    import logging
+
+    eng.upsert("w", _batch(spark, [(1, "a")], "key long, name string",
+                           "2024-01-01"), stamped=True)
+    with caplog.at_level(logging.WARNING, logger="metrique_spark.engine"):
+        eng.upsert("w", _batch(spark, [(2, "b", 1.0)],
+                               "key long, name string, scroe double",
+                               "2024-02-01"), stamped=True)
+    assert any("scroe" in r.message for r in caplog.records)
+
+
+def test_nested_nullability_not_a_type_conflict(spark, eng):
+    """An incoming array<double> built with containsNull=false (literal
+    F.array) must not conflict with the stored parquet-read array whose
+    containsNull=true — nullability is not a physical type."""
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "key long, vec array<double>")
+    eng.upsert("n", stamp(df, oid="key",
+                          start=F.to_timestamp(F.lit("2024-01-01")),
+                          sort_arrays=False), stamped=True)
+    lit = (spark.range(1).select(
+        (F.col("id") + 2).alias("key"),
+        F.array(F.lit(3.0), F.lit(4.0)).alias("vec")))
+    assert not lit.schema["vec"].dataType.containsNull  # the trap is real
+    eng.upsert("n", stamp(lit, oid="key",
+                          start=F.to_timestamp(F.lit("2024-02-01")),
+                          sort_arrays=False), stamped=True)
+    assert eng.count("n") == 2
+
+
+def test_manifest_schema_records_nullable_fields(spark, eng):
+    """The persisted read schema records every data field nullable —
+    the typed-null back-fill contract must hold by the STORED schema,
+    not by Spark's force-nullable implementation detail."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    src = spark.range(3).select(
+        F.col("id").alias("key"), F.lit(1).alias("v"))
+    assert not src.schema["v"].nullable  # non-nullable going in
+    eng.upsert("nn", stamp(src, oid="key",
+                           start=F.to_timestamp(F.lit("2024-01-01"))),
+               stamped=True)
+    meta = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("nn"), "_manifest.json")))
+    sch = StructType.fromJson(meta["schema"])
+    assert all(f.nullable for f in sch.fields
+               if f.name not in ("_current",))

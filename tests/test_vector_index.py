@@ -152,3 +152,126 @@ def test_vector_index_on_object_store_backend(spark, tmp_path):
         eng.vector_search("vo", "s", q, k=3)
     eng.build_vector_index("vo", "s", vec_col="embedding", kind="sq8")
     assert eng.vector_search("vo", "s", q, k=3).count() == 3
+
+
+def _vrows(spark, rows, day):
+    return stamp(spark.createDataFrame(
+        rows, "oid long, embedding array<double>, label int"),
+        oid="oid", start=F.to_timestamp(F.lit(day)), sort_arrays=False)
+
+
+def test_refresh_ivf_appends_and_removes(spark, tmp_path):
+    """upsert -> refresh_vector_index -> stale: False, WITHOUT
+    re-encoding the corpus: the refreshed index's physical content is
+    exactly the live current (id, vector) set — changed ids removed from
+    their old bucket dirs and re-appended, brand-new ids appended, all
+    against the frozen stored centroids."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 keep_generations=4)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(1, [0.5] * 64, 0),
+                                      (99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+    assert eng.vector_index_list("vecs")["ix"]["stale"]
+    res = eng.refresh_vector_index("vecs", "ix")
+    assert res["appended"] == 2 and res["removed"] == 1
+    assert not eng.vector_index_list("vecs")["ix"]["stale"]
+    # physical content == live current rows, exactly
+    stored = {(r["_oid"], tuple(r["v"])) for r in spark.read.parquet(
+        eng._ann_path("vecs", "ix") + "/vectors")
+        .selectExpr("_oid", "v").collect()}
+    live = {(r["_oid"], tuple(r["embedding"])) for r in
+            eng.find("vecs", fields="embedding").collect()}
+    assert stored == live
+    assert (1, tuple([0.5] * 64)) in stored
+    assert (99_999, tuple([0.25] * 64)) in stored
+    # search works and a second refresh is a no-op
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "ix", q, k=3).count() == 3
+    assert eng.refresh_vector_index("vecs", "ix") == {
+        "appended": 0, "removed": 0, "gen": 2}
+
+
+def test_refresh_ivfpq_parity_and_deletion(spark, tmp_path):
+    """Refresh on the cluster-partitioned IVF-PQ layout: codes after the
+    refresh equal a frozen-model re-encode of the live corpus (parity
+    with a rebuild under the same stored codebooks/centroids — the
+    contract; a retrained rebuild is a different approximation), and an
+    oid whose history_replace left it with no current row is removed
+    without an append."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 keep_generations=4)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "px", vec_col="embedding",
+                           kind="ivfpq", nlist=4, m=4, k=8)
+    # change one vector + delete oid 2 (replace history with closed-only)
+    eng.upsert("vecs", _vrows(spark, [(3, [0.75] * 64, 0)],
+                              "2014-02-01"), stamped=True)
+    gone = stamp(spark.createDataFrame(
+        [(2, [0.0] * 64, 0, "2014-01-01", "2014-01-02")],
+        "oid long, embedding array<double>, label int, s string, e string"),
+        oid="oid", start="s", end="e", sort_arrays=False)
+    eng.upsert("vecs", gone, autosnap=False, stamped=True)
+    res = eng.refresh_vector_index("vecs", "px")
+    assert res["appended"] == 1 and res["removed"] == 2
+    assert not eng.vector_index_list("vecs")["px"]["stale"]
+    apath = eng._ann_path("vecs", "px")
+    codes, meta = sim.read_pq_index(spark, apath, fs=eng.fs)
+    live = eng.find("vecs", fields="embedding").select(
+        F.col("_oid"), "embedding")
+    want = sim.pq_encode(live, meta["books"], id_col="_oid",
+                         vec_col="embedding")
+    got_codes = {(r["_oid"], tuple(r["codes"]))
+                 for r in codes.select("_oid", "codes").collect()}
+    want_codes = {(r["_oid"], tuple(r["codes"]))
+                  for r in want.collect()}
+    assert got_codes == want_codes
+    assert not any(i == 2 for i, _ in got_codes)
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "px", q, k=3).count() == 3
+
+
+def test_refresh_requires_retained_generation(spark, tmp_path):
+    """With keep_generations=0 the built generation is swept by the next
+    commit — there is nothing exact to diff against, so refresh fails
+    loud with the retention hint instead of guessing a delta."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(1, [0.5] * 64, 0)],
+                              "2014-02-01"), stamped=True)
+    with pytest.raises(ValueError, match="keep_generations"):
+        eng.refresh_vector_index("vecs", "ix")
+
+
+def test_refresh_sq8_flat_layout(spark, tmp_path):
+    """The flat __abatch layout (sq8/pq): removal rewrites only the hit
+    batch partitions and the appended batch lands token-keyed; content
+    equals a frozen-param re-encode of the live corpus."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 keep_generations=4)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding",
+                           kind="sq8")
+    eng.upsert("vecs", _vrows(spark, [(4, [0.33] * 64, 0)],
+                              "2014-02-01"), stamped=True)
+    res = eng.refresh_vector_index("vecs", "sx")
+    assert res["appended"] == 1 and res["removed"] == 1
+    apath = eng._ann_path("vecs", "sx")
+    codes, meta = sim.read_pq_index(spark, apath, fs=eng.fs)
+    params = [(p[0], p[1]) for p in meta["params"]]
+    live = eng.find("vecs", fields="embedding").select(
+        F.col("_oid"), "embedding")
+    want = {(r["_oid"], tuple(r["codes"])) for r in sim.sq8_encode(
+        live, params, id_col="_oid", vec_col="embedding").collect()}
+    got = {(r["_oid"], tuple(r["codes"]))
+           for r in codes.select("_oid", "codes").collect()}
+    assert got == want
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
