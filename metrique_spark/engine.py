@@ -691,16 +691,25 @@ class Engine:
     def refresh_vector_index(self, cube: str, name: str) -> dict:
         """Incrementally bring a committed ANN index up to the LIVE
         generation without re-training or re-encoding the corpus: diff
-        the indexed generation's current rows against live current rows
-        on (id, vector), physically REMOVE superseded ids at partition
-        granularity (bucket dirs for IVF, ``__abatch``/cluster dirs for
-        the PQ families — only partitions that contain a removed id are
-        rewritten), encode-and-append only the new/changed rows against
-        the STORED model (frozen centroids/codebooks/params — recall
-        drifts with the data distribution, correctness doesn't; rebuild
-        when bucket sizes skew), and bump the marker generation. Cost is
-        O(delta) encoding + O(hit partitions) code copying — never the
-        corpus.
+        the live current rows against the INDEX'S OWN CONTENT (raw
+        stored vectors for IVF; the per-row ``__vh`` vector fingerprint
+        for PQ/SQ8/IVF-PQ), physically REMOVE superseded ids at
+        partition granularity (bucket dirs for IVF,
+        ``__abatch``/cluster dirs for the PQ families — only partitions
+        that contain a removed id are rewritten), encode-and-append
+        only the new/changed rows against the STORED model (frozen
+        centroids/codebooks/params — recall drifts with the data
+        distribution, correctness doesn't; rebuild when bucket sizes
+        skew), and bump the marker generation. Cost is O(delta)
+        encoding + O(hit partitions) code copying — never the corpus.
+        Diffing against index content needs no retained generation and
+        is self-healing: whatever state the index data is in (drift,
+        duplicate ids from raw appends), one refresh converges it to
+        exactly the live (id, vector) set under the frozen model. Only
+        a legacy fingerprint-less PQ index falls back to time-traveling
+        the cube to its indexed generation (then
+        ``Engine(keep_generations=...)`` applies — or rebuild once to
+        gain the fingerprint layout).
 
         Removal-by-rewrite instead of read-side tombstone filtering is
         deliberate: a tombstone anti-join would tax EVERY future search
@@ -708,14 +717,10 @@ class Engine:
         keep the probe path untouched (and exactly equal to a fresh
         build's, so search parity is structural, not probabilistic).
 
-        Requires the indexed generation to still be retained
-        (``Engine(keep_generations=...)``): without the old snapshot
-        there is nothing exact to diff against — the read below then
-        fails loud with the retention hint; fall back to
-        ``build_vector_index``. Crash-safety matches the build: the
-        marker is deleted first and rewritten LAST, so a crash
-        mid-refresh leaves the index uncommitted (searches fail loud)
-        rather than silently half-refreshed. Returns
+        Crash-safety matches the build: the marker is deleted first and
+        rewritten LAST, so a crash mid-refresh leaves the index
+        uncommitted (searches fail loud) rather than silently
+        half-refreshed. Returns
         ``{"appended": n, "removed": n, "gen": live}``."""
         import json
 
@@ -741,24 +746,63 @@ class Engine:
                     return df.where(F.col("_current"))
                 return df.where(F.col("_end").isNull())
 
-            # raises with the keep_generations hint when the indexed
-            # generation was already vacuumed out of the manifest
-            oldc = (_cur(self._read(path, generation=m["gen"]))
-                    .select(F.col(id_col).alias("__old_id"),
-                            F.col(vec_col).alias("__old_v")))
             newc = _cur(self._read(path)).select(id_col, vec_col)
-            same = ((F.col(id_col) == F.col("__old_id"))
-                    & F.col(vec_col).eqNullSafe(F.col("__old_v")))
-            # changed/new: live rows with no identical (id, vec) before;
-            # superseded: previously-indexed (id, vec) no longer live —
-            # a changed id lands in both (remove old entry, append new)
-            changed = (newc.join(oldc, same, "left_anti")
-                       .localCheckpoint(eager=True))
-            sup = (oldc.join(newc, same, "left_anti")
-                   .select(F.col("__old_id").alias(id_col)).distinct()
-                   .localCheckpoint(eager=True))
+            apath0 = self._ann_path(cube, name)
+            # diff the live corpus against the INDEX'S OWN CONTENT —
+            # IVF stores raw vectors (compare directly); the PQ families
+            # store a per-row vector fingerprint (__vh, see
+            # similarity._vh) — so no retained generation is needed and
+            # the refresh is self-healing (a drifted or double-appended
+            # id converges back to exactly the live row). Only a legacy
+            # fingerprint-less PQ index falls back to time-traveling the
+            # cube to the indexed generation.
+            if m["kind"] == "ivf":
+                idx = (self.spark.read.parquet(apath0 + "/vectors")
+                       .select(F.col(id_col).alias("__iid"),
+                               F.col("v").alias("__iv")))
+                same = ((F.col(id_col) == F.col("__iid"))
+                        & F.col(vec_col).cast("array<double>")
+                        .eqNullSafe(F.col("__iv")))
+            else:
+                codes, pmeta = _sim.read_pq_index(self.spark, apath0,
+                                                  fs=self.fs)
+                if pmeta.get("vh"):
+                    idx = codes.select(F.col(id_col).alias("__iid"),
+                                       F.col("__vh").alias("__ivh"))
+                    same = ((F.col(id_col) == F.col("__iid"))
+                            & (_sim._vh(vec_col) == F.col("__ivh")))
+                else:
+                    # pre-fingerprint layout: codes can't be compared to
+                    # vectors, so diff against the retained generation —
+                    # raises with the keep_generations hint when swept
+                    # (rebuild once to gain the fingerprint layout)
+                    idx = (_cur(self._read(path, generation=m["gen"]))
+                           .select(F.col(id_col).alias("__iid"),
+                                   F.col(vec_col).alias("__iv")))
+                    same = ((F.col(id_col) == F.col("__iid"))
+                            & F.col(vec_col).eqNullSafe(F.col("__iv")))
+            # changed/new: live rows with no identical (id, vec) in the
+            # index; superseded: indexed entries no longer matching a
+            # live row — a changed id lands in both (remove + re-append)
+            changed = newc.join(idx, same, "left_anti")
+            sup = (idx.join(newc, same, "left_anti")
+                   .select(F.col("__iid").alias(id_col)).distinct())
+            # duplicated ids (raw appends that re-added a live id with
+            # the same vector evade the diff — both rows match) get
+            # removed wholesale and re-appended once, so one refresh
+            # always converges to exactly one row per live id
+            dups = (idx.groupBy("__iid").agg(F.count("*").alias("__c"))
+                    .where(F.col("__c") > 1)
+                    .select(F.col("__iid").alias(id_col)))
+            sup = sup.unionByName(dups).distinct()
+            changed = (changed.unionByName(
+                newc.join(dups.withColumnRenamed(id_col, "__did"),
+                          F.col(id_col) == F.col("__did"), "left_semi"))
+                .dropDuplicates([id_col]))
+            changed = changed.localCheckpoint(eager=True)
+            sup = sup.localCheckpoint(eager=True)
             n_add, n_del = changed.count(), sup.count()
-            apath = self._ann_path(cube, name)
+            apath = apath0
             self.fs.delete(marker)  # uncommitted until rewritten below
             if n_del:
                 if m["kind"] == "ivf":

@@ -1695,6 +1695,16 @@ def _invalidate_index(fs, path: str) -> None:
         fs.delete(side)
 
 
+def _vh(vec_col: str) -> Column:
+    """64-bit content fingerprint of a vector (canonical array<double>
+    form), stored per code row: lets a refresh diff an ENCODED index
+    against the live corpus — no retained generation to time-travel to,
+    no decode, one hash compare per id. xxhash64 is seed-fixed and
+    deterministic across runs; a changed vector silently colliding with
+    its old hash is a 2^-64 event."""
+    return F.xxhash64(_as_double(vec_col))
+
+
 def _abatch_token(df: DataFrame, id_col: str) -> str:
     """Order-insensitive content token for an append batch (count + sum
     of per-id hashes — constant memory per task, same scheme as the
@@ -1715,12 +1725,19 @@ def write_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fs=None,
+    content_hash: bool = True,
 ) -> list:
     """Train PQ codebooks on ``df`` and persist the index: codes to
     ``path/codes`` (parquet), codebooks + params to the ``_pq.json``
     sidecar. Returns the trained codebooks. Flat-PQ search reads every
     code (compression, not pruning) — for a pruned stored layout use
-    ``write_ivfpq_index``."""
+    ``write_ivfpq_index``.
+
+    ``content_hash`` (default on) stores a per-row vector fingerprint
+    (``__vh``, see ``_vh``) alongside the codes, enabling
+    retention-free incremental refresh; search paths ignore the
+    column. Off reproduces the pre-fingerprint layout (refresh then
+    needs a retained generation to diff against)."""
     import json
 
     fs = _default_fs(fs)
@@ -1728,12 +1745,16 @@ def write_pq_index(
     books = pq_train(df, m=m, k=k, iters=iters, id_col=id_col,
                      vec_col=vec_col)
     codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+    if content_hash:
+        codes = codes.join(
+            df.select(F.col(id_col), _vh(vec_col).alias("__vh")), id_col)
     (codes.withColumn("__abatch", F.lit("base"))
      .write.partitionBy("__abatch").mode("overwrite")
      .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "pq", "m": m, "k": k,
             "iters": iters, "id_col": id_col,
-            "sub_len": len(books[0][0]), "books": books}
+            "sub_len": len(books[0][0]), "books": books,
+            "vh": bool(content_hash)}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
     return books
 
@@ -1803,6 +1824,13 @@ def append_to_pq_index(
         codes = sq8_encode(batch, params, id_col=id_col, vec_col=vec_col)
     else:
         codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
+    if meta.get("vh"):
+        # fingerprint only when the stored layout already carries it —
+        # mixing footer schemas inside one parquet dir would make the
+        # reader's picked-footer schema roulette
+        codes = codes.join(
+            batch.select(F.col(id_col), _vh(vec_col).alias("__vh")),
+            id_col)
     token = _abatch_token(batch, id_col)
     out = codes.withColumn("__abatch", F.lit(token))
     part_cols = ["__abatch"]
@@ -1855,6 +1883,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     sim_decimals: int = 6,
     fs=None,
+    content_hash: bool = True,
 ) -> None:
     """Persist the composed IVF-PQ layout: deterministic coarse k-means
     routes every vector to an inverted list, codes land in parquet
@@ -1873,6 +1902,9 @@ def write_ivfpq_index(
                      vec_col=vec_col)
     codes = (pq_encode(df, books, id_col=id_col, vec_col=vec_col)
              .join(assigned.select(F.col(id_col), "cluster"), id_col))
+    if content_hash:
+        codes = codes.join(
+            df.select(F.col(id_col), _vh(vec_col).alias("__vh")), id_col)
     (codes.withColumn("__abatch", F.lit("base"))
      .write.partitionBy("cluster", "__abatch").mode("overwrite")
      .parquet(path + "/codes"))
@@ -1883,7 +1915,8 @@ def write_ivfpq_index(
             "coarse_iters": coarse_iters, "id_col": id_col,
             "sim_decimals": sim_decimals,
             "sub_len": len(books[0][0]), "books": books,
-            "centroids": [[cid, vec] for cid, vec in cent_rows]}
+            "centroids": [[cid, vec] for cid, vec in cent_rows],
+            "vh": bool(content_hash)}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
 
 
@@ -2026,6 +2059,7 @@ def write_sq8_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fs=None,
+    content_hash: bool = True,
 ) -> list:
     """Persist an SQ8 index: codes to ``path/codes`` (8x smaller scan
     payload than the float corpus), per-dim params to the ``_pq.json``
@@ -2038,11 +2072,15 @@ def write_sq8_index(
     _invalidate_index(fs, path)
     params = sq8_train(df, vec_col=vec_col)
     codes = sq8_encode(df, params, id_col=id_col, vec_col=vec_col)
+    if content_hash:
+        codes = codes.join(
+            df.select(F.col(id_col), _vh(vec_col).alias("__vh")), id_col)
     (codes.withColumn("__abatch", F.lit("base"))
      .write.partitionBy("__abatch").mode("overwrite")
      .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "sq8", "id_col": id_col,
-            "params": [[mn, mx] for mn, mx in params]}
+            "params": [[mn, mx] for mn, mx in params],
+            "vh": bool(content_hash)}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
     return params
 
