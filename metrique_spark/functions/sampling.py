@@ -455,6 +455,10 @@ def _take_per_stratum(
     extra = [c for c in df.columns if c in ("__s", "__q", "__n")]
     if extra:
         raise ValueError(f"_take_per_stratum: reserved columns in input: {extra}")
+    # materialize the quota table ONCE (it is |strata| rows): the
+    # shortfall probe and the final plan both join it, and without this
+    # each would re-run the corpus count aggregate that produced it
+    quota_df = quota_df.localCheckpoint(eager=True)
     # cut fraction as a column over the joined (quota, size) pair —
     # identical formula to the old driver arithmetic; the cut is a
     # performance heuristic (the shortfall fallback restores exactness),
