@@ -543,6 +543,7 @@ class Engine:
 
     def build_vector_index(self, cube: str, name: str, vec_col: str,
                            kind: str = "ivf", id_col: str = "_oid",
+                           auto_refresh: bool = False,
                            **params) -> None:
         """Build (or rebuild) a persisted ANN index over a cube's vector
         column — CURRENT versions only (an embedding index over history
@@ -550,6 +551,14 @@ class Engine:
         to the family writer (nlist/m/k/iters/...). The ``_ann.json``
         marker is written LAST with the cube generation the build read,
         making the build crash-safe and the staleness check possible.
+
+        ``auto_refresh=True`` closes the staleness loop: every commit on
+        the cube (upsert / insert / compact) runs
+        ``refresh_vector_index`` on this index as its last step, so
+        searches never hit the stale-generation error — the commit pays
+        the O(delta) refresh instead. Off by default: bulk-loading N
+        batches should not refresh N times (refresh once after, or
+        rebuild).
 
         NOTE: vector columns must be ingested with
         ``stamp(sort_arrays=False)`` — the default container
@@ -616,7 +625,8 @@ class Engine:
                                      vec_col=vec_col, fs=self.fs)
             self.fs.write_text(amarker, json.dumps(
                 {"kind": kind, "gen": gen, "vec_col": vec_col,
-                 "id_col": id_col, "params": params}))
+                 "id_col": id_col, "params": params,
+                 "auto": bool(auto_refresh)}))
 
     def vector_index_list(self, cube: str) -> dict[str, dict]:
         """Committed ANN indexes on the cube: name → its ``_ann.json``
@@ -1565,6 +1575,9 @@ class Engine:
                                 schema=meta.get("schema"))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
+            # content is identical post-compact: the auto-refresh diff
+            # is empty and this only bumps auto indexes' marker gens
+            self._auto_refresh_indexes(cube)
             return len({d for d in live
                         if d.startswith("_current=false")} - dirs)
         token, _ = self._write_closed_batch(closed, path, buckets=buckets)
@@ -1718,6 +1731,7 @@ class Engine:
                                     obj.schema, buckets, timepart))
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
+            self._auto_refresh_indexes(cube)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
                stamped: bool = False, evolve: bool = True,
@@ -1736,6 +1750,17 @@ class Engine:
         path = self._path(cube)
         with self._write_lock(cube):
             self._upsert_locked(cube, path, incoming, autosnap, evolve)
+            self._auto_refresh_indexes(cube)
+
+    def _auto_refresh_indexes(self, cube: str) -> None:
+        """Commit epilogue for indexes built with ``auto_refresh=True``:
+        bring every such stale index to the generation this commit just
+        published (runs under the already-held writer lease — the lock
+        is reentrant). O(delta) per index; cubes without auto indexes
+        pay one sidecar listing."""
+        for name, m in self.vector_index_list(cube).items():
+            if m.get("auto") and m.get("stale"):
+                self.refresh_vector_index(cube, name)
 
     def _upsert_locked(self, cube, path, incoming, autosnap, evolve=True):
         if autosnap is None:

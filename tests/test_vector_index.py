@@ -318,3 +318,33 @@ def test_refresh_sq8_flat_layout(spark, tmp_path):
     q = spark.createDataFrame(
         [(0, [0.1] * 64)], "_oid long, embedding array<double>")
     assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+
+
+def test_auto_refresh_closes_staleness_loop(spark, tmp_path):
+    """An index built with auto_refresh=True never goes stale: every
+    commit's epilogue refreshes it, so a search right after an upsert
+    works without a manual refresh; a plain index on the same cube still
+    fails loud (the default stays opt-in)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "auto", vec_col="embedding",
+                           kind="ivf", nlist=4, auto_refresh=True)
+    eng.build_vector_index("vecs", "manual", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(1, [0.5] * 64, 0),
+                                      (99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+    ix = eng.vector_index_list("vecs")
+    assert not ix["auto"]["stale"] and ix["manual"]["stale"]
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "auto", q, k=3).count() == 3
+    with pytest.raises(ValueError, match="generation"):
+        eng.vector_search("vecs", "manual", q, k=3)
+    # the refreshed content tracks the live corpus exactly
+    stored = {(r["_oid"], tuple(r["v"])) for r in spark.read.parquet(
+        eng._ann_path("vecs", "auto") + "/vectors")
+        .selectExpr("_oid", "v").collect()}
+    live = {(r["_oid"], tuple(r["embedding"])) for r in
+            eng.find("vecs", fields="embedding").collect()}
+    assert stored == live
