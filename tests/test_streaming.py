@@ -1220,3 +1220,81 @@ def test_transitions_and_paths_sinks_on_backends(spark, tmp_path, backend):
     paths = {r["path"]: r["n_users"]
              for r in spark.read.parquet(str(tmp_path / "po")).collect()}
     assert paths == {"A>B": 1}
+
+
+def test_streaming_ingest_keeps_auto_index_fresh(spark, tmp_path):
+    """readStream → foreachBatch → temporal upsert on a cube whose ANN
+    index was built with auto_refresh=True: every micro-batch's commit
+    epilogue refreshes the index, so continuous vector ingest stays
+    searchable with no manual refresh or rebuild between batches — the
+    closed loop a live embedding store actually needs."""
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+
+    import hashlib
+
+    def vecs(ids, shift):
+        # md5-scrambled components (ramp-like formulas make shifted
+        # vectors near-collinear — ties at 1.0 after sim rounding):
+        # cosine(a, b) for a != b stays well below 1.0, so the
+        # exact-match probe below is unambiguous
+        def comp(i, j):
+            h = hashlib.md5(f"{i}/{j}/{shift}".encode()).hexdigest()
+            return int(h[:6], 16) % 1000 / 1000.0
+
+        rows = [(i, [comp(i, j) for j in range(8)]) for i in ids]
+        return spark.createDataFrame(
+            rows, "oid long, embedding array<double>")
+
+    eng.upsert("v", stamp(vecs(range(50), 0), oid="oid",
+                          start=F.to_timestamp(F.lit("2014-01-01")),
+                          sort_arrays=False), stamped=True)
+    eng.build_vector_index("v", "ix", vec_col="embedding", kind="ivf",
+                           nlist=4, auto_refresh=True)
+
+    import os
+    import shutil
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    # two FLAT files -> two micro-batches (maxFilesPerTrigger=1; the
+    # file source does not recurse into nested write dirs):
+    # 20 brand-new ids, then 5 CHANGED ids (shifted vectors)
+    for i, df in enumerate([vecs(range(100, 120), 1),
+                            vecs(range(0, 5), 3)]):
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in os.listdir(stage)
+                    if p.endswith(".parquet"))
+        shutil.copy(stage / part, src / f"b{i}.parquet")
+    stream = (spark.readStream.schema("oid long, embedding array<double>")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        eng.upsert("v", stamp(batch_df, oid="oid",
+                              start=F.to_timestamp(F.lit("2014-02-01")),
+                              sort_arrays=False), stamped=True)
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    assert not eng.vector_index_list("v")["ix"]["stale"]
+    stored = {(r["_oid"], tuple(r["v"])) for r in spark.read.parquet(
+        eng._ann_path("v", "ix") + "/vectors")
+        .selectExpr("_oid", "v").collect()}
+    live = {(r["_oid"], tuple(r["embedding"])) for r in
+            eng.find("v", fields="embedding").collect()}
+    assert stored == live and len(stored) == 70
+    # a query AT a streamed id's exact vector finds it as top neighbor
+    target = vecs([110], 1).collect()[0]["embedding"]
+    q1 = spark.createDataFrame([(-1, target)],
+                               "_oid long, embedding array<double>")
+    top = (eng.vector_search("v", "ix", q1, k=1, nprobe=4)
+           .collect()[0])
+    assert top["neighbor_id"] == 110 and top["sim"] == 1.0
