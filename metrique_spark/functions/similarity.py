@@ -813,19 +813,25 @@ def remove_from_pq_index(
     fs=None,
 ) -> None:
     """Physically remove ids from a stored PQ / SQ8 / IVF-PQ index at
-    partition granularity (``__abatch`` for the flat families,
+    partition granularity (``(__gbucket, __abatch)`` for the flat
+    families — the id-hash bucketing bounds a removal to ~1/gbuckets of
+    each hit batch; plain ``__abatch`` on pre-bucketing layouts;
     ``(cluster, __abatch)`` for IVF-PQ): only partitions containing a
-    removed id are rewritten; partitions left empty are deleted (and an
-    IVF-PQ cluster directory emptied of batches goes with them). Codes
-    are copied, never re-encoded — the rewrite cost is the slim code
+    removed id are rewritten; partitions left empty are deleted (and a
+    parent directory emptied of batches goes with them). Codes are
+    copied, never re-encoded — the rewrite cost is the slim code
     payload of the hit partitions. Same removal-by-rewrite rationale as
     ``remove_from_ivf_index``; the affected-partition collects are
-    bounded by clusters × append batches."""
+    bounded by (clusters|gbuckets) × append batches."""
     fs = _default_fs(fs)
     codes, meta = read_pq_index(spark, path, fs=fs)
     id_col = meta["id_col"]
-    part_cols = (["cluster", "__abatch"]
-                 if meta.get("kind") == "ivfpq" else ["__abatch"])
+    if meta.get("kind") == "ivfpq":
+        part_cols = ["cluster", "__abatch"]
+    elif meta.get("gbuckets"):
+        part_cols = ["__gbucket", "__abatch"]
+    else:
+        part_cols = ["__abatch"]
     rid = ids.select(F.col(ids.columns[0]).alias("__rid")).distinct()
     hit = (codes.join(rid, codes[id_col] == F.col("__rid"), "left_semi")
            .select(*part_cols).distinct())
@@ -849,11 +855,12 @@ def remove_from_pq_index(
                     *[f"{c}={v}" for c, v in zip(part_cols, t)])
         if fs.isdir(d):
             fs.delete_dir(d)
-    if part_cols[0] == "cluster":
-        # drop cluster dirs emptied of every batch (a file-less dir is
-        # harmless to the reader but lies to anyone listing the layout)
+    if len(part_cols) == 2:
+        # drop parent dirs (cluster=X / __gbucket=X) emptied of every
+        # batch (a file-less dir is harmless to the reader but lies to
+        # anyone listing the layout)
         for c in {t[0] for t in affected}:
-            cd = fs.join(path, "codes", f"cluster={c}")
+            cd = fs.join(path, "codes", f"{part_cols[0]}={c}")
             if fs.isdir(cd) and not fs.listdir(cd):
                 fs.delete_dir(cd)
 
@@ -1705,6 +1712,16 @@ def _vh(vec_col: str) -> Column:
     return F.xxhash64(_as_double(vec_col))
 
 
+def _gbucket(id_col: str, gbuckets: int) -> Column:
+    """Removal-granularity partition key for the FLAT code layouts
+    (pq/sq8): an id-hash bucket sub-partitioning each ``__abatch``
+    directory, so removing ids rewrites only the hit buckets instead of
+    the whole base partition (IVF-PQ already gets this from its cluster
+    partitioning). Hash on the stringified id for type stability."""
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                  F.lit(gbuckets)).cast("int")
+
+
 def _abatch_token(df: DataFrame, id_col: str) -> str:
     """Order-insensitive content token for an append batch (count + sum
     of per-id hashes — constant memory per task, same scheme as the
@@ -1726,6 +1743,7 @@ def write_pq_index(
     vec_col: str = "embedding",
     fs=None,
     content_hash: bool = True,
+    gbuckets: int = 16,
 ) -> list:
     """Train PQ codebooks on ``df`` and persist the index: codes to
     ``path/codes`` (parquet), codebooks + params to the ``_pq.json``
@@ -1737,7 +1755,10 @@ def write_pq_index(
     (``__vh``, see ``_vh``) alongside the codes, enabling
     retention-free incremental refresh; search paths ignore the
     column. Off reproduces the pre-fingerprint layout (refresh then
-    needs a retained generation to diff against)."""
+    needs a retained generation to diff against). ``gbuckets``
+    sub-partitions each batch directory by id hash (see ``_gbucket``)
+    so removals rewrite only hit buckets — ~1/gbuckets of the codes
+    per removed-id bucket instead of the whole base partition."""
     import json
 
     fs = _default_fs(fs)
@@ -1748,13 +1769,14 @@ def write_pq_index(
     if content_hash:
         codes = codes.join(
             df.select(F.col(id_col), _vh(vec_col).alias("__vh")), id_col)
-    (codes.withColumn("__abatch", F.lit("base"))
-     .write.partitionBy("__abatch").mode("overwrite")
+    (codes.withColumn("__gbucket", _gbucket(id_col, gbuckets))
+     .withColumn("__abatch", F.lit("base"))
+     .write.partitionBy("__gbucket", "__abatch").mode("overwrite")
      .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "pq", "m": m, "k": k,
             "iters": iters, "id_col": id_col,
             "sub_len": len(books[0][0]), "books": books,
-            "vh": bool(content_hash)}
+            "vh": bool(content_hash), "gbuckets": gbuckets}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
     return books
 
@@ -1843,6 +1865,11 @@ def append_to_pq_index(
             F.col("__vid").alias(id_col), "cluster")
         out = out.join(assigned, id_col)
         part_cols = ["cluster", "__abatch"]
+    elif meta.get("gbuckets"):
+        # match the stored flat layout's removal-granularity bucketing
+        out = out.withColumn("__gbucket",
+                             _gbucket(id_col, meta["gbuckets"]))
+        part_cols = ["__gbucket", "__abatch"]
     (out.write.partitionBy(*part_cols).mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .parquet(path + "/codes"))
@@ -2060,6 +2087,7 @@ def write_sq8_index(
     vec_col: str = "embedding",
     fs=None,
     content_hash: bool = True,
+    gbuckets: int = 16,
 ) -> list:
     """Persist an SQ8 index: codes to ``path/codes`` (8x smaller scan
     payload than the float corpus), per-dim params to the ``_pq.json``
@@ -2075,12 +2103,13 @@ def write_sq8_index(
     if content_hash:
         codes = codes.join(
             df.select(F.col(id_col), _vh(vec_col).alias("__vh")), id_col)
-    (codes.withColumn("__abatch", F.lit("base"))
-     .write.partitionBy("__abatch").mode("overwrite")
+    (codes.withColumn("__gbucket", _gbucket(id_col, gbuckets))
+     .withColumn("__abatch", F.lit("base"))
+     .write.partitionBy("__gbucket", "__abatch").mode("overwrite")
      .parquet(path + "/codes"))
     meta = {"format": _PQ_FORMAT, "kind": "sq8", "id_col": id_col,
             "params": [[mn, mx] for mn, mx in params],
-            "vh": bool(content_hash)}
+            "vh": bool(content_hash), "gbuckets": gbuckets}
     fs.write_text(fs.join(path, _PQ_SIDECAR), json.dumps(meta))
     return params
 

@@ -781,3 +781,54 @@ def test_ivfsq8_full_probe_equals_sq8_and_partial_is_subset(spark):
     for r in part:
         counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
     assert all(v <= 3 for v in counts.values())
+
+
+def test_flat_removal_rewrites_only_hit_buckets(spark, tmp_path):
+    """The flat layouts sub-partition each batch dir by id hash
+    (__gbucket), so removing ids rewrites ~1/gbuckets of the codes:
+    bucket directories the removed ids never touched keep their exact
+    files (names + mtimes), and search results equal a fresh encode of
+    the surviving corpus."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sq8g")
+    sim.write_sq8_index(df, path, gbuckets=8)
+
+    def snapshot():
+        out = {}
+        for root, _, files in os.walk(path + "/codes"):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+    rid = spark.createDataFrame([(7,), (55,)], "vec_id long")
+    sim.remove_from_pq_index(spark, path, rid)
+    after = snapshot()
+    codes, meta = sim.read_pq_index(spark, path)
+    assert meta["gbuckets"] == 8
+    assert codes.count() == 118
+    assert codes.where("vec_id in (7, 55)").count() == 0
+    # files in buckets the removed ids never touched are byte-untouched
+    hit = {r["__gbucket"] for r in spark.createDataFrame(
+        [(7,), (55,)], "vec_id long")
+        .select(sim._gbucket("vec_id", 8).alias("__gbucket")).collect()}
+    untouched_before = {p: t for p, t in before.items()
+                        if not any(f"__gbucket={b}/" in p for b in hit)}
+    assert untouched_before  # the pin is vacuous if every bucket was hit
+    assert all(after.get(p) == t for p, t in untouched_before.items())
+    # search over the pruned index equals a fresh encode of the survivors
+    q = df.where("vec_id < 3")
+    got = sorted(map(tuple, sim.sq8_topk_indexed(
+        spark, path, q, k=3).collect()))
+    params = [(p[0], p[1]) for p in meta["params"]]
+    want = sorted(map(tuple, sim.sq8_topk(
+        df.where("vec_id not in (7, 55)"), q, params, k=3).collect()))
+    assert got == want
