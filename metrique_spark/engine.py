@@ -969,9 +969,19 @@ class Engine:
         ``vacuum`` does it on demand (e.g. after a failed bulk import
         on a rarely-written cube) without advancing the generation.
         Runs under the writer lease; no-op on legacy cubes (their
-        listing IS the data)."""
+        listing IS the data). Also sweeps UNCOMMITTED vector-index
+        directories — a ``_ann_*`` dir without its ``_ann.json`` marker
+        is a crashed build/refresh (the marker is written last), dead
+        weight no search can ever use."""
         with self._write_lock(cube):
             path = self._path(cube)
+            if self.fs.isdir(path):
+                for d in self.fs.listdir(path):
+                    if (d.startswith("_ann_")
+                            and self.fs.isdir(self.fs.join(path, d))
+                            and not self.fs.isfile(
+                                self.fs.join(path, d, "_ann.json"))):
+                        self.fs.delete_dir(self.fs.join(path, d))
             meta = self._manifest(path)
             if meta is None:
                 state, _, _ = self._cube_state(path)

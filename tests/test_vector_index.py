@@ -348,3 +348,59 @@ def test_auto_refresh_closes_staleness_loop(spark, tmp_path):
     live = {(r["_oid"], tuple(r["embedding"])) for r in
             eng.find("vecs", fields="embedding").collect()}
     assert stored == live
+
+
+def test_refresh_on_object_store_backend(spark, tmp_path):
+    """The refresh protocol's control-plane ops (marker delete/rewrite,
+    sidecar read, emptied-partition deletes) all go through the
+    FileSystem interface — pin the whole upsert → refresh → search loop
+    on the rename-free ObjectStoreFS backend too."""
+    from metrique_spark.fs import ObjectStoreFS
+
+    eng = Engine(spark, warehouse=str(tmp_path / "objwh"),
+                 fs=ObjectStoreFS(), lock_ttl=3600)
+    _emb_cube(spark, eng, cube="vo")
+    eng.build_vector_index("vo", "sx", vec_col="embedding", kind="sq8")
+    eng.upsert("vo", _vrows(spark, [(1, [0.5] * 64, 0),
+                                    (99_999, [0.25] * 64, 1)],
+                            "2014-02-01"), stamped=True)
+    res = eng.refresh_vector_index("vo", "sx")
+    assert res["appended"] == 2 and res["removed"] == 1
+    assert not eng.vector_index_list("vo")["sx"]["stale"]
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vo", "sx", q, k=3).count() == 3
+
+
+def test_vacuum_sweeps_crashed_index_build(spark, tmp_path, monkeypatch):
+    """A build that crashes before its marker write leaves an
+    uncommitted _ann_* directory — dead weight no search can use.
+    vacuum() sweeps it; committed indexes survive the same sweep."""
+    from metrique_spark.functions import similarity as sim_mod
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "keep", vec_col="embedding",
+                           kind="ivf", nlist=4)
+
+    real = sim_mod.write_sq8_index
+
+    def crash(*a, **kw):
+        real(*a, **kw)
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(sim_mod, "write_sq8_index", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.build_vector_index("vecs", "dead", vec_col="embedding",
+                               kind="sq8")
+    monkeypatch.undo()
+    path = eng._path("vecs")
+    assert eng.fs.isdir(eng.fs.join(path, "_ann_dead"))
+    assert "dead" not in eng.vector_index_list("vecs")  # uncommitted
+    eng.vacuum("vecs")
+    assert not eng.fs.isdir(eng.fs.join(path, "_ann_dead"))
+    # the committed index is untouched and still searches
+    assert "keep" in eng.vector_index_list("vecs")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "keep", q, k=3).count() == 3
