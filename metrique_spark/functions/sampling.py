@@ -482,8 +482,14 @@ def _take_per_stratum(
                .where(F.coalesce(F.col("__got"), F.lit(0)) < F.col("__q"))
                .select("__s", "__q", "__n"))
     if short_q.limit(1).count() > 0:
+        # anti-join on (stratum, key), not key alone: the exclusion must
+        # only drop rows ALREADY in pre for the SAME stratum — a key value
+        # shared across strata must not let stratum A's pre-cut row evict
+        # short stratum B's fallback row (the quota would silently
+        # undershoot for non-globally-unique keys)
         fallback = (df.join(short_q, stratum == F.col("__s"))
-                    .join(pre.select(key_col), [key_col], "anti"))
+                    .join(pre.select(stratum_col, key_col),
+                          [stratum_col, key_col], "anti"))
         pre = pre.unionByName(fallback)
     # only the quota column rides into the ranking (``__s``/``__n`` would
     # collide with the ranker's internal count-table aliases)

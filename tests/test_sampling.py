@@ -526,3 +526,21 @@ def test_epoch_mix_null_key_gets_whole_copies(spark):
     assert (None, "other", 1) in nulls          # pass-through at 1 copy
     assert [g for g in nulls if g[1] == "src"] == [
         (None, "src", 1), (None, "src", 2)]     # floor(2.5), no extra
+
+
+def test_take_per_stratum_shared_keys_across_strata_exact(spark):
+    # a key value appearing in MORE THAN ONE stratum must not let one
+    # stratum's pre-cut row evict another (short) stratum's fallback row:
+    # the shortfall anti-join is scoped to (stratum, key). Stratum "a" is
+    # honest (quota == n, cut >= 1, all rows in the pre-cut); stratum "b"
+    # shares the SAME key values but lies about its size in the quota
+    # table (__n huge -> tiny cut fraction -> pre-cut undershoots ->
+    # fallback). A key-only anti-join would drop b's fallback rows
+    # because a's rows carry the same keys.
+    rows = [(f"k{i}", s) for i in range(10) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    quota_df = spark.createDataFrame(
+        [("a", 10, 10), ("b", 8, 10_000)], "__s string, __q long, __n long")
+    out = sampling._take_per_stratum(df, "lang", "doc_id", quota_df)
+    by = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert by == {"a": 10, "b": 8}
