@@ -373,11 +373,13 @@ class Engine:
         recorded type: old files still hold the old physical values, so
         a manifest schema naming the same column at a different type
         would make them unreadable roulette. Same-type re-add is an
-        undrop for UNREWRITTEN files — pre-drop values resurface in
-        closed history rows, whose bytes never moved; open rows read
-        null because every snapshot commit rewrites the open set under
-        the then-current schema (the documented no-rewrite trade of
-        ``drop_column``)."""
+        undrop for UNREWRITTEN files — pre-drop values resurface in any
+        file whose bytes never moved: closed history rows always, and
+        open rows in oid-bucket directories no later snapshot batch
+        happened to hit (the bucket-granular merge only rewrites hit
+        buckets); open rows in rewritten buckets read null, because the
+        rewrite landed under the post-drop schema (the documented
+        no-rewrite trade of ``drop_column``)."""
         reg = self._dropped_registry(path)
         if not reg:
             return
@@ -445,6 +447,20 @@ class Engine:
                 raise ValueError(
                     f"cube {cube!r} has no column {col!r} "
                     f"(schema: {[f.name for f in sch.fields]})")
+            # a committed ANN index is a derived structure OVER a vector
+            # / id column: dropping that column would strand the index
+            # (a later refresh reads a column that no longer exists and
+            # dies with an AnalysisException deep in the plan) — refuse
+            # with the dependency named instead
+            for iname, im in self.vector_index_list(cube).items():
+                if col in (im.get("vec_col"), im.get("id_col")):
+                    raise ValueError(
+                        f"cannot drop {col!r}: committed vector index "
+                        f"{iname!r} depends on it "
+                        f"(vec_col={im.get('vec_col')!r}, "
+                        f"id_col={im.get('id_col')!r}) — drop the index "
+                        "first (delete its _ann_* directory or rebuild "
+                        "it over another column)")
             newsch = StructType(
                 [f for f in sch.fields if f.name != col]).jsonValue()
             # registry BEFORE the flip: a crash in between leaves an
@@ -463,7 +479,12 @@ class Engine:
                 path, raw, gen, dirs, hist,
                 stats=self._merged_stats(meta, None, dirs, hist),
                 schema=newsch)
-            # dirs unchanged — nothing to sweep
+            # dirs unchanged — nothing to sweep. The generation DID
+            # advance, so auto-refresh indexes like every other commit:
+            # content is identical (the dropped column can't be an index
+            # column — guarded above), the diff is empty, and this only
+            # bumps the markers' generation so searches keep working
+            self._auto_refresh_indexes(cube)
 
     def drop(self, cube: str) -> None:
         """Drop a cube (reference ``sqlalchemy.py:723-747``)."""
@@ -540,6 +561,18 @@ class Engine:
 
     def _ann_meta_path(self, cube: str, name: str) -> str:
         return self.fs.join(self._ann_path(cube, name), "_ann.json")
+
+    def _ann_intent_path(self, cube: str, name: str) -> str:
+        """In-flight-mutation intent marker (``_refresh.json``): written
+        BEFORE a refresh/compaction mutates a committed index and deleted
+        only after the mutation fully lands. Its presence means the
+        index data may be mid-mutation — searches refuse it (except the
+        completed-refresh tail, see ``vector_search``), vacuum leaves
+        the directory alone (the committed marker is still there), and
+        the next ``refresh_vector_index`` CONVERGES the content (the
+        diff-against-index-content refresh is self-healing), so a crash
+        costs a re-run, never a rebuild."""
+        return self.fs.join(self._ann_path(cube, name), "_refresh.json")
 
     def build_vector_index(self, cube: str, name: str, vec_col: str,
                            kind: str = "ivf", id_col: str = "_oid",
@@ -623,10 +656,38 @@ class Engine:
             else:
                 _sim.write_sq8_index(df, apath, id_col=id_col,
                                      vec_col=vec_col, fs=self.fs)
+            # build-time drift baseline: the same distribution-fit
+            # statistic refresh will compute over appended deltas (see
+            # similarity.drift_stat) recorded against the corpus the
+            # model was TRAINED on — one extra map-only pass at build
+            # (sq8's clip fraction is 0 by construction: the params ARE
+            # the corpus extrema, so no job at all)
+            if kind == "sq8":
+                dmetric, dval = "clip_frac", 0.0
+            elif kind == "ivf":
+                cent_rows = sorted(
+                    (r["centroid_id"], list(r["cvec"])) for r in
+                    self.spark.read.parquet(apath + "/centroids")
+                    .collect())
+                dmetric, dval = _sim.drift_stat(df, "ivf", vec_col,
+                                                centroids=cent_rows)
+            else:
+                pmeta = json.loads(
+                    self.fs.read_text(self.fs.join(apath, "_pq.json")))
+                if kind == "ivfpq":
+                    dmetric, dval = _sim.drift_stat(
+                        df, "ivfpq", vec_col,
+                        centroids=[(c[0], list(c[1]))
+                                   for c in pmeta["centroids"]],
+                        decimals=pmeta.get("sim_decimals", 6))
+                else:
+                    dmetric, dval = _sim.drift_stat(df, "pq", vec_col,
+                                                    books=pmeta["books"])
             self.fs.write_text(amarker, json.dumps(
                 {"kind": kind, "gen": gen, "vec_col": vec_col,
                  "id_col": id_col, "params": params,
-                 "auto": bool(auto_refresh)}))
+                 "auto": bool(auto_refresh),
+                 "drift_base": {"metric": dmetric, "value": dval}}))
 
     def vector_index_list(self, cube: str) -> dict[str, dict]:
         """Committed ANN indexes on the cube: name → its ``_ann.json``
@@ -647,6 +708,10 @@ class Engine:
                 continue  # crashed build — uncommitted
             m = json.loads(self.fs.read_text(marker))
             m["stale"] = (m.get("gen") != live)
+            if self.fs.isfile(self.fs.join(path, d, "_refresh.json")):
+                # a mutation is in flight or crashed mid-way; the next
+                # refresh converges it (see _ann_intent_path)
+                m["refreshing"] = True
             out[d[len("_ann_"):]] = m
         return out
 
@@ -671,6 +736,24 @@ class Engine:
         m = json.loads(self.fs.read_text(marker))
         meta = self._manifest(self._path(cube))
         live = meta["gen"] if meta else None
+        ipath = self._ann_intent_path(cube, name)
+        if self.fs.isfile(ipath):
+            intent = json.loads(self.fs.read_text(ipath))
+            done = (intent.get("op") == "refresh"
+                    and m.get("gen") == intent.get("target_gen"))
+            if not done:
+                # a refresh/compaction is in flight (or crashed) and the
+                # index data may be mid-mutation — torn, not merely
+                # stale, so allow_stale does NOT apply: a half-removed /
+                # half-appended corpus has no consistent interpretation
+                raise ValueError(
+                    f"vector index {name!r} on cube {cube!r} has a "
+                    f"{intent.get('op', 'mutation')} in flight or "
+                    "crashed mid-way — wait for the writer, or run "
+                    "refresh_vector_index to converge the index "
+                    "(the content diff is self-healing)")
+            # completed-refresh tail: the marker generation bump landed,
+            # only the intent cleanup was lost — content is consistent
         if m.get("gen") != live and not allow_stale:
             raise ValueError(
                 f"vector index {name!r} on cube {cube!r} was built at "
@@ -698,7 +781,8 @@ class Engine:
         return _sim.sq8_topk_indexed(self.spark, apath, queries, k=k,
                                      vec_col=m["vec_col"], fs=self.fs)
 
-    def refresh_vector_index(self, cube: str, name: str) -> dict:
+    def refresh_vector_index(self, cube: str, name: str,
+                             drift_tol: float | None = None) -> dict:
         """Incrementally bring a committed ANN index up to the LIVE
         generation without re-training or re-encoding the corpus: diff
         the live current rows against the INDEX'S OWN CONTENT (raw
@@ -727,11 +811,18 @@ class Engine:
         keep the probe path untouched (and exactly equal to a fresh
         build's, so search parity is structural, not probabilistic).
 
-        Crash-safety matches the build: the marker is deleted first and
-        rewritten LAST, so a crash mid-refresh leaves the index
-        uncommitted (searches fail loud) rather than silently
-        half-refreshed. Returns
-        ``{"appended": n, "removed": n, "gen": live}``."""
+        Crash-safety WITHOUT a read-unavailability window: the committed
+        ``_ann.json`` marker stays in place throughout; an intent file
+        (``_refresh.json``, see ``_ann_intent_path``) is written before
+        the first mutation and deleted after the marker's generation
+        bump lands. A crash mid-refresh leaves marker+intent: searches
+        fail loud with the stale/in-flight error (never a silent
+        half-refreshed answer), vacuum leaves the directory alone (the
+        marker is present), and the next refresh CONVERGES the content —
+        the diff-against-index-content design is self-healing, so the
+        crash costs a re-run, never the full rebuild the old
+        delete-marker-first protocol forced. Returns
+        ``{"appended": n, "removed": n, "gen": live, "drift": {...}}``."""
         import json
 
         from metrique_spark.functions import similarity as _sim
@@ -747,8 +838,15 @@ class Engine:
             path = self._path(cube)
             meta = self._manifest(path)
             live = meta["gen"] if meta else None
-            if m.get("gen") == live:
+            ipath = self._ann_intent_path(cube, name)
+            intent_left = self.fs.isfile(ipath)
+            if m.get("gen") == live and not intent_left:
                 return {"appended": 0, "removed": 0, "gen": live}
+            # intent present with gen already live: a crashed mutation
+            # tail (refresh that died before intent cleanup — content
+            # consistent — or a compaction that died mid-rewrite —
+            # duplicate ids possible). Run the full diff anyway: it
+            # converges either state and the intent is cleaned at the end.
             id_col, vec_col = m["id_col"], m["vec_col"]
 
             def _cur(df: DataFrame) -> DataFrame:
@@ -766,6 +864,7 @@ class Engine:
             # id converges back to exactly the live row). Only a legacy
             # fingerprint-less PQ index falls back to time-traveling the
             # cube to the indexed generation.
+            pmeta = None
             if m["kind"] == "ivf":
                 idx = (self.spark.read.parquet(apath0 + "/vectors")
                        .select(F.col(id_col).alias("__iid"),
@@ -813,7 +912,13 @@ class Engine:
             sup = sup.localCheckpoint(eager=True)
             n_add, n_del = changed.count(), sup.count()
             apath = apath0
-            self.fs.delete(marker)  # uncommitted until rewritten below
+            if n_add or n_del:
+                # intent BEFORE the first mutation: the committed marker
+                # stays in place (no read-unavailability window, nothing
+                # for vacuum to sweep); the intent flags the data as
+                # possibly mid-mutation until deleted below
+                self.fs.write_text(ipath, json.dumps(
+                    {"op": "refresh", "target_gen": live}))
             if n_del:
                 if m["kind"] == "ivf":
                     _sim.remove_from_ivf_index(self.spark, apath, sup,
@@ -829,9 +934,104 @@ class Engine:
                 else:
                     _sim.append_to_pq_index(changed, apath,
                                             vec_col=vec_col, fs=self.fs)
+            # drift signal over the APPENDED delta (frozen-model refresh
+            # never retrains — recall decays silently as the
+            # distribution shifts, so measure it): compare the same
+            # statistic the build recorded as its baseline, flag
+            # rebuild_recommended when the delta falls outside tolerance
+            # (higher-is-better centroid_sim: absolute drop > tol,
+            # default 0.15; pq_err: relative growth > tol, default 1.0 =
+            # doubling; clip_frac: absolute fraction > tol, default
+            # 0.05). Cost: one map-only pass over the delta.
+            drift = None
+            base = (m.get("drift_base") or {}).get("value")
+            if n_add and base is not None:
+                if m["kind"] == "ivf":
+                    cents = sorted(
+                        (r["centroid_id"], list(r["cvec"])) for r in
+                        self.spark.read.parquet(apath0 + "/centroids")
+                        .collect())
+                    dm, dv = _sim.drift_stat(changed, "ivf", vec_col,
+                                             centroids=cents)
+                elif m["kind"] == "ivfpq":
+                    dm, dv = _sim.drift_stat(
+                        changed, "ivfpq", vec_col,
+                        centroids=[(c[0], list(c[1]))
+                                   for c in pmeta["centroids"]],
+                        decimals=pmeta.get("sim_decimals", 6))
+                elif m["kind"] == "sq8":
+                    dm, dv = _sim.drift_stat(
+                        changed, "sq8", vec_col,
+                        params=[(p[0], p[1]) for p in pmeta["params"]])
+                else:
+                    dm, dv = _sim.drift_stat(changed, "pq", vec_col,
+                                             books=pmeta["books"])
+                if dm == "centroid_sim":
+                    tol = 0.15 if drift_tol is None else drift_tol
+                    rec = dv is not None and dv < base - tol
+                elif dm == "pq_err":
+                    tol = 1.0 if drift_tol is None else drift_tol
+                    rec = (dv is not None
+                           and dv > max(base, 1e-12) * (1.0 + tol))
+                else:
+                    tol = 0.05 if drift_tol is None else drift_tol
+                    rec = dv is not None and dv > tol
+                drift = {"metric": dm, "baseline": base, "appended": dv,
+                         "tolerance": tol,
+                         "rebuild_recommended": bool(rec)}
+                m["drift_last"] = drift  # surfaced by vector_index_list
             m["gen"] = live
             self.fs.write_text(marker, json.dumps(m))
-            return {"appended": n_add, "removed": n_del, "gen": live}
+            if intent_left or n_add or n_del:
+                self.fs.delete(ipath)  # commit tail: mutation fully landed
+            out = {"appended": n_add, "removed": n_del, "gen": live}
+            if drift is not None:
+                out["drift"] = drift
+            return out
+
+    def compact_vector_index(self, cube: str, name: str) -> int:
+        """Consolidate a committed ANN index's append-accumulated
+        layout: every ``refresh_vector_index``/append lands one
+        content-token-keyed ``__abatch`` partition per hit
+        bucket/cluster (extra files per bucket for IVF) — an index
+        refreshed nightly for a year carries hundreds of sub-directories
+        whose listing cost and tiny-file reads degrade every probe.
+        Rewrites each bucket/cluster to one consolidated batch (codes
+        copied, never re-encoded; duplicate ids collapsed) and deletes
+        the obsolete directories. Physical-only: search results are
+        identical before and after, and the marker generation is
+        untouched (a stale index stays stale).
+
+        Runs under the writer lease and the same ``_refresh.json``
+        intent protocol as refresh: searches refuse the index while the
+        rewrite is in flight, vacuum leaves it alone, and a crash
+        mid-compaction is converged by the next refresh (duplicate ids
+        are removed wholesale and re-appended once) or by re-running
+        the compaction. Returns the number of batch directories (files
+        for IVF) removed."""
+        import json
+
+        from metrique_spark.functions import similarity as _sim
+
+        with self._write_lock(cube):
+            marker = self._ann_meta_path(cube, name)
+            if not self.fs.isfile(marker):
+                raise ValueError(
+                    f"cube {cube!r} has no committed vector index "
+                    f"{name!r} (build_vector_index, or a crashed "
+                    "build — rebuild)")
+            m = json.loads(self.fs.read_text(marker))
+            apath = self._ann_path(cube, name)
+            ipath = self._ann_intent_path(cube, name)
+            self.fs.write_text(ipath, json.dumps({"op": "compact"}))
+            if m["kind"] == "ivf":
+                removed = _sim.compact_ivf_index(
+                    self.spark, apath, id_col=m["id_col"], fs=self.fs)
+            else:
+                removed = _sim.compact_pq_index(self.spark, apath,
+                                                fs=self.fs)
+            self.fs.delete(ipath)
+            return removed
 
     # -- writes -------------------------------------------------------------
 
@@ -971,8 +1171,12 @@ class Engine:
         Runs under the writer lease; no-op on legacy cubes (their
         listing IS the data). Also sweeps UNCOMMITTED vector-index
         directories — a ``_ann_*`` dir without its ``_ann.json`` marker
-        is a crashed build/refresh (the marker is written last), dead
-        weight no search can ever use."""
+        is a crashed BUILD (the build writes its marker last), dead
+        weight no search can ever use. A crashed REFRESH/compaction is
+        NOT swept: its committed marker is still present (plus a
+        ``_refresh.json`` intent) and the next refresh converges the
+        content — sweeping it would turn a recoverable crash into a
+        forced full rebuild."""
         with self._write_lock(cube):
             path = self._path(cube)
             if self.fs.isdir(path):
@@ -1795,7 +1999,49 @@ class Engine:
         table, incoming, cols = self._align_incoming(table, incoming, evolve)
         msch = self._manifest_schema(incoming.schema, buckets, timepart)
         if autosnap:
-            open_rows = table.where(F.col("_current")).select(*cols)
+            hit_open: set[str] | None = None
+            if meta is not None and buckets:
+                # BUCKET-GRANULAR merge: the open snapshot is oid-bucket
+                # partitioned, and a snapshot batch can only touch open
+                # rows whose _oid it carries — so read, merge and rewrite
+                # ONLY the bucket directories the incoming oids hash
+                # into; every other open-bucket directory carries
+                # forward by manifest reference, untouched on disk (the
+                # same trick the bounded history import and the ANN
+                # gbucket removal use). At 100 TB this turns the
+                # per-commit write cost from O(|current snapshot|) into
+                # O(open rows of hit buckets + closed delta).
+                # Checkpoint incoming FIRST: the hit-bucket collect and
+                # the merge below must see the same rows — a
+                # nondeterministic source recomputed between them could
+                # land rows in an unmerged bucket, whose open rows the
+                # merge never saw (silently dropping them from the new
+                # open set for that bucket).
+                incoming = incoming.localCheckpoint(eager=True)
+                ob = self._obucket(buckets)
+                hit = sorted(
+                    r["b"] for r in
+                    incoming.select(ob.alias("b")).distinct().collect())
+                hit_open = {f"__obucket={b}" for b in hit}
+                raw_df = self._read_raw(path)
+                pruned = raw_df.where(F.col("_current")
+                                      & F.col("__obucket").isin(hit))
+                pruned = pruned.drop(*[c for c in
+                                       ("__batch", "__obucket", "__stime",
+                                        "_current")
+                                       if c in pruned.columns])
+                # the pruned rows were read under the PRE-commit schema;
+                # null-fill any columns this batch evolves in, like the
+                # history import does for its kept rows
+                inc_types = {f.name: f.dataType
+                             for f in incoming.schema.fields}
+                for c in cols:
+                    if c not in pruned.columns:
+                        pruned = pruned.withColumn(
+                            c, F.lit(None).cast(inc_types[c]))
+                open_rows = pruned.select(*cols)
+            else:
+                open_rows = table.where(F.col("_current")).select(*cols)
             # one join, one materialization (must happen before rewriting
             # the partition we read from), then two cheap filters
             tagged = _upsert.snapshot_merge_tagged(
@@ -1821,8 +2067,17 @@ class Engine:
                 open_rels = self._write_open(
                     new_open, path, buckets=buckets,
                     open_batch=f"open-g{gen}", timepart=timepart)
-                dirs = ({d for d in live if not d.startswith("_current=true")}
-                        | set(closed_rels) | open_rels)
+                if hit_open is not None:
+                    # drop only the open dirs of MERGED (hit) buckets;
+                    # untouched open-bucket dirs stay referenced
+                    drop = {d for d in live
+                            if d.startswith("_current=true")
+                            and d.split("/")[1] in hit_open}
+                    dirs = (live - drop) | set(closed_rels) | open_rels
+                else:
+                    dirs = ({d for d in live
+                             if not d.startswith("_current=true")}
+                            | set(closed_rels) | open_rels)
                 hist = self._push_history(
                     meta,
                     layout.get("keep_generations", 0) if layout else 0)

@@ -1875,6 +1875,173 @@ def append_to_pq_index(
      .parquet(path + "/codes"))
 
 
+def compact_pq_index(spark, path: str, fs=None) -> int:
+    """Consolidate a stored PQ / SQ8 / IVF-PQ index's append-batch
+    partitions: every refresh/append lands one content-token-keyed
+    ``__abatch`` directory per hit bucket/cluster, so an index refreshed
+    nightly for a year accumulates hundreds of sub-directories whose
+    listing cost and tiny files degrade every probe. Rewrites the codes
+    into ONE consolidated batch per ``__gbucket``/``cluster`` (ids
+    deduplicated — also the convergence path for a crashed prior
+    compaction's duplicate window) and deletes the obsolete batch
+    directories. Codes are copied, never re-encoded. Returns the number
+    of batch directories removed; 0 when already consolidated.
+
+    Caller owns commit safety: the engine wraps this in its
+    ``_refresh.json`` intent protocol, under which a crash mid-rewrite
+    is converged by the next refresh or compaction."""
+    fs = _default_fs(fs)
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    id_col = meta["id_col"]
+    if meta.get("kind") == "ivfpq":
+        part_cols = ["cluster", "__abatch"]
+    elif meta.get("gbuckets"):
+        part_cols = ["__gbucket", "__abatch"]
+    else:
+        part_cols = ["__abatch"]
+    batches = {r["__abatch"] for r in
+               codes.select("__abatch").distinct().collect()}
+    if len(batches) <= 1:
+        return 0
+    deduped = (codes.dropDuplicates([id_col])
+               .localCheckpoint(eager=True))
+    token = "cmp" + _abatch_token(deduped, id_col)
+    out = deduped.withColumn("__abatch", F.lit(token))
+    (out.write.partitionBy(*part_cols).mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/codes"))
+    # drop every batch dir the consolidated write did not produce
+    removed = 0
+    croot = fs.join(path, "codes")
+    if len(part_cols) == 2:
+        parents = [fs.join(croot, d) for d in fs.listdir(croot)
+                   if d.startswith(f"{part_cols[0]}=")]
+    else:
+        parents = [croot]
+    for parent in parents:
+        for d in fs.listdir(parent):
+            if (d.startswith("__abatch=")
+                    and d != f"__abatch={token}"
+                    and fs.isdir(fs.join(parent, d))):
+                fs.delete_dir(fs.join(parent, d))
+                removed += 1
+    return removed
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
+                      fs=None) -> int:
+    """IVF sibling of ``compact_pq_index``: appends land extra files in
+    the bucket directories (``mode("append")``), so a long-refreshed
+    index reads many tiny files per probe. Rewrites each bucket to a
+    single file (ids deduplicated) via one shuffle keyed on ``bucket``.
+    Returns the number of data files eliminated; 0 when already
+    consolidated."""
+    fs = _default_fs(fs)
+    vroot = fs.join(path, "vectors")
+
+    def _nfiles() -> int:
+        n = 0
+        for d in fs.listdir(vroot):
+            if d.startswith("bucket=") and fs.isdir(fs.join(vroot, d)):
+                n += sum(f.endswith(".parquet")
+                         for f in fs.listdir(fs.join(vroot, d)))
+        return n
+
+    before = _nfiles()
+    nbuckets = sum(d.startswith("bucket=") for d in fs.listdir(vroot))
+    if before <= nbuckets:
+        # one file per bucket already — and duplicate ids can only come
+        # from appends, which always add a SECOND file to their bucket,
+        # so a single-file bucket is duplicate-free too
+        return 0
+    vectors = spark.read.parquet(path + "/vectors")
+    deduped = (vectors.dropDuplicates([id_col])
+               .repartition(F.col("bucket"))
+               .localCheckpoint(eager=True))
+    (deduped.write.partitionBy("bucket").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/vectors"))
+    return max(0, before - _nfiles())
+
+
+def drift_stat(
+    frame: DataFrame,
+    kind: str,
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    books: list | None = None,
+    params: list | None = None,
+    decimals: int = 6,
+) -> tuple[str, float | None]:
+    """One scalar distribution-fit statistic of ``frame``'s vectors
+    against a FROZEN index model — the drift signal behind
+    ``Engine.refresh_vector_index``'s ``rebuild_recommended`` flag.
+    Incremental refresh deliberately never retrains (correctness is
+    exact; only RECALL drifts as the data distribution shifts), so the
+    decay must be measured, not guessed: compare this statistic over an
+    appended delta against the build-time baseline recorded in the
+    index marker.
+
+    Per family (higher-is-better vs lower-is-better noted):
+
+    - ``centroid_sim`` (ivf / ivfpq coarse level): mean rounded cosine
+      similarity of each vector to its nearest frozen centroid — the
+      quantity IVF probing relies on; drops as new data lands between
+      the trained cells. Map-only literal-fold assignment
+      (``_assign_lit``), no shuffle beyond one scalar aggregate.
+    - ``pq_err`` (flat PQ): mean total rounded squared-L2 quantization
+      error (sum over subspaces of the argmin codeword distance) —
+      exactly the quantity ADC scoring inherits; grows as vectors leave
+      the trained codeword cloud.
+    - ``clip_frac`` (sq8): mean fraction of dimensions falling outside
+      the trained per-dimension [min, max] — clipped dims all quantize
+      to the range edge, so recall collapses as this grows; 0 by
+      construction at build time.
+
+    All three are single map-only passes + one scalar aggregate — cost
+    O(|frame|) with no shuffle of the vectors. Returns
+    ``(metric_name, value)``; value is None for an empty frame."""
+    if kind in ("ivf", "ivfpq"):
+        if not centroids:
+            raise ValueError("drift_stat: centroid kinds need centroids")
+        vs = frame.select(F.lit(0).alias("__vid"),
+                          _as_double(vec_col).alias("v"))
+        assigned = _assign_lit(vs, sorted(centroids), decimals)
+        row = assigned.agg(F.avg("sim").alias("m")).first()
+        return "centroid_sim", (None if row["m"] is None
+                                else float(row["m"]))
+    if kind == "pq":
+        if not books:
+            raise ValueError("drift_stat: pq needs books")
+        m, sub_len = len(books), len(books[0][0])
+        v = _as_double(vec_col)
+        sliced = frame.select(
+            *[F.slice(v, j * sub_len + 1, sub_len).alias(f"__s{j}")
+              for j in range(m)])
+        errs = sliced.select(
+            *[F.array_min(_l2_d2s(F.col(f"__s{j}"), books[j], decimals))
+              .alias(f"__e{j}") for j in range(m)])
+        total = errs.select(
+            sum((F.col(f"__e{j}") for j in range(1, m)),
+                F.col("__e0")).alias("__err"))
+        row = total.agg(F.avg("__err").alias("m")).first()
+        return "pq_err", None if row["m"] is None else float(row["m"])
+    if kind == "sq8":
+        if not params:
+            raise ValueError("drift_stat: sq8 needs params")
+        dim = len(params)
+        vv = frame.select(_as_double(vec_col).alias("__v"))
+        out = sum(
+            (((F.col("__v")[i] < F.lit(float(mn)))
+              | (F.col("__v")[i] > F.lit(float(mx)))).cast("int")
+             for i, (mn, mx) in enumerate(params)),
+            F.lit(0))
+        row = (vv.select((out / F.lit(float(dim))).alias("__c"))
+               .agg(F.avg("__c").alias("m")).first())
+        return "clip_frac", None if row["m"] is None else float(row["m"])
+    raise ValueError(f"drift_stat: unknown kind {kind!r}")
+
+
 def pq_topk_indexed(
     spark,
     path: str,

@@ -236,3 +236,137 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
             snap.versions = gen_states[g]
             assert _cube_rows(eng, cube, "~", generation=g) == \
                 snap.rows("~"), (step, op, "gen", g)
+
+
+@pytest.mark.slow
+def test_index_lifecycle_op_sequence_matches_model(spark, tmp_path):
+    """Index-lifecycle fuzz: a seeded-random sequence of snapshot
+    upserts, fully/partially-closing history replaces, index builds
+    (random family, sometimes auto_refresh), refreshes, index
+    compactions, cube compactions and vacuums runs against a vector
+    cube AND a driver-side model of the live (oid -> vector) set. After
+    every step: the staleness flag must equal the generation
+    bookkeeping's truth, a stale index must refuse to search, a fresh
+    one must return exactly min(k, |live|) neighbors, and after any
+    build/refresh (or ANY commit when auto_refresh is on) the index's
+    physical id set must equal the live corpus exactly — no duplicates,
+    no ghosts of replaced oids. Exercises staleness × retention ×
+    bucket-granular merge × intent-protocol interactions no
+    single-feature test composes."""
+    import json
+
+    rng = random.Random(20260816)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 keep_generations=2)
+    cube, name, dim = "vmdl", "fx", 8
+    oids = list(range(1, 11))
+    live: dict[int, tuple] = {}
+    built = None  # (kind, auto)
+
+    def _vec():
+        return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+
+    def _snap(items, day):
+        df = spark.createDataFrame(
+            [(o, v) for o, v in items],
+            "oid long, embedding array<double>")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(day)), sort_arrays=False)
+
+    def _day(step):
+        return f"2015-{step % 12 + 1:02d}-{rng.randint(1, 28):02d}"
+
+    # first write
+    init = [(o, _vec()) for o in oids[:6]]
+    eng.upsert(cube, _snap(init, "2015-01-01"), stamped=True)
+    live.update({o: tuple(v) for o, v in init})
+
+    def _index_ids():
+        apath = eng._ann_path(cube, name)
+        kind = built[0]
+        if kind == "ivf":
+            rows = spark.read.parquet(apath + "/vectors").select(
+                "_oid").collect()
+        else:
+            rows = spark.read.parquet(apath + "/codes").select(
+                "_oid").collect()
+        return [r["_oid"] for r in rows]
+
+    for step in range(16):
+        op = rng.choice(["snap", "snap", "replace", "build", "refresh",
+                         "compact_ix", "vacuum", "compact"])
+        if built is None and op in ("refresh", "compact_ix"):
+            op = "build"
+        day = _day(step)
+        if op == "snap":
+            items = [(o, _vec())
+                     for o in sorted(rng.sample(oids, rng.randint(1, 4)))]
+            eng.upsert(cube, _snap(items, day), stamped=True)
+            live.update({o: tuple(v) for o, v in items})
+        elif op == "replace":
+            o = rng.choice(oids)
+            v1, v2 = _vec(), _vec()
+            close_all = rng.random() < 0.4
+            rows = [(o, v1, "2014-01-01", "2014-06-01"),
+                    (o, v2, "2014-06-01", day if close_all else None)]
+            df = spark.createDataFrame(
+                rows, "oid long, embedding array<double>, "
+                      "s string, e string")
+            eng.upsert(cube, stamp(df, oid="oid", start="s", end="e",
+                                   sort_arrays=False),
+                       autosnap=False, stamped=True)
+            if close_all:
+                live.pop(o, None)
+            else:
+                live[o] = tuple(v2)
+        elif op == "build":
+            kind = rng.choice(["ivf", "sq8", "pq", "ivfpq"])
+            auto = rng.random() < 0.5
+            kw = {"ivf": dict(nlist=4), "sq8": {},
+                  "pq": dict(m=4, k=8),
+                  "ivfpq": dict(nlist=4, m=4, k=8)}[kind]
+            eng.build_vector_index(cube, name, vec_col="embedding",
+                                   kind=kind, auto_refresh=auto, **kw)
+            built = (kind, auto)
+        elif op == "refresh":
+            res = eng.refresh_vector_index(cube, name)
+            assert res["gen"] == eng.generations(cube)[0]
+        elif op == "compact_ix":
+            eng.compact_vector_index(cube, name)
+        elif op == "vacuum":
+            eng.vacuum(cube)
+        else:
+            eng.compact(cube)
+
+        # invariants
+        live_gen = eng.generations(cube)[0]
+        if built is not None:
+            ix = eng.vector_index_list(cube)[name]
+            assert ix["stale"] == (ix["gen"] != live_gen), (step, op)
+            assert not ix.get("refreshing"), (step, op)
+            if built[1]:  # auto_refresh: never stale after any commit
+                assert not ix["stale"], (step, op)
+            q = spark.createDataFrame(
+                [(0, [0.1] * dim)], "_oid long, embedding array<double>")
+            if ix["stale"]:
+                with pytest.raises(ValueError, match="generation"):
+                    eng.vector_search(cube, name, q, k=3)
+            else:
+                got = eng.vector_search(cube, name, q, k=3, nprobe=4)
+                assert got.count() == min(3, len(live)), (step, op)
+                # physical content: exactly one row per live oid
+                ids = _index_ids()
+                assert sorted(ids) == sorted(set(ids)), (step, op)
+                assert set(ids) == set(live), (step, op)
+                # and for raw-vector layouts, the vectors themselves
+                if built[0] == "ivf":
+                    stored = {(r["_oid"], tuple(r["v"]))
+                              for r in spark.read.parquet(
+                                  eng._ann_path(cube, name) + "/vectors")
+                              .select("_oid", "v").collect()}
+                    assert stored == {(o, v) for o, v in live.items()}, (
+                        step, op)
+        # the cube itself still matches the model's live set
+        cur = {(r["_oid"], tuple(r["embedding"])) for r in
+               eng.find(cube, fields="embedding").collect()}
+        assert cur == {(o, v) for o, v in live.items()}, (step, op)

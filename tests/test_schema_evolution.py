@@ -240,11 +240,12 @@ def test_drop_column_guards(spark, eng):
 
 def test_drop_column_readd_same_type_is_undrop(spark, eng):
     """Re-adding a dropped column at the SAME type: pre-drop values
-    resurface in UNREWRITTEN files (closed history rows — their bytes
-    never moved), while open rows read null (every snapshot commit
-    rewrites the open set under the then-current schema, so the very
-    commit that re-adds null-fills them). A DIFFERENT type fails loud —
-    old files still hold the old physical type."""
+    resurface in UNREWRITTEN files (closed history rows always, and open
+    rows in buckets no post-drop batch hit — the bucket-granular merge
+    leaves them byte-identical), while open rows in buckets the
+    re-adding commit DOES hit rewrite under the post-drop schema and
+    read null. A DIFFERENT type fails loud — old files still hold the
+    old physical type."""
     eng.upsert("d", _batch(spark, [(1, "a", 5.0)],
                            "key long, name string, score double",
                            "2024-01-01"), stamped=True)
@@ -259,8 +260,10 @@ def test_drop_column_readd_same_type_is_undrop(spark, eng):
                  "key long, name string, score string", "2024-03-01")
     with pytest.raises(TypeError, match="previously dropped"):
         eng.upsert("d", bad, stamped=True)
-    # same type -> widens again
-    eng.upsert("d", _batch(spark, [(2, "c", 9.0)],
+    # same type -> widens again; the batch carries oid 1's current state
+    # too (hash-equal dup), so oid 1's bucket is HIT and its open row
+    # rewrites under the schema that read score as null
+    eng.upsert("d", _batch(spark, [(1, "b", 6.0), (2, "c", 9.0)],
                            "key long, name string, score double",
                            "2024-03-01"), stamped=True)
     rows = {(r["_oid"], r["name"]): r["score"]
@@ -268,8 +271,10 @@ def test_drop_column_readd_same_type_is_undrop(spark, eng):
                               fields="name,score").collect()}
     # closed history file untouched since before the drop: resurfaces
     assert rows[(1, "a")] == 5.0
-    # open rows were rewritten by the re-adding commit: null
+    # oid 1's open row was rewritten by the re-adding commit (its
+    # bucket was hit): null — the dup incoming did NOT close it
     assert rows[(1, "b")] is None
+    assert len([k for k in rows if k[0] == 1]) == 2  # no new version
     assert rows[(2, "c")] == 9.0
 
 

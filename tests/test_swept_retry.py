@@ -28,13 +28,15 @@ def engine(spark, tmp_path):
 def _gen1_then_gen2(spark, engine, cube="c"):
     """Commit gen 1, capture its manifest, commit gen 2 (which sweeps
     gen 1's directories under keep_generations=0). Returns the stale
-    gen-1 meta."""
+    gen-1 meta. Batch 2 re-upserts EVERY gen-1 oid: the bucket-granular
+    merge carries untouched open buckets forward by reference, and this
+    race fixture needs every gen-1 directory really gone."""
     engine.upsert(cube, _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
                   stamped=True)
     path = engine._path(cube)
     stale = json.loads(engine._manifest_raw(path))
-    engine.upsert(cube, _objs(spark, [(1, 11), (3, 30)], "2014-02-01"),
-                  stamped=True)
+    engine.upsert(cube, _objs(spark, [(1, 11), (2, 21), (3, 30)],
+                              "2014-02-01"), stamped=True)
     # the race must be real: every gen-1 directory is gone
     live = set(json.loads(engine._manifest_raw(path))["dirs"])
     assert not (set(stale["dirs"]) & live)

@@ -699,3 +699,88 @@ def test_vacuum_sweeps_crashed_first_write(spark, engine, monkeypatch):
 def test_generation_on_dataframe_input_raises(spark, engine, versions):
     with pytest.raises(ValueError, match="warehouse cubes"):
         engine.count(versions, generation=1)
+
+
+def test_snapshot_upsert_rewrites_only_hit_buckets(spark, tmp_path):
+    """Bucket-granular snapshot upsert: a small batch into an oid-bucket
+    partitioned cube merges and rewrites ONLY the open-bucket
+    directories its oids hash into — every parquet file in untouched
+    open buckets is byte-identical (same path, size, mtime) after the
+    commit, carried forward by manifest reference. At 100 TB a wide
+    current snapshot with frequent small batches otherwise pays
+    O(|current|) write amplification per upsert."""
+    import os
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    eng.upsert("s", _objs(spark, [(i, i) for i in range(40)],
+                          "2014-01-01"), stamped=True)
+
+    # the two incoming oids' buckets (the engine's own expression)
+    hits = {r["b"] for r in spark.createDataFrame(
+        [(1,), (2,)], "_oid long")
+        .select(Engine._obucket(8).alias("b")).collect()}
+
+    def snapshot():
+        out = {}
+        root = os.path.join(eng._path("s"), "_current=true")
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    eng.upsert("s", _objs(spark, [(1, 101), (2, 102)], "2014-02-01"),
+               stamped=True)
+    after = snapshot()
+    untouched = {p: v for p, v in before.items()
+                 if not any(f"__obucket={b}/" in p + "/" or
+                            f"__obucket={b}{os.sep}" in p
+                            for b in hits)}
+    assert untouched  # the fixture really has untouched buckets
+    for p, v in untouched.items():
+        assert after.get(p) == v, f"untouched open file rewritten: {p}"
+    # hit buckets DID move to fresh generation-scoped dirs
+    assert any("__batch=open-g2" in p for p in after)
+
+    # semantics unchanged: 40 current rows, oids 1-2 updated with their
+    # old versions closed at the batch start
+    assert eng.count("s") == 40
+    assert eng.count("s", date="~") == 42
+    assert eng.find("s", "_oid == 1").first()["col_1"] == 101
+    closed = eng.find("s", "_oid == 2", date="~").where(
+        F.col("_end").isNotNull()).collect()
+    assert len(closed) == 1 and closed[0]["col_1"] == 2
+
+    # a third upsert hits again: untouched buckets still carry the
+    # ORIGINAL gen-1 files (multi-generation carry-forward)
+    eng.upsert("s", _objs(spark, [(1, 201)], "2014-03-01"), stamped=True)
+    after3 = snapshot()
+    for p, v in untouched.items():
+        assert after3.get(p) == v
+    assert eng.find("s", "_oid == 1").first()["col_1"] == 201
+    assert eng.count("s", date="~") == 43
+
+
+def test_snapshot_upsert_bucket_granular_with_evolution(spark, tmp_path):
+    """Schema evolution composes with the bucket-granular merge: a batch
+    that widens the schema rewrites only its hit buckets; carried-forward
+    open files lack the new column physically but the manifest schema
+    reads them back as typed nulls."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    eng.upsert("e", _objs(spark, [(i, i) for i in range(20)],
+                          "2014-01-01"), stamped=True)
+    wide = stamp(spark.createDataFrame([(3, 300, "x")],
+                                       "oid long, col_1 long, extra string"),
+                 oid="oid", start=F.to_timestamp(F.lit("2014-02-01")))
+    eng.upsert("e", wide, stamped=True)
+    cur = eng.find("e", fields=["col_1", "extra"])
+    assert cur.count() == 20
+    vals = {r["_oid"]: r["extra"] for r in cur.collect()}
+    assert vals[3] == "x"
+    assert all(v is None for o, v in vals.items() if o != 3)
+    # and the closed version of oid 3 reads extra as null too
+    old3 = eng.find("e", "_oid == 3", date="~").where(
+        F.col("_end").isNotNull()).first()
+    assert old3["extra"] is None and old3["col_1"] == 3

@@ -404,3 +404,258 @@ def test_vacuum_sweeps_crashed_index_build(spark, tmp_path, monkeypatch):
     q = spark.createDataFrame(
         [(0, [0.1] * 64)], "_oid long, embedding array<double>")
     assert eng.vector_search("vecs", "keep", q, k=3).count() == 3
+
+
+def test_drop_column_refuses_index_columns_and_autorefreshes(spark,
+                                                            tmp_path):
+    """drop_column must not strand a committed ANN index: dropping the
+    index's vec_col is refused with the dependency named, and dropping
+    an UNRELATED column runs the auto-refresh epilogue like every other
+    commit — an auto_refresh=True index keeps searching across the
+    generation bump instead of going stale."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ax", vec_col="embedding",
+                           kind="ivf", nlist=4, auto_refresh=True)
+    with pytest.raises(ValueError, match="depends on it"):
+        eng.drop_column("vecs", "embedding")
+    eng.drop_column("vecs", "label")
+    assert "label" not in eng.table("vecs").columns
+    ix = eng.vector_index_list("vecs")["ax"]
+    assert not ix["stale"] and not ix.get("refreshing")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "ax", q, k=3).count() == 3
+
+
+def test_refresh_crash_is_recoverable_not_sweepable(spark, tmp_path,
+                                                    monkeypatch):
+    """A refresh that crashes mid-mutation leaves the committed marker
+    in place plus the _refresh.json intent: searches fail loud with the
+    in-flight error (allow_stale does NOT bypass it — the data is torn,
+    not merely stale), vacuum leaves the directory alone, and re-running
+    the refresh converges the content — a crash costs a re-run, never
+    the full rebuild the old delete-marker-first protocol forced."""
+    from metrique_spark.functions import similarity as sim_mod
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(1, [0.5] * 64, 0),
+                                      (99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash mid-refresh")
+
+    monkeypatch.setattr(sim_mod, "append_to_ivf_index", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.refresh_vector_index("vecs", "ix")
+    monkeypatch.undo()
+    path = eng._path("vecs")
+    # committed marker still present; intent flags the in-flight state
+    assert eng.fs.isfile(eng._ann_meta_path("vecs", "ix"))
+    assert eng.fs.isfile(eng._ann_intent_path("vecs", "ix"))
+    ix = eng.vector_index_list("vecs")["ix"]
+    assert ix["refreshing"] and ix["stale"]
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    with pytest.raises(ValueError, match="in flight"):
+        eng.vector_search("vecs", "ix", q, k=3)
+    with pytest.raises(ValueError, match="in flight"):
+        eng.vector_search("vecs", "ix", q, k=3, allow_stale=True)
+    eng.vacuum("vecs")
+    assert eng.fs.isdir(eng.fs.join(path, "_ann_ix"))  # NOT swept
+    # the re-run converges: content == live corpus, search works
+    res = eng.refresh_vector_index("vecs", "ix")
+    assert res["gen"] == 2
+    assert not eng.fs.isfile(eng._ann_intent_path("vecs", "ix"))
+    stored = {(r["_oid"], tuple(r["v"])) for r in spark.read.parquet(
+        eng._ann_path("vecs", "ix") + "/vectors")
+        .selectExpr("_oid", "v").collect()}
+    live = {(r["_oid"], tuple(r["embedding"])) for r in
+            eng.find("vecs", fields="embedding").collect()}
+    assert stored == live
+    assert eng.vector_search("vecs", "ix", q, k=3).count() == 3
+
+
+def test_drift_flag_flips_on_shifted_distribution(spark, tmp_path):
+    """Frozen-model refresh ships a drift signal. On a corpus of four
+    tight clusters along orthogonal axes, an in-distribution append
+    (copies of corpus vectors under new ids) keeps rebuild_recommended
+    False; a batch living on an axis the training never saw — near-zero
+    similarity to every frozen centroid, magnitudes outside every
+    trained sq8 range — trips the flag for both families. The flag is
+    advisory: refresh correctness is unaffected either way."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    dim = 8
+    rows = []
+    for c in range(4):
+        for i in range(50):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[6] = 0.01 * ((i % 7) - 3)
+            v[7] = 0.005 * ((i % 5) - 2)
+            rows.append((c * 1000 + i, v, c))
+    eng.upsert("vecs", _vrows(spark, rows, "2014-01-01"), stamped=True)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4, train_iters=2)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding",
+                           kind="sq8")
+    base = eng.vector_index_list("vecs")["ix"]["drift_base"]
+    assert base["metric"] == "centroid_sim" and base["value"] > 0.3
+    # in-distribution: 20 corpus vectors (5 per cluster) under fresh ids
+    indist = [(10_000 + j, rows[j][1], rows[j][2])
+              for j in range(0, 200, 10)]
+    eng.upsert("vecs", _vrows(spark, indist, "2014-02-01"), stamped=True)
+    r1 = eng.refresh_vector_index("vecs", "ix")
+    assert r1["appended"] == 20
+    assert not r1["drift"]["rebuild_recommended"]
+    r1s = eng.refresh_vector_index("vecs", "sx")
+    assert r1s["drift"]["metric"] == "clip_frac"
+    assert r1s["drift"]["appended"] == 0.0
+    assert not r1s["drift"]["rebuild_recommended"]
+    # out-of-distribution: axis 5 carries all the mass — orthogonal to
+    # every trained centroid, far outside every trained per-dim range
+    ood = []
+    for j in range(20):
+        v = [0.0] * dim
+        v[5] = 100.0 + 0.1 * j
+        ood.append((20_000 + j, v, 9))
+    eng.upsert("vecs", _vrows(spark, ood, "2014-03-01"), stamped=True)
+    r2 = eng.refresh_vector_index("vecs", "ix")
+    d = r2["drift"]
+    assert d["metric"] == "centroid_sim"
+    assert d["appended"] < d["baseline"] - d["tolerance"]
+    assert d["rebuild_recommended"]
+    r2s = eng.refresh_vector_index("vecs", "sx")
+    assert r2s["drift"]["metric"] == "clip_frac"
+    assert r2s["drift"]["rebuild_recommended"]
+    # the flag is advisory: the refresh itself stayed correct
+    assert not eng.vector_index_list("vecs")["ix"]["stale"]
+    assert eng.vector_index_list("vecs")["ix"]["drift_last"][
+        "rebuild_recommended"]
+
+
+def _abatch_dirs(eng, cube, name):
+    import os
+
+    root = os.path.join(eng._ann_path(cube, name), "codes")
+    out = []
+    for dirpath, dirs, _ in os.walk(root):
+        for d in dirs:
+            if d.startswith("__abatch="):
+                out.append(os.path.join(dirpath, d))
+    return out
+
+
+def test_compact_vector_index_consolidates_batches(spark, tmp_path):
+    """Two refresh appends leave one __abatch directory per hit
+    bucket/cluster per refresh; compact_vector_index rewrites each to a
+    single consolidated batch with IDENTICAL search results, leaves the
+    marker generation untouched, and vacuum leaves the compacted index
+    alone."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "px", vec_col="embedding",
+                           kind="ivfpq", nlist=4, m=4, k=8)
+    for day, oid in (("2014-02-01", 99_998), ("2014-03-01", 99_999)):
+        eng.upsert("vecs", _vrows(spark, [(oid, [0.3] * 64, 1)], day),
+                   stamped=True)
+        eng.refresh_vector_index("vecs", "px")
+    assert len(_abatch_dirs(eng, "vecs", "px")) > 4  # base + appends
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.3] * 64)],
+        "_oid long, embedding array<double>")
+    before = sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                        .collect()))
+    gen_before = eng.vector_index_list("vecs")["px"]["gen"]
+    removed = eng.compact_vector_index("vecs", "px")
+    assert removed > 0
+    dirs = _abatch_dirs(eng, "vecs", "px")
+    # exactly one consolidated batch per populated cluster
+    parents = {d.rsplit("/", 2)[-2] for d in dirs}
+    assert len(dirs) == len(parents)
+    after = sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                       .collect()))
+    assert after == before
+    assert eng.vector_index_list("vecs")["px"]["gen"] == gen_before
+    assert not eng.fs.isfile(eng._ann_intent_path("vecs", "px"))
+    eng.vacuum("vecs")
+    assert sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                      .collect())) == before
+    # idempotent: nothing left to consolidate
+    assert eng.compact_vector_index("vecs", "px") == 0
+
+
+def test_compact_vector_index_ivf_files(spark, tmp_path):
+    """IVF compaction consolidates the per-bucket FILE count (appends
+    land extra files, not batch dirs) with identical search results."""
+    import os
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+    eng.refresh_vector_index("vecs", "ix")
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    before = sorted(map(tuple, eng.vector_search("vecs", "ix", q, k=5)
+                        .collect()))
+    removed = eng.compact_vector_index("vecs", "ix")
+    assert removed > 0
+    vroot = os.path.join(eng._ann_path("vecs", "ix"), "vectors")
+    for d in os.listdir(vroot):
+        if d.startswith("bucket="):
+            n = sum(f.endswith(".parquet")
+                    for f in os.listdir(os.path.join(vroot, d)))
+            assert n == 1
+    assert sorted(map(tuple, eng.vector_search("vecs", "ix", q, k=5)
+                      .collect())) == before
+    # stored content still equals the live corpus exactly (dedup did
+    # not drop a distinct id)
+    stored = {r["_oid"] for r in spark.read.parquet(
+        vroot).select("_oid").collect()}
+    live = {r["_oid"] for r in eng.find("vecs").select("_oid").collect()}
+    assert stored == live
+    assert eng.compact_vector_index("vecs", "ix") == 0
+
+
+def test_compact_vector_index_crash_is_recoverable(spark, tmp_path,
+                                                   monkeypatch):
+    """A compaction that crashes mid-rewrite leaves marker+intent:
+    searches refuse the index, vacuum leaves it alone, and the next
+    refresh converges the duplicate window — then compaction re-runs
+    clean."""
+    from metrique_spark.functions import similarity as sim_mod
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding",
+                           kind="sq8")
+    eng.upsert("vecs", _vrows(spark, [(99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+    eng.refresh_vector_index("vecs", "sx")
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected compaction crash")
+
+    monkeypatch.setattr(sim_mod, "compact_pq_index", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.compact_vector_index("vecs", "sx")
+    monkeypatch.undo()
+    assert eng.fs.isfile(eng._ann_intent_path("vecs", "sx"))
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    with pytest.raises(ValueError, match="in flight"):
+        eng.vector_search("vecs", "sx", q, k=3)
+    eng.vacuum("vecs")
+    assert eng.fs.isfile(eng._ann_meta_path("vecs", "sx"))  # not swept
+    eng.refresh_vector_index("vecs", "sx")  # converges + clears intent
+    assert not eng.fs.isfile(eng._ann_intent_path("vecs", "sx"))
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+    eng.compact_vector_index("vecs", "sx")
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
