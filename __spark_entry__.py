@@ -1737,6 +1737,63 @@ def sim_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return similarity.sq8_topk_indexed(spark, path, q, k=5)
 
 
+def sim_index_refreshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the ENGINE-MANAGED vector-index lifecycle, value-checked end to
+    end: upsert the embeddings corpus into a warehouse cube, build an
+    IVF-PQ index over it (Engine.build_vector_index — trains coarse
+    centroids + codebooks on the ORIGINAL corpus and freezes them),
+    upsert a batch of changed vectors (ids 10-14 negated) and brand-new
+    ids (100015-100019, halved copies of ids 15-19) through the
+    temporal merge, refresh_vector_index (diff against the index's own
+    __vh fingerprints -> partition-granular remove + frozen-model
+    encode-append, engine.py refresh_vector_index), then vector_search.
+    The DuckDB twin trains on the original corpus and encodes/assigns
+    the FINAL live corpus against those frozen parameters — so the
+    refresh's remove/append/marker path is hash-checked, not just
+    unit-tested. State persists in a corpus-fingerprinted tmp warehouse
+    (first call builds; reruns pay only the probe); any inconsistent
+    leftover state rebuilds from scratch."""
+    import shutil
+
+    _utc(spark)
+    e = _t(spark, sf_dir, "embeddings")
+    q = (e.where(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("_oid"),
+                 F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    wh = _index_dir(sf_dir, "engwh_refresh")
+    eng = Engine(spark, warehouse=wh)
+    try:
+        return eng.vector_search("emb", "rx", q, k=5, nprobe=2)
+    except ValueError:
+        pass  # not built yet / stale leftover — (re)build below
+    shutil.rmtree(wh, ignore_errors=True)
+    eng = Engine(spark, warehouse=wh)
+    emb = F.col("embedding").cast("array<double>")
+    base = stamp(
+        e.select(F.col("vec_id").alias("oid"), emb.alias("embedding"),
+                 "label"),
+        oid="oid", start=F.to_timestamp(F.lit("2014-01-01")),
+        sort_arrays=False)
+    eng.upsert("emb", base, stamped=True)
+    eng.build_vector_index("emb", "rx", vec_col="embedding",
+                           kind="ivfpq", nlist=8, m=16, k=16)
+    changed = (e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+               .select(F.col("vec_id").alias("oid"),
+                       F.transform(emb, lambda x: -x).alias("embedding"),
+                       "label"))
+    new = (e.where((F.col("vec_id") >= 15) & (F.col("vec_id") < 20))
+           .select((F.col("vec_id") + 100000).alias("oid"),
+                   F.transform(emb, lambda x: x * 0.5).alias("embedding"),
+                   "label"))
+    batch = stamp(changed.unionByName(new), oid="oid",
+                  start=F.to_timestamp(F.lit("2014-02-01")),
+                  sort_arrays=False)
+    eng.upsert("emb", batch, stamped=True)
+    eng.refresh_vector_index("emb", "rx")
+    return eng.vector_search("emb", "rx", q, k=5, nprobe=2)
+
+
 def sim_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """storage-backed ANN: write the IVF index (bucket-partitioned
     vectors + centroids) to disk, read it back, search it at full probe —
@@ -2083,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_indexed": sim_pq_indexed,
         "sim_sq8_indexed": sim_sq8_indexed,
         "sim_ivfpq_indexed": sim_ivfpq_indexed,
+        "sim_index_refreshed": sim_index_refreshed,
         "sim_knn_join": sim_knn_join,
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "mm_binary_meta": mm_binary_meta,
@@ -3003,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivfpq_topk": _IVFPQ_ORACLE,
         "sim_ivfsq8_topk": _IVFSQ8_ORACLE,
         "sim_ivfpq_indexed": _IVFPQ_ORACLE,
+        "sim_index_refreshed": _IVFPQ_REFRESH_ORACLE,
         "sim_semantic_dedup": _SEMDEDUP_ORACLE,
         "sim_cluster_summary": _CLUSTER_SUMMARY_ORACLE,
         "sim_knn_classify": """
@@ -4203,6 +4262,84 @@ def _ivfpq_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,
 
 
 _IVFPQ_ORACLE = _ivfpq_oracle()
+
+
+def _ivfpq_refresh_oracle(nlist: int = 8, nprobe: int = 2, m: int = 16,
+                          k: int = 16, coarse_iters: int = 1,
+                          pq_iters: int = 1, dim: int = 64,
+                          topk: int = 5, n_queries: int = 10) -> str:
+    """Twin of sim_index_refreshed: coarse k-means + PQ codebooks
+    trained on the ORIGINAL corpus (identical CTEs to the ivfpq
+    oracle), then the FINAL live corpus — ids 10-14 replaced by their
+    negations, new ids 100015-100019 as halved copies of 15-19 —
+    assigned and encoded against those FROZEN parameters, exactly what
+    Engine.refresh_vector_index's frozen-model remove+append produces.
+    The training-corpus encode CTEs (enc{j}) are stripped: the refresh
+    semantics encode the final corpus, never the original."""
+    sub_len = dim // m
+    ctes = _kmeans_ctes(k=nlist, iters=coarse_iters)
+    ctes.extend(c for c in _pq_ctes(m, k, pq_iters, dim)
+                if not c.strip().startswith("enc"))
+    ctes.append("""f AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 10 OR vec_id >= 15
+  UNION ALL
+  SELECT vec_id, list_transform(v, x -> -x) AS v
+  FROM e WHERE vec_id >= 10 AND vec_id < 15
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+  FROM e WHERE vec_id >= 15 AND vec_id < 20)""")
+    ctes.append(f"""fa AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT f.vec_id, c.centroid_id,
+           round(list_dot_product(f.v, c.cvec)
+                 / (sqrt(list_dot_product(f.v, f.v))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS sim
+    FROM f, c{coarse_iters} c
+  ) t QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, centroid_id) = 1)""")
+    for j in range(m):
+        lo, hi = j * sub_len + 1, (j + 1) * sub_len
+        ctes.append(f"""f{j} AS (
+  SELECT vec_id, v[{lo}:{hi}] AS v FROM f)""")
+        ctes.append(f"""fenc{j} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, b.code,
+           round(list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, b.cvec)
+                 + list_dot_product(b.cvec, b.cvec), 6) AS d2
+    FROM f{j} e, b{j}_{pq_iters} b
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, code) = 1)""")
+    ctes.append(_query_cte(n_queries))
+    ctes.append(_probe_cte(f"c{coarse_iters}", nprobe))
+    num = " + ".join(
+        f"list_dot_product(q.qv[{j * sub_len + 1}:{(j + 1) * sub_len}], "
+        f"w{j}.cvec)" for j in range(m))
+    rn2 = " + ".join(
+        f"list_dot_product(w{j}.cvec, w{j}.cvec)" for j in range(m))
+    joins = "\n    ".join(
+        f"JOIN fenc{j} ON fenc{j}.vec_id = x.vec_id "
+        f"JOIN b{j}_{pq_iters} w{j} ON w{j}.code = fenc{j}.code"
+        for j in range(m))
+    ctes.append(f"""scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         round(({num})
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({rn2})),
+               4) AS score
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN fa x ON x.cluster = p.cluster
+    {joins}
+  WHERE x.vec_id != q.query_id
+)""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT query_id, neighbor_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) <= {topk}
+""")
+
+
+_IVFPQ_REFRESH_ORACLE = _ivfpq_refresh_oracle()
 
 _CLUSTER_SUMMARY_ORACLE = (
     "WITH " + ",".join(_kmeans_ctes(k=8, iters=2)

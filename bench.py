@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "sim_pq_indexed",
     "sim_sq8_indexed",
     "sim_ivfpq_indexed",
+    "sim_index_refreshed",
     "sim_semantic_dedup",
     "sim_cluster_summary",
     "mm_frame_samples",
@@ -138,6 +139,7 @@ CONTRACT_EXCLUDE = {
     "sim_sq8_topk",                 # compression sibling of sim_pq_topk
     "sim_sq8_indexed",              # stored sibling of sim_pq_indexed
     "sim_ivfsq8_topk",              # composed sibling of sim_ivfpq_topk
+    "sim_index_refreshed",          # engine-lifecycle sibling of sim_ivfpq_indexed
 }
 
 CONTRACT_QUERIES = [n for n in BENCH_QUERIES if n not in CONTRACT_EXCLUDE]
