@@ -121,6 +121,7 @@ class Engine:
                  auto_compact_batches: int | None = None,
                  fs: FileSystem | None = None,
                  lock_ttl: float | None = None,
+                 lock_wait: float = 0.0,
                  oid_buckets: int = 16,
                  time_partition: str | None = None,
                  keep_generations: int = 0):
@@ -134,6 +135,15 @@ class Engine:
         # None = never expire (same-host pid probing still reclaims).
         self.fs = fs or LocalFS()
         self.lock_ttl = lock_ttl
+        # writer-contention ergonomics: fail-fast (the default, 0) is
+        # right for the single-writer assumption, but a second
+        # legitimate ETL job can opt into WAITING for the lease instead
+        # — lock_wait bounds (seconds) how long acquisition retries
+        # with backoff before ConcurrentWriteError. The commit protocol
+        # itself stays single-writer; this only queues at the door.
+        if lock_wait < 0:
+            raise ValueError("lock_wait must be >= 0")
+        self.lock_wait = lock_wait
         # second-level ``__obucket = pmod(xxhash64(_oid), N)`` partition
         # key for NEW cubes: a history import (upsert autosnap=False)
         # rewrites only the bucket directories containing incoming oids
@@ -177,6 +187,19 @@ class Engine:
         if keep_generations < 0:
             raise ValueError("keep_generations must be >= 0")
         self.keep_generations = keep_generations
+        # publish the warehouse scratch root for the sampling module's
+        # engine-managed reliable spill (ranked_within_strata's
+        # boundary-sampling hazard): with an engine in scope, callers on
+        # a real cluster get the executor-loss-safe path WITHOUT
+        # remembering the knob. Session-global, last engine wins — any
+        # warehouse is a valid scratch host; vacuum() sweeps the root.
+        if warehouse:
+            try:
+                self.spark.conf.set(
+                    "spark.metrique_spark.scratchDir",
+                    self.fs.join(warehouse, "_scratch"))
+            except Exception:
+                pass
         self._views: dict[str, DataFrame] = {}
         # advisory index registry: cube -> [{"name", "column_names"}]
         # (underscore-prefixed sidecar files are invisible to Spark's
@@ -1056,13 +1079,24 @@ class Engine:
             lease = LeaseLock(
                 self.fs, self.fs.join(self.warehouse, f".{cube}.lock"),
                 ttl=self.lock_ttl)
-            try:
-                lease.acquire()
-            except LeaseHeldError as exc:
-                raise ConcurrentWriteError(
-                    f"cube {cube!r} is locked by writer — concurrent "
-                    "upserts would interleave snapshot merges; retry "
-                    f"after the other writer finishes ({exc})") from exc
+            import time as _time
+
+            deadline = _time.monotonic() + self.lock_wait
+            backoff = 0.05
+            while True:
+                try:
+                    lease.acquire()
+                    break
+                except LeaseHeldError as exc:
+                    if _time.monotonic() + backoff > deadline:
+                        raise ConcurrentWriteError(
+                            f"cube {cube!r} is locked by writer — "
+                            "concurrent upserts would interleave "
+                            "snapshot merges; retry after the other "
+                            "writer finishes, or construct the Engine "
+                            f"with lock_wait=<seconds> ({exc})") from exc
+                    _time.sleep(backoff)
+                    backoff = min(backoff * 2, 1.0)
             self._held_locks.add(cube)
             try:
                 yield
@@ -1176,7 +1210,15 @@ class Engine:
         NOT swept: its committed marker is still present (plus a
         ``_refresh.json`` intent) and the next refresh converges the
         content — sweeping it would turn a recoverable crash into a
-        forced full rebuild."""
+        forced full rebuild. Also sweeps the warehouse ``_scratch``
+        root — reliable-spill directories a crashed sampling job never
+        released (don't run vacuum concurrently with in-flight sampling
+        queries: a swept spill makes their re-read fail loud — never
+        silently wrong)."""
+        if self.warehouse:
+            scratch = self.fs.join(self.warehouse, "_scratch")
+            if self.fs.isdir(scratch):
+                self.fs.delete_dir(scratch)
         with self._write_lock(cube):
             path = self._path(cube)
             if self.fs.isdir(path):

@@ -269,6 +269,34 @@ def temperature_mix(
                              margin_sigmas)
 
 
+def _auto_scratch_dir(spark) -> str | None:
+    """Engine-provided default spill path for the boundary-sampling
+    reliability hazard (see ``ranked_within_strata``): the Engine
+    records its warehouse ``_scratch`` root in the session conf
+    (``spark.metrique_spark.scratchDir``), and callers that pass no
+    ``reliable_dir`` get a unique directory under it AUTOMATICALLY on
+    any non-local master — correctness-by-default instead of
+    correctness-by-knob. On ``local[*]`` the auto path stays off (a
+    single-JVM session cannot lose a cached block to executor loss, so
+    the extra write+read would buy nothing); set
+    ``spark.metrique_spark.scratchDir.forceLocal=true`` to engage it
+    locally (tests do)."""
+    try:
+        base = spark.conf.get("spark.metrique_spark.scratchDir", None)
+    except Exception:
+        return None
+    if not base:
+        return None
+    master = spark.sparkContext.master or ""
+    if master.startswith("local") and spark.conf.get(
+            "spark.metrique_spark.scratchDir.forceLocal",
+            "false") != "true":
+        return None
+    import uuid
+
+    return base.rstrip("/") + "/ranked_" + uuid.uuid4().hex
+
+
 def ranked_within_strata(
     df: DataFrame,
     stratum_col: str,
@@ -322,10 +350,19 @@ def ranked_within_strata(
     value)."""
     from pyspark import StorageLevel
 
-    from metrique_spark.functions.cache import track
+    from metrique_spark.functions.cache import track, track_dir
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    auto_dir = False
+    if reliable_dir is None:
+        # engine-managed default: a warehouse Engine in the session
+        # publishes a scratch root, and on a real cluster the spill
+        # engages WITHOUT the caller remembering the knob (the cached
+        # boundary-sampling hazard silently corrupts ranks on executor
+        # loss — see below); no-op on local[*] where it cannot bite
+        reliable_dir = _auto_scratch_dir(spark)
+        auto_dir = reliable_dir is not None
     nparts = n_partitions or spark.sparkContext.defaultParallelism
     stratum = F.col(stratum_col)
     ranged = (
@@ -368,6 +405,10 @@ def ranked_within_strata(
     )
     if reliable_dir is None:
         out = track(out, ranged)  # caller releases the cached block
+    elif auto_dir:
+        # auto-provisioned spill: release(result) deletes it; engine
+        # vacuum sweeps the _scratch root as the crashed-job backstop
+        out = track_dir(out, reliable_dir)
     # per-stratum totals as a DATAFRAME (``__s``, ``__n``) off the same
     # cached scan — callers that need group sizes (quantile targets)
     # join this instead of paying a second count pass or a driver trip

@@ -533,8 +533,10 @@ def stratum_quantiles(
     after materializing. ``reliable_dir`` passes through to
     ``ranked_within_strata``: on clusters where executor loss is in
     play, the ranked intermediate spills to that storage path instead of
-    the recompute-unsafe cache (see its docstring); no persist/release
-    then."""
+    the recompute-unsafe cache (see its docstring). With a warehouse
+    Engine in the session, the safe spill engages AUTOMATICALLY on
+    non-local masters — no argument needed (engine-managed scratch,
+    swept by release()/vacuum)."""
     from metrique_spark.functions.cache import track
     from metrique_spark.functions.sampling import ranked_within_strata
 

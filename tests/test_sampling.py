@@ -544,3 +544,81 @@ def test_take_per_stratum_shared_keys_across_strata_exact(spark):
     out = sampling._take_per_stratum(df, "lang", "doc_id", quota_df)
     by = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
     assert by == {"a": 10, "b": 8}
+
+
+def test_ranked_auto_spill_with_engine_scratch(spark, tmp_path):
+    """With a warehouse Engine in the session (it publishes the scratch
+    root) and the forceLocal override (local[*] cannot lose cached
+    blocks, so the auto path is cluster-only by default), ranking
+    spills to an engine-managed directory WITHOUT any argument, results
+    stay exact, release() deletes the spill, and Engine.vacuum sweeps
+    leftovers a crashed job never released."""
+    import os
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.functions import cache
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.upsert("anchor", stamp(
+        spark.createDataFrame([(1, 1)], "oid long, col_1 long"),
+        oid="oid", start=F.to_timestamp(F.lit("2014-01-01"))),
+        stamped=True)
+    scratch = str(tmp_path / "wh" / "_scratch")
+    assert spark.conf.get("spark.metrique_spark.scratchDir") == scratch
+    spark.conf.set("spark.metrique_spark.scratchDir.forceLocal", "true")
+    try:
+        df = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2], float(i * 7 % 23)) for i in range(60)],
+            "doc_id long, lang string, v double")
+        ranked = sampling.ranked_within_strata(df, "lang", [F.col("v")])
+        rows = {(r["doc_id"], r["__rn"]) for r in ranked.collect()}
+        # exactness vs a driver sort
+        import collections
+
+        exp = set()
+        per = collections.defaultdict(list)
+        for i in range(60):
+            per[["a", "b"][i % 2]].append((float(i * 7 % 23), i))
+        for rs in per.values():
+            for rk, (_, i) in enumerate(sorted(rs), 1):
+                exp.add((i, rk))
+        assert rows == exp
+        # the spill really happened under the engine scratch root...
+        assert os.path.isdir(scratch) and os.listdir(scratch)
+        # ...and release() removes it
+        cache.release(ranked)
+        assert not any(d.startswith("ranked_")
+                       for d in (os.listdir(scratch)
+                                 if os.path.isdir(scratch) else []))
+        # crashed-job leftovers: vacuum sweeps the scratch root
+        os.makedirs(os.path.join(scratch, "ranked_leftover"),
+                    exist_ok=True)
+        eng.vacuum("anchor")
+        assert not os.path.isdir(scratch)
+    finally:
+        spark.conf.unset("spark.metrique_spark.scratchDir.forceLocal")
+        spark.conf.unset("spark.metrique_spark.scratchDir")
+
+
+def test_ranked_auto_spill_stays_off_on_local_master(spark, tmp_path):
+    """Without the forceLocal override, a local[*] session keeps the
+    persist path even when a scratch root is published — a single-JVM
+    session cannot lose a cached block, so the extra write+read buys
+    nothing."""
+    import os
+
+    from metrique_spark.functions import cache
+
+    spark.conf.set("spark.metrique_spark.scratchDir",
+                   str(tmp_path / "scr"))
+    try:
+        df = spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(10)],
+            "doc_id long, lang string, v double")
+        ranked = sampling.ranked_within_strata(df, "lang", [F.col("v")])
+        assert ranked.count() == 10
+        assert not os.path.isdir(str(tmp_path / "scr"))
+        cache.release(ranked)
+    finally:
+        spark.conf.unset("spark.metrique_spark.scratchDir")

@@ -784,3 +784,37 @@ def test_snapshot_upsert_bucket_granular_with_evolution(spark, tmp_path):
     old3 = eng.find("e", "_oid == 3", date="~").where(
         F.col("_end").isNotNull()).first()
     assert old3["extra"] is None and old3["col_1"] == 3
+
+
+def test_lock_wait_second_writer_succeeds_after_release(spark, tmp_path):
+    """Engine(lock_wait=N): a second legitimate writer WAITS for the
+    lease (bounded retry + backoff) instead of failing fast — it
+    acquires and commits once the first writer releases. The default
+    (lock_wait=0) keeps fail-fast ConcurrentWriteError."""
+    import threading
+
+    from metrique_spark.engine import ConcurrentWriteError
+    from metrique_spark.fs import LeaseLock, LocalFS
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(spark, warehouse=wh, lock_wait=60.0)
+    eng.upsert("c", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+
+    fs = LocalFS()
+    lease = LeaseLock(fs, fs.join(wh, ".c.lock"))
+    lease.acquire()  # a live same-pid holder: cannot be reclaimed
+    threading.Timer(2.0, lease.release).start()
+    eng.upsert("c", _objs(spark, [(2, 20)], "2014-02-01"),
+               stamped=True)  # waits ~2s, then commits
+    assert eng.count("c") == 2
+
+    # fail-fast default unchanged
+    lease2 = LeaseLock(fs, fs.join(wh, ".c.lock"))
+    lease2.acquire()
+    try:
+        ff = Engine(spark, warehouse=wh)
+        with pytest.raises(ConcurrentWriteError, match="locked"):
+            ff.upsert("c", _objs(spark, [(3, 30)], "2014-03-01"),
+                      stamped=True)
+    finally:
+        lease2.release()
