@@ -818,3 +818,35 @@ def test_lock_wait_second_writer_succeeds_after_release(spark, tmp_path):
                       stamped=True)
     finally:
         lease2.release()
+
+
+def test_snapshot_upsert_open_read_prunes_to_hit_buckets(
+        spark, tmp_path, monkeypatch):
+    """The bucket-granular merge must PRUNE THE SCAN, not just the
+    rewrite: the open-rows frame fed into the snapshot merge reads files
+    from the hit buckets only (executed-plan check via
+    input_file_name — at 100 TB the read cost of the merge rides the
+    batch's bucket coverage, not the snapshot width)."""
+    from metrique_spark import upsert as ups
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    eng.upsert("p", _objs(spark, [(i, i) for i in range(40)],
+                          "2014-01-01"), stamped=True)
+    hits = {r["b"] for r in spark.createDataFrame(
+        [(1,), (2,)], "_oid long")
+        .select(Engine._obucket(8).alias("b")).collect()}
+    seen = {}
+    real = ups.snapshot_merge_tagged
+
+    def spy(open_rows, incoming):
+        seen["files"] = [r[0] for r in open_rows.select(
+            F.input_file_name().alias("f")).distinct().collect()]
+        return real(open_rows, incoming)
+
+    monkeypatch.setattr(ups, "snapshot_merge_tagged", spy)
+    eng.upsert("p", _objs(spark, [(1, 101), (2, 102)], "2014-02-01"),
+               stamped=True)
+    assert seen["files"]  # the merge really read the open snapshot
+    for f in seen["files"]:
+        assert any(f"__obucket={b}/" in f for b in hits), f
+        assert "_current=true" in f, f  # closed history never read
