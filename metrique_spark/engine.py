@@ -817,8 +817,12 @@ class Engine:
         only the new/changed rows against the STORED model (frozen
         centroids/codebooks/params — recall drifts with the data
         distribution, correctness doesn't; rebuild when bucket sizes
-        skew), and bump the marker generation. Cost is O(delta)
-        encoding + O(hit partitions) code copying — never the corpus.
+        skew), and bump the marker generation. WRITE cost is O(delta)
+        encoding + O(hit partitions) code copying — never the corpus;
+        the diff's READ side does scan the whole index's slim (id,
+        fingerprint) pair — column-pruned, no vector/code payload —
+        the unavoidable floor for an exact diff without a retained
+        generation.
         Diffing against index content needs no retained generation and
         is self-healing: whatever state the index data is in (drift,
         duplicate ids from raw appends), one refresh converges it to
