@@ -843,10 +843,22 @@ def test_snapshot_upsert_open_read_prunes_to_hit_buckets(
             F.input_file_name().alias("f")).distinct().collect()]
         return real(open_rows, incoming)
 
-    monkeypatch.setattr(ups, "snapshot_merge_tagged", spy)
+    def spy2(open_rows, incoming):
+        from metrique_spark.plans import audit
+
+        seen["pf"] = " ".join(audit.partition_filters(
+            audit.static_plan(open_rows)))
+        return spy(open_rows, incoming)
+
+    monkeypatch.setattr(ups, "snapshot_merge_tagged", spy2)
     eng.upsert("p", _objs(spark, [(1, 101), (2, 102)], "2014-02-01"),
                stamped=True)
     assert seen["files"]  # the merge really read the open snapshot
     for f in seen["files"]:
         assert any(f"__obucket={b}/" in f for b in hits), f
         assert "_current=true" in f, f  # closed history never read
+    # plan-level proof (input_file_name only shows files of SURVIVING
+    # rows): the scan carries PartitionFilters on _current and
+    # __obucket, so non-hit directories are skipped before any file
+    # opens
+    assert "_current" in seen["pf"] and "__obucket" in seen["pf"], seen
