@@ -1006,6 +1006,19 @@ class Engine:
                 drift = {"metric": dm, "baseline": base, "appended": dv,
                          "tolerance": tol,
                          "rebuild_recommended": bool(rec)}
+                if m["kind"] in ("ivf", "ivfpq"):
+                    # post-refresh inverted-list balance (report-only:
+                    # the documented rebuild trigger "bucket sizes
+                    # skew", now measured — max/mean over the slim
+                    # partition key, one combinable aggregate)
+                    key = "bucket" if m["kind"] == "ivf" else "cluster"
+                    sub = "/vectors" if m["kind"] == "ivf" else "/codes"
+                    srow = (self.spark.read.parquet(apath0 + sub)
+                            .groupBy(key).count()
+                            .agg((F.max("count")
+                                  / F.avg("count")).alias("s")).first())
+                    if srow["s"] is not None:
+                        drift["bucket_skew"] = round(float(srow["s"]), 3)
                 m["drift_last"] = drift  # surfaced by vector_index_list
             m["gen"] = live
             self.fs.write_text(marker, json.dumps(m))
@@ -1481,10 +1494,6 @@ class Engine:
                                       "min_start": r["__min_start"]}
         return stats
 
-    def _written_relpaths(self, out: DataFrame, buckets: int | None,
-                          timepart: str | None = None) -> set[str]:
-        return set(self._written_dir_stats(out, buckets, timepart))
-
     @staticmethod
     def _check_oid_type(stored: DataFrame, incoming: DataFrame) -> None:
         """Reject an incoming frame whose ``_oid`` type differs from the
@@ -1732,10 +1741,16 @@ class Engine:
     def _write_open(self, new_open: DataFrame, path: str,
                     buckets: int | None = None,
                     open_batch: str = "open",
-                    timepart: str | None = None) -> set[str]:
+                    timepart: str | None = None
+                    ) -> dict[str, dict[str, str | None]]:
         """Dynamically overwrite the open partition(s). Manifested cubes
         pass a generation-scoped batch name so the write lands in fresh
-        directories instead of mutating the live open partition."""
+        directories instead of mutating the live open partition. Returns
+        the written directories' stats (min_start matters: open
+        directories carry forward across bucket-granular commits, and
+        the recorded min(_start) lets an as-of read skip open buckets
+        whose rows all started after the probe; max_end is NULL for an
+        open dir and _merged_stats drops it)."""
         out = (new_open.withColumn("_current", F.lit(True))
                .withColumn("__batch", F.lit(open_batch)))
         if buckets:
@@ -1748,7 +1763,7 @@ class Engine:
             .partitionBy(*self._partition_keys(buckets, timepart))
             .parquet(path)
         )
-        return self._written_relpaths(out, buckets, timepart)
+        return self._written_dir_stats(out, buckets, timepart)
 
     def compact(self, cube: str, target_partitions: int | None = None,
                 sort_by: Sequence[str] | None = None) -> int:
@@ -2110,9 +2125,10 @@ class Engine:
                     live=self._retained_dirs(meta),  # history dirs too:
                     # overwriting one would corrupt a retained snapshot
                     timepart=timepart)
-                open_rels = self._write_open(
+                open_stats = self._write_open(
                     new_open, path, buckets=buckets,
                     open_batch=f"open-g{gen}", timepart=timepart)
+                open_rels = set(open_stats)
                 if hit_open is not None:
                     # drop only the open dirs of MERGED (hit) buckets;
                     # untouched open-bucket dirs stay referenced
@@ -2129,7 +2145,9 @@ class Engine:
                     layout.get("keep_generations", 0) if layout else 0)
                 self._manifest_flip(path, raw, gen, dirs, hist,
                                     stats=self._merged_stats(
-                                        meta, closed_rels, dirs, hist),
+                                        meta,
+                                        {**closed_rels, **open_stats},
+                                        dirs, hist),
                                     schema=msch)
                 self._sweep_unreferenced(
                     path, dirs | {d for h in hist for d in h["dirs"]})

@@ -862,3 +862,30 @@ def test_snapshot_upsert_open_read_prunes_to_hit_buckets(
     # __obucket, so non-hit directories are skipped before any file
     # opens
     assert "_current" in seen["pf"] and "__obucket" in seen["pf"], seen
+
+
+def test_upsert_records_open_dir_min_start_stats(spark, tmp_path):
+    """Snapshot upserts record min(_start) stats for the OPEN
+    directories they write (inserts always did): open-bucket dirs carry
+    forward across bucket-granular commits, and the recorded stat lets
+    an as-of read skip open buckets whose rows all started after the
+    probe date."""
+    import json
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4)
+    eng.upsert("st", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
+    eng.upsert("st", _objs(spark, [(1, 11)], "2014-06-01"), stamped=True)
+    meta = json.loads(eng._manifest_raw(eng._path("st")))
+    ms = meta["stats"]["min_start"]
+    open_stats = {d: v for d, v in ms.items()
+                  if d.startswith("_current=true")}
+    assert open_stats, ms
+    assert any(v.startswith("2014-06-01") for v in open_stats.values())
+    # and the stat actually prunes: an as-of read before the open dir's
+    # min_start drops it at manifest resolution
+    kept = eng._prune_by_end_stats(
+        meta, list(meta["dirs"]), None,
+        "2014-02-01 00:00:00.000000")
+    assert all(not d.startswith("_current=true") for d in kept), kept
+    # correctness unchanged: the as-of probe sees the old version
+    assert eng.find_one("st", date="2014-02-01")["col_1"] == 10

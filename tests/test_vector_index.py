@@ -659,3 +659,18 @@ def test_compact_vector_index_crash_is_recoverable(spark, tmp_path,
     assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
     eng.compact_vector_index("vecs", "sx")
     assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+
+
+def test_drift_reports_bucket_skew(spark, tmp_path):
+    """Centroid-family refreshes report the post-refresh inverted-list
+    balance (max/mean bucket size) alongside the distribution metric —
+    the measured form of the documented 'rebuild when bucket sizes
+    skew' trigger."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    eng.upsert("vecs", _vrows(spark, [(99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+    res = eng.refresh_vector_index("vecs", "ix")
+    assert res["drift"]["bucket_skew"] >= 1.0
