@@ -294,6 +294,23 @@ def main() -> None:
         }
         print(f"# ingest: {n_rows} rows in {dt:.3f}s "
               f"({ingest['values_per_s']} values/s)", file=sys.stderr)
+        # CDC-trickle commit into the now-populated cube: a 2-oid batch
+        # exercises the bucket-granular merge (only the hit oid-buckets
+        # are read, merged and rewritten; the other open-bucket dirs
+        # carry forward by manifest reference) — the latency a frequent
+        # small-batch writer actually pays, vs the bulk number above
+        delta = (ev.where(F.col("event_id") < 2)
+                 .withColumn("value", F.col("value") + 1.0))
+        dbatch = stamp(delta, oid="event_id",
+                       start=F.col("ts").cast("timestamp")
+                       + F.expr("INTERVAL 1 DAY"))
+        dbatch = dbatch.localCheckpoint(eager=True)
+        t0 = time.time()
+        eng.upsert("ingest_bench", dbatch, stamped=True)
+        ingest["delta_sec"] = round(time.time() - t0, 3)
+        ingest["delta_rows"] = 2
+        print(f"# ingest delta: 2 rows in {ingest['delta_sec']}s "
+              "(bucket-granular merge)", file=sys.stderr)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 

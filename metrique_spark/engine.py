@@ -124,7 +124,8 @@ class Engine:
                  lock_wait: float = 0.0,
                  oid_buckets: int = 16,
                  time_partition: str | None = None,
-                 keep_generations: int = 0):
+                 keep_generations: int = 0,
+                 auto_compact_index_batches: int | None = None):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -177,6 +178,14 @@ class Engine:
         # the idempotent per-batch commit. Off by default: compaction
         # rewrites all closed rows, which the caller may want to schedule.
         self.auto_compact_batches = auto_compact_batches
+        # ANN-index sibling of auto_compact_batches: when a refresh
+        # leaves more than this many append-batch partitions (files for
+        # IVF) in an index, compact_vector_index runs as the refresh's
+        # epilogue — bounds the tiny-file/listing growth of a
+        # refreshed-nightly index without giving up the idempotent
+        # per-refresh append. Off by default for the same reason as the
+        # cube knob: bulk loads should not compact N times.
+        self.auto_compact_index_batches = auto_compact_index_batches
         # generation retention (time travel): keep the directory sets of
         # the last N superseded generations in the manifest, so
         # ``table(cube, generation=g)`` reads an exact committed
@@ -1027,7 +1036,44 @@ class Engine:
             out = {"appended": n_add, "removed": n_del, "gen": live}
             if drift is not None:
                 out["drift"] = drift
+            # refresh epilogue: bound the append-granule growth (the
+            # lock is reentrant, so this runs inside the same lease)
+            lim = self.auto_compact_index_batches
+            if lim and self._index_batch_count(apath0, m["kind"]) > lim:
+                out["compacted"] = self.compact_vector_index(cube, name)
             return out
+
+    def _index_batch_count(self, apath: str, kind: str) -> int:
+        """Append-granule count of a stored index — distinct ``__abatch``
+        tokens for the PQ families, the max per-bucket file count for
+        IVF (both are 1 in the fully-compacted state, so the
+        auto-compaction trigger converges instead of re-firing). Listing
+        cost is bounded by buckets × batches."""
+        if kind == "ivf":
+            root = self.fs.join(apath, "vectors")
+            if not self.fs.isdir(root):
+                return 0
+            worst = 0
+            for d in self.fs.listdir(root):
+                p = self.fs.join(root, d)
+                if d.startswith("bucket=") and self.fs.isdir(p):
+                    worst = max(worst, sum(
+                        f.endswith(".parquet")
+                        for f in self.fs.listdir(p)))
+            return worst
+        root = self.fs.join(apath, "codes")
+        if not self.fs.isdir(root):
+            return 0
+        tokens: set[str] = set()
+        for d in self.fs.listdir(root):
+            p = self.fs.join(root, d)
+            if d.startswith("__abatch="):
+                tokens.add(d)
+            elif (d.startswith(("cluster=", "__gbucket="))
+                    and self.fs.isdir(p)):
+                tokens.update(b for b in self.fs.listdir(p)
+                              if b.startswith("__abatch="))
+        return len(tokens)
 
     def compact_vector_index(self, cube: str, name: str) -> int:
         """Consolidate a committed ANN index's append-accumulated

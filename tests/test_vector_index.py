@@ -674,3 +674,33 @@ def test_drift_reports_bucket_skew(spark, tmp_path):
                               "2014-02-01"), stamped=True)
     res = eng.refresh_vector_index("vecs", "ix")
     assert res["drift"]["bucket_skew"] >= 1.0
+
+
+def test_auto_compact_index_batches(spark, tmp_path):
+    """Engine(auto_compact_index_batches=N): a refresh that leaves more
+    than N append granules triggers compact_vector_index as its
+    epilogue — the index never accumulates unbounded tiny batch
+    partitions under a nightly-refresh regime, and the trigger
+    converges (the compacted state counts 1, so it does not re-fire)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 auto_compact_index_batches=2)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding", kind="sq8")
+    tripped = 0
+    for i, day in enumerate(("2014-02-01", "2014-03-01", "2014-04-01")):
+        eng.upsert("vecs", _vrows(
+            spark, [(200_000 + i, [0.2 + 0.01 * i] * 64, 1)], day),
+            stamped=True)
+        res = eng.refresh_vector_index("vecs", "sx")
+        tripped += res.get("compacted", 0)
+    assert tripped > 0  # some refresh crossed the limit and compacted
+    apath = eng._ann_path("vecs", "sx")
+    assert eng._index_batch_count(apath, "sq8") <= 2  # bounded, converged
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+    # content still exactly the live corpus
+    stored = {r["_oid"] for r in spark.read.parquet(
+        apath + "/codes").select("_oid").collect()}
+    live = {r["_oid"] for r in eng.find("vecs").select("_oid").collect()}
+    assert stored == live
