@@ -257,7 +257,7 @@ def test_index_lifecycle_op_sequence_matches_model(spark, tmp_path):
 
     rng = random.Random(20260816)
     eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
-                 keep_generations=2)
+                 keep_generations=2, auto_compact_index_batches=3)
     cube, name, dim = "vmdl", "fx", 8
     oids = list(range(1, 11))
     live: dict[int, tuple] = {}
