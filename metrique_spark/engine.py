@@ -609,6 +609,7 @@ class Engine:
     def build_vector_index(self, cube: str, name: str, vec_col: str,
                            kind: str = "ivf", id_col: str = "_oid",
                            auto_refresh: bool = False,
+                           drift_tol: float | None = None,
                            **params) -> None:
         """Build (or rebuild) a persisted ANN index over a cube's vector
         column — CURRENT versions only (an embedding index over history
@@ -715,15 +716,26 @@ class Engine:
                 else:
                     dmetric, dval = _sim.drift_stat(df, "pq", vec_col,
                                                     books=pmeta["books"])
-            self.fs.write_text(amarker, json.dumps(
-                {"kind": kind, "gen": gen, "vec_col": vec_col,
-                 "id_col": id_col, "params": params,
-                 "auto": bool(auto_refresh),
-                 "drift_base": {"metric": dmetric, "value": dval}}))
+            body = {"kind": kind, "gen": gen, "vec_col": vec_col,
+                    "id_col": id_col, "params": params,
+                    "auto": bool(auto_refresh),
+                    "drift_base": {"metric": dmetric, "value": dval}}
+            if drift_tol is not None:
+                # per-index tolerance: drift sensitivity is a property
+                # of the INDEX's workload, so it rides the marker — a
+                # later refresh (auto included) applies it without the
+                # caller re-passing the knob
+                body["drift_tol"] = float(drift_tol)
+            self.fs.write_text(amarker, json.dumps(body))
 
-    def vector_index_list(self, cube: str) -> dict[str, dict]:
+    def vector_index_list(self, cube: str,
+                          counts: bool = False) -> dict[str, dict]:
         """Committed ANN indexes on the cube: name → its ``_ann.json``
-        metadata plus a ``stale`` flag (built generation != live)."""
+        metadata plus a ``stale`` flag (built generation != live).
+        ``counts=True`` adds each index's append-granule count
+        (``batches`` — see ``_index_batch_count``), the quantity
+        ``compact_vector_index`` bounds; off by default because the
+        listing walk runs on every auto-refresh commit epilogue."""
         import json
 
         path = self._path(cube)
@@ -744,6 +756,9 @@ class Engine:
                 # a mutation is in flight or crashed mid-way; the next
                 # refresh converges it (see _ann_intent_path)
                 m["refreshing"] = True
+            if counts:
+                m["batches"] = self._index_batch_count(
+                    self.fs.join(path, d), m["kind"])
             out[d[len("_ann_"):]] = m
         return out
 
@@ -981,6 +996,8 @@ class Engine:
             # 0.05). Cost: one map-only pass over the delta.
             drift = None
             base = (m.get("drift_base") or {}).get("value")
+            if drift_tol is None:
+                drift_tol = m.get("drift_tol")  # per-index tolerance
             if n_add and base is not None:
                 if m["kind"] == "ivf":
                     cents = sorted(

@@ -704,3 +704,25 @@ def test_auto_compact_index_batches(spark, tmp_path):
         apath + "/codes").select("_oid").collect()}
     live = {r["_oid"] for r in eng.find("vecs").select("_oid").collect()}
     assert stored == live
+
+
+def test_drift_tol_recorded_per_index(spark, tmp_path):
+    """A build-time drift tolerance rides the marker: later refreshes
+    (auto included) apply it without the caller re-passing the knob —
+    an absurdly tight tolerance flips the flag even for an
+    in-distribution append, and vector_index_list(counts=True) reports
+    the append-granule count compaction bounds."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    emb = _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4, drift_tol=-1.0)
+    indist = [(1_000_000 + r["vec_id"], [float(x) for x in r["embedding"]],
+               0) for r in emb.limit(5).collect()]
+    eng.upsert("vecs", _vrows(spark, indist, "2014-02-01"), stamped=True)
+    res = eng.refresh_vector_index("vecs", "ix")
+    # appended < baseline - (-1.0) always holds -> flagged by the
+    # RECORDED tolerance, no argument passed to refresh
+    assert res["drift"]["tolerance"] == -1.0
+    assert res["drift"]["rebuild_recommended"]
+    ix = eng.vector_index_list("vecs", counts=True)["ix"]
+    assert ix["drift_tol"] == -1.0 and ix["batches"] >= 1
