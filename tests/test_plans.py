@@ -500,3 +500,16 @@ def test_ivfpq_indexed_prunes_to_probed_cluster_dirs(spark):
     assert audit.broadcast_join_count(p) >= 2
     pf = [f for f in audit.partition_filters(p) if "cluster" in f]
     assert pf, audit.partition_filters(p)
+
+
+def test_index_refreshed_probe_no_cartesian_prunes_clusters(spark):
+    """The engine-lifecycle entry's steady state is a stored IVF-PQ
+    probe: no cartesian anywhere, and the codes scan carries a cluster
+    partition filter (the probe reads ~nprobe/nlist of the code
+    directories, not the corpus). The plan is audited on the WARM path
+    (state already built) — the same plan every later search pays."""
+    entry.queries()["sim_index_refreshed"](spark, SF)  # ensure built
+    p = _plan(spark, "sim_index_refreshed")
+    assert not audit.has_cartesian(p)
+    pf = " ".join(audit.partition_filters(p))
+    assert "cluster" in pf, pf
