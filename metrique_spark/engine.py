@@ -784,6 +784,21 @@ class Engine:
         meta = self._manifest(self._path(cube))
         live = meta["gen"] if meta else None
         ipath = self._ann_intent_path(cube, name)
+        if self.fs.isfile(ipath) and self.lock_wait:
+            # same opt-in as the writer lease: a reader willing to wait
+            # polls the intent away instead of failing — the common case
+            # is an auto-refresh commit epilogue finishing in seconds
+            import time as _time
+
+            deadline = _time.monotonic() + self.lock_wait
+            backoff = 0.05
+            while (self.fs.isfile(ipath)
+                   and _time.monotonic() + backoff <= deadline):
+                _time.sleep(backoff)
+                backoff = min(backoff * 2, 1.0)
+            m = json.loads(self.fs.read_text(marker))  # re-read gen
+            meta = self._manifest(self._path(cube))
+            live = meta["gen"] if meta else None
         if self.fs.isfile(ipath):
             intent = json.loads(self.fs.read_text(ipath))
             done = (intent.get("op") == "refresh"

@@ -726,3 +726,34 @@ def test_drift_tol_recorded_per_index(spark, tmp_path):
     assert res["drift"]["rebuild_recommended"]
     ix = eng.vector_index_list("vecs", counts=True)["ix"]
     assert ix["drift_tol"] == -1.0 and ix["batches"] >= 1
+
+
+def test_search_waits_out_inflight_refresh_with_lock_wait(spark,
+                                                          tmp_path):
+    """Engine(lock_wait=N) applies to READERS of a mid-mutation index
+    too: instead of the in-flight error, vector_search polls the intent
+    away (the common case is an auto-refresh commit epilogue finishing
+    in seconds) and then answers from the committed state."""
+    import json
+    import threading
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), lock_wait=30.0)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding", kind="sq8")
+    # simulate an in-flight refresh: intent present, then a 'writer'
+    # finishes (deletes it) while the search is waiting
+    ipath = eng._ann_intent_path("vecs", "sx")
+    eng.fs.write_text(ipath, json.dumps({"op": "refresh",
+                                         "target_gen": 99}))
+    threading.Timer(1.5, lambda: eng.fs.delete(ipath)).start()
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+    # the fail-fast default still raises immediately
+    ff = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.fs.write_text(ipath, json.dumps({"op": "compact"}))
+    try:
+        with pytest.raises(ValueError, match="in flight"):
+            ff.vector_search("vecs", "sx", q, k=3)
+    finally:
+        eng.fs.delete(ipath)
