@@ -832,3 +832,41 @@ def test_flat_removal_rewrites_only_hit_buckets(spark, tmp_path):
     want = sorted(map(tuple, sim.sq8_topk(
         df.where("vec_id not in (7, 55)"), q, params, k=3).collect()))
     assert got == want
+
+
+def test_drift_stat_invariants(spark):
+    """The drift statistics hit their analytic fixed points: vectors
+    that ARE the centroids score centroid_sim 1.0; vectors that ARE
+    codewords have pq_err 0; in-range vectors clip 0 and a vector out
+    of range on k of d dims clips exactly k/d."""
+    from metrique_spark.functions.similarity import drift_stat
+
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(i, v) for i, v in rows]
+    name, val = drift_stat(df, "ivf", "embedding", centroids=cents)
+    assert name == "centroid_sim" and val == 1.0
+    # orthogonal probe: sim to every one-hot centroid is 0
+    probe = spark.createDataFrame([(9, [0.5, 0.5, 0.5, 0.5])],
+                                  "vec_id long, embedding array<double>")
+    _, v2 = drift_stat(probe, "ivf", "embedding", centroids=cents)
+    assert v2 == 0.5  # cos((.5,)*4, one-hot) = .5/1 = 0.5 exactly
+    # pq: books with the corpus subvectors as codewords -> zero error
+    books = [[[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]],
+             [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]]
+    name, err = drift_stat(df, "pq", "embedding", books=books)
+    assert name == "pq_err" and err == 0.0
+    # sq8: params spanning the corpus -> clip 0; out-of-range on 1 of 4
+    # dims -> exactly 0.25
+    params = [(0.0, 1.0)] * 4
+    name, c0 = drift_stat(df, "sq8", "embedding", params=params)
+    assert name == "clip_frac" and c0 == 0.0
+    oor = spark.createDataFrame([(9, [5.0, 0.5, 0.5, 0.5])],
+                                "vec_id long, embedding array<double>")
+    _, c1 = drift_stat(oor, "sq8", "embedding", params=params)
+    assert c1 == 0.25
+    # empty frame -> None, never a crash
+    _, ve = drift_stat(df.where("vec_id < 0"), "sq8", "embedding",
+                       params=params)
+    assert ve is None
