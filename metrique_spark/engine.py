@@ -490,9 +490,9 @@ class Engine:
                         f"cannot drop {col!r}: committed vector index "
                         f"{iname!r} depends on it "
                         f"(vec_col={im.get('vec_col')!r}, "
-                        f"id_col={im.get('id_col')!r}) — drop the index "
-                        "first (delete its _ann_* directory or rebuild "
-                        "it over another column)")
+                        f"id_col={im.get('id_col')!r}) — "
+                        "drop_vector_index first, or rebuild it over "
+                        "another column)")
             newsch = StructType(
                 [f for f in sch.fields if f.name != col]).jsonValue()
             # registry BEFORE the flip: a crash in between leaves an
@@ -1074,6 +1074,23 @@ class Engine:
             if lim and self._index_batch_count(apath0, m["kind"]) > lim:
                 out["compacted"] = self.compact_vector_index(cube, name)
             return out
+
+    def drop_vector_index(self, cube: str, name: str) -> bool:
+        """Delete an ANN index — committed or crash-stranded — under the
+        writer lease: marker first (searches immediately refuse), then
+        the directory. Returns False when no such index directory
+        exists. The inverse of ``build_vector_index``; dropping is the
+        documented way to release an index whose column is about to be
+        dropped from the cube."""
+        apath = self._ann_path(cube, name)
+        with self._write_lock(cube):
+            if not self.fs.isdir(apath):
+                return False
+            marker = self._ann_meta_path(cube, name)
+            if self.fs.isfile(marker):
+                self.fs.delete(marker)
+            self.fs.delete_dir(apath)
+            return True
 
     def _index_batch_count(self, apath: str, kind: str) -> int:
         """Append-granule count of a stored index — distinct ``__abatch``

@@ -757,3 +757,25 @@ def test_search_waits_out_inflight_refresh_with_lock_wait(spark,
             ff.vector_search("vecs", "sx", q, k=3)
     finally:
         eng.fs.delete(ipath)
+
+
+def test_drop_vector_index_then_drop_column(spark, tmp_path):
+    """drop_vector_index releases the index under the lease (searches
+    refuse immediately, the directory is gone, re-drop returns False)
+    and unblocks drop_column of the formerly-depended-on column."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="sq8")
+    with pytest.raises(ValueError, match="drop_vector_index"):
+        eng.drop_column("vecs", "embedding")
+    assert eng.drop_vector_index("vecs", "ix") is True
+    assert "ix" not in eng.vector_index_list("vecs")
+    assert not eng.fs.isdir(eng._ann_path("vecs", "ix"))
+    assert eng.drop_vector_index("vecs", "ix") is False  # idempotent
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    with pytest.raises(ValueError, match="no committed"):
+        eng.vector_search("vecs", "ix", q, k=3)
+    eng.drop_column("vecs", "embedding")  # no longer blocked
+    assert "embedding" not in eng.table("vecs").columns
