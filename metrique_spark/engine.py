@@ -796,6 +796,14 @@ class Engine:
                    and _time.monotonic() + backoff <= deadline):
                 _time.sleep(backoff)
                 backoff = min(backoff * 2, 1.0)
+            if not self.fs.isfile(marker):
+                # a concurrent drop_vector_index removed the index while
+                # we waited — same refusal as the pre-wait check, not a
+                # raw file-not-found from the re-read below
+                raise ValueError(
+                    f"cube {cube!r} has no committed vector index "
+                    f"{name!r} (build_vector_index, or a crashed build "
+                    "— rebuild)")
             m = json.loads(self.fs.read_text(marker))  # re-read gen
             meta = self._manifest(self._path(cube))
             live = meta["gen"] if meta else None
@@ -1158,6 +1166,25 @@ class Engine:
             m = json.loads(self.fs.read_text(marker))
             apath = self._ann_path(cube, name)
             ipath = self._ann_intent_path(cube, name)
+            if self.fs.isfile(ipath):
+                intent = json.loads(self.fs.read_text(ipath))
+                if (intent.get("op") == "refresh"
+                        and m.get("gen") != intent.get("target_gen")):
+                    # a refresh crashed MID-MUTATION: the index content
+                    # is torn (neither the old nor the new generation).
+                    # Compacting would consolidate the half-refreshed
+                    # data and erase the torn-content flag — exactly the
+                    # state the intent protocol exists to refuse. Only
+                    # the self-healing diff may converge it.
+                    raise ValueError(
+                        f"vector index {name!r} on cube {cube!r} has a "
+                        "refresh crashed mid-way — run "
+                        "refresh_vector_index to converge the index "
+                        "before compacting (the content diff is "
+                        "self-healing)")
+                # else: a crashed compaction (op=compact) or a
+                # completed-refresh tail — content is consistent modulo
+                # duplicate ids, which the rewrite below collapses
             self.fs.write_text(ipath, json.dumps({"op": "compact"}))
             if m["kind"] == "ivf":
                 removed = _sim.compact_ivf_index(
@@ -1308,7 +1335,7 @@ class Engine:
         self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                            json.dumps(meta))
 
-    def vacuum(self, cube: str) -> None:
+    def vacuum(self, cube: str, scratch_grace: float = 3600.0) -> None:
         """Sweep directories no retained generation references — the
         leftovers of a writer that crashed after its data write but
         before the manifest flip. Normally the NEXT commit sweeps them;
@@ -1324,13 +1351,28 @@ class Engine:
         content — sweeping it would turn a recoverable crash into a
         forced full rebuild. Also sweeps the warehouse ``_scratch``
         root — reliable-spill directories a crashed sampling job never
-        released (don't run vacuum concurrently with in-flight sampling
-        queries: a swept spill makes their re-read fail loud — never
-        silently wrong)."""
+        released — but ONLY entries older than ``scratch_grace``
+        seconds (default one hour): the scratch root is session-global,
+        so an unconditional sweep from any engine sharing the warehouse
+        would destroy the in-flight spill of a concurrently RUNNING
+        sampling query on another session (it fails loud on re-read,
+        never silently wrong — but it shouldn't fail at all). Pass
+        ``scratch_grace=0`` to force-sweep everything when you know no
+        sampling query is in flight."""
         if self.warehouse:
+            import time as _time
+
             scratch = self.fs.join(self.warehouse, "_scratch")
             if self.fs.isdir(scratch):
-                self.fs.delete_dir(scratch)
+                cutoff = _time.time() - max(scratch_grace, 0.0)
+                for d in self.fs.listdir(scratch):
+                    p = self.fs.join(scratch, d)
+                    mt = self.fs.mtime(p)
+                    if mt is None or mt <= cutoff:
+                        (self.fs.delete_dir if self.fs.isdir(p)
+                         else self.fs.delete)(p)
+                if not self.fs.listdir(scratch):
+                    self.fs.delete_dir(scratch)
         with self._write_lock(cube):
             path = self._path(cube)
             if self.fs.isdir(path):

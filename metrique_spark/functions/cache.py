@@ -44,16 +44,39 @@ def track(result: DataFrame, *frames: DataFrame) -> DataFrame:
     return result
 
 
-def track_dir(result: DataFrame, *paths: str) -> DataFrame:
+def track_dir(result: DataFrame, *paths: str, deleter=None) -> DataFrame:
     """Record scratch DIRECTORIES the returned plan reads (the
     auto-provisioned reliable spill of ``ranked_within_strata``) so
     ``release(result)`` deletes them once the caller has materialized.
-    Engine ``vacuum`` sweeps the warehouse ``_scratch`` root as the
-    backstop for dirs a crashed job never released."""
+    ``deleter`` (a ``path -> None`` callable) deletes through the same
+    storage abstraction the spill was written with; without one,
+    ``release`` falls back to the path's Hadoop FileSystem (resolved
+    per-scheme through the frame's session — the same layer Spark wrote
+    the parquet with, so an object-store spill deletes remotely instead
+    of silently no-op'ing through a driver-local rmtree). Engine
+    ``vacuum`` sweeps the warehouse ``_scratch`` root as the backstop
+    for dirs a crashed job never released."""
     owned = list(getattr(result, _DIRS, []))
-    owned.extend(paths)
+    owned.extend((p, deleter) for p in paths)
     setattr(result, _DIRS, owned)
     return result
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Delete ``path`` recursively through its Hadoop FileSystem (the
+    layer that wrote it — works for any scheme Spark can write:
+    file://, hdfs://, s3a://, ...); driver-local rmtree as the last
+    resort when no JVM is reachable (session already stopped)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        hfs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        hfs.delete(jpath, True)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def release(result: DataFrame) -> int:
@@ -68,11 +91,17 @@ def release(result: DataFrame) -> int:
         except Exception:
             pass  # session already stopped
     setattr(result, _ATTR, [])
-    import shutil
-
-    for p in getattr(result, _DIRS, []):
-        # local paths delete here; object-store scratch is swept by the
-        # engine's vacuum backstop instead
-        shutil.rmtree(p, ignore_errors=True)
+    for entry in getattr(result, _DIRS, []):
+        # entries are (path, deleter) pairs (bare strings accepted for
+        # pre-existing callers); deleter=None resolves to the path's
+        # Hadoop FileSystem so remote-FS spills actually delete
+        p, deleter = entry if isinstance(entry, tuple) else (entry, None)
+        if deleter is not None:
+            try:
+                deleter(p)
+            except Exception:
+                pass  # vacuum sweeps the backstop
+        else:
+            _fs_delete(result.sparkSession, p)
     setattr(result, _DIRS, [])
     return len(owned)

@@ -239,6 +239,30 @@ def test_cache_release_frees_tracked_intermediates(spark):
     assert cache.release(out) == 0  # idempotent
 
 
+def test_track_dir_deleter_threads_through_release(spark, tmp_path):
+    """release() deletes tracked scratch dirs through the deleter they
+    were tracked with (the storage abstraction that wrote them); the
+    deleter-less default resolves the path's Hadoop FileSystem — so an
+    object-store spill deletes remotely instead of silently no-op'ing
+    through a driver-local rmtree."""
+    import os
+
+    from metrique_spark.functions import cache
+
+    df = spark.range(3)
+    deleted: list[str] = []
+    out = cache.track_dir(df, "mem://spill/a", "mem://spill/b",
+                          deleter=deleted.append)
+    assert cache.release(out) == 0  # no cached frames, dirs still swept
+    assert deleted == ["mem://spill/a", "mem://spill/b"]
+    # default path: Hadoop FS delete of a real (local-scheme) directory
+    spill = tmp_path / "spill_dir"
+    spark.range(5).write.mode("overwrite").parquet(str(spill))
+    out2 = cache.track_dir(spark.range(1), str(spill))
+    cache.release(out2)
+    assert not os.path.exists(spill)
+
+
 def test_hash_ranked_within_strata_matches_driver_sort(spark):
     # skewed corpus again, via the sampling-free hash-range variant: rank
     # within stratum by (md5-bucket, key) must match a driver-side sort,
@@ -591,10 +615,20 @@ def test_ranked_auto_spill_with_engine_scratch(spark, tmp_path):
         assert not any(d.startswith("ranked_")
                        for d in (os.listdir(scratch)
                                  if os.path.isdir(scratch) else []))
-        # crashed-job leftovers: vacuum sweeps the scratch root
-        os.makedirs(os.path.join(scratch, "ranked_leftover"),
-                    exist_ok=True)
+        # crashed-job leftovers: vacuum sweeps the scratch root — but a
+        # FRESH entry (an in-flight spill of a concurrent session) is
+        # protected by the default grace period; only scratch_grace=0
+        # force-sweeps it
+        leftover = os.path.join(scratch, "ranked_leftover")
+        os.makedirs(leftover, exist_ok=True)
         eng.vacuum("anchor")
+        assert os.path.isdir(leftover)  # too young to sweep
+        old = os.path.join(scratch, "ranked_crashed_old")
+        os.makedirs(old, exist_ok=True)
+        os.utime(old, (1.0, 1.0))  # ancient mtime: a crashed job's spill
+        eng.vacuum("anchor")
+        assert not os.path.isdir(old) and os.path.isdir(leftover)
+        eng.vacuum("anchor", scratch_grace=0)
         assert not os.path.isdir(scratch)
     finally:
         spark.conf.unset("spark.metrique_spark.scratchDir.forceLocal")

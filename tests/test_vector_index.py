@@ -759,6 +759,67 @@ def test_search_waits_out_inflight_refresh_with_lock_wait(spark,
         eng.fs.delete(ipath)
 
 
+def test_compact_refuses_torn_crashed_refresh(spark, tmp_path,
+                                              monkeypatch):
+    """A refresh that crashed MID-MUTATION (intent op=refresh, marker
+    gen != target_gen — content torn) must not be compacted directly:
+    compaction would consolidate the half-refreshed data and erase the
+    torn-content flag. compact_vector_index refuses and steers to
+    refresh_vector_index, which converges — then compaction runs."""
+    from metrique_spark.functions import similarity as sim_mod
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding", kind="sq8")
+    eng.upsert("vecs", _vrows(spark, [(99_999, [0.25] * 64, 1)],
+                              "2014-02-01"), stamped=True)
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash mid-refresh")
+
+    monkeypatch.setattr(sim_mod, "append_to_pq_index", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.refresh_vector_index("vecs", "sx")
+    monkeypatch.undo()
+    # torn state: intent present, marker gen behind the intent's target
+    assert eng.fs.isfile(eng._ann_intent_path("vecs", "sx"))
+    with pytest.raises(ValueError, match="refresh_vector_index"):
+        eng.compact_vector_index("vecs", "sx")
+    # intent untouched by the refusal: searches still refuse too
+    assert eng.fs.isfile(eng._ann_intent_path("vecs", "sx"))
+    eng.refresh_vector_index("vecs", "sx")  # self-healing convergence
+    eng.compact_vector_index("vecs", "sx")  # now fine
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    assert eng.vector_search("vecs", "sx", q, k=3).count() == 3
+
+
+def test_search_wait_survives_concurrent_drop(spark, tmp_path):
+    """A lock_wait reader whose index is DROPPED while it polls the
+    intent away gets the same 'no committed vector index' ValueError as
+    the pre-wait check — never a raw file-not-found from the marker
+    re-read."""
+    import json
+    import threading
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), lock_wait=30.0)
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "sx", vec_col="embedding", kind="sq8")
+    ipath = eng._ann_intent_path("vecs", "sx")
+    eng.fs.write_text(ipath, json.dumps({"op": "refresh",
+                                         "target_gen": 99}))
+
+    # the drop removes the whole _ann_sx dir — intent included, which
+    # ends the reader's poll; the marker re-read must then refuse, not
+    # raise a raw file-not-found
+    threading.Timer(
+        1.0, lambda: eng.drop_vector_index("vecs", "sx")).start()
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64)], "_oid long, embedding array<double>")
+    with pytest.raises(ValueError, match="no committed vector index"):
+        eng.vector_search("vecs", "sx", q, k=3)
+
+
 def test_drop_vector_index_then_drop_column(spark, tmp_path):
     """drop_vector_index releases the index under the lease (searches
     refuse immediately, the directory is gone, re-drop returns False)
