@@ -650,10 +650,21 @@ def tmp_history_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("_date", F.round(F.col("n"), 2).alias("n"))
 
 
-def deptree_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recursive BFS over a parent→children array field (reference
-    sqlalchemy.py:666-692): region → nations → suppliers."""
-    _utc(spark)
+_DEPTREE_SQL = """
+    SELECT CAST(child AS BIGINT) AS child
+    FROM (VALUES (0), (1)) seeds(child)
+    UNION
+    SELECT CAST(n_nationkey + 100 AS BIGINT) AS child
+    FROM nation WHERE n_regionkey IN (0, 1)
+    UNION
+    SELECT CAST(s_suppkey + 1000 AS BIGINT) AS child
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (0, 1)
+"""
+
+
+def _deptree_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → nations → suppliers parent→children array graph."""
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
     regions = n.groupBy("n_regionkey").agg(
@@ -665,9 +676,29 @@ def deptree_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list((F.col("s_suppkey") + 1000).cast("long")).alias("children"))
         .select((F.col("n_nationkey") + 100).cast("long").alias("_oid"), "children")
     )
-    graph = regions.unionByName(nations)
+    return regions.unionByName(nations)
+
+
+def deptree_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursive BFS over a parent→children array field (reference
+    sqlalchemy.py:666-692): region → nations → suppliers."""
+    _utc(spark)
+    graph = _deptree_graph(spark, sf_dir)
     visited = temporal.deptree(graph, "children", [0, 1], level=None, date="~")
     return spark.createDataFrame([(int(x),) for x in visited], schema="child bigint")
+
+
+def deptree_regions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deptree_df: the SAME closure as deptree_regions, returned as a
+    DataFrame with no terminal collect — the distributed BFS's visited
+    union IS the result plan (driver_fringe_threshold=1 forces the
+    distributed loop so the oracle value-checks that path, not the
+    driver-set fallback)."""
+    _utc(spark)
+    graph = _deptree_graph(spark, sf_dir)
+    visited = temporal.deptree_df(graph, "children", [0, 1], level=None,
+                                  date="~", driver_fringe_threshold=1)
+    return visited.select(F.col("_oid").cast("bigint").alias("child"))
 
 
 # ---------------------------------------------------------------------------
@@ -2071,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_correlate": events_correlate,
         "q_rollup_status": q_rollup_status,
         "deptree_regions": deptree_regions,
+        "deptree_regions_df": deptree_regions_df,
         # pipeline extensions
         "text_fingerprints": text_fingerprints,
         "text_quality": text_quality,
@@ -2581,17 +2613,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT _date, round(n, 2) AS n FROM pred
         """,
-        "deptree_regions": """
-            SELECT CAST(child AS BIGINT) AS child
-            FROM (VALUES (0), (1)) seeds(child)
-            UNION
-            SELECT CAST(n_nationkey + 100 AS BIGINT) AS child
-            FROM nation WHERE n_regionkey IN (0, 1)
-            UNION
-            SELECT CAST(s_suppkey + 1000 AS BIGINT) AS child
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-            WHERE n_regionkey IN (0, 1)
-        """,
+        "deptree_regions": _DEPTREE_SQL,
+        # same closure, DataFrame-returning engine path (no terminal
+        # collect): the value oracle is identical by construction
+        "deptree_regions_df": _DEPTREE_SQL,
         "text_fingerprints": f"""
             SELECT doc_id, {_FP} AS fp,
                    CAST(len({_TOKS}) AS BIGINT) AS n_tokens

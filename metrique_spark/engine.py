@@ -117,6 +117,11 @@ def _is_swept_read_error(exc: BaseException) -> bool:
 
 
 class Engine:
+    # sentinel default for compact()/compact_vector_index()'s
+    # ``small_bytes``: "use the engine's compact_small_bytes threshold"
+    # (None means an explicit FULL consolidation)
+    _FULL_COMPACT = object()
+
     def __init__(self, spark: SparkSession, warehouse: str | None = None,
                  auto_compact_batches: int | None = None,
                  fs: FileSystem | None = None,
@@ -125,7 +130,8 @@ class Engine:
                  oid_buckets: int = 16,
                  time_partition: str | None = None,
                  keep_generations: int = 0,
-                 auto_compact_index_batches: int | None = None):
+                 auto_compact_index_batches: int | None = None,
+                 compact_small_bytes: int = 256 * 1024 * 1024):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -186,6 +192,19 @@ class Engine:
         # per-refresh append. Off by default for the same reason as the
         # cube knob: bulk loads should not compact N times.
         self.auto_compact_index_batches = auto_compact_index_batches
+        # size-tiered (LSM-style) compaction threshold: compact() and
+        # compact_vector_index() merge only batch directories whose
+        # total size is at or below this many bytes, carrying larger
+        # consolidated levels forward by manifest reference UNTOUCHED.
+        # This is what keeps routine maintenance O(recent small batches)
+        # instead of O(|history|): with auto-compaction on, a steady
+        # small-batch ingest repeatedly folds its trickle into a growing
+        # consolidated level and stops touching it once it outgrows the
+        # threshold. Pass small_bytes=None to a compact call for an
+        # explicit full consolidation (e.g. before archiving a cube).
+        if compact_small_bytes <= 0:
+            raise ValueError("compact_small_bytes must be > 0")
+        self.compact_small_bytes = compact_small_bytes
         # generation retention (time travel): keep the directory sets of
         # the last N superseded generations in the manifest, so
         # ``table(cube, generation=g)`` reads an exact committed
@@ -1132,26 +1151,37 @@ class Engine:
                               if b.startswith("__abatch="))
         return len(tokens)
 
-    def compact_vector_index(self, cube: str, name: str) -> int:
+    def compact_vector_index(self, cube: str, name: str,
+                             small_bytes: int | None | object =
+                             _FULL_COMPACT) -> int:
         """Consolidate a committed ANN index's append-accumulated
-        layout: every ``refresh_vector_index``/append lands one
-        content-token-keyed ``__abatch`` partition per hit
-        bucket/cluster (extra files per bucket for IVF) — an index
-        refreshed nightly for a year carries hundreds of sub-directories
-        whose listing cost and tiny-file reads degrade every probe.
-        Rewrites each bucket/cluster to one consolidated batch (codes
-        copied, never re-encoded; duplicate ids collapsed) and deletes
-        the obsolete directories. Physical-only: search results are
-        identical before and after, and the marker generation is
-        untouched (a stale index stays stale).
+        layout — SIZE-TIERED by default, like ``compact``: every
+        ``refresh_vector_index``/append lands one content-token-keyed
+        ``__abatch`` partition per hit bucket/cluster (extra files per
+        bucket for IVF) — an index refreshed nightly for a year carries
+        hundreds of sub-directories whose listing cost and tiny-file
+        reads degrade every probe. Merges the batches at or below
+        ``small_bytes`` (default: the engine's ``compact_small_bytes``)
+        into one consolidated batch per bucket/cluster; larger
+        consolidated levels stay untouched on disk, so the auto-
+        compaction epilogue costs O(recent appends), never O(|index|).
+        Pass ``small_bytes=None`` for an explicit FULL consolidation
+        (also the cross-level duplicate-id convergence path). Codes are
+        copied, never re-encoded; duplicate ids collapse within the
+        merged tier. Physical-only: search results are identical before
+        and after, and the marker generation is untouched (a stale
+        index stays stale).
 
         Runs under the writer lease and the same ``_refresh.json``
         intent protocol as refresh: searches refuse the index while the
         rewrite is in flight, vacuum leaves it alone, and a crash
         mid-compaction is converged by the next refresh (duplicate ids
         are removed wholesale and re-appended once) or by re-running
-        the compaction. Returns the number of batch directories (files
-        for IVF) removed."""
+        the compaction — a re-run over a crashed compaction's intent
+        ESCALATES to full, because a tiered pass can't collapse a
+        duplicate id straddling the crashed merge and an untouched
+        level. Returns the number of batch directories (files for IVF)
+        removed."""
         import json
 
         from metrique_spark.functions import similarity as _sim
@@ -1184,14 +1214,22 @@ class Engine:
                         "self-healing)")
                 # else: a crashed compaction (op=compact) or a
                 # completed-refresh tail — content is consistent modulo
-                # duplicate ids, which the rewrite below collapses
+                # duplicate ids; escalate to FULL so the rewrite
+                # collapses them even across consolidated levels (a
+                # tiered pass only dedups within its merged tier)
+                if intent.get("op") == "compact":
+                    small_bytes = None
+            if small_bytes is Engine._FULL_COMPACT:
+                small_bytes = self.compact_small_bytes
             self.fs.write_text(ipath, json.dumps({"op": "compact"}))
             if m["kind"] == "ivf":
                 removed = _sim.compact_ivf_index(
-                    self.spark, apath, id_col=m["id_col"], fs=self.fs)
+                    self.spark, apath, id_col=m["id_col"], fs=self.fs,
+                    small_bytes=small_bytes)
             else:
                 removed = _sim.compact_pq_index(self.spark, apath,
-                                                fs=self.fs)
+                                                fs=self.fs,
+                                                small_bytes=small_bytes)
             self.fs.delete(ipath)
             return removed
 
@@ -1506,6 +1544,9 @@ class Engine:
         if prior.get("tz") == tz:
             end_m.update(prior.get("max_end") or {})
             start_m.update(prior.get("min_start") or {})
+        # per-directory byte sizes (the tiered-compaction level
+        # classifier) are tz-independent: always carried forward
+        bytes_m: dict[str, int] = dict(prior.get("bytes") or {})
         for d, v in (new_stats or {}).items():
             if v.get("max_end") is not None:
                 end_m[d] = v["max_end"]
@@ -1515,14 +1556,22 @@ class Engine:
                 start_m[d] = v["min_start"]
             else:
                 start_m.pop(d, None)
+            if v.get("bytes") is not None:
+                bytes_m[d] = v["bytes"]
         retained = set(dirs) | {d for h in (history or [])
                                 for d in h["dirs"]}
         kept_end = {d: end_m[d] for d in sorted(retained) if d in end_m}
         kept_start = {d: start_m[d] for d in sorted(retained)
                       if d in start_m}
-        if not kept_end and not kept_start:
+        kept_bytes = {d: bytes_m[d] for d in sorted(retained)
+                      if d in bytes_m}
+        if not kept_end and not kept_start and not kept_bytes:
             return None
-        return {"tz": tz, "max_end": kept_end, "min_start": kept_start}
+        out: dict = {"tz": tz, "max_end": kept_end,
+                     "min_start": kept_start}
+        if kept_bytes:
+            out["bytes"] = kept_bytes
+        return out
 
     def _manifest_flip(self, path: str, old_raw: str | None,
                        gen: int, dirs: set[str],
@@ -1629,6 +1678,24 @@ class Engine:
                 parts.append(f"{c}={v}")
             stats["/".join(parts)] = {"max_end": r["__max_end"],
                                       "min_start": r["__min_start"]}
+        return stats
+
+    def _record_sizes(
+        self, path: str, stats: dict[str, dict[str, str | int | None]],
+    ) -> dict[str, dict[str, str | int | None]]:
+        """Stamp each just-written directory's byte size into its stats
+        entry (``bytes``) so the manifest carries per-directory sizes —
+        the size-tiered compaction's level classifier then reads them
+        from the manifest instead of paying a listing walk over a
+        100 TB cube's directory tree. Cost is one recursive LIST per
+        directory THIS commit wrote (bounded by the commit, not the
+        cube); sizes for untouched dirs carry forward in
+        ``_merged_stats``."""
+        for rel, v in stats.items():
+            try:
+                v["bytes"] = self.fs.du(self.fs.join(path, rel))
+            except Exception:
+                pass  # size unknown: tiered compact falls back to du
         return stats
 
     @staticmethod
@@ -1903,16 +1970,34 @@ class Engine:
         return self._written_dir_stats(out, buckets, timepart)
 
     def compact(self, cube: str, target_partitions: int | None = None,
-                sort_by: Sequence[str] | None = None) -> int:
-        """Consolidate the history partition's per-upsert-batch directories.
+                sort_by: Sequence[str] | None = None,
+                small_bytes: int | None | object = _FULL_COMPACT) -> int:
+        """Consolidate the history partition's per-upsert-batch
+        directories — SIZE-TIERED (LSM-style) by default.
 
         Every snapshot upsert appends one token-keyed ``__batch``
         directory of closed rows — correct and idempotent, but after
         thousands of batches the history side is thousands of small
         parquet directories (the classic small-files problem; at cluster
         scale, NameNode/listing pressure and tiny scan tasks). ``compact``
-        rewrites ALL closed rows into one consolidated batch directory and
-        removes the originals. Returns the number of directories removed.
+        merges the batches whose total size is at or below
+        ``small_bytes`` (default: the engine's ``compact_small_bytes``)
+        into ONE consolidated batch directory and removes the originals;
+        batches ABOVE the threshold — prior consolidated levels — carry
+        forward by manifest reference, untouched on disk. This bounds
+        routine maintenance at O(recent small batches): a steady
+        small-batch ingest under ``auto_compact_batches`` folds its
+        trickle into a growing level and stops rewriting it once it
+        outgrows the threshold, instead of paying an O(|history|)
+        rewrite every Nth commit. Pass ``small_bytes=None`` for an
+        explicit FULL consolidation (every batch merges — e.g. one
+        final clustering pass with ``sort_by`` before archiving).
+        Per-batch sizes come from the manifest's recorded per-directory
+        byte stats (written at commit time; ``fs.du`` fallback for
+        pre-upgrade manifests), so tier selection costs no listing.
+        Returns the number of directories removed. Legacy (pre-manifest)
+        cubes always compact fully — tiering needs the manifest's
+        carry-forward.
 
         ``sort_by`` (e.g. ``["_start"]``) range-partitions and sorts the
         rewritten rows on the given columns, so each output file covers
@@ -1932,27 +2017,42 @@ class Engine:
         Consequence: re-compacting IDENTICAL content with a different
         ``sort_by`` is a no-op (same token, live directory, overwrite
         would tear readers) — cluster on the first compact, or after
-        new batches land."""
+        new batches land (both apply within the merged tier)."""
+        if small_bytes is Engine._FULL_COMPACT:
+            small_bytes = self.compact_small_bytes
         with self._write_lock(cube):
-            return self._compact_locked(cube, target_partitions, sort_by)
+            return self._compact_locked(cube, target_partitions, sort_by,
+                                        small_bytes)
 
-    def _compact_locked(self, cube: str, target_partitions: int | None,
-                        sort_by: Sequence[str] | None = None) -> int:
-        path = self._path(cube)
-        state, meta, raw = self._cube_state(path)
-        if state == "premanifest":
-            meta, raw = self._adopt_premanifest(path)
-        batches = self._closed_batch_dirs(path)
-        # compaction consolidates per-upsert TOKENS; under the bucketed
-        # layout one token spans several bucket dirs, so count tokens
-        if len({d.rsplit("/", 1)[-1] for d in batches}) <= 1:
-            return 0
-        closed = self._read(path).where(~F.col("_current")).drop("_current")
-        if meta is None:
-            # legacy in-place compact can crash between write and delete,
-            # leaving visible duplicates; the manifested read can't (a
-            # stranded consolidated dir is never referenced)
-            closed = closed.dropDuplicates(["_id"])
+    @staticmethod
+    def _batch_dir_token(rel: str) -> str:
+        """The upsert-batch token of a manifest-relative history
+        directory path (the ``__batch=`` leaf — one token spans several
+        bucket/period dirs under the bucketed layout)."""
+        return rel.rsplit("__batch=", 1)[-1]
+
+    def _history_token_sizes(self, path: str,
+                             meta: dict) -> dict[str, int]:
+        """Total byte size per history batch TOKEN, from the manifest's
+        recorded per-directory sizes (``stats.bytes``, written at commit
+        time) — ``fs.du`` only for directories a pre-upgrade manifest
+        never sized. This is the size-tiered compaction's level
+        classifier and costs no listing on an up-to-date manifest."""
+        sizes = (meta.get("stats") or {}).get("bytes") or {}
+        tot: dict[str, int] = {}
+        for d in meta["dirs"]:
+            if not d.startswith("_current=false"):
+                continue
+            b = sizes.get(d)
+            if b is None:
+                b = self.fs.du(self.fs.join(path, d))
+            t = self._batch_dir_token(d)
+            tot[t] = tot.get(t, 0) + b
+        return tot
+
+    def _sort_compacted(self, closed: DataFrame,
+                        target_partitions: int | None,
+                        sort_by: Sequence[str] | None) -> DataFrame:
         if sort_by:
             # range-partition + in-task sort: each rewritten file covers
             # a tight slice of the sort key, making row-group min/max
@@ -1960,49 +2060,94 @@ class Engine:
             # task's row order into the files it writes)
             nparts = (target_partitions
                       or self.spark.sparkContext.defaultParallelism)
-            closed = (closed.repartitionByRange(
+            return (closed.repartitionByRange(
                 nparts, *[F.col(c) for c in sort_by])
                 .sortWithinPartitions(*sort_by))
-        elif target_partitions:
-            closed = closed.repartition(target_partitions)
-        # localCheckpoint: the write below rewrites the directories this
-        # plan reads from
-        closed = closed.localCheckpoint(eager=True)
+        if target_partitions:
+            return closed.repartition(target_partitions)
+        return closed
+
+    def _compact_locked(self, cube: str, target_partitions: int | None,
+                        sort_by: Sequence[str] | None = None,
+                        small_bytes: int | None = None) -> int:
+        path = self._path(cube)
+        state, meta, raw = self._cube_state(path)
+        if state == "premanifest":
+            meta, raw = self._adopt_premanifest(path)
         layout = self._cube_layout(path)
         buckets = layout.get("oid_buckets") if layout else None
         timepart = self._cube_timepart(path, for_write=True, layout=layout)
+        if meta is None:
+            # legacy in-place compact: always FULL (tiering needs the
+            # manifest's dir carry-forward). Can crash between write and
+            # delete, leaving visible duplicates — deduped by _id on the
+            # next compact's read; the manifested path can't (a stranded
+            # consolidated dir is never referenced).
+            batches = self._closed_batch_dirs(path)
+            if len({d.rsplit("/", 1)[-1] for d in batches}) <= 1:
+                return 0
+            closed = (self._read(path).where(~F.col("_current"))
+                      .drop("_current").dropDuplicates(["_id"]))
+            closed = self._sort_compacted(
+                closed, target_partitions, sort_by)
+            # localCheckpoint: the write below rewrites the directories
+            # this plan reads from
+            closed = closed.localCheckpoint(eager=True)
+            token, _ = self._write_closed_batch(closed, path,
+                                                buckets=buckets)
+            removed = 0
+            for full in batches:
+                # the consolidated dir may reuse one of the existing
+                # tokens (re-compacting identical content); never delete
+                # the one we just wrote
+                if (full.rsplit("/", 1)[-1] != f"__batch={token}"
+                        and self.fs.isdir(full)):
+                    self.fs.delete_dir(full)
+                    removed += 1
+            return removed
+        # manifested: size-tiered — merge only the tokens at or below
+        # the threshold; larger consolidated levels carry forward by
+        # manifest reference, untouched on disk (byte-identical)
+        if small_bytes is not None:
+            tok_sizes = self._history_token_sizes(path, meta)
+            merge = {t for t, s in tok_sizes.items() if s <= small_bytes}
+        else:
+            merge = {self._batch_dir_token(d) for d in meta["dirs"]
+                     if d.startswith("_current=false")}
+        if len(merge) <= 1:
+            return 0
+        raw_df = self._read_raw(path)
+        closed = (raw_df.where(~F.col("_current")
+                               & F.col("__batch").isin(sorted(merge)))
+                  .drop(*[c for c in ("__batch", "__obucket", "__stime",
+                                      "_current")
+                          if c in raw_df.columns]))
+        closed = self._sort_compacted(closed, target_partitions, sort_by)
+        # localCheckpoint: the write below rewrites the directories this
+        # plan reads from
+        closed = closed.localCheckpoint(eager=True)
         keep = layout.get("keep_generations", 0) if layout else 0
-        if meta is not None:
-            gen = meta["gen"] + 1
-            live = set(meta["dirs"])
-            _, rels = self._write_closed_batch(
-                closed, path, buckets=buckets,
-                live=self._retained_dirs(meta), timepart=timepart)
-            dirs = ({d for d in live if d.startswith("_current=true")}
-                    | set(rels))
-            hist = self._push_history(meta, keep)
-            self._manifest_flip(path, raw, gen, dirs, hist,
-                                stats=self._merged_stats(meta, rels, dirs,
-                                                         hist),
-                                schema=meta.get("schema"))
-            self._sweep_unreferenced(
-                path, dirs | {d for h in hist for d in h["dirs"]})
-            # content is identical post-compact: the auto-refresh diff
-            # is empty and this only bumps auto indexes' marker gens
-            self._auto_refresh_indexes(cube)
-            return len({d for d in live
-                        if d.startswith("_current=false")} - dirs)
-        token, _ = self._write_closed_batch(closed, path, buckets=buckets)
-        removed = 0
-        for full in batches:
-            # the consolidated dir may reuse one of the existing tokens
-            # (re-compacting identical content); never delete the one we
-            # just wrote
-            if (full.rsplit("/", 1)[-1] != f"__batch={token}"
-                    and self.fs.isdir(full)):
-                self.fs.delete_dir(full)
-                removed += 1
-        return removed
+        gen = meta["gen"] + 1
+        live = set(meta["dirs"])
+        _, rels = self._write_closed_batch(
+            closed, path, buckets=buckets,
+            live=self._retained_dirs(meta), timepart=timepart)
+        drop = {d for d in live
+                if d.startswith("_current=false")
+                and self._batch_dir_token(d) in merge}
+        dirs = (live - drop) | set(rels)
+        hist = self._push_history(meta, keep)
+        self._manifest_flip(path, raw, gen, dirs, hist,
+                            stats=self._merged_stats(
+                                meta, self._record_sizes(path, rels),
+                                dirs, hist),
+                            schema=meta.get("schema"))
+        self._sweep_unreferenced(
+            path, dirs | {d for h in hist for d in h["dirs"]})
+        # content is identical post-compact: the auto-refresh diff
+        # is empty and this only bumps auto indexes' marker gens
+        self._auto_refresh_indexes(cube)
+        return len(drop - dirs)
 
     def _cube_state(self, path: str) -> tuple[str, dict | None, str | None]:
         """(state, manifest, manifest_raw) where state is one of:
@@ -2088,8 +2233,9 @@ class Engine:
             # empty generation every read would refuse
             return
         self._manifest_flip(path, None, 1, set(dirs),
-                            stats=self._merged_stats(None, dirs,
-                                                     set(dirs), None),
+                            stats=self._merged_stats(
+                                None, self._record_sizes(path, dirs),
+                                set(dirs), None),
                             schema=self._manifest_schema(
                                 obj.schema, buckets, self.time_partition))
         self._sweep_unreferenced(path, set(dirs))
@@ -2137,8 +2283,10 @@ class Engine:
             hist = self._push_history(
                 meta, layout.get("keep_generations", 0) if layout else 0)
             self._manifest_flip(path, raw, gen, dirs, hist,
-                                stats=self._merged_stats(meta, new_dirs,
-                                                         dirs, hist),
+                                stats=self._merged_stats(
+                                    meta,
+                                    self._record_sizes(path, new_dirs),
+                                    dirs, hist),
                                 schema=self._manifest_schema(
                                     obj.schema, buckets, timepart))
             self._sweep_unreferenced(
@@ -2283,7 +2431,9 @@ class Engine:
                 self._manifest_flip(path, raw, gen, dirs, hist,
                                     stats=self._merged_stats(
                                         meta,
-                                        {**closed_rels, **open_stats},
+                                        self._record_sizes(
+                                            path,
+                                            {**closed_rels, **open_stats}),
                                         dirs, hist),
                                     schema=msch)
                 self._sweep_unreferenced(
@@ -2297,9 +2447,19 @@ class Engine:
                 self._write_closed_batch(closed, path, buckets=buckets)
                 self._write_open(new_open, path, buckets=buckets)
             if self.auto_compact_batches:
-                tokens = {d.rsplit("/", 1)[-1]
-                          for d in self._closed_batch_dirs(path)}
-                if len(tokens) > self.auto_compact_batches:
+                if meta is not None:
+                    # count only SMALL tokens (manifest-recorded sizes,
+                    # no listing): consolidated levels above the tier
+                    # threshold are already compacted and must not
+                    # re-trigger an O(|history|) rewrite every commit
+                    fresh = self._manifest(path)
+                    n = sum(s <= self.compact_small_bytes for s in
+                            self._history_token_sizes(path, fresh)
+                            .values())
+                else:
+                    n = len({d.rsplit("/", 1)[-1]
+                             for d in self._closed_batch_dirs(path)})
+                if n > self.auto_compact_batches:
                     self.compact(cube)
         elif meta is not None:
             self._history_replace_manifested(
@@ -2401,7 +2561,8 @@ class Engine:
             .partitionBy(*part_cols)
             .parquet(path)
         )
-        new_rels = self._written_dir_stats(union, buckets, timepart)
+        new_rels = self._record_sizes(
+            path, self._written_dir_stats(union, buckets, timepart))
         dirs = (live - replaced_dirs) | set(new_rels)
         hist = self._push_history(meta, keep)
         self._manifest_flip(path, raw_manifest, gen, dirs, hist,
@@ -2637,10 +2798,18 @@ class Engine:
         return self._retry_swept(run)
 
     def deptree(self, cube: str | DataFrame, field: str, oids: Sequence,
-                date: str | None = None, level: int | None = None) -> list:
+                date: str | None = None, level: int | None = None,
+                as_df: bool = False):
+        """Recursive closure over a parent→children array field
+        (reference ``sqlalchemy.py:666-692``). Returns the sorted
+        visited-oid LIST by default (reference parity); ``as_df=True``
+        returns the visited set as a one-column ``_oid`` DataFrame
+        instead — the scale path when the closure feeds another plan
+        (tens of millions of reachable oids never cross the driver)."""
         def run():
             df = cube if isinstance(cube, DataFrame) else self.table(cube)
-            return temporal.deptree(df, field, oids, level=level, date=date)
+            fn = temporal.deptree_df if as_df else temporal.deptree
+            return fn(df, field, oids, level=level, date=date)
 
         return self._retry_swept(run)
 

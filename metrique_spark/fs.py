@@ -115,6 +115,13 @@ class FileSystem:
         """Last-modified unix time, None when absent."""
         raise NotImplementedError
 
+    def du(self, path: str) -> int:
+        """Total data bytes under ``path`` (recursive; a file's own
+        size when ``path`` is a file; 0 when absent) — the size-tiered
+        compaction's level classifier. On an object store this is one
+        recursive LIST of the prefix, summing object sizes."""
+        raise NotImplementedError
+
     # -- writes --------------------------------------------------------------
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
@@ -181,6 +188,18 @@ class _LocalBacked(FileSystem):
             return os.stat(path).st_mtime
         except OSError:
             return None
+
+    def du(self, path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # racing delete
+        return total
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)

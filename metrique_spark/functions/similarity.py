@@ -1875,21 +1875,30 @@ def append_to_pq_index(
      .parquet(path + "/codes"))
 
 
-def compact_pq_index(spark, path: str, fs=None) -> int:
+def compact_pq_index(spark, path: str, fs=None,
+                     small_bytes: int | None = None) -> int:
     """Consolidate a stored PQ / SQ8 / IVF-PQ index's append-batch
     partitions: every refresh/append lands one content-token-keyed
     ``__abatch`` directory per hit bucket/cluster, so an index refreshed
     nightly for a year accumulates hundreds of sub-directories whose
-    listing cost and tiny files degrade every probe. Rewrites the codes
-    into ONE consolidated batch per ``__gbucket``/``cluster`` (ids
-    deduplicated — also the convergence path for a crashed prior
-    compaction's duplicate window) and deletes the obsolete batch
-    directories. Codes are copied, never re-encoded. Returns the number
-    of batch directories removed; 0 when already consolidated.
+    listing cost and tiny files degrade every probe. Rewrites the
+    selected batches into ONE consolidated batch per
+    ``__gbucket``/``cluster`` (ids deduplicated within the merged set)
+    and deletes the obsolete batch directories. Codes are copied, never
+    re-encoded. ``small_bytes`` makes the pass SIZE-TIERED: only batch
+    tokens whose total size is at or below the threshold merge, and
+    larger consolidated levels stay untouched on disk (byte-identical)
+    — so a nightly auto-compaction stays O(recent appends) instead of
+    O(|index|). ``small_bytes=None`` (the default here) merges every
+    batch — the FULL consolidation, which is also the convergence path
+    for a crashed prior compaction's duplicate window (tiered merges
+    dedup only within their tier; cross-level duplicate ids are
+    converged by a refresh or a full compact). Returns the number of
+    batch directories removed; 0 when nothing qualifies.
 
     Caller owns commit safety: the engine wraps this in its
     ``_refresh.json`` intent protocol, under which a crash mid-rewrite
-    is converged by the next refresh or compaction."""
+    is converged by the next refresh or a FULL compaction."""
     fs = _default_fs(fs)
     codes, meta = read_pq_index(spark, path, fs=fs)
     id_col = meta["id_col"]
@@ -1899,43 +1908,63 @@ def compact_pq_index(spark, path: str, fs=None) -> int:
         part_cols = ["__gbucket", "__abatch"]
     else:
         part_cols = ["__abatch"]
-    batches = {r["__abatch"] for r in
-               codes.select("__abatch").distinct().collect()}
-    if len(batches) <= 1:
-        return 0
-    deduped = (codes.dropDuplicates([id_col])
-               .localCheckpoint(eager=True))
-    token = "cmp" + _abatch_token(deduped, id_col)
-    out = deduped.withColumn("__abatch", F.lit(token))
-    (out.write.partitionBy(*part_cols).mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .parquet(path + "/codes"))
-    # drop every batch dir the consolidated write did not produce
-    removed = 0
     croot = fs.join(path, "codes")
     if len(part_cols) == 2:
         parents = [fs.join(croot, d) for d in fs.listdir(croot)
                    if d.startswith(f"{part_cols[0]}=")]
     else:
         parents = [croot]
+    tok_bytes: dict[str, int] = {}
+    tok_dirs: dict[str, list[str]] = {}
     for parent in parents:
         for d in fs.listdir(parent):
-            if (d.startswith("__abatch=")
-                    and d != f"__abatch={token}"
-                    and fs.isdir(fs.join(parent, d))):
-                fs.delete_dir(fs.join(parent, d))
+            full = fs.join(parent, d)
+            if d.startswith("__abatch=") and fs.isdir(full):
+                t = d[len("__abatch="):]
+                tok_bytes[t] = tok_bytes.get(t, 0) + fs.du(full)
+                tok_dirs.setdefault(t, []).append(full)
+    if small_bytes is None:
+        merge = set(tok_bytes)
+    else:
+        merge = {t for t, s in tok_bytes.items() if s <= small_bytes}
+    if len(merge) <= 1:
+        return 0
+    sub = codes.where(F.col("__abatch").isin(sorted(merge)))
+    deduped = (sub.dropDuplicates([id_col])
+               .localCheckpoint(eager=True))
+    token = "cmp" + _abatch_token(deduped, id_col)
+    out = deduped.withColumn("__abatch", F.lit(token))
+    (out.write.partitionBy(*part_cols).mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(path + "/codes"))
+    # drop only the merged tokens' dirs; untouched levels keep their
+    # bytes (never delete what the consolidated write just produced)
+    removed = 0
+    for t in sorted(merge):
+        if t == token:
+            continue
+        for full in tok_dirs[t]:
+            if fs.isdir(full):
+                fs.delete_dir(full)
                 removed += 1
     return removed
 
 
 def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
-                      fs=None) -> int:
+                      fs=None, small_bytes: int | None = None) -> int:
     """IVF sibling of ``compact_pq_index``: appends land extra files in
     the bucket directories (``mode("append")``), so a long-refreshed
-    index reads many tiny files per probe. Rewrites each bucket to a
-    single file (ids deduplicated) via one shuffle keyed on ``bucket``.
-    Returns the number of data files eliminated; 0 when already
-    consolidated."""
+    index reads many tiny files per probe. ``small_bytes=None`` (full):
+    rewrites each bucket to a single file (ids deduplicated) via one
+    shuffle keyed on ``bucket``. With ``small_bytes`` set the pass is
+    SIZE-TIERED at FILE granularity: within each bucket, only the files
+    at or below the threshold merge into one new file (when there are
+    at least two), and larger files stay untouched on disk — a bucket
+    that grew big pays nothing for a trickle of appends elsewhere.
+    Tiered merges dedup only among the merged files; a duplicate id
+    straddling a merged and an untouched file is converged by a refresh
+    or a full compact. Returns the number of data files eliminated; 0
+    when already consolidated."""
     fs = _default_fs(fs)
     vroot = fs.join(path, "vectors")
 
@@ -1948,6 +1977,33 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
         return n
 
     before = _nfiles()
+    if small_bytes is not None:
+        # tiered: per bucket, merge the small files only
+        targets: list[str] = []
+        for d in fs.listdir(vroot):
+            bdir = fs.join(vroot, d)
+            if not (d.startswith("bucket=") and fs.isdir(bdir)):
+                continue
+            small = [fs.join(bdir, f) for f in fs.listdir(bdir)
+                     if f.endswith(".parquet")
+                     and fs.du(fs.join(bdir, f)) <= small_bytes]
+            if len(small) >= 2:
+                targets.extend(small)
+        if not targets:
+            return 0
+        merged = (spark.read.option("basePath", vroot).parquet(*targets)
+                  .dropDuplicates([id_col])
+                  .repartition(F.col("bucket"))
+                  .localCheckpoint(eager=True))
+        # append the merged file(s), THEN delete the originals — a
+        # crash in between leaves duplicate rows that a refresh or a
+        # full compact converges (same window as the full path's
+        # write-then-delete, never a data loss)
+        merged.write.partitionBy("bucket").mode("append").parquet(vroot)
+        for f in targets:
+            if fs.isfile(f):
+                fs.delete(f)
+        return max(0, before - _nfiles())
     nbuckets = sum(d.startswith("bucket=") for d in fs.listdir(vroot))
     if before <= nbuckets:
         # one file per bucket already — and duplicate ids can only come

@@ -586,7 +586,11 @@ def deptree(
     """Recursive BFS from seed oids following a parent→children array field,
     up to ``level`` hops; returns the sorted visited oid list, seeds
     included (reference ``sqlalchemy.py:666-692`` returns
-    ``sorted(checked)`` with the seeds in it).
+    ``sorted(checked)`` with the seeds in it). The list return is the
+    reference-parity contract — a graph with tens of millions of
+    reachable oids collects them ALL to the driver; use ``deptree_df``
+    when the visited set feeds another plan (a semi-join against the
+    result frame never leaves the executors).
 
     Hybrid driver loop of distributed hops, same shape as
     ``connected_components``' union-find hybrid:
@@ -611,6 +615,52 @@ def deptree(
       zone (10M rows) drop the broadcast hint and let AQE pick the join
       strategy.
     """
+    got = _deptree_visited(df, field, oids, level, date,
+                           driver_fringe_threshold)
+    if isinstance(got, DataFrame):
+        return sorted(r["_oid"] for r in got.collect())
+    return sorted(got)
+
+
+def deptree_df(
+    df: DataFrame,
+    field: str,
+    oids: Sequence,
+    level: int | None = None,
+    date: str | None = None,
+    driver_fringe_threshold: int = 100_000,
+) -> DataFrame:
+    """``deptree`` returning the visited oids as a one-column ``_oid``
+    DataFrame instead of a driver-side list: the distributed BFS
+    already holds the visited set as a union of checkpointed per-hop
+    fringes — hand THAT plan to the caller, so a multi-million-oid
+    closure feeds the next join without ever crossing the driver (the
+    list API's ``sorted(visited)`` collect is the reference-parity
+    contract, not a necessity). Rows are distinct by construction (each
+    hop anti-joins against visited before entering the set)."""
+    got = _deptree_visited(df, field, oids, level, date,
+                           driver_fringe_threshold)
+    if isinstance(got, DataFrame):
+        return got
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("_oid", df.schema["_oid"].dataType)])
+    return df.sparkSession.createDataFrame(
+        [(o,) for o in sorted(got)], schema)
+
+
+def _deptree_visited(
+    df: DataFrame,
+    field: str,
+    oids: Sequence,
+    level: int | None,
+    date: str | None,
+    driver_fringe_threshold: int,
+) -> "set | DataFrame":
+    """Shared hybrid BFS: returns the visited oids as a driver set when
+    every hop stayed under the threshold, else as the distributed
+    union-of-checkpointed-fringes DataFrame."""
     from pyspark.sql import types as T
 
     from metrique_spark.mql import date_range_predicate
@@ -660,7 +710,7 @@ def deptree(
             visited_set |= fringe_set
             depth += 1
         if not fringe_set or (level is not None and depth >= level):
-            return sorted(visited_set)
+            return visited_set
 
         # Distributed path. visited stays a lazy union of per-hop
         # checkpointed fringes: each fringe is cut from its lineage
@@ -685,7 +735,9 @@ def deptree(
             visited = reduce(DataFrame.unionByName, parts)
             fringe = new_fringe
             depth += 1
-        return sorted(r["_oid"] for r in visited.collect())
+        # safe to hand out past the unpersist below: every part is an
+        # eagerly checkpointed fringe — the union never re-reads scoped
+        return visited
     finally:
         scoped.unpersist()
 

@@ -1,0 +1,242 @@
+"""Size-tiered (LSM-style) compaction pins: routine maintenance must be
+O(recent small batches), never O(|history|) / O(|index|) — a consolidated
+level above the tier threshold survives later compactions BYTE-IDENTICAL
+(same file paths, sizes, mtimes) and stays referenced by the manifest,
+while the small-batch trickle folds into its own level. Full
+consolidation remains an explicit opt-in (``small_bytes=None``)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+from metrique_spark.objects import stamp
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _objs(spark, rows, start):
+    df = spark.createDataFrame(rows, "oid long, col_1 long")
+    return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
+
+
+def _file_stats(root: str) -> dict[str, tuple[int, int]]:
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_tiered_compact_leaves_large_level_untouched(spark, engine):
+    """Cube history: with a threshold below the consolidated level's
+    size, compact merges ONLY the newer small batches — every file of
+    the large level is byte-identical after the pass and the manifest
+    still references it; query results are unchanged; re-running is a
+    no-op (converged); small_bytes=None still consolidates fully."""
+    days = ("2014-01-01", "2014-02-01", "2014-03-01", "2014-04-01")
+    for i, day in enumerate(days):
+        engine.upsert(
+            "lv", _objs(spark, [(k, k * 10 + i) for k in range(50)], day),
+            stamped=True)
+    # level 0: everything is small under the default threshold -> one
+    # consolidated level
+    assert engine.compact("lv") >= 1
+    path = engine._path("lv")
+    sizes = engine._history_token_sizes(path, engine._manifest(path))
+    assert len(sizes) == 1
+    ((big_tok, big_size),) = sizes.items()
+
+    def _level_files(tok):
+        meta = engine._manifest(path)
+        stats = {}
+        for rel in meta["dirs"]:
+            if (rel.startswith("_current=false")
+                    and rel.endswith(f"__batch={tok}")):
+                stats.update(_file_stats(os.path.join(path, rel)))
+        return stats
+
+    big_before = _level_files(big_tok)
+    assert big_before
+    hist_before = engine.count("lv", date="~")
+
+    # the trickle: two tiny batches (each closes one version of oid 1)
+    engine.upsert("lv", _objs(spark, [(1, 991)], "2014-05-01"),
+                  stamped=True)
+    engine.upsert("lv", _objs(spark, [(1, 992)], "2014-06-01"),
+                  stamped=True)
+    assert engine.compact("lv", small_bytes=big_size - 1) >= 1
+    sizes2 = engine._history_token_sizes(path, engine._manifest(path))
+    # large level carried forward by reference + one merged small level
+    assert big_tok in sizes2 and len(sizes2) == 2
+    assert _level_files(big_tok) == big_before  # byte-identical
+    assert engine.count("lv", date="~") == hist_before + 2
+    assert engine.count("lv") == 50
+    # converged: one small level left, nothing to merge with
+    assert engine.compact("lv", small_bytes=big_size - 1) == 0
+    # explicit full consolidation merges the large level too
+    assert engine.compact("lv", small_bytes=None) >= 1
+    assert len(engine._history_token_sizes(
+        path, engine._manifest(path))) == 1
+    assert engine.count("lv", date="~") == hist_before + 2
+
+
+def test_auto_compact_ignores_large_levels(spark, tmp_path):
+    """The auto-compaction trigger counts only SMALL batch tokens: once
+    a level outgrows compact_small_bytes, a steady trickle must not
+    re-trigger an O(|history|) rewrite every Nth commit — the large
+    level's files stay byte-identical across later auto-compacted
+    upserts."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 auto_compact_batches=2)
+    for i, day in enumerate(("2014-01-01", "2014-02-01", "2014-03-01")):
+        eng.upsert("ac", _objs(
+            spark, [(k, k + i) for k in range(40)], day), stamped=True)
+    eng.compact("ac")  # one consolidated level
+    path = eng._path("ac")
+    sizes = eng._history_token_sizes(path, eng._manifest(path))
+    ((big_tok, big_size),) = sizes.items()
+    # shrink the tier threshold below the level's size: it is now LARGE
+    eng.compact_small_bytes = big_size - 1
+
+    def _level_files():
+        meta = eng._manifest(path)
+        stats = {}
+        for rel in meta["dirs"]:
+            if (rel.startswith("_current=false")
+                    and rel.endswith(f"__batch={big_tok}")):
+                stats.update(_file_stats(os.path.join(path, rel)))
+        return stats
+
+    big_before = _level_files()
+    assert big_before
+    hist_before = eng.count("ac", date="~")
+    # a 5-commit trickle crosses the auto-compact threshold repeatedly
+    for i, day in enumerate(("2014-05-01", "2014-06-01", "2014-07-01",
+                             "2014-08-01", "2014-09-01")):
+        eng.upsert("ac", _objs(spark, [(1, 900 + i)], day), stamped=True)
+    # trickle folded into small levels (auto-compact fired), large level
+    # never rewritten
+    sizes2 = eng._history_token_sizes(path, eng._manifest(path))
+    small = {t for t, s in sizes2.items() if s <= eng.compact_small_bytes}
+    assert big_tok in sizes2 and len(small) <= 2
+    assert _level_files() == big_before
+    assert eng.count("ac", date="~") == hist_before + 5
+    assert eng.count("ac") == 40
+
+
+def _vrows(spark, rows, day):
+    df = spark.createDataFrame(
+        rows, "oid long, embedding array<double>, label int")
+    return stamp(df, oid="oid", start=F.to_timestamp(F.lit(day)),
+                 sort_arrays=False)
+
+
+def _emb_cube(spark, engine, cube="vecs"):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    obj = stamp(emb.select(F.col("vec_id").alias("oid"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("embedding"), "label"),
+                oid="oid", start=F.to_timestamp(F.lit("2014-01-01")),
+                sort_arrays=False)
+    engine.upsert(cube, obj, stamped=True)
+
+
+def test_tiered_pq_index_compaction_preserves_base_level(spark, tmp_path):
+    """PQ-family index: a tiered compact_vector_index merges only the
+    refresh-append batches — every base-level code file is
+    byte-identical after the pass, search results are unchanged, and
+    the pass converges (re-run removes nothing)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "px", vec_col="embedding",
+                           kind="ivfpq", nlist=4, m=4, k=8)
+    for day, oid in (("2014-02-01", 99_998), ("2014-03-01", 99_999)):
+        eng.upsert("vecs", _vrows(spark, [(oid, [0.3] * 64, 1)], day),
+                   stamped=True)
+        eng.refresh_vector_index("vecs", "px")
+    apath = eng._ann_path("vecs", "px")
+    croot = os.path.join(apath, "codes")
+    tok_sizes: dict[str, int] = {}
+    for r, dirs, _f in os.walk(croot):
+        b = os.path.basename(r)
+        if b.startswith("__abatch="):
+            t = b[len("__abatch="):]
+            tok_sizes[t] = tok_sizes.get(t, 0) + eng.fs.du(r)
+    base_size = tok_sizes["base"]
+    assert all(s < base_size for t, s in tok_sizes.items() if t != "base")
+
+    def _base_files():
+        return {p: v for p, v in _file_stats(croot).items()
+                if "__abatch=base" in p}
+
+    base_before = _base_files()
+    assert base_before
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.3] * 64)],
+        "_oid long, embedding array<double>")
+    before = sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                        .collect()))
+    assert eng.compact_vector_index("vecs", "px",
+                                    small_bytes=base_size - 1) > 0
+    assert _base_files() == base_before  # base level untouched
+    assert eng._index_batch_count(apath, "ivfpq") == 2  # base + merged
+    after = sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                       .collect()))
+    assert after == before
+    # converged under the same threshold
+    assert eng.compact_vector_index("vecs", "px",
+                                    small_bytes=base_size - 1) == 0
+    # explicit full pass still consolidates everything
+    assert eng.compact_vector_index("vecs", "px", small_bytes=None) > 0
+    assert eng._index_batch_count(apath, "ivfpq") == 1
+    assert sorted(map(tuple, eng.vector_search("vecs", "px", q, k=5)
+                      .collect())) == before
+
+
+def test_tiered_ivf_compaction_merges_only_small_files(spark, tmp_path):
+    """IVF index (file-granular appends): a tiered pass merges only the
+    small appended files within each bucket — base bucket files are
+    byte-identical after the pass — with identical search results."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    _emb_cube(spark, eng)
+    eng.build_vector_index("vecs", "ix", vec_col="embedding",
+                           kind="ivf", nlist=4)
+    apath = eng._ann_path("vecs", "ix")
+    vroot = os.path.join(apath, "vectors")
+    base_files = set(_file_stats(vroot))
+    for day, oid in (("2014-02-01", 99_998), ("2014-03-01", 99_999)):
+        eng.upsert("vecs", _vrows(spark, [(oid, [0.3] * 64, 1)], day),
+                   stamped=True)
+        eng.refresh_vector_index("vecs", "ix")
+    all_stats = _file_stats(vroot)
+    appended = {p: s for p, s in all_stats.items() if p not in base_files}
+    assert len(appended) >= 2
+    thr = max(s for s, _m in appended.values())
+    base_before = {p: v for p, v in all_stats.items() if p in base_files}
+    assert all(s > thr for s, _m in base_before.values()), \
+        "test premise: base files must outweigh appended ones"
+    q = spark.createDataFrame(
+        [(0, [0.1] * 64), (1, [0.3] * 64)],
+        "_oid long, embedding array<double>")
+    before = sorted(map(tuple, eng.vector_search("vecs", "ix", q, k=5)
+                        .collect()))
+    assert eng.compact_vector_index("vecs", "ix", small_bytes=thr) > 0
+    after_stats = _file_stats(vroot)
+    assert {p: v for p, v in after_stats.items()
+            if p in base_files} == base_before
+    assert not (set(appended) & set(after_stats))  # small files merged
+    assert sorted(map(tuple, eng.vector_search("vecs", "ix", q, k=5)
+                      .collect())) == before
+    # converged: one merged file now sits above... or below the
+    # threshold but alone in its bucket — either way nothing to do
+    assert eng.compact_vector_index("vecs", "ix", small_bytes=thr) == 0
