@@ -1,0 +1,312 @@
+"""Randomized crash-protocol fuzz: the commit/refresh/compact protocols
+claim (a) readers never see a torn state, (b) a retry converges, and
+(c) vacuum sweeps exactly the stranded directories. The targeted crash
+tests pin single injection points; here a fault injector wraps the
+control-plane FileSystem and raises before the k-th MUTATING operation,
+with k swept across the whole protocol — every sidecar write, manifest
+CAS, intent write and sweep delete becomes a crash point. Data-plane
+parquet writes go through Spark's own Hadoop layer (not this fs), so
+the sweep exercises exactly the commit-protocol state machine. Plus a
+two-writer serialization fuzz: interleaved upserts from two engines
+under lock_wait must equal the serial application of the commits in the
+order they landed (recovered from the retained generations)."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+from metrique_spark.fs import LocalFS
+from metrique_spark.objects import stamp
+
+
+class InjectedFault(RuntimeError):
+    pass
+
+
+class FaultFS:
+    """Delegating FileSystem wrapper that raises ``InjectedFault``
+    INSTEAD of performing the (budget+1)-th mutating operation — a
+    process crash at that exact protocol step. Writer-lease traffic
+    (``.lock`` paths) is exempt: the lease models process liveness
+    (same-host pid probing reclaims a dead holder), not the commit
+    protocol under test."""
+
+    MUTATORS = frozenset({"write_text", "put_if_absent",
+                          "replace_if_match", "delete_if_match",
+                          "delete", "delete_dir", "makedirs"})
+
+    def __init__(self, inner, budget: int | None):
+        self._inner = inner
+        self.left = budget
+        self.used = 0
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name not in self.MUTATORS:
+            return attr
+
+        def wrapped(path, *a, **kw):
+            if ".lock" not in path:
+                if self.left is not None and self.left == 0:
+                    raise InjectedFault(f"{name}({path})")
+                if self.left is not None:
+                    self.left -= 1
+                self.used += 1
+            return attr(path, *a, **kw)
+
+        return wrapped
+
+
+class _Model:
+    """Minimal temporal-versioning reference (distinct-content batches,
+    no evolution): snapshot closes a changed open version at the
+    incoming start; re-applying an already-applied batch is a no-op —
+    exactly the idempotence the crash-retry contract leans on."""
+
+    def __init__(self, versions=None):
+        self.versions = [dict(v) for v in (versions or [])]
+
+    def copy(self):
+        return _Model(self.versions)
+
+    def snapshot(self, items, start):
+        for oid, val in items:
+            cur = next((v for v in self.versions
+                        if v["oid"] == oid and v["end"] is None), None)
+            if cur is not None:
+                if cur["val"] == val:
+                    continue
+                cur["end"] = start
+            self.versions.append(
+                dict(oid=oid, val=val, start=start, end=None))
+
+    def apply(self, op):
+        kind, payload = op
+        if kind == "snap":
+            self.snapshot(payload[0], payload[1])
+        # compact / vacuum: storage-only, model unchanged
+
+    def rows(self):
+        return sorted((v["oid"], v["val"], v["start"], v["end"] or "")
+                      for v in self.versions)
+
+
+CUBE = "flt"
+OPS = [
+    ("snap", ([(1, 10), (2, 20), (3, 30)], "2014-01-01")),
+    ("snap", ([(1, 11), (4, 40)], "2014-02-01")),
+    ("compact", None),
+    ("snap", ([(2, 22)], "2014-03-01")),
+]
+
+
+def _snap_df(spark, items, start):
+    df = spark.createDataFrame(items, "oid long, col_1 long")
+    return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
+
+
+def _do(spark, eng, op):
+    kind, payload = op
+    if kind == "snap":
+        eng.upsert(CUBE, _snap_df(spark, *payload), stamped=True)
+    else:
+        eng.compact(CUBE)
+
+
+def _cube_rows(spark, eng):
+    if eng._manifest(eng._path(CUBE)) is None:
+        return []  # nothing committed (crash before the first flip)
+    return sorted(
+        (r["_oid"], r["col_1"], str(r["_start"])[:10],
+         str(r["_end"])[:10] if r["_end"] is not None else "")
+        for r in eng.find(CUBE, fields="col_1", date="~").collect())
+
+
+def _run_ops(spark, wh, budget):
+    """Apply OPS under a fault budget. Returns ('done', used_ops) or
+    ('fault', failed_op_index, model_before_that_op)."""
+    fs = FaultFS(LocalFS(), budget)
+    eng = Engine(spark, warehouse=wh, fs=fs, oid_buckets=4)
+    model = _Model()
+    for i, op in enumerate(OPS):
+        try:
+            _do(spark, eng, op)
+        except InjectedFault:
+            return ("fault", i, model)
+        model.apply(op)
+    return ("done", fs.used, model)
+
+
+def _on_disk_batch_dirs(path) -> set[str]:
+    import os
+
+    out = set()
+    for root, dirs, _files in os.walk(path):
+        for d in dirs:
+            if d.startswith("__batch="):
+                out.add(os.path.relpath(os.path.join(root, d), path))
+    return out
+
+
+@pytest.mark.slow
+def test_fault_sweep_cube_commit_protocol(spark, tmp_path):
+    """Sweep a crash across every control-plane mutation of a
+    snapshot-upsert + compact sequence: after each crash (a) a clean
+    reader sees exactly the pre-op or post-op state — never torn;
+    (b) retrying the op sequence converges to the model; (c) vacuum
+    leaves exactly the manifest-referenced directories on disk."""
+    status, total, _ = _run_ops(spark, str(tmp_path / "clean"), None)
+    assert status == "done" and total >= 6, "protocol mutation count"
+    faulted = 0
+    for k in range(total):
+        wh = str(tmp_path / f"k{k}")
+        res = _run_ops(spark, wh, k)
+        if res[0] == "done":
+            continue
+        faulted += 1
+        _, i, model = res
+        clean = Engine(spark, warehouse=wh, oid_buckets=4)
+        after = model.copy()
+        after.apply(OPS[i])
+        got = _cube_rows(spark, clean)
+        assert got in (model.rows(), after.rows()), (
+            k, i, "torn state visible")
+        # retry converges: re-run the failed op and the rest
+        for j in range(i, len(OPS)):
+            _do(spark, clean, OPS[j])
+            model.apply(OPS[j])
+        assert _cube_rows(spark, clean) == model.rows(), (k, i, "retry")
+        # vacuum sweeps exactly the stranded dirs: what remains on disk
+        # is precisely the manifest's directory set
+        clean.vacuum(CUBE, scratch_grace=0)
+        meta = clean._manifest(clean._path(CUBE))
+        assert _on_disk_batch_dirs(clean._path(CUBE)) == set(meta["dirs"])
+        assert _cube_rows(spark, clean) == model.rows(), (k, i, "vacuum")
+    assert faulted == total  # every budget value crashed somewhere
+
+
+@pytest.mark.slow
+def test_fault_sweep_index_refresh_protocol(spark, tmp_path):
+    """Sweep a crash across the ANN build + refresh intent protocol:
+    after each crash a clean engine's search either answers from a
+    committed consistent state or refuses loud (ValueError) — never a
+    silent torn answer, never an unexpected exception — and one
+    refresh_vector_index converges: the appended vector becomes the top
+    neighbor, the marker generation matches the live one, the intent is
+    gone, and vacuum leaves the index directory alone."""
+    # distinct directions (never a positive multiple of the query's
+    # all-ones direction), so oid 999's vector is the UNIQUE cosine-1
+    # neighbor of the probe — no tie to mask a convergence bug
+    rows = [(i, [float(((i + 2) * (j + 1)) % 7 - 3) for j in range(8)], 0)
+            for i in range(64)]
+
+    def _ops(eng):
+        df = stamp(spark.createDataFrame(
+            rows, "oid long, embedding array<double>, label int"),
+            oid="oid", start=F.to_timestamp(F.lit("2014-01-01")),
+            sort_arrays=False)
+        eng.upsert("vx", df, stamped=True)
+        eng.build_vector_index("vx", "ix", vec_col="embedding",
+                               kind="ivf", nlist=2)
+        nb = stamp(spark.createDataFrame(
+            [(999, [9.0] * 8, 1)],
+            "oid long, embedding array<double>, label int"),
+            oid="oid", start=F.to_timestamp(F.lit("2014-02-01")),
+            sort_arrays=False)
+        eng.upsert("vx", nb, stamped=True)
+        eng.refresh_vector_index("vx", "ix")
+
+    fs0 = FaultFS(LocalFS(), None)
+    _ops(Engine(spark, warehouse=str(tmp_path / "clean"), fs=fs0,
+                oid_buckets=4))
+    total = fs0.used
+    q = spark.createDataFrame([(0, [9.0] * 8)],
+                              "_oid long, embedding array<double>")
+    for k in range(total):
+        wh = str(tmp_path / f"k{k}")
+        try:
+            _ops(Engine(spark, warehouse=wh, fs=FaultFS(LocalFS(), k),
+                        oid_buckets=4))
+            continue  # budget covered everything (shouldn't for k<total)
+        except InjectedFault:
+            pass
+        clean = Engine(spark, warehouse=wh, oid_buckets=4)
+        if clean._manifest(clean._path("vx")) is None:
+            continue  # crashed before the cube existed
+        try:
+            res = clean.vector_search("vx", "ix", q, k=1,
+                                      allow_stale=True).collect()
+            # a committed, consistent answer: exactly one neighbor
+            assert len(res) == 1, (k, "inconsistent search result")
+        except ValueError:
+            pass  # loud refusal (no index yet / torn mid-mutation)
+        # converge whatever state the crash left (the upsert may not
+        # have landed; re-apply it first — idempotent) and re-check
+        nb = stamp(spark.createDataFrame(
+            [(999, [9.0] * 8, 1)],
+            "oid long, embedding array<double>, label int"),
+            oid="oid", start=F.to_timestamp(F.lit("2014-02-01")),
+            sort_arrays=False)
+        clean.upsert("vx", nb, stamped=True)
+        if not clean.fs.isfile(clean._ann_meta_path("vx", "ix")):
+            clean.build_vector_index("vx", "ix", vec_col="embedding",
+                                     kind="ivf", nlist=2)
+        clean.refresh_vector_index("vx", "ix")
+        got = clean.vector_search("vx", "ix", q, k=1).collect()
+        assert [r["query_id"] for r in got] == [0]
+        assert got[0]["neighbor_id"] == 999, (k, "converged search")
+        assert not clean.fs.isfile(clean._ann_intent_path("vx", "ix"))
+        clean.vacuum("vx", scratch_grace=0)
+        assert clean.fs.isfile(clean._ann_meta_path("vx", "ix"))
+
+
+@pytest.mark.slow
+def test_two_writer_interleaving_serializes(spark, tmp_path):
+    """Two Engine instances interleave snapshot upserts on one cube
+    under lock_wait: the final state must equal the SERIAL application
+    of the commits in the order they landed. Every batch carries a
+    sentinel oid whose value names the batch; the retained generations
+    replay the landed order, and a model applied in that order must
+    reproduce the cube's full history exactly."""
+    wh = str(tmp_path / "wh")
+    n_each = 4
+    errors: list[BaseException] = []
+
+    def writer(w):
+        eng = Engine(spark, warehouse=wh, oid_buckets=4,
+                     keep_generations=2 * n_each, lock_wait=120.0)
+        try:
+            for i in range(n_each):
+                bid = w * n_each + i + 1
+                items = [(0, bid), (10 + w, 100 * w + i)]
+                _do(spark, eng, ("snap", (items, f"2015-{bid:02d}-01")))
+        except BaseException as e:  # noqa: BLE001 — surface in main
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    gens = sorted(eng.generations(CUBE))
+    assert len(gens) == 2 * n_each  # every commit retained
+    # recover the landed order: the sentinel's open value at each
+    # generation names the batch that committed it
+    landed = []
+    for g in gens:
+        row = (eng.find(CUBE, query="_oid == 0", fields="col_1",
+                        generation=g).collect())
+        assert len(row) == 1
+        landed.append(row[0]["col_1"])
+    assert sorted(landed) == list(range(1, 2 * n_each + 1))
+    model = _Model()
+    for bid in landed:
+        w, i = divmod(bid - 1, n_each)
+        model.snapshot([(0, bid), (10 + w, 100 * w + i)],
+                       f"2015-{bid:02d}-01")
+    assert _cube_rows(spark, eng) == model.rows()
