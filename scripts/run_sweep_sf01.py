@@ -56,6 +56,9 @@ def main() -> int:
 
     summary = {
         "sf_dir": sf_dir,
+        # round stamp: re-run and re-commit this artifact at each
+        # round's end so staleness is impossible to miss
+        "round": os.environ.get("SPARK_GRAFT_ROUND"),
         "entries": len(results),
         "ok": sum(r["status"] == "ok" for r in results.values()),
         "weak": sum(r["status"] == "weak" for r in results.values()),
