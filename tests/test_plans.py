@@ -116,6 +116,30 @@ def test_deptree_hop_broadcast_semi_no_literal_fringe(spark):
     assert not audit.has_cartesian(p)
 
 
+def test_deptree_df_returns_plan_not_collect(spark):
+    """deptree_df's distributed path hands back the union of the BFS's
+    checkpointed per-hop fringes as a PLAN: no terminal collect crosses
+    the driver (the list API's sorted-collect is reference parity, not
+    a necessity), and the visited frame matches the list API exactly."""
+    from metrique_spark.temporal import deptree, deptree_df
+
+    df = spark.createDataFrame(
+        [(i, [i + 1, i + 2] if i < 40 else []) for i in range(50)],
+        "_oid long, children array<long>")
+    # threshold=1 forces the distributed loop immediately; date="~"
+    # (all history) — the frame has no temporal columns to filter on
+    out = deptree_df(df, "children", [0], date="~",
+                     driver_fringe_threshold=1)
+    p = audit.executed_plan(out)
+    # the result plan is checkpointed-fringe scans unioned — no joins,
+    # no exchanges re-reading the edge table, nothing collected
+    assert "Union" in p and "ExistingRDD" in p
+    assert audit.count_exchanges(p) == 0
+    got = sorted(r["_oid"] for r in out.collect())
+    assert got == deptree(df, "children", [0], date="~")
+    assert out.columns == ["_oid"]
+
+
 @pytest.mark.parametrize("name", ["tmp_on_date", "dedup_exact_groups",
                                   "tmp_asof_join"])
 def test_single_shuffle_operators(spark, name):
