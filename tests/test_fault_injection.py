@@ -17,7 +17,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from metrique_spark.engine import Engine
-from metrique_spark.fs import LocalFS
+from metrique_spark.fs import LocalFS, ObjectStoreFS
 from metrique_spark.objects import stamp
 
 
@@ -124,10 +124,10 @@ def _cube_rows(spark, eng):
         for r in eng.find(CUBE, fields="col_1", date="~").collect())
 
 
-def _run_ops(spark, wh, budget):
+def _run_ops(spark, wh, budget, backend=LocalFS):
     """Apply OPS under a fault budget. Returns ('done', used_ops) or
     ('fault', failed_op_index, model_before_that_op)."""
-    fs = FaultFS(LocalFS(), budget)
+    fs = FaultFS(backend(), budget)
     eng = Engine(spark, warehouse=wh, fs=fs, oid_buckets=4)
     model = _Model()
     for i, op in enumerate(OPS):
@@ -151,23 +151,28 @@ def _on_disk_batch_dirs(path) -> set[str]:
 
 
 @pytest.mark.slow
-def test_fault_sweep_cube_commit_protocol(spark, tmp_path):
+@pytest.mark.parametrize("backend", [LocalFS, ObjectStoreFS],
+                         ids=["local", "objstore"])
+def test_fault_sweep_cube_commit_protocol(spark, tmp_path, backend):
     """Sweep a crash across every control-plane mutation of a
-    snapshot-upsert + compact sequence: after each crash (a) a clean
+    snapshot-upsert + compact sequence, on BOTH storage backends (the
+    object-store emulation has no pid liveness and no O_EXCL handles —
+    the protocol must not lean on either): after each crash (a) a clean
     reader sees exactly the pre-op or post-op state — never torn;
     (b) retrying the op sequence converges to the model; (c) vacuum
     leaves exactly the manifest-referenced directories on disk."""
-    status, total, _ = _run_ops(spark, str(tmp_path / "clean"), None)
+    status, total, _ = _run_ops(spark, str(tmp_path / "clean"), None,
+                                backend)
     assert status == "done" and total >= 6, "protocol mutation count"
     faulted = 0
     for k in range(total):
         wh = str(tmp_path / f"k{k}")
-        res = _run_ops(spark, wh, k)
+        res = _run_ops(spark, wh, k, backend)
         if res[0] == "done":
             continue
         faulted += 1
         _, i, model = res
-        clean = Engine(spark, warehouse=wh, oid_buckets=4)
+        clean = Engine(spark, warehouse=wh, fs=backend(), oid_buckets=4)
         after = model.copy()
         after.apply(OPS[i])
         got = _cube_rows(spark, clean)
