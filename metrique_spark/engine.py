@@ -1983,15 +1983,19 @@ class Engine:
         merges the batches whose total size is at or below
         ``small_bytes`` (default: the engine's ``compact_small_bytes``)
         into ONE consolidated batch directory and removes the originals;
-        batches ABOVE the threshold — prior consolidated levels — carry
-        forward by manifest reference, untouched on disk. This bounds
-        routine maintenance at O(recent small batches): a steady
-        small-batch ingest under ``auto_compact_batches`` folds its
-        trickle into a growing level and stops rewriting it once it
-        outgrows the threshold, instead of paying an O(|history|)
-        rewrite every Nth commit. Pass ``small_bytes=None`` for an
-        explicit FULL consolidation (every batch merges — e.g. one
-        final clustering pass with ``sort_by`` before archiving).
+        batches ABOVE the threshold — prior consolidated levels — merge
+        only when ≥4 of them are of similar size (promotion into the
+        next level up, see ``compaction.tier_groups``), otherwise they
+        carry forward by manifest reference, untouched on disk. This
+        bounds routine maintenance at O(recent small batches) while the
+        promotion rule bounds the LEVEL COUNT as data grows (~3 levels
+        per 2x size class, O(log(|history|/threshold)) directories) and
+        each byte's lifetime rewrite count at O(log(|history|)) — a
+        steady small-batch ingest under ``auto_compact_batches`` never
+        pays an O(|history|) rewrite on any single commit. Pass
+        ``small_bytes=None`` for an explicit FULL consolidation (every
+        batch merges — e.g. one final clustering pass with ``sort_by``
+        before archiving).
         Per-batch sizes come from the manifest's recorded per-directory
         byte stats (written at commit time; ``fs.du`` fallback for
         pre-upgrade manifests), so tier selection costs no listing.
@@ -2105,36 +2109,48 @@ class Engine:
                     self.fs.delete_dir(full)
                     removed += 1
             return removed
-        # manifested: size-tiered — merge only the tokens at or below
-        # the threshold; larger consolidated levels carry forward by
-        # manifest reference, untouched on disk (byte-identical)
+        # manifested: size-tiered — the trickle of small batches merges
+        # into one level, and ≥4 similar-sized larger levels fold into
+        # the next level up (see compaction.tier_groups: bounded level
+        # count AND bounded lifetime write amplification); every other
+        # level carries forward by manifest reference, untouched on
+        # disk (byte-identical)
+        from metrique_spark.compaction import tier_groups
+
         if small_bytes is not None:
             tok_sizes = self._history_token_sizes(path, meta)
-            merge = {t for t, s in tok_sizes.items() if s <= small_bytes}
+            groups = tier_groups(tok_sizes, small_bytes)
         else:
             merge = {self._batch_dir_token(d) for d in meta["dirs"]
                      if d.startswith("_current=false")}
-        if len(merge) <= 1:
+            groups = [merge] if len(merge) > 1 else []
+        if not groups:
             return 0
-        raw_df = self._read_raw(path)
-        closed = (raw_df.where(~F.col("_current")
-                               & F.col("__batch").isin(sorted(merge)))
-                  .drop(*[c for c in ("__batch", "__obucket", "__stime",
-                                      "_current")
-                          if c in raw_df.columns]))
-        closed = self._sort_compacted(closed, target_partitions, sort_by)
-        # localCheckpoint: the write below rewrites the directories this
-        # plan reads from
-        closed = closed.localCheckpoint(eager=True)
         keep = layout.get("keep_generations", 0) if layout else 0
         gen = meta["gen"] + 1
         live = set(meta["dirs"])
-        _, rels = self._write_closed_batch(
-            closed, path, buckets=buckets,
-            live=self._retained_dirs(meta), timepart=timepart)
+        raw_df = self._read_raw(path)
+        rels: dict[str, dict] = {}
+        merged_all: set[str] = set()
+        for merge in groups:
+            closed = (raw_df.where(~F.col("_current")
+                                   & F.col("__batch").isin(sorted(merge)))
+                      .drop(*[c for c in ("__batch", "__obucket",
+                                          "__stime", "_current")
+                              if c in raw_df.columns]))
+            closed = self._sort_compacted(closed, target_partitions,
+                                          sort_by)
+            # localCheckpoint: the write below rewrites the directories
+            # this plan reads from
+            closed = closed.localCheckpoint(eager=True)
+            _, grels = self._write_closed_batch(
+                closed, path, buckets=buckets,
+                live=self._retained_dirs(meta), timepart=timepart)
+            rels.update(grels)
+            merged_all |= merge
         drop = {d for d in live
                 if d.startswith("_current=false")
-                and self._batch_dir_token(d) in merge}
+                and self._batch_dir_token(d) in merged_all}
         dirs = (live - drop) | set(rels)
         hist = self._push_history(meta, keep)
         self._manifest_flip(path, raw, gen, dirs, hist,

@@ -1924,29 +1924,32 @@ def compact_pq_index(spark, path: str, fs=None,
                 tok_bytes[t] = tok_bytes.get(t, 0) + fs.du(full)
                 tok_dirs.setdefault(t, []).append(full)
     if small_bytes is None:
-        merge = set(tok_bytes)
+        groups = ([set(tok_bytes)] if len(tok_bytes) > 1 else [])
     else:
-        merge = {t for t, s in tok_bytes.items() if s <= small_bytes}
-    if len(merge) <= 1:
+        from metrique_spark.compaction import tier_groups
+
+        groups = tier_groups(tok_bytes, small_bytes)
+    if not groups:
         return 0
-    sub = codes.where(F.col("__abatch").isin(sorted(merge)))
-    deduped = (sub.dropDuplicates([id_col])
-               .localCheckpoint(eager=True))
-    token = "cmp" + _abatch_token(deduped, id_col)
-    out = deduped.withColumn("__abatch", F.lit(token))
-    (out.write.partitionBy(*part_cols).mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .parquet(path + "/codes"))
-    # drop only the merged tokens' dirs; untouched levels keep their
-    # bytes (never delete what the consolidated write just produced)
     removed = 0
-    for t in sorted(merge):
-        if t == token:
-            continue
-        for full in tok_dirs[t]:
-            if fs.isdir(full):
-                fs.delete_dir(full)
-                removed += 1
+    for merge in groups:
+        sub = codes.where(F.col("__abatch").isin(sorted(merge)))
+        deduped = (sub.dropDuplicates([id_col])
+                   .localCheckpoint(eager=True))
+        token = "cmp" + _abatch_token(deduped, id_col)
+        out = deduped.withColumn("__abatch", F.lit(token))
+        (out.write.partitionBy(*part_cols).mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(path + "/codes"))
+        # drop only the merged tokens' dirs; untouched levels keep
+        # their bytes (never delete what this write just produced)
+        for t in sorted(merge):
+            if t == token:
+                continue
+            for full in tok_dirs[t]:
+                if fs.isdir(full):
+                    fs.delete_dir(full)
+                    removed += 1
     return removed
 
 
@@ -1978,17 +1981,20 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
 
     before = _nfiles()
     if small_bytes is not None:
-        # tiered: per bucket, merge the small files only
+        # tiered: per bucket, merge the small files plus any group of
+        # ≥4 similar-sized larger files (promotion — same policy as the
+        # batch-dir compactors, at file granularity)
+        from metrique_spark.compaction import tier_groups
+
         targets: list[str] = []
         for d in fs.listdir(vroot):
             bdir = fs.join(vroot, d)
             if not (d.startswith("bucket=") and fs.isdir(bdir)):
                 continue
-            small = [fs.join(bdir, f) for f in fs.listdir(bdir)
-                     if f.endswith(".parquet")
-                     and fs.du(fs.join(bdir, f)) <= small_bytes]
-            if len(small) >= 2:
-                targets.extend(small)
+            sizes = {fs.join(bdir, f): fs.du(fs.join(bdir, f))
+                     for f in fs.listdir(bdir) if f.endswith(".parquet")}
+            for grp in tier_groups(sizes, small_bytes):
+                targets.extend(grp)
         if not targets:
             return 0
         merged = (spark.read.option("basePath", vroot).parquet(*targets)

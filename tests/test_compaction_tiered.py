@@ -134,6 +134,67 @@ def test_auto_compact_ignores_large_levels(spark, tmp_path):
     assert eng.count("ac") == 40
 
 
+def test_tier_groups_policy():
+    """Selection policy unit pins: trickle rule (≥2 smalls merge),
+    promotion rule (≥4 similar-sized larger levels merge; 3 don't; a
+    level far above its peers never joins their group)."""
+    from metrique_spark.compaction import tier_groups
+
+    # trickle only
+    assert tier_groups({"a": 5, "b": 7, "c": 900}, 10) == [{"a", "b"}]
+    # one small is not a group; three similar bigs are below quorum
+    assert tier_groups({"a": 5, "b": 100, "c": 110, "d": 95}, 10) == []
+    # four similar bigs promote together; the outlier stays out
+    got = tier_groups({"a": 100, "b": 110, "c": 95, "d": 105,
+                       "e": 10_000}, 10)
+    assert got == [{"a", "b", "c", "d"}]
+    # smalls and a promoted class can both merge in one pass
+    got = tier_groups({"s1": 1, "s2": 2, "a": 100, "b": 110, "c": 95,
+                       "d": 105}, 10)
+    assert {"s1", "s2"} in got and {"a", "b", "c", "d"} in got
+    # full-range similar sizes: ascending greedy keeps one group
+    assert tier_groups({str(i): 100 + i for i in range(6)}, 10) == [
+        {str(i) for i in range(6)}]
+
+
+def test_similar_size_levels_promote_at_quorum(spark, engine):
+    """Promotion rule end-to-end: three similar-sized levels above the
+    threshold stay byte-identical through a compact (below quorum); a
+    fourth triggers one merge into the next level up; query results
+    unchanged throughout."""
+    for i in range(4):  # 4 upserts -> 3 closed tokens of similar size
+        engine.upsert("pm", _objs(
+            spark, [(k, i) for k in range(200)], f"2014-0{i + 1}-01"),
+            stamped=True)
+    path = engine._path("pm")
+    sizes = engine._history_token_sizes(path, engine._manifest(path))
+    assert len(sizes) == 3
+    thr = min(sizes.values()) // 5  # every level counts as "large"
+
+    def _closed_files():
+        meta = engine._manifest(path)
+        stats = {}
+        for rel in meta["dirs"]:
+            if rel.startswith("_current=false"):
+                stats.update(_file_stats(os.path.join(path, rel)))
+        return stats
+
+    before = _closed_files()
+    assert engine.compact("pm", small_bytes=thr) == 0  # below quorum
+    assert _closed_files() == before  # all three levels byte-identical
+    engine.upsert("pm", _objs(
+        spark, [(k, 9) for k in range(200)], "2014-05-01"), stamped=True)
+    assert engine.count("pm", date="~") == 1000
+    # four similar levels now: one promotion merge into a single level
+    assert engine.compact("pm", small_bytes=thr) >= 1
+    sizes2 = engine._history_token_sizes(path, engine._manifest(path))
+    assert len(sizes2) == 1
+    assert engine.count("pm", date="~") == 1000
+    assert engine.count("pm") == 200
+    # converged: the promoted level has no peers
+    assert engine.compact("pm", small_bytes=thr) == 0
+
+
 def _vrows(spark, rows, day):
     df = spark.createDataFrame(
         rows, "oid long, embedding array<double>, label int")
