@@ -236,6 +236,13 @@ class Engine:
         # cubes whose write lock THIS engine currently holds (reentrancy:
         # upsert's auto-compact runs inside the upsert's lock)
         self._held_locks: set[str] = set()
+        # per-directory byte sizes measured by the fs.du FALLBACK for
+        # dirs a pre-upgrade manifest never sized. Token-keyed batch
+        # dirs are immutable once written, so caching is sound; the
+        # next manifest flip backfills these into the persisted stats
+        # (see _merged_stats) so the walk is paid once per dir EVER,
+        # not once per compaction trigger.
+        self._du_cache: dict[str, int] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -528,7 +535,8 @@ class Engine:
             hist = self._push_history(meta, keep)
             self._manifest_flip(
                 path, raw, gen, dirs, hist,
-                stats=self._merged_stats(meta, None, dirs, hist),
+                stats=self._merged_stats(meta, None, dirs, hist,
+                                         path=path),
                 schema=newsch)
             # dirs unchanged — nothing to sweep. The generation DID
             # advance, so auto-refresh indexes like every other commit:
@@ -1529,7 +1537,8 @@ class Engine:
     def _merged_stats(self, meta: dict | None,
                       new_stats: dict[str, dict[str, str | None]] | None,
                       dirs: set[str],
-                      history: list[dict] | None) -> dict | None:
+                      history: list[dict] | None,
+                      path: str | None = None) -> dict | None:
         """The ``stats`` block for the next manifest: per-directory
         ``max(_end)`` carried forward for every retained directory and
         extended with this commit's writes. Prior stats recorded under a
@@ -1560,6 +1569,16 @@ class Engine:
                 bytes_m[d] = v["bytes"]
         retained = set(dirs) | {d for h in (history or [])
                                 for d in h["dirs"]}
+        if path is not None:
+            # backfill du-fallback measurements for retained dirs a
+            # pre-upgrade manifest never sized — persisting them here
+            # makes the fallback walk a once-per-dir cost, not
+            # once-per-compaction-trigger
+            for d in retained:
+                if d not in bytes_m:
+                    cached = self._du_cache.get(self.fs.join(path, d))
+                    if cached is not None:
+                        bytes_m[d] = cached
         kept_end = {d: end_m[d] for d in sorted(retained) if d in end_m}
         kept_start = {d: start_m[d] for d in sorted(retained)
                       if d in start_m}
@@ -2049,7 +2068,11 @@ class Engine:
                 continue
             b = sizes.get(d)
             if b is None:
-                b = self.fs.du(self.fs.join(path, d))
+                full = self.fs.join(path, d)
+                b = self._du_cache.get(full)
+                if b is None:
+                    b = self.fs.du(full)
+                    self._du_cache[full] = b
             t = self._batch_dir_token(d)
             tot[t] = tot.get(t, 0) + b
         return tot
@@ -2156,7 +2179,7 @@ class Engine:
         self._manifest_flip(path, raw, gen, dirs, hist,
                             stats=self._merged_stats(
                                 meta, self._record_sizes(path, rels),
-                                dirs, hist),
+                                dirs, hist, path=path),
                             schema=meta.get("schema"))
         self._sweep_unreferenced(
             path, dirs | {d for h in hist for d in h["dirs"]})
@@ -2251,7 +2274,7 @@ class Engine:
         self._manifest_flip(path, None, 1, set(dirs),
                             stats=self._merged_stats(
                                 None, self._record_sizes(path, dirs),
-                                set(dirs), None),
+                                set(dirs), None, path=path),
                             schema=self._manifest_schema(
                                 obj.schema, buckets, self.time_partition))
         self._sweep_unreferenced(path, set(dirs))
@@ -2302,7 +2325,7 @@ class Engine:
                                 stats=self._merged_stats(
                                     meta,
                                     self._record_sizes(path, new_dirs),
-                                    dirs, hist),
+                                    dirs, hist, path=path),
                                 schema=self._manifest_schema(
                                     obj.schema, buckets, timepart))
             self._sweep_unreferenced(
@@ -2450,7 +2473,7 @@ class Engine:
                                         self._record_sizes(
                                             path,
                                             {**closed_rels, **open_stats}),
-                                        dirs, hist),
+                                        dirs, hist, path=path),
                                     schema=msch)
                 self._sweep_unreferenced(
                     path, dirs | {d for h in hist for d in h["dirs"]})
@@ -2583,7 +2606,7 @@ class Engine:
         hist = self._push_history(meta, keep)
         self._manifest_flip(path, raw_manifest, gen, dirs, hist,
                             stats=self._merged_stats(meta, new_rels, dirs,
-                                                     hist),
+                                                     hist, path=path),
                             schema=schema if schema is not None
                             else meta.get("schema"))
         self._sweep_unreferenced(

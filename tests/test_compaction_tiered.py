@@ -195,6 +195,56 @@ def test_similar_size_levels_promote_at_quorum(spark, engine):
     assert engine.compact("pm", small_bytes=thr) == 0
 
 
+def test_du_fallback_is_cached_and_backfilled(spark, tmp_path):
+    """Pre-upgrade manifests (no recorded byte sizes) pay the fs.du
+    walk at most once per directory: the measurement is cached on the
+    engine and the next commit BACKFILLS it into the manifest stats, so
+    a later engine never walks those dirs again."""
+    import json
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    for i, day in enumerate(("2014-01-01", "2014-02-01", "2014-03-01")):
+        eng.upsert("bf", _objs(
+            spark, [(k, k + i) for k in range(20)], day), stamped=True)
+    path = eng._path("bf")
+    # simulate a pre-upgrade manifest: strip the recorded byte sizes
+    raw = eng._manifest_raw(path)
+    meta = json.loads(raw)
+    meta.get("stats", {}).pop("bytes", None)
+    assert eng.fs.replace_if_match(
+        eng.fs.join(path, eng._MANIFEST_SIDECAR), json.dumps(meta), raw)
+
+    eng2 = Engine(spark, warehouse=str(tmp_path / "wh"))
+    calls = {"n": 0}
+    real_du = eng2.fs.du
+
+    def counting_du(p):
+        calls["n"] += 1
+        return real_du(p)
+
+    eng2.fs.du = counting_du
+    sizes = eng2._history_token_sizes(path, eng2._manifest(path))
+    assert sizes and calls["n"] > 0  # fallback walked once
+    walked = calls["n"]
+    eng2._history_token_sizes(path, eng2._manifest(path))
+    assert calls["n"] == walked  # cached: no second walk
+    # a commit backfills the measured sizes into the manifest stats...
+    eng2.upsert("bf", _objs(spark, [(1, 999)], "2014-04-01"),
+                stamped=True)
+    stats = eng2._manifest(path)["stats"]["bytes"]
+    closed = [d for d in eng2._manifest(path)["dirs"]
+              if d.startswith("_current=false")]
+    assert set(closed) <= set(stats)
+    # ...so a FRESH engine never walks the old dirs again
+    eng3 = Engine(spark, warehouse=str(tmp_path / "wh"))
+    calls3 = {"n": 0}
+    real_du3 = eng3.fs.du
+    eng3.fs.du = lambda p: (calls3.__setitem__("n", calls3["n"] + 1),
+                            real_du3(p))[1]
+    eng3._history_token_sizes(path, eng3._manifest(path))
+    assert calls3["n"] == 0
+
+
 def _vrows(spark, rows, day):
     df = spark.createDataFrame(
         rows, "oid long, embedding array<double>, label int")
