@@ -27,12 +27,23 @@ from pyspark.sql import types as T
 # sidecar-driven: fold every directory from COMMITTED batches (ids below
 # the running batch — foreachBatch runs batch N only after N-1's
 # checkpoint commit, so those ids can never be re-delivered) into a
-# ``batch=gen{g}`` directory, atomically PUT a ``_state.json`` naming the
-# new generation and the highest folded id, then sweep the sources.
-# Readers take the live set from the sidecar — generation dir plus batch
-# dirs above the fold mark — never from a raw listing, so a crash between
-# any two steps leaves them reading exactly-once content; stale sources
-# are ignored and re-swept by the next compaction.
+# ``batch=gen{g}`` LEVEL directory, atomically PUT a ``_state.json``
+# naming the live level set and the highest folded id, then sweep the
+# sources. Levels are SIZE-TIERED like the warehouse compactor
+# (``compaction.tier_groups``): each fold creates a new level from the
+# recent partials only, small levels merge together, and ≥4
+# similar-sized larger levels promote into the next level up — so a
+# long-running sink pays O(recent batches) per fold and O(log) lifetime
+# rewrites per byte, never an O(|all state|) rewrite every
+# ``compact_after`` batches (the old single-generation fold re-read and
+# rewrote the ENTIRE prior generation each time — at a 100 TB corpus
+# the dedup sink's fold would have been the job). Readers take the live
+# set from the sidecar — level dirs plus batch dirs above the fold mark
+# — never from a raw listing, so a crash between any two steps leaves
+# them reading exactly-once content; stale sources are ignored and
+# re-swept by the next compaction. Pre-level sidecars (no ``levels``
+# key) read as a single level ``batch=gen{gen}`` — forward-compatible
+# in place.
 
 _GEN_SIDECAR = "_state.json"
 
@@ -52,9 +63,54 @@ def _gen_flip(fs, root: str, meta: dict) -> None:
     fs.write_text(fs.join(root, _GEN_SIDECAR), json.dumps(meta))
 
 
-def _gen_dir(fs, root: str, meta: dict) -> str | None:
-    d = fs.join(root, f"batch=gen{meta['gen']}")
-    return d if meta["gen"] > 0 and fs.isdir(d) else None
+def _gen_levels(meta: dict) -> list[str]:
+    """Live level directory NAMES per the sidecar; a pre-level sidecar
+    (no ``levels`` key) is one level named by its ``gen``."""
+    lv = meta.get("levels")
+    if lv is None:
+        lv = ([f"batch=gen{meta['gen']}"]
+              if meta.get("gen", 0) > 0 else [])
+    return list(lv)
+
+
+def _gen_dirs(fs, root: str, meta: dict) -> list[str]:
+    """Full paths of the live level dirs that exist on disk."""
+    out = []
+    for d in _gen_levels(meta):
+        full = fs.join(root, d)
+        if fs.isdir(full):
+            out.append(full)
+    return out
+
+
+def _fold_levels(meta: dict, new_ids: list[int], write_fold, du,
+                 level_bytes: int) -> dict:
+    """The tiered fold: write the NEW level from ``new_ids``'s batch
+    dirs only, then size-tier the level set (small levels merge, ≥4
+    similar-sized levels promote — ``compaction.tier_groups``). Returns
+    the next sidecar meta (caller flips + sweeps).
+    ``write_fold(src_names, out_name)`` folds the named sibling dirs
+    into ``out_name`` (names are root-relative, so a multi-root sink —
+    index + corpus — folds every root in lockstep under the same level
+    names); ``du(name)`` is the name's total byte size (summed across
+    roots for multi-root sinks). Every write lands in a gen-numbered
+    dir no live sidecar references, and the numbering is deterministic
+    from the committed meta, so a crashed attempt's dirs are
+    overwritten by the retry or swept after the flip."""
+    from metrique_spark.compaction import tier_groups
+
+    gen = meta["gen"] + 1
+    levels = _gen_levels(meta)
+    write_fold([f"batch={i}" for i in new_ids], f"batch=gen{gen}")
+    levels.append(f"batch=gen{gen}")
+    sizes = {d: du(d) for d in levels}
+    for grp in tier_groups(sizes, level_bytes):
+        gen += 1
+        write_fold(sorted(grp), f"batch=gen{gen}")
+        levels = [d for d in levels if d not in grp]
+        levels.append(f"batch=gen{gen}")
+    return {"compacted_through": max(new_ids), "gen": gen,
+            "levels": levels}
 
 
 def _gen_batch_ids(fs, root: str, meta: dict,
@@ -79,13 +135,14 @@ def _gen_sweep(fs, root: str, meta: dict) -> None:
     """Delete superseded sources: EVERY numeric batch dir at or below the
     fold mark (not just this round's fold set — a crash between a prior
     flip and its sweep leaves folded dirs behind that later folds would
-    otherwise never revisit) and any generation dir other than the
-    current one (a crashed prior sweep's leftovers)."""
+    otherwise never revisit) and any generation dir outside the live
+    level set (merged-away levels, crashed prior attempts)."""
+    keep = set(_gen_levels(meta))
     for d in fs.listdir(root):
         if not d.startswith("batch="):
             continue
         if d.startswith("batch=gen"):
-            if d != f"batch=gen{meta['gen']}":
+            if d not in keep:
                 fs.delete_dir(fs.join(root, d))
             continue
         try:
@@ -223,6 +280,7 @@ def stream_dedup_sink(
     max_candidates_per_doc: int | None = 1_000,
     dedup_within_batch: bool = True,
     compact_after: int = 256,
+    level_bytes: int = 256 * 1024 * 1024,
     fs=None,
 ):
     """Continuous-ingest near-dedup — the ``foreachBatch`` composition of
@@ -298,7 +356,7 @@ def stream_dedup_sink(
                                           "_SUCCESS"))]
 
         def _any_committed():
-            return (_gen_dir(fs, index_path, meta) is not None
+            return (bool(_gen_dirs(fs, index_path, meta))
                     or bool(_committed_ids()))
 
         # params sidecar FIRST, before any write: a misconfigured sink
@@ -333,30 +391,37 @@ def stream_dedup_sink(
         # never need their directories) into the next generation
         fold_ids = _committed_ids(upto_exclusive=batch_id)
         if len(fold_ids) > compact_after:
-            gen = meta["gen"] + 1
-            for root, cols in ((index_path, None),
-                               (corpus_path, [id_col, text_col])):
-                g = _gen_dir(fs, root, meta)
-                paths = ([g] if g else []) + [
-                    fs.join(root, f"batch={i}") for i in fold_ids]
-                folded = spark.read.parquet(*paths)
-                if cols:
-                    folded = folded.select(*cols)
-                folded.write.mode("overwrite").parquet(
-                    fs.join(root, f"batch=gen{gen}"))
-            meta = {"compacted_through": max(fold_ids), "gen": gen}
+            # tiered fold: the new level folds only the recent partials;
+            # small/similar-sized levels merge per tier_groups — the
+            # corpus is never rewritten whole (see the module header)
+            def _write_fold(src_names, out_name):
+                for root, cols in ((index_path, None),
+                                   (corpus_path, [id_col, text_col])):
+                    srcs = [fs.join(root, n) for n in src_names
+                            if fs.isdir(fs.join(root, n))]
+                    folded = spark.read.parquet(*srcs)
+                    if cols:
+                        folded = folded.select(*cols)
+                    folded.write.mode("overwrite").parquet(
+                        fs.join(root, out_name))
+
+            meta = _fold_levels(
+                meta, fold_ids, _write_fold,
+                du=lambda n: (fs.du(fs.join(index_path, n))
+                              + fs.du(fs.join(corpus_path, n))),
+                level_bytes=level_bytes)
             _gen_flip(fs, index_path, meta)  # atomic: probes switch here
             _gen_sweep(fs, index_path, meta)
             _gen_sweep(fs, corpus_path, meta)
 
         batch = batch_df.select(F.col(id_col), F.col(text_col))
         prior_ids = _committed_ids()
-        gi = _gen_dir(fs, index_path, meta)
+        gi = _gen_dirs(fs, index_path, meta)
         if prior_ids or gi:
-            idx_paths = ([gi] if gi else []) + [
+            idx_paths = gi + [
                 fs.join(index_path, f"batch={i}") for i in prior_ids]
-            gc = _gen_dir(fs, corpus_path, meta)
-            cor_paths = ([gc] if gc else []) + [
+            gc = _gen_dirs(fs, corpus_path, meta)
+            cor_paths = gc + [
                 fs.join(corpus_path, f"batch={i}") for i in prior_ids]
             idx = spark.read.parquet(*idx_paths)
             # attach what the SIDECAR says, not our own params — that is
@@ -885,7 +950,8 @@ def stream_anomaly_sink(
 
 
 def _partial_state_sink(state_path, out_path, partial_fn, fold_fn,
-                        finalize_fn, compact_after=64, fs=None):
+                        finalize_fn, compact_after=64,
+                        level_bytes=64 * 1024 * 1024, fs=None):
     """The shared engine of the additive-partial ``foreachBatch`` sinks
     (anomaly / funnel / retention): each micro-batch's ``partial_fn``
     output lands batch-keyed under ``state_path`` (a replay OVERWRITES
@@ -907,10 +973,7 @@ def _partial_state_sink(state_path, out_path, partial_fn, fold_fn,
     fs = fs or LocalFS()
 
     def _live_paths(meta, upto_exclusive=None):
-        paths = []
-        g = _gen_dir(fs, state_path, meta)
-        if g:
-            paths.append(g)
+        paths = list(_gen_dirs(fs, state_path, meta))
         ids = _gen_batch_ids(fs, state_path, meta, upto_exclusive)
         paths.extend(fs.join(state_path, f"batch={i}") for i in ids)
         return paths, ids
@@ -923,14 +986,22 @@ def _partial_state_sink(state_path, out_path, partial_fn, fold_fn,
             fs.join(state_path, f"batch={batch_id}"))
         meta = _gen_meta(fs, state_path)
         # fold committed partials (ids < batch_id can never replay) into
-        # the next generation once the dir count crosses the threshold
-        src_paths, src_ids = _live_paths(meta, upto_exclusive=batch_id)
+        # a new LEVEL once the dir count crosses the threshold; levels
+        # size-tier via _fold_levels (fold_fn's merge contract —
+        # fold(fold(A) ∪ fold(B)) == fold(A ∪ B) — is exactly what
+        # makes re-folding two levels together sound)
+        _, src_ids = _live_paths(meta, upto_exclusive=batch_id)
         if len(src_ids) > compact_after:
-            gen = meta["gen"] + 1
-            fold_fn(spark.read.parquet(*src_paths)).write.mode(
-                "overwrite").parquet(
-                fs.join(state_path, f"batch=gen{gen}"))
-            meta = {"compacted_through": max(src_ids), "gen": gen}
+            def _write_fold(src_names, out_name):
+                srcs = [fs.join(state_path, n) for n in src_names
+                        if fs.isdir(fs.join(state_path, n))]
+                fold_fn(spark.read.parquet(*srcs)).write.mode(
+                    "overwrite").parquet(fs.join(state_path, out_name))
+
+            meta = _fold_levels(
+                meta, src_ids, _write_fold,
+                du=lambda n: fs.du(fs.join(state_path, n)),
+                level_bytes=level_bytes)
             _gen_flip(fs, state_path, meta)  # atomic: readers switch here
             _gen_sweep(fs, state_path, meta)
         live, _ = _live_paths(meta)

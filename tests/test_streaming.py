@@ -822,6 +822,88 @@ def test_stream_dedup_sink_index_compaction(spark, tmp_path):
     assert flags2 == flags
 
 
+def test_tiered_levels_coexist_promote_and_read_old_sidecars(spark,
+                                                             tmp_path):
+    """The generational fold is size-tiered: with every level counted
+    'large' (level_bytes=1), folds ACCUMULATE level dirs instead of
+    rewriting all prior state (the sidecar's ``levels`` list names
+    them), totals stay exact across multiple coexisting levels, a
+    4th similar-sized level promotes the group into one, and a
+    pre-level sidecar (no ``levels`` key) keeps reading as a single
+    level."""
+    import json
+    import os
+
+    state_p = str(tmp_path / "st")
+    out_p = str(tmp_path / "out")
+    sink = ev._partial_state_sink(
+        state_p, out_p,
+        partial_fn=lambda b: ev._event_window_counts(
+            b, "1 hour", "error", "ts", "event_type"),
+        fold_fn=lambda df: (df.groupBy("window_start")
+                            .agg(F.sum("n").cast("long").alias("n"),
+                                 F.sum("n_errors").cast("long")
+                                 .alias("n_errors"))),
+        finalize_fn=lambda t: t,
+        compact_after=1, level_bytes=1)  # every level is 'large'
+
+    def mk(eid, hr):
+        return spark.createDataFrame(
+            [(eid, 1, f"2024-01-01 {hr:02d}:05:00", "ok")],
+            "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def meta():
+        return json.loads(open(os.path.join(state_p, "_state.json"))
+                          .read())
+
+    def gen_dirs():
+        return sorted(d for d in os.listdir(state_p)
+                      if d.startswith("batch=gen"))
+
+    for b in range(6):
+        sink(mk(b, b), b)
+    m = meta()
+    # multiple levels coexist (no all-state rewrite), sidecar names them
+    assert len(m["levels"]) >= 2
+    assert sorted(m["levels"]) == gen_dirs()
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert len(rows) == 6 and all(n == 1 for n in rows.values())
+    # drive folds until a 4-level similar-size group promotes: the
+    # level count must stay bounded (< 4 + the freshest level)
+    for b in range(6, 14):
+        sink(mk(b, b), b)
+    m = meta()
+    assert len(m["levels"]) <= 4  # promotion fired at quorum
+    assert sorted(m["levels"]) == gen_dirs()  # sweep removed merged dirs
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert len(rows) == 14 and all(n == 1 for n in rows.values())
+    # pre-level sidecar compatibility: rebuild the state as a single
+    # gen dir under a sidecar WITHOUT the levels key (what a sink
+    # running the pre-tiering code would have left behind) — the next
+    # batch reads it as one level and totals stay exact
+    import shutil
+
+    merged = spark.read.parquet(*[os.path.join(state_p, d)
+                                  for d in m["levels"]])
+    (merged.groupBy("window_start")
+     .agg(F.sum("n").cast("long").alias("n"),
+          F.sum("n_errors").cast("long").alias("n_errors"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_p, "batch=gen1000")))
+    for d in m["levels"]:
+        shutil.rmtree(os.path.join(state_p, d), ignore_errors=True)
+    with open(os.path.join(state_p, "_state.json"), "w") as f:
+        json.dump({"compacted_through": m["compacted_through"],
+                   "gen": 1000}, f)
+    sink(mk(14, 14), 14)
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.read.parquet(out_p).collect()}
+    assert len(rows) == 15 and all(n == 1 for n in rows.values())
+
+
 def test_gen_sweep_removes_stale_dirs_from_crashed_prior_sweep(tmp_path):
     """A crash between the sidecar flip and the sweep strands folded
     batch dirs; the next sweep must remove EVERY numeric id at or below
