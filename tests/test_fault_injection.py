@@ -82,10 +82,19 @@ class _Model:
             self.versions.append(
                 dict(oid=oid, val=val, start=start, end=None))
 
+    def replace(self, rows):
+        oids = {r[0] for r in rows}
+        self.versions = [v for v in self.versions
+                         if v["oid"] not in oids]
+        for oid, val, s, e in rows:
+            self.versions.append(dict(oid=oid, val=val, start=s, end=e))
+
     def apply(self, op):
         kind, payload = op
         if kind == "snap":
             self.snapshot(payload[0], payload[1])
+        elif kind == "replace":
+            self.replace(payload)
         # compact / vacuum: storage-only, model unchanged
 
     def rows(self):
@@ -98,6 +107,11 @@ OPS = [
     ("snap", ([(1, 10), (2, 20), (3, 30)], "2014-01-01")),
     ("snap", ([(1, 11), (4, 40)], "2014-02-01")),
     ("compact", None),
+    # bounded history import (the third commit protocol): replaces oid
+    # 3's whole history with two closed versions + one open
+    ("replace", [(3, 300, "2013-06-01", "2013-09-01"),
+                 (3, 301, "2013-09-01", "2014-01-01"),
+                 (3, 302, "2014-01-01", None)]),
     ("snap", ([(2, 22)], "2014-03-01")),
 ]
 
@@ -107,10 +121,19 @@ def _snap_df(spark, items, start):
     return stamp(df, oid="oid", start=F.to_timestamp(F.lit(start)))
 
 
+def _hist_df(spark, rows):
+    df = spark.createDataFrame(rows,
+                               "oid long, col_1 long, s string, e string")
+    return stamp(df, oid="oid", start="s", end="e")
+
+
 def _do(spark, eng, op):
     kind, payload = op
     if kind == "snap":
         eng.upsert(CUBE, _snap_df(spark, *payload), stamped=True)
+    elif kind == "replace":
+        eng.upsert(CUBE, _hist_df(spark, payload), autosnap=False,
+                   stamped=True)
     else:
         eng.compact(CUBE)
 
