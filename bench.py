@@ -229,21 +229,36 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     load_start = round(os.getloadavg()[0], 2)
 
+    def _jvm_pid() -> int | None:
+        # the py4j gateway subprocess IS the Spark JVM (spark-submit
+        # execs java in place); reading its /proc stat is the reliable
+        # route — the MXBean's getProcessCpuTime lives on the
+        # com.sun.management interface, which py4j's reflection cannot
+        # reach through the module-encapsulated impl class on Java 17
+        try:
+            return spark.sparkContext._gateway.proc.pid
+        except Exception:
+            return None
+
+    jvm_pid = _jvm_pid()
+    clk = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
     def _proc_cpu() -> float:
         """CPU seconds consumed by this bench so far: the Spark JVM's
-        process CPU (covers executors — local mode runs them in-JVM)
-        plus the Python driver's. Python UDF workers are separate
-        forked processes and are NOT counted — the number is a
-        load-insensitive COMPARATOR across rounds (CPU cost barely
-        moves when a busy box stretches wall time), not an accounting
-        of total machine work."""
+        process CPU (covers executors — local mode runs them in-JVM,
+        read from /proc/<pid>/stat) plus the Python driver's. Python
+        UDF workers are separate forked processes and are NOT counted —
+        the number is a load-insensitive COMPARATOR across rounds (CPU
+        cost barely moves when a busy box stretches wall time), not an
+        accounting of total machine work."""
         cpu = time.process_time()
-        try:
-            bean = (spark._jvm.java.lang.management.ManagementFactory
-                    .getOperatingSystemMXBean())
-            cpu += bean.getProcessCpuTime() / 1e9
-        except Exception:
-            pass
+        if jvm_pid is not None:
+            try:
+                with open(f"/proc/{jvm_pid}/stat") as fh:
+                    parts = fh.read().rsplit(") ", 1)[1].split()
+                cpu += (int(parts[11]) + int(parts[12])) / clk
+            except Exception:
+                pass
         return cpu
 
     loads: dict[str, float] = {}
