@@ -889,6 +889,7 @@ def stream_anomaly_sink(
     ts_col: str = "ts",
     type_col: str = "event_type",
     compact_after: int = 64,
+    level_bytes: int = 64 * 1024 * 1024,
     seasonal: bool = False,
     fs=None,
 ):
@@ -946,7 +947,8 @@ def stream_anomaly_sink(
             b, window, error_type, ts_col, type_col),
         fold_fn=fold,
         finalize_fn=finalize,
-        compact_after=compact_after, fs=fs)
+        compact_after=compact_after, level_bytes=level_bytes,
+        fs=fs)
 
 
 def _partial_state_sink(state_path, out_path, partial_fn, fold_fn,
@@ -1020,6 +1022,7 @@ def stream_funnel_sink(
     ts_col: str = "ts",
     type_col: str = "event_type",
     compact_after: int = 64,
+    level_bytes: int = 64 * 1024 * 1024,
     fs=None,
 ):
     """Continuous funnel conversion — the ``foreachBatch`` twin of
@@ -1040,7 +1043,8 @@ def stream_funnel_sink(
             b, steps, user_col, ts_col, type_col),
         fold_fn=lambda df: df.distinct(),
         finalize_fn=lambda ev: _funnel_from_partials(ev, steps),
-        compact_after=compact_after, fs=fs)
+        compact_after=compact_after, level_bytes=level_bytes,
+        fs=fs)
 
 
 def stream_retention_sink(
@@ -1050,6 +1054,7 @@ def stream_retention_sink(
     user_col: str = "user_id",
     ts_col: str = "ts",
     compact_after: int = 64,
+    level_bytes: int = 64 * 1024 * 1024,
     fs=None,
 ):
     """Continuous cohort retention — the ``foreachBatch`` twin of
@@ -1079,7 +1084,8 @@ def stream_retention_sink(
             b, period, user_col, ts_col),
         fold_fn=fold,
         finalize_fn=lambda parts: _retention_from_partials(parts, period),
-        compact_after=compact_after, fs=fs)
+        compact_after=compact_after, level_bytes=level_bytes,
+        fs=fs)
 
 
 def event_paths(
@@ -1170,6 +1176,7 @@ def stream_transitions_sink(
     id_col: str = "event_id",
     decimals: int = 4,
     compact_after: int = 64,
+    level_bytes: int = 64 * 1024 * 1024,
     fs=None,
 ):
     """Continuous transition matrix — the ``foreachBatch`` twin of
@@ -1198,7 +1205,8 @@ def stream_transitions_sink(
         partial_fn=partial,
         fold_fn=lambda df: df.distinct(),
         finalize_fn=lambda ev: _transitions_from_events(ev, decimals),
-        compact_after=compact_after, fs=fs)
+        compact_after=compact_after, level_bytes=level_bytes,
+        fs=fs)
 
 
 def stream_paths_sink(
@@ -1212,6 +1220,7 @@ def stream_paths_sink(
     min_users: int = 1,
     prune_salts: int = 32,
     compact_after: int = 64,
+    level_bytes: int = 64 * 1024 * 1024,
     fs=None,
 ):
     """Continuous first-k path distribution — the ``foreachBatch`` twin
@@ -1241,4 +1250,5 @@ def stream_paths_sink(
     return _partial_state_sink(
         state_path, out_path,
         partial_fn=partial, fold_fn=fold, finalize_fn=finalize,
-        compact_after=compact_after, fs=fs)
+        compact_after=compact_after, level_bytes=level_bytes,
+        fs=fs)
