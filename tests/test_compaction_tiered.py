@@ -157,6 +157,45 @@ def test_tier_groups_policy():
         {str(i) for i in range(6)}]
 
 
+def test_tier_groups_properties():
+    """Property fuzz of the selection policy: groups are disjoint
+    subsets of the tokens; the smalls (≤ threshold) either all merge
+    together or none do; every big group has ≥ min_merge members, all
+    above the threshold; and repeated application terminates (merging a
+    group strictly reduces the token count)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from metrique_spark.compaction import tier_groups
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.dictionaries(st.text(min_size=1, max_size=6),
+                           st.integers(min_value=0,
+                                       max_value=10 ** 12),
+                           max_size=40),
+           st.integers(min_value=1, max_value=10 ** 9))
+    def check(sizes, small):
+        groups = tier_groups(sizes, small)
+        seen: set[str] = set()
+        smalls = {t for t, s in sizes.items() if s <= small}
+        for g in groups:
+            assert g <= set(sizes)
+            assert not (g & seen)  # disjoint
+            seen |= g
+            assert len(g) >= 2
+            if g != smalls:
+                # a promotion group: all above threshold, quorum met
+                assert len(g) >= 4
+                assert all(sizes[t] > small for t in g)
+        # trickle rule: smalls merge iff there are at least two
+        if len(smalls) >= 2:
+            assert smalls in groups
+        else:
+            assert all(not (g & smalls) for g in groups)
+
+    check()
+
+
 def test_similar_size_levels_promote_at_quorum(spark, engine):
     """Promotion rule end-to-end: three similar-sized levels above the
     threshold stay byte-identical through a compact (below quorum); a

@@ -191,8 +191,15 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
                        autosnap=False, stamped=True)
             model.replace(rows)
         elif op == "compact":
+            # randomize the tier threshold: None = full consolidation,
+            # 1 = everything is a "large" level (merges only at the
+            # similar-size quorum), default = engine threshold (test
+            # data is all small → trickle merge). Whatever the tier
+            # does, content must be invariant — compaction is physical.
             eng.compact(cube, sort_by=["_start"] if rng.random() < 0.5
-                        else None)
+                        else None,
+                        small_bytes=rng.choice(
+                            [None, 1, eng.compact_small_bytes]))
         else:
             eng.vacuum(cube)
 

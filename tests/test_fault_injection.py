@@ -216,19 +216,24 @@ def test_fault_sweep_cube_commit_protocol(spark, tmp_path, backend):
 
 
 @pytest.mark.slow
-def test_fault_sweep_index_refresh_protocol(spark, tmp_path):
-    """Sweep a crash across the ANN build + refresh intent protocol:
-    after each crash a clean engine's search either answers from a
-    committed consistent state or refuses loud (ValueError) — never a
-    silent torn answer, never an unexpected exception — and one
-    refresh_vector_index converges: the appended vector becomes the top
-    neighbor, the marker generation matches the live one, the intent is
-    gone, and vacuum leaves the index directory alone."""
+@pytest.mark.parametrize("kind", ["ivf", "sq8"])
+def test_fault_sweep_index_refresh_protocol(spark, tmp_path, kind):
+    """Sweep a crash across the ANN build + refresh intent protocol —
+    for the raw-vector family (IVF: bucket-dir removal/appends) AND a
+    PQ-family layout (SQ8: fingerprint diff, __abatch/__gbucket
+    partitions): after each crash a clean engine's search either
+    answers from a committed consistent state or refuses loud
+    (ValueError) — never a silent torn answer, never an unexpected
+    exception — and one refresh_vector_index converges: the appended
+    vector becomes the top neighbor, the marker generation matches the
+    live one, the intent is gone, and vacuum leaves the index directory
+    alone."""
     # distinct directions (never a positive multiple of the query's
     # all-ones direction), so oid 999's vector is the UNIQUE cosine-1
     # neighbor of the probe — no tie to mask a convergence bug
     rows = [(i, [float(((i + 2) * (j + 1)) % 7 - 3) for j in range(8)], 0)
             for i in range(64)]
+    kw = {"nlist": 2} if kind == "ivf" else {}
 
     def _ops(eng):
         df = stamp(spark.createDataFrame(
@@ -237,7 +242,7 @@ def test_fault_sweep_index_refresh_protocol(spark, tmp_path):
             sort_arrays=False)
         eng.upsert("vx", df, stamped=True)
         eng.build_vector_index("vx", "ix", vec_col="embedding",
-                               kind="ivf", nlist=2)
+                               kind=kind, **kw)
         nb = stamp(spark.createDataFrame(
             [(999, [9.0] * 8, 1)],
             "oid long, embedding array<double>, label int"),
@@ -280,7 +285,7 @@ def test_fault_sweep_index_refresh_protocol(spark, tmp_path):
         clean.upsert("vx", nb, stamped=True)
         if not clean.fs.isfile(clean._ann_meta_path("vx", "ix")):
             clean.build_vector_index("vx", "ix", vec_col="embedding",
-                                     kind="ivf", nlist=2)
+                                     kind=kind, **kw)
         clean.refresh_vector_index("vx", "ix")
         got = clean.vector_search("vx", "ix", q, k=1).collect()
         assert [r["query_id"] for r in got] == [0]
