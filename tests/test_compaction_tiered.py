@@ -134,6 +134,49 @@ def test_auto_compact_ignores_large_levels(spark, tmp_path):
     assert eng.count("ac") == 40
 
 
+def test_tiered_compact_never_reads_untouched_levels(spark, engine):
+    """The strongest pruning pin: corrupt every parquet file of the
+    large consolidated level (junk bytes, same paths) — a tiered
+    compact below its size must still SUCCEED, because the merge scan
+    partition-prunes to the merged tokens' directories and never opens
+    the untouched level's files (the manifest supplies the schema, so
+    no footer is read either). At 100 TB this is the difference between
+    an O(small batches) job and re-reading the corpus."""
+    for i, day in enumerate(("2014-01-01", "2014-02-01", "2014-03-01")):
+        engine.upsert("nr", _objs(
+            spark, [(k, k + i) for k in range(50)], day), stamped=True)
+    assert engine.compact("nr") >= 1  # one consolidated level
+    path = engine._path("nr")
+    ((big_tok, big_size),) = engine._history_token_sizes(
+        path, engine._manifest(path)).items()
+    engine.upsert("nr", _objs(spark, [(1, 991)], "2014-05-01"),
+                  stamped=True)
+    engine.upsert("nr", _objs(spark, [(1, 992)], "2014-06-01"),
+                  stamped=True)
+    # corrupt the large level's data files in place
+    corrupted = []
+    for rel in engine._manifest(path)["dirs"]:
+        if (rel.startswith("_current=false")
+                and rel.endswith(f"__batch={big_tok}")):
+            for r, _d, files in os.walk(os.path.join(path, rel)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(r, f)
+                        size = os.path.getsize(p)
+                        with open(p, "wb") as fh:
+                            fh.write(b"\x00" * size)
+                        corrupted.append(p)
+    assert corrupted
+    # tiered compact merges only the two small batches — succeeds
+    # without ever opening the corrupted level
+    assert engine.compact("nr", small_bytes=big_size - 1) >= 1
+    # and current-state reads (open partition only) also never touch it
+    assert engine.count("nr") == 50
+    # sanity: the corrupted files ARE unreadable if actually scanned
+    with pytest.raises(Exception):
+        engine.count("nr", date="~")
+
+
 def test_tier_groups_policy():
     """Selection policy unit pins: trickle rule (≥2 smalls merge),
     promotion rule (≥4 similar-sized larger levels merge; 3 don't; a
