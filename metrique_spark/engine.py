@@ -2570,7 +2570,8 @@ class Engine:
             pruned = raw
             replaced_dirs = set(live)
         keys = incoming.select("_oid").distinct()
-        kept = pruned.join(F.broadcast(keys), "_oid", "left_anti")
+        kept = pruned.join(_upsert.maybe_broadcast_keys(keys), "_oid",
+                           "left_anti")
         # the kept rows were read under the PRE-commit manifest schema;
         # when this import evolves the schema, null-fill the new columns
         # so the union below lines up (their files stay as-is — the new

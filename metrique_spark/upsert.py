@@ -131,11 +131,27 @@ def snapshot_merge(
     return new_open, closed
 
 
+BROADCAST_KEYS_CAP = 10_000_000
+
+
+def maybe_broadcast_keys(keys: DataFrame) -> DataFrame:
+    """Broadcast-hint a slim key frame only while it plausibly fits the
+    build side (same 10M-row comfort zone as deptree's fringe): a bulk
+    history import can carry hundreds of millions of oids, and a FORCED
+    broadcast of that set is an executor-memory cliff — beyond the cap
+    the anti-join falls back to a plain shuffle join, which is exactly
+    the right plan at that volume. Costs one count job over the slim
+    distinct-key frame (the import itself dwarfs it)."""
+    n = keys.count()
+    return F.broadcast(keys) if n <= BROADCAST_KEYS_CAP else keys
+
+
 def history_replace(table: DataFrame, incoming: DataFrame) -> DataFrame:
     """History import: drop every stored version of the incoming oids, then
     union the supplied full history (reference ``sqlalchemy.py:955-963``).
-    Anti-join on ``_oid`` (broadcast when small) + union — no per-row
+    Anti-join on ``_oid`` (broadcast when under the cap, shuffle
+    beyond — see ``maybe_broadcast_keys``) + union — no per-row
     logic."""
     keys = incoming.select("_oid").distinct()
-    kept = table.join(F.broadcast(keys), "_oid", "left_anti")
+    kept = table.join(maybe_broadcast_keys(keys), "_oid", "left_anti")
     return kept.unionByName(_regen_id(incoming).select(*table.columns))
