@@ -316,9 +316,15 @@ def persistent_oid_counts(df: DataFrame, spine: DataFrame) -> DataFrame:
 
 def filter_oids(df: DataFrame, oids: Sequence) -> DataFrame:
     """Keep listed oids (reference ``result.py:302-310``). For large oid
-    sets pass a DataFrame and use a (broadcast) semi-join instead."""
+    sets pass a DataFrame and use a semi-join instead — broadcast only
+    under the shared key cap (a deptree_df closure can carry tens of
+    millions of oids; forcing that into the build side is the
+    executor-memory cliff the cap exists for)."""
     if isinstance(oids, DataFrame):
-        return df.join(F.broadcast(oids.select("_oid").distinct()), "_oid", "left_semi")
+        from metrique_spark.upsert import maybe_broadcast_keys
+
+        keys = maybe_broadcast_keys(oids.select("_oid").distinct())
+        return df.join(keys, "_oid", "left_semi")
     return df.where(F.col("_oid").isin(list(oids)))
 
 

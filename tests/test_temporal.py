@@ -196,3 +196,18 @@ def test_history_sub_second_uniform_spine_exact(spark):
         want = sum(1 for a, b in intervals
                    if a <= t and (b is None or b > t))
         assert got[d] == want, (i, got[d], want)
+
+
+def test_filter_oids_list_and_frame(spark):
+    """filter_oids keeps exactly the listed oids — literal-predicate
+    path for sequences, capped-broadcast semi-join for DataFrames (the
+    deptree_df closure handoff)."""
+    from metrique_spark.temporal import filter_oids
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(8)],
+                               "_oid long, col_1 long")
+    assert sorted(r["_oid"] for r in
+                  filter_oids(df, [1, 3, 5]).collect()) == [1, 3, 5]
+    keys = spark.createDataFrame([(2,), (4,), (4,)], "_oid long")
+    assert sorted(r["_oid"] for r in
+                  filter_oids(df, keys).collect()) == [2, 4]
