@@ -296,6 +296,71 @@ def test_fault_sweep_index_refresh_protocol(spark, tmp_path, kind):
 
 
 @pytest.mark.slow
+def test_fault_sweep_stream_level_protocol(spark, tmp_path):
+    """Sweep a crash across the streaming sinks' tiered level-fold
+    protocol (sidecar flips, level writes, sweeps), then model
+    foreachBatch's contract: the failed batch REPLAYS on restart. After
+    every crash+replay the output totals must be exact — the sidecar
+    protocol's exactly-once claim, under every possible crash point,
+    with the level tiering active (compact_after=1, every level
+    'large')."""
+    from metrique_spark.streaming import events as ev
+
+    def mk(b):
+        return spark.createDataFrame(
+            [(b, 1, f"2024-01-01 {b:02d}:05:00", "ok")],
+            "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def build_sink(state_p, out_p, fs):
+        return ev._partial_state_sink(
+            state_p, out_p,
+            partial_fn=lambda b: ev._event_window_counts(
+                b, "1 hour", "error", "ts", "event_type"),
+            fold_fn=lambda df: (df.groupBy("window_start")
+                                .agg(F.sum("n").cast("long").alias("n"),
+                                     F.sum("n_errors").cast("long")
+                                     .alias("n_errors"))),
+            finalize_fn=lambda t: t,
+            compact_after=1, level_bytes=1, fs=fs)
+
+    n_batches = 6
+
+    def totals(out_p):
+        return {str(r["window_start"]): r["n"]
+                for r in spark.read.parquet(out_p).collect()}
+
+    # clean run: count the protocol's mutating fs ops
+    fs0 = FaultFS(LocalFS(), None)
+    p0, o0 = str(tmp_path / "st0"), str(tmp_path / "out0")
+    sink0 = build_sink(p0, o0, fs0)
+    for b in range(n_batches):
+        sink0(mk(b), b)
+    total = fs0.used
+    assert total >= 5 and len(totals(o0)) == n_batches
+    for k in range(total):
+        sp, op = str(tmp_path / f"st{k}a"), str(tmp_path / f"out{k}a")
+        sink = build_sink(sp, op, FaultFS(LocalFS(), k))
+        crashed_at = None
+        for b in range(n_batches):
+            try:
+                sink(mk(b), b)
+            except InjectedFault:
+                crashed_at = b
+                break
+        if crashed_at is None:
+            continue
+        # restart: a clean sink REPLAYS the crashed batch (foreachBatch
+        # re-delivers it) and continues
+        sink2 = build_sink(sp, op, LocalFS())
+        for b in range(crashed_at, n_batches):
+            sink2(mk(b), b)
+        got = totals(op)
+        assert len(got) == n_batches and all(
+            n == 1 for n in got.values()), (k, crashed_at, got)
+
+
+@pytest.mark.slow
 def test_two_writer_interleaving_serializes(spark, tmp_path):
     """Two Engine instances interleave snapshot upserts on one cube
     under lock_wait: the final state must equal the SERIAL application
