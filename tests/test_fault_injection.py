@@ -149,9 +149,12 @@ def _cube_rows(spark, eng):
 
 def _run_ops(spark, wh, budget, backend=LocalFS):
     """Apply OPS under a fault budget. Returns ('done', used_ops) or
-    ('fault', failed_op_index, model_before_that_op)."""
+    ('fault', failed_op_index, model_before_that_op).
+    auto_compact_batches=1: the auto-compaction epilogue runs inside
+    the upserts too, so the sweep crosses ITS crash points as well."""
     fs = FaultFS(backend(), budget)
-    eng = Engine(spark, warehouse=wh, fs=fs, oid_buckets=4)
+    eng = Engine(spark, warehouse=wh, fs=fs, oid_buckets=4,
+                 auto_compact_batches=1)
     model = _Model()
     for i, op in enumerate(OPS):
         try:
