@@ -1440,6 +1440,51 @@ class Engine:
                 return
             self._sweep_unreferenced(path, self._retained_dirs(meta))
 
+    def describe(self, cube: str) -> dict:
+        """Zero-scan storage-health report from manifest/sidecar state
+        alone — no data listing, no Spark job: the live generation and
+        retained generation numbers, open/closed directory counts, the
+        history batch TOKENS with their byte sizes (the tier structure
+        size-tiered compaction manages), whether a ``compact()`` would
+        merge anything right now (``compact_recommended`` — the trickle
+        or a promotion quorum qualifies under the engine's
+        ``compact_small_bytes``), and the committed ANN indexes with
+        staleness flags. The "does this cube need maintenance" probe a
+        scheduler can poll per cube at manifest-read cost."""
+        from metrique_spark.compaction import tier_groups
+
+        path = self._path(cube)
+        state, meta, _ = self._cube_state(path)
+        layout = self._cube_layout(path) or {}
+        out: dict = {
+            "cube": cube,
+            "state": state,
+            "layout": {k: layout[k]
+                       for k in ("oid_buckets", "time_partition",
+                                 "keep_generations") if k in layout},
+        }
+        if meta is None:
+            return out
+        tok = self._history_token_sizes(path, meta)
+        groups = tier_groups(tok, self.compact_small_bytes)
+        out.update({
+            "generation": meta["gen"],
+            "retained_generations": [h["gen"] for h in
+                                     meta.get("history", [])],
+            "open_dirs": sum(d.startswith("_current=true")
+                             for d in meta["dirs"]),
+            "closed_dirs": sum(d.startswith("_current=false")
+                               for d in meta["dirs"]),
+            "history_tokens": dict(sorted(tok.items(),
+                                          key=lambda kv: -kv[1])),
+            "history_bytes": sum(tok.values()),
+            "small_tokens": sum(s <= self.compact_small_bytes
+                                for s in tok.values()),
+            "compact_recommended": bool(groups),
+            "indexes": self.vector_index_list(cube),
+        })
+        return out
+
     def set_retention(self, cube: str, keep_generations: int) -> None:
         """Change the cube's recorded generation-retention count (takes
         effect at the NEXT commit; lowering it lets that commit sweep

@@ -277,6 +277,29 @@ def test_similar_size_levels_promote_at_quorum(spark, engine):
     assert engine.compact("pm", small_bytes=thr) == 0
 
 
+def test_describe_reports_tier_structure(spark, engine):
+    """Engine.describe: zero-scan health report — generation, dir
+    counts, per-token history sizes, and a compact_recommended flag
+    that flips exactly when a tiered compact would merge something."""
+    for i, day in enumerate(("2014-01-01", "2014-02-01", "2014-03-01")):
+        engine.upsert("ds", _objs(
+            spark, [(k, k + i) for k in range(20)], day), stamped=True)
+    d = engine.describe("ds")
+    assert d["state"] == "manifest" and d["generation"] == 3
+    assert d["layout"]["oid_buckets"] == 16
+    assert d["closed_dirs"] > 0 and d["open_dirs"] > 0
+    assert len(d["history_tokens"]) == 2  # two un-compacted batches
+    assert d["history_bytes"] == sum(d["history_tokens"].values())
+    assert d["small_tokens"] == 2 and d["compact_recommended"]
+    engine.compact("ds")
+    d2 = engine.describe("ds")
+    assert len(d2["history_tokens"]) == 1
+    assert not d2["compact_recommended"]  # converged
+    assert d2["generation"] == 4 and d2["indexes"] == {}
+    # a view / unknown state stays cheap and doesn't explode
+    assert engine.describe("nope")["state"] == "new"
+
+
 def test_du_fallback_is_cached_and_backfilled(spark, tmp_path):
     """Pre-upgrade manifests (no recorded byte sizes) pay the fs.du
     walk at most once per directory: the measurement is cached on the
