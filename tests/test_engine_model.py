@@ -339,11 +339,15 @@ def test_index_lifecycle_op_sequence_matches_model(spark, tmp_path):
             res = eng.refresh_vector_index(cube, name)
             assert res["gen"] == eng.generations(cube)[0]
         elif op == "compact_ix":
-            eng.compact_vector_index(cube, name)
+            # randomized tier threshold: full / everything-large /
+            # default — physical-only under every tier choice
+            eng.compact_vector_index(cube, name, small_bytes=rng.choice(
+                [None, 1, eng.compact_small_bytes]))
         elif op == "vacuum":
             eng.vacuum(cube)
         else:
-            eng.compact(cube)
+            eng.compact(cube, small_bytes=rng.choice(
+                [None, 1, eng.compact_small_bytes]))
 
         # invariants
         live_gen = eng.generations(cube)[0]
