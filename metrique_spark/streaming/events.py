@@ -324,12 +324,16 @@ def stream_dedup_sink(
     committed is replaced like the mismatch case (it signed nothing).
 
     Index/corpus compaction: once more than ``compact_after`` committed
-    batch directories exist, they fold into ``batch=gen{g}`` directories
-    under the generational sidecar protocol (see the module helpers) —
-    only checkpoint-committed ids below the running batch fold, so the
+    batch directories exist, they fold into size-tiered LEVEL
+    directories under the generational sidecar protocol (see the module
+    header) — each fold writes a new level from the recent batches
+    only, and levels merge per ``compaction.tier_groups`` with
+    ``level_bytes`` as the tier threshold, so a year of ingest never
+    pays an O(|corpus|) rewrite on any single fold. Only
+    checkpoint-committed ids below the running batch fold, so the
     replay skip-check never needs a folded directory, and probes read
-    [generation dir + live batch dirs] selected by the sidecar instead
-    of an ever-growing listing. Flag directories are output, not sink
+    [level dirs + live batch dirs] selected by the sidecar instead of
+    an ever-growing listing. Flag directories are output, not sink
     state — compact them offline if needed."""
     from metrique_spark.functions import dedup as _dedup
     from metrique_spark.functions.cache import release
