@@ -26,8 +26,8 @@ from metrique_spark.fs import FileSystem, LeaseHeldError, LeaseLock, LocalFS
 from metrique_spark.mql import (compile_mql, date_end_lower_bound,
                                 date_is_current_only,
                                 date_range_predicate,
-                                date_start_upper_bound, parse_fields,
-                                to_timestamp_lit)
+                                date_start_upper_bound, oid_literal_set,
+                                parse_fields, to_timestamp_lit)
 from metrique_spark.objects import stamp, validate
 
 import logging
@@ -2035,7 +2035,8 @@ class Engine:
 
     def compact(self, cube: str, target_partitions: int | None = None,
                 sort_by: Sequence[str] | None = None,
-                small_bytes: int | None | object = _FULL_COMPACT) -> int:
+                small_bytes: int | None | object = _FULL_COMPACT,
+                cluster: str = "range") -> int:
         """Consolidate the history partition's per-upsert-batch
         directories — SIZE-TIERED (LSM-style) by default.
 
@@ -2075,6 +2076,12 @@ class Engine:
         even within a single period directory — the clustering half of
         the data-skipping story that partition pruning alone can't give
         (a month of 100 TB history is still thousands of files).
+        ``cluster='zorder'`` with 2+ numeric/timestamp ``sort_by``
+        columns interleaves quantile-binned axes into a Morton key
+        instead (see ``_zorder``): each file then covers a tight
+        hyper-rectangle of ALL the columns, so scans filtering on ANY
+        of them skip — lexicographic range sort only ever skips on the
+        leading column.
 
         Crash-safe under the engine's single-writer assumption: the
         consolidated directory's name is the same order-insensitive
@@ -2088,9 +2095,12 @@ class Engine:
         new batches land (both apply within the merged tier)."""
         if small_bytes is Engine._FULL_COMPACT:
             small_bytes = self.compact_small_bytes
+        if cluster not in ("range", "zorder"):
+            raise ValueError(f"cluster must be 'range' or 'zorder', "
+                             f"got {cluster!r}")
         with self._write_lock(cube):
             return self._compact_locked(cube, target_partitions, sort_by,
-                                        small_bytes)
+                                        small_bytes, cluster=cluster)
 
     @staticmethod
     def _batch_dir_token(rel: str) -> str:
@@ -2124,7 +2134,10 @@ class Engine:
 
     def _sort_compacted(self, closed: DataFrame,
                         target_partitions: int | None,
-                        sort_by: Sequence[str] | None) -> DataFrame:
+                        sort_by: Sequence[str] | None,
+                        cluster: str = "range") -> DataFrame:
+        if sort_by and cluster == "zorder" and len(sort_by) >= 2:
+            return self._zorder(closed, sort_by, target_partitions)
         if sort_by:
             # range-partition + in-task sort: each rewritten file covers
             # a tight slice of the sort key, making row-group min/max
@@ -2139,9 +2152,75 @@ class Engine:
             return closed.repartition(target_partitions)
         return closed
 
+    _ZBINS_BITS = 8  # 256 quantile bins per axis
+
+    def _zorder(self, closed: DataFrame, cols: Sequence[str],
+                target_partitions: int | None) -> DataFrame:
+        """Multi-dimensional clustering (Z-order / Morton curve — the
+        public Delta Lake OSS ``OPTIMIZE ZORDER BY`` idea): bin each
+        clustering column into ~256 BALANCED buckets (approxQuantile
+        boundaries, so skew can't collapse the curve onto one axis),
+        bit-interleave the bin ids into one Morton key, then
+        range-partition + sort on it. Every rewritten file then covers a
+        tight hyper-rectangle of ALL the clustering columns at once, so
+        parquet row-group min/max stats prune scans filtering on ANY of
+        them — a lexicographic ``sort_by`` only ever skips on its
+        leading column. Numeric / timestamp / date columns only (string
+        min/max locality doesn't survive hashing; sort strings
+        lexicographically instead). Costs one extra quantile pass over
+        the rows being rewritten — bounded by the compaction tier, not
+        the cube. Nulls bin to the lowest bucket (clustered together,
+        stats stay truthful)."""
+        from pyspark.sql import types as T
+
+        bits, k = self._ZBINS_BITS, len(cols)
+        nums = []
+        for c in cols:
+            dt = closed.schema[c].dataType
+            col = F.col(c)
+            if isinstance(dt, T.DateType):
+                col = col.cast("timestamp")
+            elif not isinstance(dt, (T.NumericType, T.TimestampType)):
+                raise ValueError(
+                    f"zorder column {c!r} must be numeric/timestamp/"
+                    f"date, got {dt.simpleString()} (use "
+                    "cluster='range' for lexicographic keys)")
+            nums.append(col.cast("double"))
+        probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+        qs = closed.select(*[n.alias(f"__q{j}") for j, n in
+                             enumerate(nums)]).approxQuantile(
+            [f"__q{j}" for j in range(k)], probes, 0.001)  # ONE pass
+        def binner(num):  # bind the axis column per-iteration (pyspark
+            # reads the lambda's arity, so no default-arg capture)
+            return lambda acc, b: acc + F.when(num >= b, 1).otherwise(0)
+
+        bins = []
+        for num, axis in zip(nums, qs):
+            bounds = sorted({b for b in axis if b is not None})
+            if not bounds:
+                continue  # all-null axis contributes nothing
+            # balanced bin id = #boundaries <= value (JVM fold, ~256
+            # comparisons per row, codegen-friendly)
+            bins.append(F.aggregate(F.lit(bounds), F.lit(0), binner(num)))
+        if not bins:
+            return closed
+        z = F.lit(0).cast("long")
+        for j, bcol in enumerate(bins):
+            b = bcol.cast("long")
+            for i in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+        nparts = (target_partitions
+                  or self.spark.sparkContext.defaultParallelism)
+        out = (closed.withColumn("__zkey", z)
+               .repartitionByRange(nparts, F.col("__zkey"))
+               .sortWithinPartitions("__zkey"))
+        return out.drop("__zkey")
+
     def _compact_locked(self, cube: str, target_partitions: int | None,
                         sort_by: Sequence[str] | None = None,
-                        small_bytes: int | None = None) -> int:
+                        small_bytes: int | None = None,
+                        cluster: str = "range") -> int:
         path = self._path(cube)
         state, meta, raw = self._cube_state(path)
         if state == "premanifest":
@@ -2161,7 +2240,7 @@ class Engine:
             closed = (self._read(path).where(~F.col("_current"))
                       .drop("_current").dropDuplicates(["_id"]))
             closed = self._sort_compacted(
-                closed, target_partitions, sort_by)
+                closed, target_partitions, sort_by, cluster=cluster)
             # localCheckpoint: the write below rewrites the directories
             # this plan reads from
             closed = closed.localCheckpoint(eager=True)
@@ -2207,7 +2286,7 @@ class Engine:
                                           "__stime", "_current")
                               if c in raw_df.columns]))
             closed = self._sort_compacted(closed, target_partitions,
-                                          sort_by)
+                                          sort_by, cluster=cluster)
             # localCheckpoint: the write below rewrites the directories
             # this plan reads from
             closed = closed.localCheckpoint(eager=True)
@@ -2742,6 +2821,24 @@ class Engine:
                     self._oid_bucket_values(
                         oids, buckets,
                         dtype=raw.schema["_oid"].dataType)))
+            elif (oids is None and query and buckets
+                    and "__obucket" in raw.columns):
+                # the SAME prune for point lookups written as MQL
+                # (``query='_oid == X'`` / ``'_oid in [...] and ...'`` —
+                # the reference's own point-lookup idiom): derive the
+                # conjunctively-implied oid set from the query AST and
+                # skip every bucket directory none of them hash into.
+                # Best-effort and sound-only: an unbounded query, a
+                # mixed-type literal set (the bucket-lookup frame needs
+                # one schema) or a huge set (every bucket hit anyway)
+                # just reads unpruned.
+                qoids = oid_literal_set(query)
+                if (qoids and len(qoids) <= 10_000
+                        and len({type(o) for o in qoids}) == 1):
+                    raw = raw.where(F.col("__obucket").isin(
+                        self._oid_bucket_values(
+                            sorted(qoids, key=repr), buckets,
+                            dtype=raw.schema["_oid"].dataType)))
             if "__stime" in raw.columns:
                 # time-partitioned layout: the date spec's strict
                 # ``_start < U`` bound prunes periods AFTER period(U).

@@ -336,6 +336,82 @@ def compile_mql(
     return _Compiler(arr, cols).compile(query)
 
 
+def oid_literal_set(query: str | None,
+                    field: str = "_oid") -> set | None:
+    """The set of ``field`` values rows matching ``query`` can possibly
+    carry, derived conjunctively from the query's AST — or ``None`` when
+    the query does not bound the field. This is a PRUNING hint, not a
+    row filter: a row satisfies the query only if its ``field`` value is
+    in the returned set, so a bucketed-cube scan may skip every bucket
+    directory no returned value hashes into (the MQL-string analog of
+    the explicit ``oids=`` fast path — reference users write point
+    lookups as ``find(query='_oid == X')``, ``parse.py:164-287`` has no
+    partition notion to exploit; Spark does). Sound rules only:
+
+    - ``_oid == lit`` / ``_oid in [lits]`` bound to those literals;
+    - ``a and b`` intersects whichever sides are bound (a conjunct can
+      only narrow);
+    - ``a or b`` unions, but only when EVERY branch is bound;
+    - anything else — ``not``, ``!=``, ``not in``, ranges, a non-literal
+      comparand, ``field`` on the right — is unbounded (``None``).
+
+    An EMPTY set is a valid result (``_oid == 1 and _oid == 2``): no row
+    can match. ``None`` literals make a branch unbounded rather than
+    guessing at SQL null-equality semantics."""
+    if not query:
+        return None
+    try:
+        tree = ast.parse(query, mode="eval").body
+    except SyntaxError:
+        return None
+
+    def const(n):
+        if (isinstance(n, ast.Constant)
+                and isinstance(n.value, (str, int, float))
+                and not isinstance(n.value, bool)):
+            return n.value
+        if (isinstance(n, ast.UnaryOp) and isinstance(n.op, ast.USub)
+                and isinstance(n.operand, ast.Constant)
+                and isinstance(n.operand.value, (int, float))
+                and not isinstance(n.operand.value, bool)):
+            return -n.operand.value
+        return None
+
+    def walk(n) -> set | None:
+        if isinstance(n, ast.BoolOp):
+            parts = [walk(v) for v in n.values]
+            if isinstance(n.op, ast.And):
+                bound = [p for p in parts if p is not None]
+                if not bound:
+                    return None
+                out = bound[0]
+                for p in bound[1:]:
+                    out = out & p
+                return out
+            if any(p is None for p in parts):  # Or
+                return None
+            out = set()
+            for p in parts:
+                out |= p
+            return out
+        if isinstance(n, ast.Compare) and len(n.comparators) == 1:
+            left, op, right = n.left, n.ops[0], n.comparators[0]
+            if not (isinstance(left, ast.Name) and left.id == field):
+                return None
+            if isinstance(op, ast.Eq):
+                v = const(right)
+                return None if v is None else {v}
+            if (isinstance(op, ast.In)
+                    and isinstance(right, (ast.List, ast.Tuple))):
+                vals = [const(e) for e in right.elts]
+                if vals and all(v is not None for v in vals):
+                    return set(vals)
+            return None
+        return None
+
+    return walk(tree)
+
+
 def parse_fields(fields) -> list[str] | None:
     """Projection normalization (reference ``parse.py:37-71``): accepts
     ``'a,b,c'`` / list / ``{field: 1}`` dict; ``'~'``/None/True/[] → all

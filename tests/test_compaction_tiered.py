@@ -456,3 +456,92 @@ def test_tiered_ivf_compaction_merges_only_small_files(spark, tmp_path):
     # converged: one merged file now sits above... or below the
     # threshold but alone in its bucket — either way nothing to do
     assert eng.compact_vector_index("vecs", "ix", small_bytes=thr) == 0
+
+
+def test_zorder_compact_clusters_all_axes(spark, tmp_path):
+    """``compact(sort_by=[x, y], cluster='zorder')`` must leave every
+    rewritten file covering a tight hyper-rectangle of BOTH clustering
+    columns (parquet min/max stats then skip scans filtering on either
+    axis), where the lexicographic range sort constrains only its
+    leading column — and the rewrite must be content-preserving."""
+    import pyarrow.parquet as pq
+
+    def spans(root, col):
+        """Per-file (min, max) fraction of the column's full range."""
+        files = []
+        for r, _d, fs in os.walk(root):
+            files += [os.path.join(r, f) for f in fs
+                      if f.endswith(".parquet") and "_current=false" in r]
+        lohi = []
+        for p in files:
+            md = pq.ParquetFile(p).metadata
+            mn = mx = None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                lohi.append((mn, mx))
+        full = (min(a for a, _ in lohi), max(b for _, b in lohi))
+        width = full[1] - full[0] or 1
+        return [(b - a) / width for a, b in lohi]
+
+    # two INDEPENDENT axes: lexicographic sort on x leaves y unsorted
+    rows = [(i, (i * 7919) % 4096, (i * 104729) % 4096)
+            for i in range(4096)]
+    df = spark.createDataFrame(rows, "oid long, x long, y long")
+
+    def ver(v, start):  # re-stamp AFTER mutating so _hash changes
+        return stamp(df.withColumn("val", F.lit(v)), oid="oid",
+                     start=F.to_timestamp(F.lit(start)))
+
+    def build(name, **kw):
+        eng = Engine(spark, warehouse=str(tmp_path / name), oid_buckets=4)
+        eng.upsert(name, ver(1, "2024-01-01"), stamped=True)
+        eng.upsert(name, ver(2, "2024-02-01"), stamped=True)  # close all
+        eng.upsert(name, ver(3, "2024-03-01"), stamped=True)  # 2nd batch
+        eng.compact(name, target_partitions=16, small_bytes=None, **kw)
+        return eng, str(tmp_path / name / name)
+
+    ez, zroot = build("z", sort_by=["x", "y"], cluster="zorder")
+    er, rroot = build("r", sort_by=["x", "y"])  # lexicographic control
+
+    import statistics
+    zx, zy = spans(zroot, "x"), spans(zroot, "y")
+    rx, ry = spans(rroot, "x"), spans(rroot, "y")
+    # the range sort nails x but leaves y's per-file span ~full-range;
+    # zorder keeps BOTH axes tight (well under the unclustered width —
+    # a 16-slice Morton partition fixes the top ~4 interleaved bits, so
+    # each axis spans ~1/4 of its range plus boundary straddle)
+    assert statistics.mean(ry) > 0.8, ry
+    assert statistics.mean(zy) < 0.6, zy
+    assert statistics.mean(zx) < 0.6, zx
+    assert statistics.mean(zy) < 0.6 * statistics.mean(ry)
+    # content preserved: same version multiset as the control
+    zc = sorted((r["oid"], r["val"]) for r in
+                ez.find("z", date="~2024-06-01").collect())
+    rc = sorted((r["oid"], r["val"]) for r in
+                er.find("r", date="~2024-06-01").collect())
+    assert zc == rc and len(zc) == 12288  # 4096 oids x 3 versions
+
+
+def test_zorder_rejects_string_axis_and_bad_cluster(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a", 2)], "oid long, s string, x long")
+    eng.upsert("c", stamp(df, oid="oid",
+                          start=F.to_timestamp(F.lit("2024-01-01"))),
+               stamped=True)
+    with pytest.raises(ValueError, match="cluster must be"):
+        eng.compact("c", cluster="hilbert")
+    for n, start in ((20, "2024-02-01"), (30, "2024-03-01")):
+        df2 = df.withColumn("x", F.lit(n).cast("long"))
+        eng.upsert("c", stamp(df2, oid="oid",
+                              start=F.to_timestamp(F.lit(start))),
+                   stamped=True)
+    with pytest.raises(ValueError, match="zorder column"):
+        eng.compact("c", sort_by=["s", "x"], cluster="zorder",
+                    small_bytes=None)

@@ -517,3 +517,37 @@ def test_compact_sort_by_clusters_files(spark, tmp_path):
     ordered = sorted(((r["lo"], r["hi"]) for r in spans))
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         assert hi1 <= lo2, (hi1, lo2)   # files cover disjoint key ranges
+
+
+def test_mql_point_lookup_prunes_to_bucket_partitions(spark, tmp_path):
+    """A point lookup written as an MQL STRING (the reference's own
+    idiom, ``find(query='_oid == X')``) must partition-prune exactly
+    like the explicit ``oids=`` fast path: the conjunctively-implied
+    oid set is derived from the query AST and the scan carries a
+    ``__obucket`` PartitionFilter — at 100 TB the lookup reads a couple
+    of directories, not the table."""
+    from metrique_spark.engine import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    df = spark.createDataFrame(
+        [(i, f"v{i % 3}", "2024-01-01", None) for i in range(40)],
+        "_oid long, val string, _start string, _end string")
+    stamped = (df.withColumn("_start", F.col("_start").cast("timestamp"))
+               .withColumn("_end", F.col("_end").cast("timestamp")))
+    eng.upsert("c", stamped)
+
+    pruned = eng.find("c", '_oid in [7, 11] and val == "v1"', date="~")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    assert sorted(r["_oid"] for r in pruned.collect()) == [7]
+
+    # compound forms prune too, and values stay equal to the semantics
+    assert eng.count("c", "_oid == 7 or _oid == 11", date="~") == 2
+    assert eng.count("c", "_oid == 7 and _oid == 11", date="~") == 0
+
+    # an UNBOUNDED query must not prune (and must stay correct): one
+    # disjunct without an _oid bound reaches every bucket
+    free = eng.find("c", '_oid == 7 or val == "v1"', date="~")
+    fplan = free._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" not in fplan.split("PartitionFilters", 1)[-1][:400]
+    assert free.count() == 13  # the 13 v1 rows (oid 7 is v1 itself)

@@ -109,3 +109,37 @@ def test_parse_fields():
     assert parse_fields("~") is None
     assert parse_fields(None) is None
     assert parse_fields([]) is None
+
+
+def test_oid_literal_set_bounds():
+    """oid_literal_set derives the conjunctively-implied _oid set used
+    for bucket-directory pruning — sound rules only."""
+    from metrique_spark.mql import oid_literal_set as ols
+
+    assert ols("_oid == 7") == {7}
+    assert ols("_oid == -7") == {-7}
+    assert ols('_oid == "k1"') == {"k1"}
+    assert ols("_oid in [1, 2, 3]") == {1, 2, 3}
+    # a conjunct can only narrow: the bound side wins / intersects
+    assert ols('_oid == 7 and status == "open"') == {7}
+    assert ols("_oid in [1, 2, 3] and _oid in [2, 3, 4]") == {2, 3}
+    assert ols("_oid == 1 and _oid == 2") == set()  # no row can match
+    # OR bounds only when every branch does
+    assert ols("_oid == 1 or _oid == 2") == {1, 2}
+    assert ols('_oid == 1 or status == "open"') is None
+    # everything else is unbounded
+    assert ols("_oid != 7") is None
+    assert ols("_oid not in [1, 2]") is None
+    assert ols("_oid > 5") is None
+    assert ols("not (_oid == 7)") is None
+    assert ols("_oid == other_field") is None
+    assert ols("_oid in [1, other]") is None
+    assert ols("_oid == None") is None
+    assert ols("_oid == True") is None
+    assert ols('status == "open"') is None
+    assert ols("") is None
+    assert ols(None) is None
+    assert ols("this is not valid python (") is None
+    # nested composition
+    assert ols('(_oid == 1 or _oid == 2) and status == "x"') == {1, 2}
+    assert ols("(_oid == 1 or _oid == 2) and _oid in [2, 9]") == {2}
