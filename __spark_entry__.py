@@ -517,6 +517,97 @@ def upsert_compact_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_zorder_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering value-checked through the gate: the same
+    3-batch on-disk snapshot merge as ``upsert_compact_tiered``, but the
+    full consolidation pass rewrites the closed history Morton-clustered
+    on ``(value, _start)`` — ``compact(sort_by=..., cluster='zorder')``
+    quantile-bins each axis, bit-interleaves the bins and range-sorts on
+    the curve, so every rewritten file covers a tight hyper-rectangle of
+    BOTH columns (per-file min/max physics pinned in
+    tests/test_compaction_tiered.py). The rewrite is physical-only:
+    reading all history back must equal the pure 3-way sequential-merge
+    oracle EXACTLY, proving query results are invariant under the
+    clustering curve."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    c1 = F.lit("2024-01-11").cast("timestamp")
+    c2 = F.lit("2024-01-21").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "upsert_zo_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < c1)),
+               stamped=True)
+    eng.upsert("state", latest_state(ev.where((F.col("ts") >= c1)
+                                              & (F.col("ts") < c2))),
+               stamped=True)
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= c2)),
+               stamped=True)
+    eng.compact("state", sort_by=["value", "_start"], cluster="zorder",
+                small_bytes=None)
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
+def mql_oid_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQL-STRING point lookup through the full on-disk engine (the
+    reference's own idiom, ``find(query='_oid in [...]')``,
+    ``sqlalchemy.py:753-785``): the engine derives the conjunctively-
+    implied oid set {1,3,7,11} from the query AST
+    (``mql.oid_literal_set``) and prunes the scan to those oids'
+    ``__obucket`` directories (executed-plan PartitionFilters pin in
+    tests/test_engine.py), while the ``_oid != 3`` conjunct — unbounded
+    for pruning — still applies as a row predicate. Value-checks that
+    the pruned read returns exactly the unpruned semantics."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "mqlpt_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < cut)),
+               stamped=True)
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= cut)),
+               stamped=True)
+    return eng.find("state", "_oid in [1, 3, 7, 11] and _oid != 3",
+                    date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def upsert_evolve_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA EVOLUTION through the full on-disk engine: batch 1 writes
     the per-user latest state WITHOUT the ``value`` column; batch 2
@@ -2142,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_snapshot": upsert_snapshot,
         "upsert_disk_timepart": upsert_disk_timepart,
         "upsert_compact_tiered": upsert_compact_tiered,
+        "upsert_zorder_disk": upsert_zorder_disk,
+        "mql_oid_pointlookup": mql_oid_pointlookup,
         "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
         "activity_reconstruct": activity_reconstruct,
@@ -2275,6 +2368,71 @@ _UPSERT_SNAPSHOT_ORACLE = """
             UNION ALL SELECT * FROM closed
         
 """
+
+
+_UPSERT_3WAY_ORACLE = """
+            -- pure 3-way sequential snapshot merge (compaction /
+            -- clustering on the Spark side is physical-only and must
+            -- not change a value)
+            WITH s1 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts < TIMESTAMP '2024-01-11')
+                WHERE rn = 1
+            ), s2 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts >= TIMESTAMP '2024-01-11'
+                                    AND ts < TIMESTAMP '2024-01-21')
+                WHERE rn = 1
+            ), s3 AS (
+                SELECT user_id AS _oid, event_type, value, ts AS _start
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events WHERE ts >= TIMESTAMP '2024-01-21')
+                WHERE rn = 1
+            ),
+            closed2 AS (
+                SELECT a._oid, a.event_type, a.value, a._start,
+                       b._start AS _end
+                FROM s1 a JOIN s2 b ON a._oid = b._oid
+                WHERE NOT (a.event_type = b.event_type AND a.value = b.value)
+            ),
+            open2 AS (
+                SELECT a._oid, a.event_type, a.value, a._start
+                FROM s1 a LEFT JOIN s2 b ON a._oid = b._oid
+                WHERE b._oid IS NULL
+                   OR (a.event_type = b.event_type AND a.value = b.value)
+                UNION ALL
+                SELECT b._oid, b.event_type, b.value, b._start
+                FROM s2 b LEFT JOIN s1 a ON a._oid = b._oid
+                WHERE a._oid IS NULL
+                   OR NOT (a.event_type = b.event_type AND a.value = b.value)
+            ),
+            closed3 AS (
+                SELECT o._oid, o.event_type, o.value, o._start,
+                       c._start AS _end
+                FROM open2 o JOIN s3 c ON o._oid = c._oid
+                WHERE NOT (o.event_type = c.event_type AND o.value = c.value)
+            ),
+            open3 AS (
+                SELECT o._oid, o.event_type, o.value, o._start
+                FROM open2 o LEFT JOIN s3 c ON o._oid = c._oid
+                WHERE c._oid IS NULL
+                   OR (o.event_type = c.event_type AND o.value = c.value)
+                UNION ALL
+                SELECT c._oid, c.event_type, c.value, c._start
+                FROM s3 c LEFT JOIN open2 o ON o._oid = c._oid
+                WHERE o._oid IS NULL
+                   OR NOT (o.event_type = c.event_type AND o.value = c.value)
+            )
+            SELECT _oid, event_type, value, _start,
+                   CAST(NULL AS TIMESTAMP) AS _end FROM open3
+            UNION ALL SELECT * FROM closed2
+            UNION ALL SELECT * FROM closed3
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2520,67 +2678,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "upsert_snapshot": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_disk_timepart": _UPSERT_SNAPSHOT_ORACLE,
-        "upsert_compact_tiered": """
-            -- pure 3-way sequential snapshot merge (compaction on the
-            -- Spark side is physical-only and must not change a value)
-            WITH s1 AS (
-                SELECT user_id AS _oid, event_type, value, ts AS _start
-                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                                   ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events WHERE ts < TIMESTAMP '2024-01-11')
-                WHERE rn = 1
-            ), s2 AS (
-                SELECT user_id AS _oid, event_type, value, ts AS _start
-                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                                   ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events WHERE ts >= TIMESTAMP '2024-01-11'
-                                    AND ts < TIMESTAMP '2024-01-21')
-                WHERE rn = 1
-            ), s3 AS (
-                SELECT user_id AS _oid, event_type, value, ts AS _start
-                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                                   ORDER BY ts DESC, event_id DESC) AS rn
-                      FROM events WHERE ts >= TIMESTAMP '2024-01-21')
-                WHERE rn = 1
-            ),
-            closed2 AS (
-                SELECT a._oid, a.event_type, a.value, a._start,
-                       b._start AS _end
-                FROM s1 a JOIN s2 b ON a._oid = b._oid
-                WHERE NOT (a.event_type = b.event_type AND a.value = b.value)
-            ),
-            open2 AS (
-                SELECT a._oid, a.event_type, a.value, a._start
-                FROM s1 a LEFT JOIN s2 b ON a._oid = b._oid
-                WHERE b._oid IS NULL
-                   OR (a.event_type = b.event_type AND a.value = b.value)
-                UNION ALL
-                SELECT b._oid, b.event_type, b.value, b._start
-                FROM s2 b LEFT JOIN s1 a ON a._oid = b._oid
-                WHERE a._oid IS NULL
-                   OR NOT (a.event_type = b.event_type AND a.value = b.value)
-            ),
-            closed3 AS (
-                SELECT o._oid, o.event_type, o.value, o._start,
-                       c._start AS _end
-                FROM open2 o JOIN s3 c ON o._oid = c._oid
-                WHERE NOT (o.event_type = c.event_type AND o.value = c.value)
-            ),
-            open3 AS (
-                SELECT o._oid, o.event_type, o.value, o._start
-                FROM open2 o LEFT JOIN s3 c ON o._oid = c._oid
-                WHERE c._oid IS NULL
-                   OR (o.event_type = c.event_type AND o.value = c.value)
-                UNION ALL
-                SELECT c._oid, c.event_type, c.value, c._start
-                FROM s3 c LEFT JOIN open2 o ON o._oid = c._oid
-                WHERE o._oid IS NULL
-                   OR NOT (o.event_type = c.event_type AND o.value = c.value)
-            )
-            SELECT _oid, event_type, value, _start,
-                   CAST(NULL AS TIMESTAMP) AS _end FROM open3
-            UNION ALL SELECT * FROM closed2
-            UNION ALL SELECT * FROM closed3
+        "upsert_compact_tiered": _UPSERT_3WAY_ORACLE,
+        "upsert_zorder_disk": _UPSERT_3WAY_ORACLE,
+        "mql_oid_pointlookup": f"""
+            SELECT * FROM ({_UPSERT_SNAPSHOT_ORACLE})
+            WHERE _oid IN (1, 7, 11)
         """,
         "upsert_evolve_disk": """
             -- evolution twin: batch 1 has no value column, so every
