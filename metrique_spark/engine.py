@@ -131,7 +131,8 @@ class Engine:
                  time_partition: str | None = None,
                  keep_generations: int = 0,
                  auto_compact_index_batches: int | None = None,
-                 compact_small_bytes: int = 256 * 1024 * 1024):
+                 compact_small_bytes: int = 256 * 1024 * 1024,
+                 bloom_oid_ndv: int | None = None):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -215,6 +216,23 @@ class Engine:
         if keep_generations < 0:
             raise ValueError("keep_generations must be >= 0")
         self.keep_generations = keep_generations
+        # parquet bloom filter on _oid for every cube data file this
+        # engine writes (``parquet.bloom.filter.enabled#_oid``): inside
+        # a hit bucket directory, row-group min/max stats on _oid are
+        # useless (the bucket hash scatters oids uniformly), so a point
+        # lookup still reads every row group of the bucket — a bloom
+        # lets parquet-mr drop row groups at the reader for _oid
+        # equality/IN predicates, the third level of the lookup story
+        # (bucket dir → row group → row). The value is the expected
+        # distinct-oid count PER FILE (sizing: ~1.2 bits/key at 1% FPP;
+        # ndv=100_000 ≈ 130 KB per file — negligible against 128 MB
+        # data files, real overhead on tiny ones, hence opt-in). Purely
+        # physical file metadata: readers without bloom support ignore
+        # it, and files written without it coexist with files written
+        # with it in the same cube.
+        if bloom_oid_ndv is not None and bloom_oid_ndv <= 0:
+            raise ValueError("bloom_oid_ndv must be > 0")
+        self.bloom_oid_ndv = bloom_oid_ndv
         # publish the warehouse scratch root for the sampling module's
         # engine-managed reliable spill (ranked_within_strata's
         # boundary-sampling hazard): with an engine in scope, callers on
@@ -1924,6 +1942,19 @@ class Engine:
         keep = cols + (["_current"] if "_current" in table.columns else [])
         return table.select(*keep), incoming.select(*cols), cols
 
+    def _cube_writer(self, out: DataFrame):
+        """``out.write`` with the engine's cube-file parquet options
+        applied — single choke point so every data write (first write,
+        open overwrite, closed batch, history import, compaction
+        rewrite) carries the same physical-file features (see
+        ``bloom_oid_ndv``)."""
+        w = out.write
+        if self.bloom_oid_ndv:
+            w = (w.option("parquet.bloom.filter.enabled#_oid", "true")
+                 .option("parquet.bloom.filter.expected.ndv#_oid",
+                         str(self.bloom_oid_ndv)))
+        return w
+
     def _write_partitioned(
         self, df: DataFrame, path: str, mode: str, dynamic: bool = True,
         buckets: int | None = None, open_batch: str = "open",
@@ -1948,7 +1979,7 @@ class Engine:
         if timepart:
             out = out.withColumn("__stime", self._stime_col(timepart))
         (
-            out.write.mode(mode)
+            self._cube_writer(out).mode(mode)
             .partitionBy(*self._partition_keys(buckets, timepart))
             .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
             .parquet(path)
@@ -1999,7 +2030,7 @@ class Engine:
         if live is not None and rels and set(rels) <= live:
             return token, rels
         (
-            out.write.mode("overwrite")
+            self._cube_writer(out).mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self._partition_keys(buckets, timepart))
             .parquet(path)
@@ -2026,7 +2057,7 @@ class Engine:
         if timepart:
             out = out.withColumn("__stime", self._stime_col(timepart))
         (
-            out.write.mode("overwrite")
+            self._cube_writer(out).mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self._partition_keys(buckets, timepart))
             .parquet(path)
@@ -2720,7 +2751,7 @@ class Engine:
             union = union.withColumn("__stime", self._stime_col(timepart))
         union = union.select(*cols, *part_cols).localCheckpoint(eager=True)
         (
-            union.write.mode("overwrite")
+            self._cube_writer(union).mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*part_cols)
             .parquet(path)

@@ -551,3 +551,59 @@ def test_mql_point_lookup_prunes_to_bucket_partitions(spark, tmp_path):
     fplan = free._jdf.queryExecution().executedPlan().toString()
     assert "__obucket" not in fplan.split("PartitionFilters", 1)[-1][:400]
     assert free.count() == 13  # the 13 v1 rows (oid 7 is v1 itself)
+
+
+def test_bloom_oid_writes_filters_on_every_cube_file(spark, tmp_path):
+    """Engine(bloom_oid_ndv=N) must stamp a parquet bloom filter on the
+    _oid column of EVERY cube data file — open snapshot, closed batch,
+    and compaction rewrite alike (row-group min/max on _oid is useless
+    inside a hash bucket, so the bloom is what lets parquet-mr drop row
+    groups on point lookups) — while the default engine writes none,
+    and lookups stay value-correct either way."""
+    import glob as _glob
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    def oid_bloom_offsets(root):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        offs = {}
+        for f in _glob.glob(root + "/_current=*/**/*.parquet",
+                            recursive=True):
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            hif = (jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+                   .fromPath(p, conf))
+            r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(hif)
+            try:
+                cols = r.getFooter().getBlocks().get(0).getColumns()
+                off = next(
+                    cols.get(i).getBloomFilterOffset()
+                    for i in range(cols.size())
+                    if str(cols.get(i).getPath()) == "[_oid]")
+            finally:
+                r.close()
+            offs[f] = off
+        return offs
+
+    def ver(v, start):
+        df = spark.createDataFrame(
+            [(i, v * i) for i in range(64)], "oid long, x long")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(start)))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 bloom_oid_ndv=1000)
+    eng.upsert("b", ver(1, "2024-01-01"), stamped=True)
+    eng.upsert("b", ver(2, "2024-02-01"), stamped=True)  # closes all
+    eng.upsert("b", ver(3, "2024-03-01"), stamped=True)
+    eng.compact("b", small_bytes=None)  # rewrite keeps the bloom
+    offs = oid_bloom_offsets(str(tmp_path / "wh" / "b"))
+    assert offs and all(off > 0 for off in offs.values()), offs
+    assert eng.count("b", "_oid == 7") == 1
+    assert eng.count("b", "_oid == 7", date="~") == 3
+
+    plain = Engine(spark, warehouse=str(tmp_path / "wh2"), oid_buckets=4)
+    plain.upsert("b", ver(1, "2024-01-01"), stamped=True)
+    offs2 = oid_bloom_offsets(str(tmp_path / "wh2" / "b"))
+    assert offs2 and all(off == -1 for off in offs2.values()), offs2
