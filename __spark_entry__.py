@@ -566,6 +566,48 @@ def upsert_zorder_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_rebucket_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-COUNT MIGRATION value-checked through the gate: the
+    2-batch on-disk snapshot merge built at 4 oid-buckets is
+    ``rebucket``-ed to 16 (full rewrite, new count published IN THE
+    MANIFEST atomically with the rewritten directories — the managed
+    escape from a first-write count the data outgrew, engine.rebucket),
+    then a THIRD point of proof: an MQL point lookup afterwards prunes
+    under the new modulus (plan pin in tests/test_engine.py). Reading
+    all history back must equal the pure 2-way merge oracle EXACTLY —
+    rebucketing is physical-only."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "rebucket_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < cut)),
+               stamped=True)
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= cut)),
+               stamped=True)
+    eng.rebucket("state", 16)
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def mql_oid_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MQL-STRING point lookup through the full on-disk engine (the
     reference's own idiom, ``find(query='_oid in [...]')``,
@@ -2234,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_disk_timepart": upsert_disk_timepart,
         "upsert_compact_tiered": upsert_compact_tiered,
         "upsert_zorder_disk": upsert_zorder_disk,
+        "upsert_rebucket_disk": upsert_rebucket_disk,
         "mql_oid_pointlookup": mql_oid_pointlookup,
         "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
@@ -2680,6 +2723,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_disk_timepart": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_compact_tiered": _UPSERT_3WAY_ORACLE,
         "upsert_zorder_disk": _UPSERT_3WAY_ORACLE,
+        "upsert_rebucket_disk": _UPSERT_SNAPSHOT_ORACLE,
         "mql_oid_pointlookup": f"""
             SELECT * FROM ({_UPSERT_SNAPSHOT_ORACLE})
             WHERE _oid IN (1, 7, 11)

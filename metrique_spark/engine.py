@@ -1347,6 +1347,37 @@ class Engine:
         meta = self._cube_layout(path)
         return meta.get("oid_buckets") if meta else None
 
+    @staticmethod
+    def _live_buckets(meta: dict | None, layout: dict | None) -> int | None:
+        """Authoritative oid-bucket count for a committed generation:
+        the manifest's recorded count when present (``rebucket`` writes
+        it atomically with the rewritten directories and every later
+        flip carries it forward), else the layout sidecar's — the
+        pre-rebucket world, where the count is fixed at first write."""
+        if meta is not None and "oid_buckets" in meta:
+            return meta["oid_buckets"]
+        return layout.get("oid_buckets") if layout else None
+
+    def _buckets_for_read(self, path: str, layout: dict | None,
+                          generation: int | None) -> int | None:
+        """Bucket count valid for pruning a read of ``generation`` (None
+        = live). A retained generation carries its own count when one
+        was manifested at retention time; a fieldless entry predates any
+        rebucket, so the layout sidecar's first-write count (which
+        ``rebucket`` deliberately never edits) is its count. Unknown
+        generation → None (no prune; the scan raises the proper
+        error)."""
+        meta = self._manifest(path)
+        sidecar = layout.get("oid_buckets") if layout else None
+        if meta is None:
+            return sidecar
+        if generation is None or generation == meta["gen"]:
+            return self._live_buckets(meta, layout)
+        for h in meta.get("history", []):
+            if h["gen"] == generation:
+                return h.get("oid_buckets", sidecar)
+        return None
+
     def _session_tz(self) -> str:
         return self.spark.conf.get("spark.sql.session.timeZone")
 
@@ -1487,6 +1518,9 @@ class Engine:
         groups = tier_groups(tok, self.compact_small_bytes)
         out.update({
             "generation": meta["gen"],
+            # live count manifest-first: after a rebucket the layout
+            # sidecar keeps the first-write count by design
+            "oid_buckets": self._live_buckets(meta, layout),
             "retained_generations": [h["gen"] for h in
                                      meta.get("history", [])],
             "open_dirs": sum(d.startswith("_current=true")
@@ -1501,6 +1535,14 @@ class Engine:
             "compact_recommended": bool(groups),
             "indexes": self.vector_index_list(cube),
         })
+        rows = (meta.get("stats") or {}).get("rows") or {}
+        if all(d in rows for d in meta["dirs"]):
+            # same source as the metadata-only count(): exact when
+            # every live directory carries a recorded row count
+            out["rows_open"] = sum(
+                rows[d] for d in meta["dirs"]
+                if d.startswith("_current=true"))
+            out["rows_total"] = sum(rows[d] for d in meta["dirs"])
         return out
 
     def set_retention(self, cube: str, keep_generations: int) -> None:
@@ -1524,6 +1566,91 @@ class Engine:
             layout["keep_generations"] = keep_generations
             self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                                json.dumps(layout))
+
+    def rebucket(self, cube: str, oid_buckets: int) -> None:
+        """Migrate the cube to a different oid-bucket count — the
+        managed escape from a first-write count that the data outgrew
+        (at 100 TB, 16 buckets means ~6 TB bucket directories: the
+        bucket-granular merge, history import and point-lookup prune
+        all degrade to near-table cost; this is THE practical
+        scale-up failure the fixed layout would otherwise pin forever).
+
+        One full rewrite, one commit: every row is re-hashed into
+        ``pmod(xxhash64(_oid), N')`` directories written fresh under the
+        next generation (open rows in ``open-g{gen}``, closed history in
+        a gen-scoped ``rb-g{gen}`` batch — never a content token, which
+        identical content would collide with a LIVE directory), and the
+        manifest flip publishes the new count IN THE MANIFEST atomically
+        with the directories it applies to. Writers and readers resolve
+        the count manifest-first (``_live_buckets``) and every later
+        flip carries it forward; retained generations keep their own
+        count for time-travel pruning (``_push_history``). The layout
+        sidecar deliberately keeps the FIRST-WRITE count: it is the
+        fallback for fieldless pre-rebucket history entries, and editing
+        it could not be atomic with the data anyway. (Consequence: every
+        writer of a rebucketed cube must be at least this engine
+        version — an older writer reading only the sidecar would merge
+        with the wrong modulus.)
+
+        Content is invariant (physical-only, like compaction); a crash
+        before the flip leaves readers on the old generation and the
+        stranded directories are swept by the next commit or vacuum;
+        the generation advance runs the auto-refresh index epilogue like
+        every other commit."""
+        if oid_buckets <= 0:
+            raise ValueError("oid_buckets must be > 0")
+        with self._write_lock(cube):
+            path = self._path(cube)
+            state, meta, raw = self._cube_state(path)
+            if state == "premanifest":
+                meta, raw = self._adopt_premanifest(path)
+            elif state != "manifest":
+                raise ValueError(
+                    f"cube {cube!r} is {state} — rebucket needs a "
+                    "generation-manifested cube")
+            layout = self._cube_layout(path) or {}
+            if self._live_buckets(meta, layout) == oid_buckets:
+                return
+            timepart = self._cube_timepart(path, for_write=True,
+                                           layout=layout)
+            keep = layout.get("keep_generations", 0)
+            gen = meta["gen"] + 1
+            part_cols = self._partition_keys(oid_buckets, timepart)
+            rows = self._read(path)  # internal keys dropped; re-derived
+            cols = [c for c in rows.columns if c != "_current"]
+            out = rows.withColumn("_current", F.col("_end").isNull())
+            out = out.withColumn(
+                "__batch",
+                F.when(F.col("_current"), F.lit(f"open-g{gen}"))
+                .otherwise(F.lit(f"rb-g{gen}")))
+            out = out.withColumn("__obucket", self._obucket(oid_buckets))
+            if timepart:
+                out = out.withColumn("__stime", self._stime_col(timepart))
+            # localCheckpoint: the write lands under the same root the
+            # plan reads from (fresh relpaths, but Spark's self-
+            # overwrite check is path-based), and a retry must not
+            # recompute from directories the write is mutating
+            out = out.select(*cols, *part_cols).localCheckpoint(
+                eager=True)
+            (
+                self._cube_writer(out).mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*part_cols)
+                .parquet(path)
+            )
+            new_rels = self._record_sizes(
+                path, self._written_dir_stats(out, oid_buckets, timepart))
+            dirs = set(new_rels)
+            hist = self._push_history(meta, keep)
+            self._manifest_flip(path, raw, gen, dirs, hist,
+                                stats=self._merged_stats(
+                                    meta, new_rels, dirs, hist,
+                                    path=path),
+                                schema=meta.get("schema"),
+                                oid_buckets=oid_buckets)
+            self._sweep_unreferenced(
+                path, dirs | {d for h in hist for d in h["dirs"]})
+            self._auto_refresh_indexes(cube)
 
     # -- generation-pointer manifest (snapshot-isolated commits) -------------
     #
@@ -1576,6 +1703,12 @@ class Engine:
         if not keep or meta is None:
             return []
         cur: dict = {"gen": meta["gen"], "dirs": meta["dirs"]}
+        if "oid_buckets" in meta:
+            # a retained generation keeps ITS OWN bucket count: after a
+            # rebucket, a time-travel point lookup of the old snapshot
+            # must prune with the modulus its directories were hashed
+            # under, not the live one
+            cur["oid_buckets"] = meta["oid_buckets"]
         if meta.get("schema") is not None:
             # each retained generation keeps ITS OWN read schema: after a
             # schema evolution, a time-travel read of an old snapshot
@@ -1617,8 +1750,10 @@ class Engine:
             end_m.update(prior.get("max_end") or {})
             start_m.update(prior.get("min_start") or {})
         # per-directory byte sizes (the tiered-compaction level
-        # classifier) are tz-independent: always carried forward
+        # classifier) and row counts (the metadata-only count fast
+        # path) are tz-independent: always carried forward
         bytes_m: dict[str, int] = dict(prior.get("bytes") or {})
+        rows_m: dict[str, int] = dict(prior.get("rows") or {})
         for d, v in (new_stats or {}).items():
             if v.get("max_end") is not None:
                 end_m[d] = v["max_end"]
@@ -1630,6 +1765,8 @@ class Engine:
                 start_m.pop(d, None)
             if v.get("bytes") is not None:
                 bytes_m[d] = v["bytes"]
+            if v.get("rows") is not None:
+                rows_m[d] = v["rows"]
         retained = set(dirs) | {d for h in (history or [])
                                 for d in h["dirs"]}
         if path is not None:
@@ -1647,19 +1784,27 @@ class Engine:
                       if d in start_m}
         kept_bytes = {d: bytes_m[d] for d in sorted(retained)
                       if d in bytes_m}
-        if not kept_end and not kept_start and not kept_bytes:
+        kept_rows = {d: rows_m[d] for d in sorted(retained)
+                     if d in rows_m}
+        if (not kept_end and not kept_start and not kept_bytes
+                and not kept_rows):
             return None
         out: dict = {"tz": tz, "max_end": kept_end,
                      "min_start": kept_start}
         if kept_bytes:
             out["bytes"] = kept_bytes
+        if kept_rows:
+            out["rows"] = kept_rows
         return out
+
+    _CARRY = object()  # _manifest_flip: keep the prior manifest's value
 
     def _manifest_flip(self, path: str, old_raw: str | None,
                        gen: int, dirs: set[str],
                        history: list[dict] | None = None,
                        stats: dict | None = None,
-                       schema: dict | None = None) -> None:
+                       schema: dict | None = None,
+                       oid_buckets: int | None | object = _CARRY) -> None:
         """The commit point: ONE atomic pointer write. CAS against the
         text read at operation start — under the writer lease this only
         fails if a TTL-expired zombie writer raced us; fail loud.
@@ -1681,6 +1826,17 @@ class Engine:
             body["stats"] = stats
         if schema is not None:
             body["schema"] = schema
+        # the generation's authoritative oid-bucket count: ``rebucket``
+        # sets it explicitly (atomically with the rewritten dirs — the
+        # layout sidecar alone can't change in the same write as the
+        # data); every other flip carries the prior generation's value
+        # forward, so once recorded it never silently reverts to the
+        # sidecar default
+        if oid_buckets is Engine._CARRY:
+            prior = json.loads(old_raw) if old_raw else {}
+            oid_buckets = prior.get("oid_buckets", Engine._CARRY)
+        if oid_buckets is not Engine._CARRY:
+            body["oid_buckets"] = oid_buckets
         new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
@@ -1740,7 +1896,8 @@ class Engine:
                .agg(F.date_format(F.max("_end"), _END_STAT_FMT)
                     .alias("__max_end"),
                     F.date_format(F.min("_start"), _END_STAT_FMT)
-                    .alias("__min_start"))
+                    .alias("__min_start"),
+                    F.count(F.lit(1)).alias("__rows"))
                .collect())
         stats: dict[str, dict] = {}
         for r in agg:
@@ -1759,7 +1916,8 @@ class Engine:
                         "time-partitioned cubes require non-null _start")
                 parts.append(f"{c}={v}")
             stats["/".join(parts)] = {"max_end": r["__max_end"],
-                                      "min_start": r["__min_start"]}
+                                      "min_start": r["__min_start"],
+                                      "rows": r["__rows"]}
         return stats
 
     def _record_sizes(
@@ -2257,7 +2415,7 @@ class Engine:
         if state == "premanifest":
             meta, raw = self._adopt_premanifest(path)
         layout = self._cube_layout(path)
-        buckets = layout.get("oid_buckets") if layout else None
+        buckets = self._live_buckets(meta, layout)
         timepart = self._cube_timepart(path, for_write=True, layout=layout)
         if meta is None:
             # legacy in-place compact: always FULL (tiering needs the
@@ -2453,7 +2611,7 @@ class Engine:
             if state == "premanifest":
                 meta, raw = self._adopt_premanifest(path)
             layout = self._cube_layout(path)
-            buckets = layout.get("oid_buckets") if layout else None
+            buckets = self._live_buckets(meta, layout)
             timepart = self._cube_timepart(path, for_write=True,
                                            layout=layout)
             table = self._read(path)
@@ -2530,7 +2688,7 @@ class Engine:
         if state == "premanifest":
             meta, raw = self._adopt_premanifest(path)
         layout = self._cube_layout(path)
-        buckets = layout.get("oid_buckets") if layout else None
+        buckets = self._live_buckets(meta, layout)
         timepart = self._cube_timepart(path, for_write=True, layout=layout)
         table = self._read(path)
         self._check_oid_type(table, incoming)
@@ -2831,7 +2989,7 @@ class Engine:
             # directories instead of filtering rows
             path = self._path(cube)
             layout = self._cube_layout(path)  # ONE sidecar fetch/query
-            buckets = layout.get("oid_buckets") if layout else None
+            buckets = self._buckets_for_read(path, layout, generation)
             # as-of / since specs bound _end from below: closed dirs
             # whose recorded max(_end) precedes the bound are skipped at
             # manifest resolution (directory-level data skipping)
@@ -2972,10 +3130,56 @@ class Engine:
               date: str | None = None,
               oids: Sequence | None = None,
               generation: int | None = None) -> int:
-        """Count matches (reference ``sqlalchemy.py:641-664``)."""
+        """Count matches (reference ``sqlalchemy.py:641-664``). The two
+        unfiltered shapes — current-only (``date=None``) and all-history
+        (``date='~'``) — answer from the manifest's per-directory row
+        counts when every relevant directory has one (a metadata-only
+        read: zero files opened, zero Spark jobs — at 100 TB a bare
+        ``count`` should never scan the table); any filter, or a
+        pre-upgrade manifest missing a count, falls back to the scan."""
+        if (isinstance(cube, str) and query is None and oids is None
+                and self.warehouse and cube not in self._views):
+            n = self._count_from_stats(cube, date, generation)
+            if n is not None:
+                return n
         return self._retry_swept(
             lambda: self._scoped(cube, query, date, oids=oids,
                                  generation=generation).count())
+
+    def _count_from_stats(self, cube: str, date: str | None,
+                          generation: int | None) -> int | None:
+        """Manifest-recorded row total for an unfiltered count, or None
+        when the shape is filtered / the cube predates row stats /
+        any relevant directory lacks a count (fall back to the scan —
+        skipped, not wrong). Works for retained generations too: stats
+        carry forward for every retained directory."""
+        if date == "~":
+            want_open_only = False
+        elif date_is_current_only(date):
+            want_open_only = True
+        else:
+            return None
+        path = self._path(cube)
+        if not self.fs.isdir(path):
+            return None  # the scan path raises the proper error
+        meta = self._manifest(path)
+        if meta is None:
+            return None
+        if generation is None or generation == meta["gen"]:
+            dirs = meta["dirs"]
+        else:
+            for h in meta.get("history", []):
+                if h["gen"] == generation:
+                    dirs = h["dirs"]
+                    break
+            else:
+                return None  # the scan path raises the retention error
+        rows = (meta.get("stats") or {}).get("rows") or {}
+        want = [d for d in dirs
+                if not want_open_only or d.startswith("_current=true")]
+        if not all(d in rows for d in want):
+            return None
+        return sum(rows[d] for d in want)
 
     def distinct(self, cube: str | DataFrame, fields, query: str | None = None,
                  date: str | None = "~") -> DataFrame:

@@ -173,8 +173,10 @@ def test_tiered_compact_never_reads_untouched_levels(spark, engine):
     # and current-state reads (open partition only) also never touch it
     assert engine.count("nr") == 50
     # sanity: the corrupted files ARE unreadable if actually scanned
+    # (filtered count — the unfiltered one is metadata-only and never
+    # opens a file, which is exactly the point of this test)
     with pytest.raises(Exception):
-        engine.count("nr", date="~")
+        engine.count("nr", "col_1 >= 0", date="~")
 
 
 def test_tier_groups_policy():

@@ -607,3 +607,161 @@ def test_bloom_oid_writes_filters_on_every_cube_file(spark, tmp_path):
     plain.upsert("b", ver(1, "2024-01-01"), stamped=True)
     offs2 = oid_bloom_offsets(str(tmp_path / "wh2" / "b"))
     assert offs2 and all(off == -1 for off in offs2.values()), offs2
+
+
+def test_count_metadata_only_fast_path(spark, tmp_path, monkeypatch):
+    """Unfiltered count() (current-only and all-history) must answer
+    from the manifest's per-directory row stats WITHOUT touching any
+    data file — at 100 TB a bare count should never scan the table.
+    Filtered shapes and stat-less dirs fall back to the scan."""
+    from metrique_spark.objects import stamp
+
+    def ver(v, start):
+        df = spark.createDataFrame(
+            [(i, v * 100 + i) for i in range(64)], "oid long, x long")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(start)))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 keep_generations=2)
+    eng.upsert("c", ver(1, "2024-01-01"), stamped=True)
+    eng.upsert("c", ver(2, "2024-02-01"), stamped=True)
+    eng.upsert("c", ver(3, "2024-03-01"), stamped=True)
+    gens = eng.generations("c")
+    assert eng.count("c") == 64
+    assert eng.count("c", date="~") == 192
+    eng.compact("c", small_bytes=None)  # rewrite keeps the stats exact
+    assert eng.count("c", date="~") == 192
+
+    def boom(*a, **kw):
+        raise RuntimeError("metadata-only count must not read data")
+
+    monkeypatch.setattr(Engine, "_read_raw", boom)
+    assert eng.count("c") == 64                    # current-only
+    assert eng.count("c", date="~") == 192         # all history
+    # retained generation: stats carry forward for its dirs too
+    assert eng.count("c", date="~", generation=gens[1]) == 128
+    # filtered shapes fall back to the (poisoned) scan
+    with pytest.raises(RuntimeError, match="metadata-only"):
+        eng.count("c", "_oid == 1")
+    with pytest.raises(RuntimeError, match="metadata-only"):
+        eng.count("c", date="2024-02-15")
+    with pytest.raises(RuntimeError, match="metadata-only"):
+        eng.count("c", oids=[1])
+
+
+def test_rebucket_migrates_count_and_stays_correct(spark, tmp_path):
+    """rebucket(cube, N') is a physical-only migration: content is
+    invariant across the rewrite, point lookups prune under the NEW
+    modulus (manifest-first resolution), subsequent snapshot upserts
+    merge correctly against the rebucketed layout, and a time-travel
+    read of a PRE-rebucket generation prunes under the OLD count (a
+    lookup hashed with the wrong modulus would silently miss rows)."""
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    def ver(v, start):
+        df = spark.createDataFrame(
+            [(i, v * 1000 + i) for i in range(48)], "oid long, x long")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(start)))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 keep_generations=3)
+    eng.upsert("c", ver(1, "2024-01-01"), stamped=True)
+    eng.upsert("c", ver(2, "2024-02-01"), stamped=True)
+    pre_gen = eng.generations("c")[0]
+    before = sorted((r["_oid"], r["x"], str(r["_start"]))
+                    for r in eng.find("c", date="~").collect())
+
+    eng.rebucket("c", 16)
+    assert eng.describe("c")["oid_buckets"] == 16
+    # layout sidecar keeps the first-write count by design
+    assert eng._cube_buckets(eng._path("c")) == 4
+    after = sorted((r["_oid"], r["x"], str(r["_start"]))
+                   for r in eng.find("c", date="~").collect())
+    assert after == before and len(after) == 96
+    # physical layout really moved: some dir carries a bucket value >= 4
+    meta = eng._manifest(eng._path("c"))
+    vals = {int(d.split("/")[1].split("=")[1]) for d in meta["dirs"]}
+    assert max(vals) >= 4, vals
+
+    # point lookups under the new modulus: pruned AND correct
+    got = eng.find("c", "_oid in [7, 11]", date="~")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    assert sorted(r["_oid"] for r in got.collect()) == [7, 7, 11, 11]
+    assert eng.count("c", oids=[7]) == 1
+
+    # a later snapshot upsert merges correctly against the new layout
+    eng.upsert("c", ver(3, "2024-03-01"), stamped=True)
+    assert eng.count("c") == 48
+    assert eng.count("c", date="~") == 144
+    assert eng.find_one("c", "_oid == 7")["x"] == 3007
+
+    # time travel to the PRE-rebucket generation prunes with the OLD
+    # count and returns its exact committed content
+    tt = eng.find("c", "_oid in [7, 11]", date="~", generation=pre_gen)
+    assert sorted(r["_oid"] for r in tt.collect()) == [7, 7, 11, 11]
+    assert eng.count("c", date="~", generation=pre_gen) == 96
+
+    # a second engine over the same warehouse (fresh state) resolves
+    # the count manifest-first too
+    eng2 = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4)
+    assert eng2.count("c", date="~") == 144
+    eng2.upsert("c", ver(4, "2024-04-01"), stamped=True)
+    assert eng2.count("c", date="~") == 192
+    assert eng2.find_one("c", "_oid == 7")["x"] == 4007
+
+    # no-op and validation
+    eng.rebucket("c", 16)
+    with pytest.raises(ValueError, match="must be > 0"):
+        eng.rebucket("c", 0)
+
+
+def test_rebucket_crash_before_flip_leaves_old_generation(
+        spark, tmp_path, monkeypatch):
+    """A rebucket that dies before the manifest flip changes nothing:
+    readers stay on the old generation/count, the stranded rewrite is
+    swept by vacuum, and a retry converges."""
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    def ver(v, start):
+        df = spark.createDataFrame(
+            [(i, v * 1000 + i) for i in range(16)], "oid long, x long")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(start)))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    eng.upsert("c", ver(1, "2024-01-01"), stamped=True)
+    eng.upsert("c", ver(2, "2024-02-01"), stamped=True)
+    real = Engine._manifest_flip
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before flip")
+
+    monkeypatch.setattr(Engine, "_manifest_flip", boom)
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        eng.rebucket("c", 8)
+    monkeypatch.setattr(Engine, "_manifest_flip", real)
+    # unchanged: old count, old content
+    assert eng.describe("c")["oid_buckets"] == 2
+    assert eng.count("c", date="~") == 32
+    assert eng.find_one("c", "_oid == 3")["x"] == 2003
+    # the stranded rewrite is unreferenced; vacuum sweeps it
+    eng.vacuum("c")
+    live = set(eng._manifest(eng._path("c"))["dirs"])
+    import os
+    path = eng._path("c")
+    on_disk = set()
+    for r, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.relpath(r, path))
+    assert on_disk <= {d for d in live}
+    # retry converges
+    eng.rebucket("c", 8)
+    assert eng.describe("c")["oid_buckets"] == 8
+    assert eng.count("c", date="~") == 32
+    assert eng.find_one("c", "_oid == 3")["x"] == 2003

@@ -146,7 +146,7 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
     gen_states: dict[int, list] = {}   # engine gen -> model snapshot
     for step in range(14):
         op = rng.choice(["snap", "snap", "snap", "replace", "compact",
-                         "vacuum"])
+                         "vacuum", "rebucket"])
         if first:
             op = "snap"
         if step == ev_step:
@@ -194,12 +194,21 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
             # randomize the tier threshold: None = full consolidation,
             # 1 = everything is a "large" level (merges only at the
             # similar-size quorum), default = engine threshold (test
-            # data is all small → trickle merge). Whatever the tier
-            # does, content must be invariant — compaction is physical.
-            eng.compact(cube, sort_by=["_start"] if rng.random() < 0.5
-                        else None,
+            # data is all small → trickle merge) — and the clustering:
+            # unsorted, range-sorted, or Morton (zorder). Whatever the
+            # tier or curve does, content must be invariant —
+            # compaction is physical.
+            sort_by, cluster = rng.choice(
+                [(None, "range"), (["_start"], "range"),
+                 (["col_1", "_start"], "zorder")])
+            eng.compact(cube, sort_by=sort_by, cluster=cluster,
                         small_bytes=rng.choice(
                             [None, 1, eng.compact_small_bytes]))
+        elif op == "rebucket":
+            # bucket-count migration is physical-only: content (and
+            # every probe below, incl. time travel to pre-rebucket
+            # generations, which must prune with THEIR count) invariant
+            eng.rebucket(cube, rng.choice([2, 4, 8]))
         else:
             eng.vacuum(cube)
 
@@ -212,6 +221,11 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         for date in probes:
             assert _cube_rows(eng, cube, date) == model.rows(date), (
                 step, op, date)
+        # the metadata-only count (manifest row stats, zero file reads)
+        # must agree with the model after EVERY op interleaving
+        assert eng.count(cube) == len(model.rows(None)), (step, op)
+        assert eng.count(cube, date="~") == len(model.versions), (
+            step, op)
         # concurrent-read probe: a reader whose resolved generation has
         # been fully swept by a later commit must retry onto the live
         # pointer and read exactly the current model — never error,
@@ -228,7 +242,9 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
 
             eng._manifest = stale_first
             try:
-                got = eng.count(cube, date="~")
+                # filtered: the scan path (unfiltered count answers
+                # from metadata and never builds a plan to race)
+                got = eng.count(cube, "col_1 >= 0", date="~")
             finally:
                 eng._manifest = real_manifest
             assert got == len(model.versions), (step, op, "swept-read")

@@ -57,8 +57,16 @@ def test_plan_time_race_retries_to_new_generation(spark, engine,
         calls["n"] += 1
         return stale if calls["n"] == 1 else real(path)
 
+    # unfiltered count is metadata-only: it answers from the resolved
+    # (stale) pointer's row stats — a consistent committed snapshot,
+    # zero file reads, so there is no race to retry
+    assert engine.count("c") == 3
     monkeypatch.setattr(engine, "_manifest", stale_first)
-    assert engine.count("c") == 3          # gen 2: oids 1, 2, 3 current
+    assert engine.count("c") == 2          # gen 1's committed count
+    calls["n"] = 0
+    # a FILTERED count must scan: stale resolution hits the swept files
+    # -> re-resolve once and read gen 2 exactly
+    assert engine.count("c", "_oid >= 0") == 3
     assert calls["n"] >= 2                 # the retry actually re-resolved
 
 
@@ -83,7 +91,9 @@ def test_execution_time_race_retries_to_new_generation(spark, tmp_path,
         return df
 
     monkeypatch.setattr(eng, "_scoped", racing_scoped)
-    assert eng.count("c") == 3
+    # filtered: the scan path (unfiltered would answer from metadata
+    # without ever building a plan for the race to bite)
+    assert eng.count("c", "_oid >= 0") == 3
 
 
 def test_find_one_retries(spark, engine, monkeypatch):
@@ -106,7 +116,7 @@ def test_second_miss_fails_loud(spark, engine, monkeypatch):
     stale = _gen1_then_gen2(spark, engine)
     monkeypatch.setattr(engine, "_manifest", lambda path: stale)
     with pytest.raises(Exception) as ei:
-        engine.count("c")
+        engine.count("c", "_oid >= 0")  # filtered: must actually scan
     assert _is_swept_read_error(ei.value)
 
 
