@@ -1543,6 +1543,23 @@ class Engine:
                 rows[d] for d in meta["dirs"]
                 if d.startswith("_current=true"))
             out["rows_total"] = sum(rows[d] for d in meta["dirs"])
+        sizes = (meta.get("stats") or {}).get("bytes") or {}
+        buckets: dict[str, int] = {}
+        for d, b in sizes.items():
+            if d not in set(meta["dirs"]):
+                continue
+            seg = next((s for s in d.split("/")
+                        if s.startswith("__obucket=")), None)
+            if seg:
+                buckets[seg] = buckets.get(seg, 0) + b
+        if buckets:
+            # per-bucket footprint from manifest stats alone: when the
+            # largest bucket outgrows what one merge/import should
+            # rewrite per commit (~4x the compact threshold here), the
+            # cube has outgrown its first-write count — rebucket()
+            out["max_bucket_bytes"] = max(buckets.values())
+            out["rebucket_recommended"] = (
+                out["max_bucket_bytes"] > 4 * self.compact_small_bytes)
         return out
 
     def set_retention(self, cube: str, keep_generations: int) -> None:

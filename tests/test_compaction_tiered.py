@@ -293,11 +293,17 @@ def test_describe_reports_tier_structure(spark, engine):
     assert len(d["history_tokens"]) == 2  # two un-compacted batches
     assert d["history_bytes"] == sum(d["history_tokens"].values())
     assert d["small_tokens"] == 2 and d["compact_recommended"]
+    # rows + bucket sizing from the same manifest stats (zero-scan)
+    assert d["rows_total"] == 60 and d["rows_open"] == 20
+    assert d["oid_buckets"] == 16
+    assert d["max_bucket_bytes"] > 0
+    assert not d["rebucket_recommended"]  # tiny cube
     engine.compact("ds")
     d2 = engine.describe("ds")
     assert len(d2["history_tokens"]) == 1
     assert not d2["compact_recommended"]  # converged
     assert d2["generation"] == 4 and d2["indexes"] == {}
+    assert d2["rows_total"] == 60  # compaction is physical-only
     # a view / unknown state stays cheap and doesn't explode
     assert engine.describe("nope")["state"] == "new"
 

@@ -95,7 +95,7 @@ class _Model:
             self.snapshot(payload[0], payload[1])
         elif kind == "replace":
             self.replace(payload)
-        # compact / vacuum: storage-only, model unchanged
+        # compact / vacuum / rebucket: storage-only, model unchanged
 
     def rows(self):
         return sorted((v["oid"], v["val"], v["start"], v["end"] or "")
@@ -112,6 +112,10 @@ OPS = [
     ("replace", [(3, 300, "2013-06-01", "2013-09-01"),
                  (3, 301, "2013-09-01", "2014-01-01"),
                  (3, 302, "2014-01-01", None)]),
+    # bucket-count migration (physical-only), then a snap that must
+    # merge correctly against the REBUCKETED layout — the sweep crosses
+    # rebucket's crash points and the post-migration merge's alike
+    ("rebucket", 8),
     ("snap", ([(2, 22)], "2014-03-01")),
 ]
 
@@ -134,6 +138,8 @@ def _do(spark, eng, op):
     elif kind == "replace":
         eng.upsert(CUBE, _hist_df(spark, payload), autosnap=False,
                    stamped=True)
+    elif kind == "rebucket":
+        eng.rebucket(CUBE, payload)
     else:
         eng.compact(CUBE)
 
