@@ -2379,7 +2379,11 @@ class Engine:
         stats stay truthful)."""
         from pyspark.sql import types as T
 
-        bits, k = self._ZBINS_BITS, len(cols)
+        k = len(cols)
+        # stay below the long's sign bit: max interleaved position is
+        # (bits-1)*k + (k-1) < 63 — with many axes, fewer bits per axis
+        # (coarser bins) keeps the curve a valid non-negative sort key
+        bits = min(self._ZBINS_BITS, max(1, 62 // k))
         nums = []
         for c in cols:
             dt = closed.schema[c].dataType

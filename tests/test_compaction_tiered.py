@@ -553,3 +553,32 @@ def test_zorder_rejects_string_axis_and_bad_cluster(spark, tmp_path):
     with pytest.raises(ValueError, match="zorder column"):
         eng.compact("c", sort_by=["s", "x"], cluster="zorder",
                     small_bytes=None)
+
+
+def test_zorder_many_axes_stays_positive(spark, tmp_path):
+    """With many clustering axes the Morton key must never shift into
+    the long's sign bit (a negative key would sort before every
+    positive one and tear the curve): 8 axes get coarser per-axis bins
+    instead, and the rewrite stays content-preserving."""
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    cols = [f"c{j}" for j in range(8)]
+    rows = [tuple([i] + [(i * (3 + j)) % 97 for j in range(8)])
+            for i in range(256)]
+    df = spark.createDataFrame(rows, "oid long, " + ", ".join(
+        f"{c} long" for c in cols))
+
+    def ver(v, start):
+        return stamp(df.withColumn("v", F.lit(v).cast("long")),
+                     oid="oid", start=F.to_timestamp(F.lit(start)))
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    eng.upsert("m", ver(1, "2024-01-01"), stamped=True)
+    eng.upsert("m", ver(2, "2024-02-01"), stamped=True)
+    eng.upsert("m", ver(3, "2024-03-01"), stamped=True)
+    eng.compact("m", sort_by=cols, cluster="zorder", small_bytes=None,
+                target_partitions=4)
+    got = sorted((r["oid"], r["v"]) for r in
+                 eng.find("m", date="~").collect())
+    assert len(got) == 768 and got[0] == (0, 1) and got[-1] == (255, 3)
