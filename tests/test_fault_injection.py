@@ -417,3 +417,52 @@ def test_two_writer_interleaving_serializes(spark, tmp_path):
         model.snapshot([(0, bid), (10 + w, 100 * w + i)],
                        f"2015-{bid:02d}-01")
     assert _cube_rows(spark, eng) == model.rows()
+
+
+def test_writer_rebuckets_under_concurrent_snapshots(spark, tmp_path):
+    """A rebucket racing a stream of snapshot upserts from ANOTHER
+    engine under lock_wait: whichever order the lease serializes them
+    in, rebucket is physical-only, so the final cube must equal the
+    model of just the snapshots — and the post-race layout must be
+    consistent (count manifest-resolved, lookups correct)."""
+    import threading
+
+    wh = str(tmp_path / "wh")
+    boot = Engine(spark, warehouse=wh, oid_buckets=2, lock_wait=120.0)
+    boot.upsert(CUBE, _snap_df(spark, [(1, 10), (2, 20), (3, 30)],
+                               "2015-01-01"), stamped=True)
+    model = _Model()
+    model.snapshot([(1, 10), (2, 20), (3, 30)], "2015-01-01")
+    errors: list[BaseException] = []
+
+    def snapper():
+        eng = Engine(spark, warehouse=wh, oid_buckets=2, lock_wait=120.0)
+        try:
+            for i in range(3):
+                eng.upsert(CUBE, _snap_df(
+                    spark, [(1, 100 + i), (4, 40 + i)],
+                    f"2015-0{i + 2}-01"), stamped=True)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def rebucketer():
+        eng = Engine(spark, warehouse=wh, oid_buckets=2, lock_wait=120.0)
+        try:
+            eng.rebucket(CUBE, 8)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=snapper),
+               threading.Thread(target=rebucketer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for i in range(3):
+        model.snapshot([(1, 100 + i), (4, 40 + i)], f"2015-0{i + 2}-01")
+    clean = Engine(spark, warehouse=wh, oid_buckets=2)
+    assert _cube_rows(spark, clean) == model.rows()
+    assert clean.describe(CUBE)["oid_buckets"] == 8
+    assert clean.count(CUBE) == 4  # metadata path agrees
+    assert clean.find_one(CUBE, "_oid == 4")["col_1"] == 42
