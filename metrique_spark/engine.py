@@ -1613,7 +1613,18 @@ class Engine:
         before the flip leaves readers on the old generation and the
         stranded directories are swept by the next commit or vacuum;
         the generation advance runs the auto-refresh index epilogue like
-        every other commit."""
+        every other commit.
+
+        This is a FULL rewrite — at 100 TB, one (embarrassingly
+        parallel) pass over the cube, scheduled like any other bulk
+        maintenance. The known incremental extension if even that is too
+        much: DOUBLING migrations (N → 2N) let each old bucket split
+        independently — ``pmod(h, 2N) ∈ {pmod(h, N), pmod(h, N) + N}``,
+        so a mixed layout stays correctly prunable by taking the union
+        of both moduli's bucket values, and the bucket-granular merge
+        could migrate hit buckets opportunistically as it rewrites them.
+        Not implemented: the mixed-modulus state would persist
+        indefinitely and deserves its own round of protocol fuzzing."""
         if oid_buckets <= 0:
             raise ValueError("oid_buckets must be > 0")
         with self._write_lock(cube):
@@ -3258,6 +3269,21 @@ class Engine:
         return temporal.dfind(self._scoped(cube, query, date), fields)
 
     def sql(self, query: str) -> DataFrame:
-        """Raw SQL over registered cubes (reference ``execute``,
-        ``sqlalchemy.py:528-547``) — full Spark SQL surface."""
+        """Raw SQL over cubes (reference ``execute``,
+        ``sqlalchemy.py:528-547``) — full Spark SQL surface. Reference
+        users SELECT straight from cube tables, so warehouse cubes whose
+        names appear in the query are registered as temp views on demand
+        (a lazy manifest-resolved read — no scan until the query runs);
+        explicitly ``register``-ed views always win, and ``_scratch`` /
+        unnamed dirs never shadow SQL identifiers."""
+        if self.warehouse:
+            import re as _re
+
+            for name in self.ls():
+                if name in self._views or name.startswith("_"):
+                    continue
+                if not _re.match(r"^\w+$", name):
+                    continue  # not addressable as a bare SQL identifier
+                if _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
+                    self.table(name).createOrReplaceTempView(name)
         return self.spark.sql(query)

@@ -765,3 +765,22 @@ def test_rebucket_crash_before_flip_leaves_old_generation(
     assert eng.describe("c")["oid_buckets"] == 8
     assert eng.count("c", date="~") == 32
     assert eng.find_one("c", "_oid == 3")["x"] == 2003
+
+
+def test_sql_resolves_warehouse_cubes_by_name(spark, tmp_path):
+    """engine.sql() must see warehouse cubes as tables by name (the
+    reference's raw-SQL surface queries cube tables directly) — lazily
+    registered on demand, with explicitly registered views winning."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    df = spark.createDataFrame([(i, i * 10) for i in range(5)],
+                               "oid long, x long")
+    eng.upsert("wcube", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    out = eng.sql("select count(*) as n from wcube where x >= 20")
+    assert out.first()["n"] == 3
+    # a registered view with the same name wins over the warehouse cube
+    eng.register("wcube", spark.createDataFrame([(99,)], "only long"))
+    assert eng.sql("select count(*) as n from wcube").first()["n"] == 1
