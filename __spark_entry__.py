@@ -608,6 +608,57 @@ def upsert_rebucket_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_rebucket_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL N→2N DOUBLING MIGRATION value-checked through the
+    gate — reading through a HALF-MIGRATED cube: batch 1 lands at 4
+    oid-buckets, ``rebucket(8, incremental=True)`` starts the doubling
+    with a METADATA-ONLY commit (``pmod(h,2N) ∈ {pmod(h,N),
+    pmod(h,N)+N}`` — each bucket splits independently, so no data moves
+    at start; engine._rebucket_start_incremental), batch 2 then merges
+    against the MIXED-modulus state (the migration-aware merge resolves
+    hit directories from the manifest relpaths and migrates the old
+    ones it rewrites — the opportunistic half), and ONE bounded
+    ``rebucket_step`` drains part of the remainder, deliberately
+    leaving the cube half-migrated. Reading all history back through
+    the mixed layout — where point lookups union-prune under BOTH
+    moduli (PartitionFilters pin in tests/test_rebucket_incremental.py;
+    crash sweep in tests/test_fault_injection.py) — must equal the pure
+    2-way merge oracle EXACTLY. At 100 TB this replaces the one-window
+    full-rewrite migration with background-schedulable O(chunk)
+    commits."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "rebucket_incr_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < cut)),
+               stamped=True)
+    eng.rebucket("state", 8, incremental=True)
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= cut)),
+               stamped=True)
+    eng.rebucket_step("state", max_dirs=1)  # half-migrated on purpose
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def mql_oid_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MQL-STRING point lookup through the full on-disk engine (the
     reference's own idiom, ``find(query='_oid in [...]')``,
@@ -2277,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_compact_tiered": upsert_compact_tiered,
         "upsert_zorder_disk": upsert_zorder_disk,
         "upsert_rebucket_disk": upsert_rebucket_disk,
+        "upsert_rebucket_incr": upsert_rebucket_incr,
         "mql_oid_pointlookup": mql_oid_pointlookup,
         "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
@@ -2724,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_compact_tiered": _UPSERT_3WAY_ORACLE,
         "upsert_zorder_disk": _UPSERT_3WAY_ORACLE,
         "upsert_rebucket_disk": _UPSERT_SNAPSHOT_ORACLE,
+        "upsert_rebucket_incr": _UPSERT_SNAPSHOT_ORACLE,
         "mql_oid_pointlookup": f"""
             SELECT * FROM ({_UPSERT_SNAPSHOT_ORACLE})
             WHERE _oid IN (1, 7, 11)

@@ -230,9 +230,20 @@ class Engine:
         # physical file metadata: readers without bloom support ignore
         # it, and files written without it coexist with files written
         # with it in the same cube.
-        if bloom_oid_ndv is not None and bloom_oid_ndv <= 0:
-            raise ValueError("bloom_oid_ndv must be > 0")
+        # ``"auto"`` derives the per-file NDV from the cube's own
+        # manifest row stats at each write (average rows per live
+        # directory ≈ rows per file ≈ distinct oids per file, since a
+        # bucket dir typically holds one file and oids are unique
+        # within the open snapshot) — blooms sized usefully without the
+        # user doing capacity math. First writes (no stats yet) fall
+        # back to a 100k-key default (~130 KB/file at 1% FPP).
+        if (bloom_oid_ndv is not None and bloom_oid_ndv != "auto"
+                and bloom_oid_ndv <= 0):
+            raise ValueError("bloom_oid_ndv must be > 0 or 'auto'")
         self.bloom_oid_ndv = bloom_oid_ndv
+        # per-write NDV estimate for bloom_oid_ndv="auto", refreshed by
+        # _cube_state from the manifest each operation resolves anyway
+        self._bloom_hint: int | None = None
         # publish the warehouse scratch root for the sampling module's
         # engine-managed reliable spill (ranked_within_strata's
         # boundary-sampling hazard): with an engine in scope, callers on
@@ -247,6 +258,10 @@ class Engine:
             except Exception:
                 pass
         self._views: dict[str, DataFrame] = {}
+        # warehouse cubes sql() lazily registered as temp views — only
+        # these may be re-registered on a later sql() call; a same-named
+        # view the USER created directly on the SparkSession wins
+        self._sql_autoviews: set[str] = set()
         # advisory index registry: cube -> [{"name", "column_names"}]
         # (underscore-prefixed sidecar files are invisible to Spark's
         # parquet discovery, so _indexes.json can live inside the cube dir)
@@ -344,6 +359,29 @@ class Engine:
         if "_current" in df.columns:
             # partition-value inference yields string; restore boolean
             df = df.withColumn("_current", F.col("_current").cast("boolean"))
+        return df
+
+    def _read_dirs(self, path: str, meta: dict,
+                   rels: Sequence[str]) -> DataFrame:
+        """Read an EXPLICIT subset of a manifested cube's directories —
+        the migration-aware merge paths must read exactly the
+        directories they are about to drop: during a doubling migration
+        a value-level ``__obucket`` predicate cannot distinguish an
+        old-modulus directory from a migrated one carrying the same
+        bucket value, but the manifest relpaths identify each directory
+        uniquely. Same basePath/schema contract as ``_read_raw``; safe
+        under the writer lease (no concurrent sweep can race the
+        listed paths)."""
+        reader = self.spark.read.option("basePath", path)
+        schema = meta.get("schema")
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        df = reader.parquet(*[self.fs.join(path, d) for d in rels])
+        if "_current" in df.columns:
+            df = df.withColumn("_current",
+                               F.col("_current").cast("boolean"))
         return df
 
     def _prune_by_end_stats(self, meta: dict, dirs: list,
@@ -1203,11 +1241,14 @@ class Engine:
         rewrite is in flight, vacuum leaves it alone, and a crash
         mid-compaction is converged by the next refresh (duplicate ids
         are removed wholesale and re-appended once) or by re-running
-        the compaction — a re-run over a crashed compaction's intent
-        ESCALATES to full, because a tiered pass can't collapse a
-        duplicate id straddling the crashed merge and an untouched
-        level. Returns the number of batch directories (files for IVF)
-        removed."""
+        the compaction — the intent records each merge group as it
+        starts, so a re-run COMPLETES exactly the crashed group
+        (``resume_pq_compaction`` / ``resume_ivf_compaction``): the
+        cross-level duplicate-id window self-heals tiered, touching
+        only the group's own directories, never the whole index. (A
+        group-less compact intent from a pre-resume engine still
+        escalates to full.) Returns the number of batch directories
+        (files for IVF) removed."""
         import json
 
         from metrique_spark.functions import similarity as _sim
@@ -1239,23 +1280,53 @@ class Engine:
                         "before compacting (the content diff is "
                         "self-healing)")
                 # else: a crashed compaction (op=compact) or a
-                # completed-refresh tail — content is consistent modulo
-                # duplicate ids; escalate to FULL so the rewrite
-                # collapses them even across consolidated levels (a
-                # tiered pass only dedups within its merged tier)
+                # completed-refresh tail. A crashed compaction that
+                # RECORDED its merge group (``pending``) self-heals
+                # TIERED: the resume completes exactly that group —
+                # the cross-level duplicate-id window closes without
+                # touching any other level. A group-less compact intent
+                # (written by a pre-resume engine) still escalates to
+                # FULL, the only convergence that vintage supports.
                 if intent.get("op") == "compact":
-                    small_bytes = None
+                    pend = intent.get("pending")
+                    if pend is not None:
+                        if m["kind"] == "ivf":
+                            _sim.resume_ivf_compaction(
+                                self.spark, apath, pend,
+                                id_col=m["id_col"], fs=self.fs)
+                        else:
+                            _sim.resume_pq_compaction(
+                                self.spark, apath, pend, fs=self.fs)
+                        self.fs.delete(ipath)
+                    elif intent.get("v", 1) < 2:
+                        # group-less compact intent from a PRE-resume
+                        # engine: mutations may have happened without a
+                        # recorded group — full is that vintage's only
+                        # convergence. (A v2 intent without pending
+                        # means the crash hit BEFORE any mutation:
+                        # nothing to converge, proceed tiered.)
+                        small_bytes = None
             if small_bytes is Engine._FULL_COMPACT:
                 small_bytes = self.compact_small_bytes
-            self.fs.write_text(ipath, json.dumps({"op": "compact"}))
+
+            def record(pending: dict) -> None:
+                # persist the group about to be rewritten INTO the
+                # intent: a crash between its consolidated write and
+                # its original-deletes is then resumable tiered
+                self.fs.write_text(ipath, json.dumps(
+                    {"op": "compact", "pending": pending}))
+
+            self.fs.write_text(ipath, json.dumps(
+                {"op": "compact", "v": 2}))
             if m["kind"] == "ivf":
                 removed = _sim.compact_ivf_index(
                     self.spark, apath, id_col=m["id_col"], fs=self.fs,
-                    small_bytes=small_bytes)
+                    small_bytes=small_bytes, record=record)
             else:
                 removed = _sim.compact_pq_index(self.spark, apath,
                                                 fs=self.fs,
-                                                small_bytes=small_bytes)
+                                                small_bytes=small_bytes,
+                                                record=record)
             self.fs.delete(ipath)
             return removed
 
@@ -1310,6 +1381,17 @@ class Engine:
         return _cm()
 
     _LAYOUT_SIDECAR = "_layout.json"
+    # Highest layout semantics this engine version understands. A
+    # sidecar's ``min_format`` field names the semantics an engine MUST
+    # implement to read or write the cube without corrupting it —
+    # ``rebucket`` stamps 3 (manifest-first bucket counts; incremental
+    # migrations add mixed-modulus pruning), so any later engine that
+    # resolves the count sidecar-only, or prunes under a single modulus
+    # mid-migration, refuses loud here instead of merging with the wrong
+    # modulus. (Engines that PREDATE the field can't be fenced
+    # retroactively — the post-flip sidecar count rewrite shrinks their
+    # stale window; see rebucket.)
+    _SUPPORTED_LAYOUT_FORMAT = 3
 
     def _cube_layout(self, path: str) -> dict | None:
         """The cube's recorded layout sidecar (oid-bucket count + time
@@ -1341,6 +1423,15 @@ class Engine:
                 f"layout sidecar {p!r} is not a JSON object "
                 f"(got {type(meta).__name__}) — refusing legacy "
                 "fallback; repair or remove the sidecar explicitly")
+        need = meta.get("min_format", 0)
+        if need > self._SUPPORTED_LAYOUT_FORMAT:
+            raise RuntimeError(
+                f"cube at {path!r} requires layout format {need} but "
+                f"this engine supports up to "
+                f"{self._SUPPORTED_LAYOUT_FORMAT} — touching it could "
+                "corrupt bucket pruning (e.g. merging a rebucketed or "
+                "mid-migration cube with the wrong modulus); upgrade "
+                "the engine")
         return meta
 
     def _cube_buckets(self, path: str) -> int | None:
@@ -1359,24 +1450,44 @@ class Engine:
         return layout.get("oid_buckets") if layout else None
 
     def _buckets_for_read(self, path: str, layout: dict | None,
-                          generation: int | None) -> int | None:
-        """Bucket count valid for pruning a read of ``generation`` (None
-        = live). A retained generation carries its own count when one
-        was manifested at retention time; a fieldless entry predates any
-        rebucket, so the layout sidecar's first-write count (which
-        ``rebucket`` deliberately never edits) is its count. Unknown
-        generation → None (no prune; the scan raises the proper
-        error)."""
+                          generation: int | None
+                          ) -> tuple[int | None, list[int]]:
+        """``(bucket count, prune moduli)`` valid for pruning a read of
+        ``generation`` (None = live). A retained generation carries its
+        own count when one was manifested at retention time; a fieldless
+        entry predates any rebucket, so the layout sidecar's first-write
+        count is its count (``_backfill_history_buckets`` stamps every
+        entry explicitly before that sidecar value can change). Unknown
+        generation → ``(None, [])`` (no prune; the scan raises the
+        proper error).
+
+        The moduli list is what a point-lookup prune must UNION over:
+        normally just the count itself; during an in-flight doubling
+        migration the FROM modulus joins it — an old-modulus directory
+        ``__obucket=v`` holds oids with ``hash % N == v`` and a
+        migrated one holds ``hash % 2N == v``, so keeping every
+        directory whose value is in {hash % N, hash % 2N} is sound
+        whichever vintage the directory is (no per-directory modulus
+        lookup needed at prune time)."""
         meta = self._manifest(path)
         sidecar = layout.get("oid_buckets") if layout else None
         if meta is None:
-            return sidecar
+            return sidecar, [sidecar] if sidecar else []
         if generation is None or generation == meta["gen"]:
-            return self._live_buckets(meta, layout)
-        for h in meta.get("history", []):
-            if h["gen"] == generation:
-                return h.get("oid_buckets", sidecar)
-        return None
+            buckets, mig = (self._live_buckets(meta, layout),
+                            meta.get("migration"))
+        else:
+            for h in meta.get("history", []):
+                if h["gen"] == generation:
+                    buckets, mig = (h.get("oid_buckets", sidecar),
+                                    h.get("migration"))
+                    break
+            else:
+                return None, []
+        moduli = [buckets] if buckets else []
+        if mig is not None and mig.get("from") and mig["from"] != buckets:
+            moduli.append(mig["from"])
+        return buckets, moduli
 
     def _session_tz(self) -> str:
         return self.spark.conf.get("spark.sql.session.timeZone")
@@ -1535,6 +1646,17 @@ class Engine:
             "compact_recommended": bool(groups),
             "indexes": self.vector_index_list(cube),
         })
+        if meta.get("migration") is not None:
+            # in-flight doubling migration: how much is left, from
+            # manifest state alone (rebucket_step drains it)
+            mig = meta["migration"]
+            sizes = (meta.get("stats") or {}).get("bytes") or {}
+            out["migration"] = {
+                "from": mig["from"],
+                "pending_dirs": len(mig["old_dirs"]),
+                "pending_bytes": sum(sizes.get(d, 0)
+                                     for d in mig["old_dirs"]),
+            }
         rows = (meta.get("stats") or {}).get("rows") or {}
         if all(d in rows for d in meta["dirs"]):
             # same source as the metadata-only count(): exact when
@@ -1584,7 +1706,8 @@ class Engine:
             self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
                                json.dumps(layout))
 
-    def rebucket(self, cube: str, oid_buckets: int) -> None:
+    def rebucket(self, cube: str, oid_buckets: int,
+                 incremental: bool = False) -> None:
         """Migrate the cube to a different oid-bucket count — the
         managed escape from a first-write count that the data outgrew
         (at 100 TB, 16 buckets means ~6 TB bucket directories: the
@@ -1617,16 +1740,29 @@ class Engine:
 
         This is a FULL rewrite — at 100 TB, one (embarrassingly
         parallel) pass over the cube, scheduled like any other bulk
-        maintenance. The known incremental extension if even that is too
-        much: DOUBLING migrations (N → 2N) let each old bucket split
-        independently — ``pmod(h, 2N) ∈ {pmod(h, N), pmod(h, N) + N}``,
-        so a mixed layout stays correctly prunable by taking the union
-        of both moduli's bucket values, and the bucket-granular merge
-        could migrate hit buckets opportunistically as it rewrites them.
-        Not implemented: the mixed-modulus state would persist
-        indefinitely and deserves its own round of protocol fuzzing."""
+        maintenance. When even that one window is too much,
+        ``incremental=True`` starts a DOUBLING migration (N → 2N only)
+        instead: ``pmod(h, 2N) ∈ {pmod(h, N), pmod(h, N) + N}`` means
+        each old bucket splits independently, so the start commit is
+        METADATA-ONLY — it records the new live count plus a
+        ``migration`` block naming the directories still at the old
+        modulus, and no data moves. From then on (a) reads union-prune
+        point lookups under both moduli (``_buckets_for_read`` — sound
+        whichever vintage a directory is), (b) every merge, history
+        import and compaction that rewrites an old directory migrates
+        it as a side effect (the rewrite uses the live modulus and the
+        manifest carry rule retires the directory from
+        ``migration.old_dirs``), and (c) ``rebucket_step`` migrates the
+        remainder in byte-bounded background chunks. The migration
+        completes when ``old_dirs`` empties; the sidecar count then
+        converges (``_sync_layout_after_rebucket``). Crash anywhere =
+        any other commit crash: the flip is the commit point and a
+        half-migrated cube is a fully valid state indefinitely."""
         if oid_buckets <= 0:
             raise ValueError("oid_buckets must be > 0")
+        if incremental:
+            self._rebucket_start_incremental(cube, oid_buckets)
+            return
         with self._write_lock(cube):
             path = self._path(cube)
             state, meta, raw = self._cube_state(path)
@@ -1637,7 +1773,16 @@ class Engine:
                     f"cube {cube!r} is {state} — rebucket needs a "
                     "generation-manifested cube")
             layout = self._cube_layout(path) or {}
-            if self._live_buckets(meta, layout) == oid_buckets:
+            if (self._live_buckets(meta, layout) == oid_buckets
+                    and meta.get("migration") is None):
+                # converge the sidecar too: a crash between a prior
+                # rebucket's flip and its sidecar sync leaves the
+                # first-write count in place — re-running heals it.
+                # (With a migration in flight, fall through: the full
+                # rewrite below is the escape hatch that finishes it in
+                # one pass and clears the migration block.)
+                self._sync_layout_after_rebucket(path, layout,
+                                                 oid_buckets)
                 return
             timepart = self._cube_timepart(path, for_write=True,
                                            layout=layout)
@@ -1670,15 +1815,238 @@ class Engine:
                 path, self._written_dir_stats(out, oid_buckets, timepart))
             dirs = set(new_rels)
             hist = self._push_history(meta, keep)
+            self._backfill_history_buckets(hist, meta, layout)
             self._manifest_flip(path, raw, gen, dirs, hist,
                                 stats=self._merged_stats(
                                     meta, new_rels, dirs, hist,
                                     path=path),
                                 schema=meta.get("schema"),
-                                oid_buckets=oid_buckets)
+                                oid_buckets=oid_buckets,
+                                migration=None)
+            self._sync_layout_after_rebucket(path, layout, oid_buckets)
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
             self._auto_refresh_indexes(cube)
+
+    def _backfill_history_buckets(self, hist: list[dict], meta: dict,
+                                  layout: dict) -> None:
+        """Stamp an EXPLICIT ``oid_buckets`` into every retained-history
+        entry that relied on the layout sidecar's first-write count as
+        its fallback — a rebucket is about to rewrite that sidecar count
+        (see ``_sync_layout_after_rebucket``), and a fieldless entry
+        read under the new count would prune time-travel lookups to the
+        wrong directories. Their true count IS the current sidecar
+        value: fieldless entries can only predate the first rebucket."""
+        fallback = self._live_buckets(meta, layout)
+        if fallback is None:
+            return
+        for h in hist:
+            h.setdefault("oid_buckets", fallback)
+
+    def _sync_layout_after_rebucket(self, path: str, layout: dict,
+                                    oid_buckets: int) -> None:
+        """Post-flip sidecar convergence (the manifest stays
+        authoritative — this write cannot be atomic with the data):
+        rewrite the sidecar's bucket count to the live one, shrinking
+        the window in which a PRE-fence writer (which resolves the
+        count sidecar-only) would merge a rebucketed cube with the
+        wrong modulus, and stamp ``min_format`` so every fence-aware
+        engine version refuses-loud on future semantics it doesn't
+        implement (``_cube_layout``). Fieldless history entries were
+        backfilled with their true count before the flip
+        (``_backfill_history_buckets``), so changing the fallback here
+        is safe."""
+        import json
+
+        if (layout.get("oid_buckets") == oid_buckets
+                and layout.get("min_format", 0)
+                >= self._SUPPORTED_LAYOUT_FORMAT):
+            return
+        out = dict(layout)
+        out["oid_buckets"] = oid_buckets
+        out["min_format"] = max(layout.get("min_format", 0),
+                                self._SUPPORTED_LAYOUT_FORMAT)
+        self.fs.write_text(self.fs.join(path, self._LAYOUT_SIDECAR),
+                           json.dumps(out))
+
+    def _rebucket_start_incremental(self, cube: str,
+                                    oid_buckets: int) -> None:
+        """Start a doubling migration (``rebucket(incremental=True)``):
+        one METADATA-ONLY commit — the manifest's live count becomes
+        ``2N`` and a ``migration`` block records the old modulus plus
+        every directory still bucketed under it; zero bytes of data
+        move. The sidecar gains the ``min_format`` fence immediately
+        (its COUNT stays at the old value until completion — no single
+        sidecar number can describe a mixed-modulus cube, and the
+        manifest is authoritative throughout)."""
+        import json
+
+        with self._write_lock(cube):
+            path = self._path(cube)
+            state, meta, raw = self._cube_state(path)
+            if state == "premanifest":
+                meta, raw = self._adopt_premanifest(path)
+            elif state != "manifest":
+                raise ValueError(
+                    f"cube {cube!r} is {state} — rebucket needs a "
+                    "generation-manifested cube")
+            layout = self._cube_layout(path) or {}
+            cur = self._live_buckets(meta, layout)
+            mig = meta.get("migration")
+            if mig is not None:
+                if cur == oid_buckets:
+                    return  # already migrating to this target
+                raise ValueError(
+                    f"cube {cube!r} is mid-migration to {cur} buckets "
+                    f"(from {mig['from']}) — finish it (rebucket_step) "
+                    "or run a full rebucket before starting another")
+            if cur == oid_buckets:
+                self._sync_layout_after_rebucket(path, layout,
+                                                 oid_buckets)
+                return
+            if not cur:
+                raise ValueError(
+                    f"cube {cube!r} is unbucketed — incremental "
+                    "migration needs an oid-bucketed cube (use a full "
+                    "rebucket)")
+            if oid_buckets != 2 * cur:
+                raise ValueError(
+                    f"incremental rebucket supports DOUBLING only "
+                    f"({cur} -> {2 * cur}); got target {oid_buckets}. "
+                    "Chain doublings, or use a full rebucket")
+            old_dirs = sorted(d for d in meta["dirs"]
+                              if "/__obucket=" in d)
+            if not old_dirs:
+                raise RuntimeError(
+                    f"cube {cube!r} has no bucketed directories to "
+                    "migrate — layout/manifest disagree")
+            gen = meta["gen"] + 1
+            keep = layout.get("keep_generations", 0)
+            hist = self._push_history(meta, keep)
+            self._backfill_history_buckets(hist, meta, layout)
+            self._manifest_flip(
+                path, raw, gen, set(meta["dirs"]), hist,
+                stats=self._merged_stats(meta, None, set(meta["dirs"]),
+                                         hist, path=path),
+                schema=meta.get("schema"),
+                oid_buckets=oid_buckets,
+                migration={"from": cur, "old_dirs": old_dirs})
+            # fence now: any fence-aware engine too old for
+            # mixed-modulus semantics must refuse the cube from this
+            # commit on (the count itself is still the old value —
+            # see the docstring)
+            if (layout.get("min_format", 0)
+                    < self._SUPPORTED_LAYOUT_FORMAT):
+                out = dict(layout)
+                out["min_format"] = self._SUPPORTED_LAYOUT_FORMAT
+                self.fs.write_text(
+                    self.fs.join(path, self._LAYOUT_SIDECAR),
+                    json.dumps(out))
+
+    def rebucket_step(self, cube: str, max_bytes: int | None = None,
+                      max_dirs: int | None = None) -> dict:
+        """Migrate a bounded chunk of a doubling migration's remaining
+        old-modulus directories (see ``rebucket(incremental=True)``):
+        picks up to ``max_bytes`` worth (manifest-recorded sizes, no
+        listing) or ``max_dirs`` of ``migration.old_dirs`` — at least
+        one, all of them when unbounded — reads EXACTLY those
+        directories, rewrites their rows under the live modulus into
+        fresh generation-scoped directories (open rows to
+        ``open-g{gen}``, closed to ``mig-g{gen}``), and commits. The
+        carry rule retires the chunk from ``old_dirs``; when the last
+        old directory goes, the migration is complete and the sidecar
+        count converges. Each step is one ordinary commit: bounded I/O
+        (O(chunk), never O(cube)), snapshot-isolated, crash-convergent
+        (a retry rewrites the same gen-scoped directories), and safely
+        interleavable with upserts/imports/compactions — which migrate
+        whatever they touch on their own. Returns
+        ``{"migrated_dirs", "migrated_bytes", "remaining_dirs",
+        "done"}``."""
+        with self._write_lock(cube):
+            path = self._path(cube)
+            state, meta, raw = self._cube_state(path)
+            if state != "manifest":
+                raise ValueError(
+                    f"cube {cube!r} is {state} — no migration to step")
+            mig = meta.get("migration")
+            layout = self._cube_layout(path) or {}
+            buckets = self._live_buckets(meta, layout)
+            if mig is None:
+                if (isinstance(buckets, int)
+                        and layout.get("oid_buckets") != buckets):
+                    # converge the sidecar: a crash between the
+                    # completing flip and its sidecar sync leaves the
+                    # first-write count/fence behind — stepping a
+                    # finished migration heals it (never-migrated
+                    # cubes have matching counts and are untouched)
+                    self._sync_layout_after_rebucket(path, layout,
+                                                     buckets)
+                return {"migrated_dirs": 0, "migrated_bytes": 0,
+                        "remaining_dirs": 0, "done": True}
+            timepart = self._cube_timepart(path, for_write=True,
+                                           layout=layout)
+            sizes = (meta.get("stats") or {}).get("bytes") or {}
+            live = set(meta["dirs"])
+            pending = [d for d in mig["old_dirs"] if d in live]
+            chunk: list[str] = []
+            used = 0
+            for d in pending:
+                b = sizes.get(d)
+                if b is None:
+                    full = self.fs.join(path, d)
+                    b = self._du_cache.get(full)
+                    if b is None:
+                        b = self.fs.du(full)
+                        self._du_cache[full] = b
+                if chunk and max_bytes is not None \
+                        and used + b > max_bytes:
+                    continue  # keep scanning: a smaller dir may fit
+                chunk.append(d)
+                used += b
+                if max_dirs is not None and len(chunk) >= max_dirs:
+                    break
+            gen = meta["gen"] + 1
+            keep = layout.get("keep_generations", 0)
+            rows = self._read_dirs(path, meta, chunk)
+            cols = [c for c in rows.columns
+                    if c not in ("_current", "__batch", "__obucket",
+                                 "__stime")]
+            out = rows.withColumn("_current", F.col("_end").isNull())
+            out = out.withColumn(
+                "__batch",
+                F.when(F.col("_current"), F.lit(f"open-g{gen}"))
+                .otherwise(F.lit(f"mig-g{gen}")))
+            out = out.withColumn("__obucket", self._obucket(buckets))
+            if timepart:
+                out = out.withColumn("__stime", self._stime_col(timepart))
+            part_cols = self._partition_keys(buckets, timepart)
+            # localCheckpoint: the write lands under the same root the
+            # plan reads from, and a retry must not recompute from
+            # directories the write is mutating
+            out = out.select(*cols, *part_cols).localCheckpoint(
+                eager=True)
+            (
+                self._cube_writer(out).mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*part_cols)
+                .parquet(path)
+            )
+            new_rels = self._record_sizes(
+                path, self._written_dir_stats(out, buckets, timepart))
+            dirs = (live - set(chunk)) | set(new_rels)
+            hist = self._push_history(meta, keep)
+            self._manifest_flip(path, raw, gen, dirs, hist,
+                                stats=self._merged_stats(
+                                    meta, new_rels, dirs, hist,
+                                    path=path),
+                                schema=meta.get("schema"))
+            self._sweep_unreferenced(
+                path, dirs | {d for h in hist for d in h["dirs"]})
+            self._auto_refresh_indexes(cube)
+            remaining = len(set(mig["old_dirs"]) & dirs)
+            return {"migrated_dirs": len(chunk), "migrated_bytes": used,
+                    "remaining_dirs": remaining,
+                    "done": remaining == 0}
 
     # -- generation-pointer manifest (snapshot-isolated commits) -------------
     #
@@ -1737,6 +2105,11 @@ class Engine:
             # must prune with the modulus its directories were hashed
             # under, not the live one
             cur["oid_buckets"] = meta["oid_buckets"]
+        if meta.get("migration") is not None:
+            # mid-migration generations keep their migration state too:
+            # a time-travel point lookup of a mixed-modulus snapshot
+            # must union-prune under BOTH moduli (see _prune_moduli)
+            cur["migration"] = meta["migration"]
         if meta.get("schema") is not None:
             # each retained generation keeps ITS OWN read schema: after a
             # schema evolution, a time-travel read of an old snapshot
@@ -1832,7 +2205,8 @@ class Engine:
                        history: list[dict] | None = None,
                        stats: dict | None = None,
                        schema: dict | None = None,
-                       oid_buckets: int | None | object = _CARRY) -> None:
+                       oid_buckets: int | None | object = _CARRY,
+                       migration: dict | None | object = _CARRY) -> None:
         """The commit point: ONE atomic pointer write. CAS against the
         text read at operation start — under the writer lease this only
         fails if a TTL-expired zombie writer raced us; fail loud.
@@ -1860,11 +2234,28 @@ class Engine:
         # data); every other flip carries the prior generation's value
         # forward, so once recorded it never silently reverts to the
         # sidecar default
+        prior = json.loads(old_raw) if old_raw else {}
         if oid_buckets is Engine._CARRY:
-            prior = json.loads(old_raw) if old_raw else {}
             oid_buckets = prior.get("oid_buckets", Engine._CARRY)
         if oid_buckets is not Engine._CARRY:
             body["oid_buckets"] = oid_buckets
+        # in-flight doubling migration (see rebucket(incremental=True)):
+        # ``migration.old_dirs`` names the directories still bucketed
+        # under the OLD modulus. The carry rule makes every commit path
+        # migration-correct for free: old_dirs shrinks to its
+        # intersection with the new generation's dirs (a commit that
+        # rewrites an old directory — merge, import, compact, migration
+        # step — thereby migrates it; new writes always use the live
+        # modulus so old_dirs never grows), and an emptied intersection
+        # completes the migration. Explicit None clears (full rebucket);
+        # an explicit dict starts one.
+        if migration is Engine._CARRY:
+            migration = prior.get("migration")
+        if migration is not None:
+            old_left = sorted(set(migration["old_dirs"]) & set(dirs))
+            if old_left:
+                body["migration"] = {"from": migration["from"],
+                                     "old_dirs": old_left}
         new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
@@ -1881,6 +2272,15 @@ class Engine:
             raise ConcurrentWriteError(
                 f"cube manifest at {path!r} changed under our writer "
                 "lease — concurrent writer detected, commit aborted")
+        if (prior.get("migration") is not None
+                and "migration" not in body
+                and isinstance(body.get("oid_buckets"), int)):
+            # this commit rewrote the last old-modulus directory: the
+            # doubling migration is COMPLETE — converge the layout
+            # sidecar to the live count (post-CAS and best-effort, like
+            # the full rebucket's sync; the manifest stays authoritative)
+            self._sync_layout_after_rebucket(
+                path, self._cube_layout(path) or {}, body["oid_buckets"])
 
     def _sweep_unreferenced(self, path: str, keep: set[str]) -> None:
         """Delete data directories the live manifest does not reference:
@@ -2135,10 +2535,18 @@ class Engine:
         rewrite) carries the same physical-file features (see
         ``bloom_oid_ndv``)."""
         w = out.write
-        if self.bloom_oid_ndv:
+        ndv = self.bloom_oid_ndv
+        if ndv == "auto":
+            # derived from the manifest row stats the current operation
+            # already resolved (see _cube_state); 1.5x headroom so the
+            # target FPP survives a growing bucket until the next write
+            # re-derives, floor 1024 so tiny cubes get a working bloom
+            ndv = (max(1024, int(self._bloom_hint * 1.5))
+                   if self._bloom_hint else 100_000)
+        if ndv:
             w = (w.option("parquet.bloom.filter.enabled#_oid", "true")
                  .option("parquet.bloom.filter.expected.ndv#_oid",
-                         str(self.bloom_oid_ndv)))
+                         str(ndv)))
         return w
 
     def _write_partitioned(
@@ -2213,8 +2621,16 @@ class Engine:
         if timepart:
             out = out.withColumn("__stime", self._stime_col(timepart))
         rels = self._written_dir_stats(out, buckets, timepart)
-        if live is not None and rels and set(rels) <= live:
-            return token, rels
+        if live is not None and rels:
+            if set(rels) <= live:
+                return token, rels
+            if any(self._batch_dir_token(d) == token for d in live):
+                # identical content already committed under ANOTHER
+                # modulus's directories (re-upsert of a byte-identical
+                # batch during a doubling migration): keep the existing
+                # copy referenced instead of writing a second one the
+                # reads would double-count
+                return token, {}
         (
             self._cube_writer(out).mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -2546,10 +2962,17 @@ class Engine:
         every pre-existing directory — silent data loss);
         ``legacy`` — unbucketed pre-sidecar data."""
         if not self.fs.isdir(path):
+            self._bloom_hint = None
             return "new", None, None
         raw = self._manifest_raw(path)
         if raw is not None:
-            return "manifest", self._manifest(path), raw
+            meta = self._manifest(path)
+            rows = (meta.get("stats") or {}).get("rows") or {}
+            live = [rows[d] for d in meta["dirs"] if d in rows]
+            # average rows per live directory — the "auto" bloom NDV
+            # estimate for this operation's writes (see _cube_writer)
+            self._bloom_hint = (sum(live) // len(live)) if live else None
+            return "manifest", meta, raw
         layout = self._cube_layout(path)
         if layout is not None:
             if layout.get("format", 1) >= 2 or not self._has_data(path):
@@ -2728,9 +3151,54 @@ class Engine:
         self._check_redrop(path, incoming, set(table.columns))
         table, incoming, cols = self._align_incoming(table, incoming, evolve)
         msch = self._manifest_schema(incoming.schema, buckets, timepart)
+        mig = meta.get("migration") if meta is not None else None
         if autosnap:
             hit_open: set[str] | None = None
-            if meta is not None and buckets:
+            drop_open: set[str] | None = None
+            if meta is not None and buckets and mig is not None:
+                # MIGRATION-AWARE bucket-granular merge: the open rows an
+                # incoming oid can touch live either in a NEW-modulus
+                # open dir (bucket = hash % 2N) or in a not-yet-migrated
+                # OLD-modulus one (bucket = hash % N) — resolve the hit
+                # DIRECTORIES from the manifest relpaths (a value-level
+                # predicate can't tell the vintages apart) and read
+                # exactly the set being dropped. Rewriting under the
+                # live modulus migrates the hit old dirs' open rows as a
+                # side effect — the opportunistic half of the doubling
+                # migration; _manifest_flip's carry rule retires them
+                # from migration.old_dirs automatically.
+                incoming = incoming.localCheckpoint(eager=True)
+                hitrows = (incoming.select(
+                    self._obucket(buckets).alias("b2"),
+                    self._obucket(mig["from"]).alias("b1"))
+                    .distinct().collect())
+                hit2 = {f"__obucket={r['b2']}" for r in hitrows}
+                hit1 = {f"__obucket={r['b1']}" for r in hitrows}
+                old_set = set(mig["old_dirs"])
+                drop_open = {
+                    d for d in meta["dirs"]
+                    if d.startswith("_current=true")
+                    and d.split("/")[1] in (hit1 if d in old_set
+                                            else hit2)}
+                if drop_open:
+                    pruned = self._read_dirs(path, meta,
+                                             sorted(drop_open))
+                else:
+                    # no existing open dir can hold these oids: merge
+                    # against an empty open side (schema intact)
+                    pruned = self._read_raw(path).where(F.lit(False))
+                pruned = pruned.drop(*[c for c in
+                                       ("__batch", "__obucket", "__stime",
+                                        "_current")
+                                       if c in pruned.columns])
+                inc_types = {f.name: f.dataType
+                             for f in incoming.schema.fields}
+                for c in cols:
+                    if c not in pruned.columns:
+                        pruned = pruned.withColumn(
+                            c, F.lit(None).cast(inc_types[c]))
+                open_rows = pruned.select(*cols)
+            elif meta is not None and buckets:
                 # BUCKET-GRANULAR merge: the open snapshot is oid-bucket
                 # partitioned, and a snapshot batch can only touch open
                 # rows whose _oid it carries — so read, merge and rewrite
@@ -2798,7 +3266,10 @@ class Engine:
                     new_open, path, buckets=buckets,
                     open_batch=f"open-g{gen}", timepart=timepart)
                 open_rels = set(open_stats)
-                if hit_open is not None:
+                if drop_open is not None:
+                    # migration-aware merge: exactly the dirs read above
+                    dirs = (live - drop_open) | set(closed_rels) | open_rels
+                elif hit_open is not None:
                     # drop only the open dirs of MERGED (hit) buckets;
                     # untouched open-bucket dirs stay referenced
                     drop = {d for d in live
@@ -2903,7 +3374,27 @@ class Engine:
         live = set(meta["dirs"])
         part_cols = self._partition_keys(buckets, timepart)
         raw = self._read_raw(path)
-        if buckets:
+        mig = meta.get("migration")
+        if buckets and mig is not None:
+            # migration-aware: an incoming oid's stored versions live in
+            # OLD-modulus dirs at hash % N or migrated dirs at
+            # hash % 2N — resolve the replaced DIRECTORIES from the
+            # manifest relpaths and read exactly that set (see the
+            # snapshot merge's migration branch). The rewrite under the
+            # live modulus migrates the hit old dirs as a side effect.
+            hitrows = (incoming.select(
+                self._obucket(buckets).alias("b2"),
+                self._obucket(mig["from"]).alias("b1"))
+                .distinct().collect())
+            hit2 = {f"__obucket={r['b2']}" for r in hitrows}
+            hit1 = {f"__obucket={r['b1']}" for r in hitrows}
+            old_set = set(mig["old_dirs"])
+            replaced_dirs = {
+                d for d in live
+                if d.split("/")[1] in (hit1 if d in old_set else hit2)}
+            pruned = (self._read_dirs(path, meta, sorted(replaced_dirs))
+                      if replaced_dirs else raw.where(F.lit(False)))
+        elif buckets:
             ob = self._obucket(buckets)
             hit = sorted(r["b"] for r in
                          incoming.select(ob.alias("b")).distinct().collect())
@@ -2981,7 +3472,33 @@ class Engine:
 
     # -- queries (reference sqlalchemy.py:641-803) ---------------------------
 
-    def _oid_bucket_values(self, oids: Sequence, buckets: int,
+    @staticmethod
+    def _prune_family_ok(dtype, values: Sequence) -> bool:
+        """True when every lookup literal is in the same TYPE FAMILY as
+        the stored ``_oid`` dtype (numeric literal + numeric column, str
+        + string column) — the precondition for the bucket prune to be
+        sound. The prune hashes ``cast(literal AS stored dtype)``, but
+        the row predicate compares under Spark's binary-comparison
+        coercion, and the two disagree across families: on a STRING-oid
+        cube, ``_oid == 1`` coerces the column numerically, so the row
+        ``_oid='01'`` satisfies the predicate yet lives in the bucket of
+        ``'01'`` — which a prune keyed on ``cast(1 AS string) = '1'``
+        would skip. Cross-family lookups read unpruned (skipped, not
+        wrong); bool literals are excluded from the numeric family
+        (Spark coerces them on their own rules)."""
+        from numbers import Number
+
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.StringType):
+            return all(isinstance(v, str) for v in values)
+        if isinstance(dtype, T.NumericType):
+            return all(isinstance(v, Number)
+                       and not isinstance(v, bool) for v in values)
+        return False
+
+    def _oid_bucket_values(self, oids: Sequence,
+                           moduli: int | Sequence[int],
                            dtype=None) -> list[int]:
         """The __obucket partition values the given oids hash into — one
         tiny Spark job (the hash must be the JVM's xxhash64, the same
@@ -2991,16 +3508,25 @@ class Engine:
         (float 7.0 → '7.0' vs stored long 7 → '7') still prunes to the
         right directories — matching the numeric coercion the row-level
         ``isin`` filter applies. Values the cast nulls out can match no
-        stored row and drop from the prune set."""
+        stored row and drop from the prune set.
+
+        ``moduli`` may be a list (an in-flight doubling migration prunes
+        under the UNION of the old and new bucket counts — see
+        ``_buckets_for_read``); the union still costs the one job."""
+        if isinstance(moduli, int):
+            moduli = [moduli]
         df = self.spark.createDataFrame([(o,) for o in oids], ["_oid"])
         if dtype is not None:
             # try_cast: ANSI mode would otherwise throw on an
             # un-castable probe, which the row filter treats as
             # no-match, not an error
             df = df.withColumn("_oid", F.col("_oid").try_cast(dtype))
-        return sorted({r["b"] for r in
-                       df.select(self._obucket(buckets).alias("b"))
-                       .distinct().collect() if r["b"] is not None})
+        rows = (df.select(*[self._obucket(m).alias(f"b{i}")
+                            for i, m in enumerate(moduli)])
+                .distinct().collect())
+        return sorted({r[f"b{i}"] for r in rows
+                       for i in range(len(moduli))
+                       if r[f"b{i}"] is not None})
 
     def _scoped(self, cube: str | DataFrame, query: str | None,
                 date: str | None, oids: Sequence | None = None,
@@ -3021,7 +3547,8 @@ class Engine:
             # directories instead of filtering rows
             path = self._path(cube)
             layout = self._cube_layout(path)  # ONE sidecar fetch/query
-            buckets = self._buckets_for_read(path, layout, generation)
+            buckets, moduli = self._buckets_for_read(path, layout,
+                                                     generation)
             # as-of / since specs bound _end from below: closed dirs
             # whose recorded max(_end) precedes the bound are skipped at
             # manifest resolution (directory-level data skipping)
@@ -3031,16 +3558,20 @@ class Engine:
                 path, generation=generation,
                 min_end=_norm_ts_bound(lo) if lo else None,
                 start_upper=_norm_ts_bound(hi) if hi else None)
-            if oids and buckets and "__obucket" in raw.columns:
+            if (oids and buckets and "__obucket" in raw.columns
+                    and self._prune_family_ok(
+                        raw.schema["_oid"].dataType, oids)):
                 # point lookup: turn the oid list into literal __obucket
                 # partition values so the scan PRUNES to the ~|oids|/N
                 # of the table that can contain them — at 100 TB this is
                 # the difference between reading a few directories and
                 # reading the table (the _oid filter alone cannot prune:
-                # the bucket is a hash Spark doesn't invert)
+                # the bucket is a hash Spark doesn't invert). Sound only
+                # when the lookup literals share the stored _oid's type
+                # family (see _prune_family_ok) — otherwise unpruned.
                 raw = raw.where(F.col("__obucket").isin(
                     self._oid_bucket_values(
-                        oids, buckets,
+                        oids, moduli,
                         dtype=raw.schema["_oid"].dataType)))
             elif (oids is None and query and buckets
                     and "__obucket" in raw.columns):
@@ -3051,14 +3582,19 @@ class Engine:
                 # skip every bucket directory none of them hash into.
                 # Best-effort and sound-only: an unbounded query, a
                 # mixed-type literal set (the bucket-lookup frame needs
-                # one schema) or a huge set (every bucket hit anyway)
-                # just reads unpruned.
+                # one schema), a literal set outside the stored _oid's
+                # type family (the row predicate's coercion and the
+                # prune's cast disagree across families — see
+                # _prune_family_ok), or a huge set (every bucket hit
+                # anyway) just reads unpruned.
                 qoids = oid_literal_set(query)
                 if (qoids and len(qoids) <= 10_000
-                        and len({type(o) for o in qoids}) == 1):
+                        and len({type(o) for o in qoids}) == 1
+                        and self._prune_family_ok(
+                            raw.schema["_oid"].dataType, qoids)):
                     raw = raw.where(F.col("__obucket").isin(
                         self._oid_bucket_values(
-                            sorted(qoids, key=repr), buckets,
+                            sorted(qoids, key=repr), moduli,
                             dtype=raw.schema["_oid"].dataType)))
             if "__stime" in raw.columns:
                 # time-partitioned layout: the date spec's strict
@@ -3168,7 +3704,15 @@ class Engine:
         counts when every relevant directory has one (a metadata-only
         read: zero files opened, zero Spark jobs — at 100 TB a bare
         ``count`` should never scan the table); any filter, or a
-        pre-upgrade manifest missing a count, falls back to the scan."""
+        pre-upgrade manifest missing a count, falls back to the scan.
+
+        Freshness: the metadata answer reflects the manifest resolved AT
+        CALL TIME — the same snapshot semantics as any other read of the
+        cube. Under a concurrent commit this can be one generation
+        behind the committer's own view (the scan path's swept-read
+        retry used to re-resolve onto the newer pointer); callers that
+        need read-your-own-commit across engines should count through
+        the same engine that committed, or re-call."""
         if (isinstance(cube, str) and query is None and oids is None
                 and self.warehouse and cube not in self._views):
             n = self._count_from_stats(cube, date, generation)
@@ -3274,8 +3818,15 @@ class Engine:
         users SELECT straight from cube tables, so warehouse cubes whose
         names appear in the query are registered as temp views on demand
         (a lazy manifest-resolved read — no scan until the query runs);
-        explicitly ``register``-ed views always win, and ``_scratch`` /
-        unnamed dirs never shadow SQL identifiers."""
+        explicitly ``register``-ed views always win, ``_scratch`` /
+        unnamed dirs never shadow SQL identifiers, a same-named temp
+        view the user created DIRECTLY on the SparkSession is never
+        clobbered (only views this lazy path itself registered are
+        refreshed), and an INCIDENTAL bare-word match on an unreadable
+        cube (a column name or string literal that happens to equal a
+        cube name) skips registration instead of aborting the query —
+        if the query truly references that cube as a table, Spark's own
+        TABLE_OR_VIEW_NOT_FOUND follows and names it."""
         if self.warehouse:
             import re as _re
 
@@ -3284,6 +3835,17 @@ class Engine:
                     continue
                 if not _re.match(r"^\w+$", name):
                     continue  # not addressable as a bare SQL identifier
-                if _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
+                if not _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
+                    continue
+                if name not in self._sql_autoviews:
+                    try:
+                        if self.spark.catalog.tableExists(name):
+                            continue  # user-created view wins
+                    except Exception:
+                        pass
+                try:
                     self.table(name).createOrReplaceTempView(name)
+                except Exception:
+                    continue  # incidental match on an unreadable cube
+                self._sql_autoviews.add(name)
         return self.spark.sql(query)

@@ -154,6 +154,15 @@ class FileSystem:
         """Recursive prefix delete; absent is a no-op."""
         raise NotImplementedError
 
+    def copy(self, src: str, dst: str) -> None:
+        """Byte-copy one object (overwrite an existing destination).
+        Object stores offer this server-side (S3 CopyObject / GCS
+        rewrite); it is deliberately NOT a rename — the interface stays
+        rename-free. Used by the staged-publish half of the tiered
+        IVF-index compaction (copy staged part files into their bucket
+        directories under deterministic names)."""
+        raise NotImplementedError
+
 
 class _LocalBacked(FileSystem):
     """Shared local-disk implementation. Conditional operations are
@@ -278,6 +287,12 @@ class _LocalBacked(FileSystem):
 
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
+
+    def copy(self, src: str, dst: str) -> None:
+        import shutil
+
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
 
 
 class LocalFS(_LocalBacked):

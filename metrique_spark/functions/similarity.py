@@ -1875,40 +1875,19 @@ def append_to_pq_index(
      .parquet(path + "/codes"))
 
 
-def compact_pq_index(spark, path: str, fs=None,
-                     small_bytes: int | None = None) -> int:
-    """Consolidate a stored PQ / SQ8 / IVF-PQ index's append-batch
-    partitions: every refresh/append lands one content-token-keyed
-    ``__abatch`` directory per hit bucket/cluster, so an index refreshed
-    nightly for a year accumulates hundreds of sub-directories whose
-    listing cost and tiny files degrade every probe. Rewrites the
-    selected batches into ONE consolidated batch per
-    ``__gbucket``/``cluster`` (ids deduplicated within the merged set)
-    and deletes the obsolete batch directories. Codes are copied, never
-    re-encoded. ``small_bytes`` makes the pass SIZE-TIERED: only batch
-    tokens whose total size is at or below the threshold merge, and
-    larger consolidated levels stay untouched on disk (byte-identical)
-    — so a nightly auto-compaction stays O(recent appends) instead of
-    O(|index|). ``small_bytes=None`` (the default here) merges every
-    batch — the FULL consolidation, which is also the convergence path
-    for a crashed prior compaction's duplicate window (tiered merges
-    dedup only within their tier; cross-level duplicate ids are
-    converged by a refresh or a full compact). Returns the number of
-    batch directories removed; 0 when nothing qualifies.
-
-    Caller owns commit safety: the engine wraps this in its
-    ``_refresh.json`` intent protocol, under which a crash mid-rewrite
-    is converged by the next refresh or a FULL compaction."""
-    fs = _default_fs(fs)
-    codes, meta = read_pq_index(spark, path, fs=fs)
-    id_col = meta["id_col"]
+def _pq_part_cols(meta: dict) -> list[str]:
     if meta.get("kind") == "ivfpq":
-        part_cols = ["cluster", "__abatch"]
-    elif meta.get("gbuckets"):
-        part_cols = ["__gbucket", "__abatch"]
-    else:
-        part_cols = ["__abatch"]
-    croot = fs.join(path, "codes")
+        return ["cluster", "__abatch"]
+    if meta.get("gbuckets"):
+        return ["__gbucket", "__abatch"]
+    return ["__abatch"]
+
+
+def _pq_token_dirs(fs, croot: str,
+                   part_cols: list[str]) -> tuple[dict, dict]:
+    """(token -> total bytes, token -> [dirs]) for a PQ-family codes
+    root — the batch-granule census both the tiered pass and the
+    crash-resume path classify from."""
     if len(part_cols) == 2:
         parents = [fs.join(croot, d) for d in fs.listdir(croot)
                    if d.startswith(f"{part_cols[0]}=")]
@@ -1923,6 +1902,94 @@ def compact_pq_index(spark, path: str, fs=None,
                 t = d[len("__abatch="):]
                 tok_bytes[t] = tok_bytes.get(t, 0) + fs.du(full)
                 tok_dirs.setdefault(t, []).append(full)
+    return tok_bytes, tok_dirs
+
+
+def resume_pq_compaction(spark, path: str, pending: dict,
+                         fs=None) -> int:
+    """Complete the ONE merge group a crashed tiered/full
+    ``compact_pq_index`` pass recorded in its compaction intent
+    (``pending = {"group": [tokens], "out": consolidated token}``) —
+    the tiered self-heal that closes the cross-level duplicate-id
+    window WITHOUT a full rewrite: only the recorded group is touched,
+    every other level stays byte-identical on disk.
+
+    Convergence argument: originals are deleted strictly AFTER the
+    consolidated directory is completely written (verified here by row
+    count against the ``n{rows}x{sum}`` census the token itself
+    encodes), so either (a) the consolidated content is complete →
+    just delete the group's surviving original directories, or (b) it
+    is absent/torn → every original is still present, and re-merging
+    them (plus any partial consolidated rows — deduplicated by id)
+    deterministically rebuilds the same consolidated directory, after
+    which the originals are deleted. A group whose originals are all
+    gone already completed. Returns directories removed."""
+    fs = _default_fs(fs)
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    id_col = meta["id_col"]
+    part_cols = _pq_part_cols(meta)
+    _, tok_dirs = _pq_token_dirs(fs, fs.join(path, "codes"), part_cols)
+    out_tok = pending["out"]
+    present = [t for t in pending["group"]
+               if t in tok_dirs and t != out_tok]
+    if not present:
+        return 0  # group fully completed before the crash
+    want = int(out_tok[4:].split("x", 1)[0])  # "cmp" + "n{rows}x{sum}"
+    have = (codes.where(F.col("__abatch") == out_tok).count()
+            if out_tok in tok_dirs else 0)
+    if have != want:
+        sel = sorted(set(present)
+                     | ({out_tok} if out_tok in tok_dirs else set()))
+        deduped = (codes.where(F.col("__abatch").isin(sel))
+                   .dropDuplicates([id_col])
+                   .localCheckpoint(eager=True))
+        out = deduped.withColumn("__abatch", F.lit(out_tok))
+        (out.write.partitionBy(*part_cols).mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(path + "/codes"))
+    removed = 0
+    for t in present:
+        for full in tok_dirs[t]:
+            if fs.isdir(full):
+                fs.delete_dir(full)
+                removed += 1
+    return removed
+
+
+def compact_pq_index(spark, path: str, fs=None,
+                     small_bytes: int | None = None,
+                     record=None) -> int:
+    """Consolidate a stored PQ / SQ8 / IVF-PQ index's append-batch
+    partitions: every refresh/append lands one content-token-keyed
+    ``__abatch`` directory per hit bucket/cluster, so an index refreshed
+    nightly for a year accumulates hundreds of sub-directories whose
+    listing cost and tiny files degrade every probe. Rewrites the
+    selected batches into ONE consolidated batch per
+    ``__gbucket``/``cluster`` (ids deduplicated within the merged set)
+    and deletes the obsolete batch directories. Codes are copied, never
+    re-encoded. ``small_bytes`` makes the pass SIZE-TIERED: only batch
+    tokens whose total size is at or below the threshold merge, and
+    larger consolidated levels stay untouched on disk (byte-identical)
+    — so a nightly auto-compaction stays O(recent appends) instead of
+    O(|index|). ``small_bytes=None`` (the default here) merges every
+    batch — the FULL consolidation. Returns the number of
+    batch directories removed; 0 when nothing qualifies.
+
+    Caller owns commit safety: the engine wraps this in its
+    ``_refresh.json`` intent protocol. ``record`` (when given) is
+    called with ``{"kind": "pq", "group": [...], "out": token}``
+    immediately BEFORE each merge group's rewrite — the engine persists
+    it into the intent so a crash anywhere in the group (between the
+    consolidated write and the original-directory deletes — the
+    cross-level duplicate-id window) is converged by
+    ``resume_pq_compaction`` on the next compaction call, TIERED:
+    only the recorded group is re-touched, never the whole index."""
+    fs = _default_fs(fs)
+    codes, meta = read_pq_index(spark, path, fs=fs)
+    id_col = meta["id_col"]
+    part_cols = _pq_part_cols(meta)
+    tok_bytes, tok_dirs = _pq_token_dirs(fs, fs.join(path, "codes"),
+                                         part_cols)
     if small_bytes is None:
         groups = ([set(tok_bytes)] if len(tok_bytes) > 1 else [])
     else:
@@ -1937,6 +2004,9 @@ def compact_pq_index(spark, path: str, fs=None,
         deduped = (sub.dropDuplicates([id_col])
                    .localCheckpoint(eager=True))
         token = "cmp" + _abatch_token(deduped, id_col)
+        if record is not None:
+            record({"kind": "pq", "group": sorted(merge),
+                    "out": token})
         out = deduped.withColumn("__abatch", F.lit(token))
         (out.write.partitionBy(*part_cols).mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -1953,8 +2023,60 @@ def compact_pq_index(spark, path: str, fs=None,
     return removed
 
 
+_IVF_STAGE = "_cmpstage"
+
+
+def _publish_ivf_stage(fs, stage: str, vroot: str) -> None:
+    """Copy every staged merged part file into its bucket directory
+    under a DETERMINISTIC name (``cmp-<staged filename>``): re-running
+    the publish after a crash overwrites the same destinations, so the
+    staged-publish protocol converges without ever rewriting a bucket
+    partition."""
+    for d in fs.listdir(stage):
+        bdir = fs.join(stage, d)
+        if not (d.startswith("bucket=") and fs.isdir(bdir)):
+            continue
+        for f in fs.listdir(bdir):
+            if f.endswith(".parquet"):
+                fs.copy(fs.join(bdir, f),
+                        fs.join(vroot, d, f"cmp-{f}"))
+
+
+def resume_ivf_compaction(spark, path: str, pending: dict,
+                          id_col: str = "vec_id", fs=None) -> int:
+    """Converge a crashed tiered ``compact_ivf_index`` pass from its
+    recorded intent (``pending = {"targets": [vroot-relative files]}``)
+    WITHOUT rewriting anything — the merged rows were STAGED (one
+    atomic-per-file Spark write under ``_cmpstage``, ``_SUCCESS``
+    marking completeness) before the intent was recorded, so resume is
+    pure idempotent file plumbing: re-publish the staged files under
+    their deterministic names (overwrite = converge), delete the
+    recorded original files still present, drop the stage. Every
+    untouched file in every bucket stays byte-identical. A stage
+    without ``_SUCCESS`` is a torn pre-intent write — with all
+    originals still present, just discard it (the next pass re-stages).
+    Returns the number of original files removed."""
+    fs = _default_fs(fs)
+    vroot = fs.join(path, "vectors")
+    stage = fs.join(path, _IVF_STAGE)
+    staged_ok = fs.isfile(fs.join(stage, "_SUCCESS"))
+    if staged_ok:
+        _publish_ivf_stage(fs, stage, vroot)
+    removed = 0
+    if staged_ok:
+        for rel in pending["targets"]:
+            f = fs.join(vroot, rel)
+            if fs.isfile(f):
+                fs.delete(f)
+                removed += 1
+    if fs.isdir(stage):
+        fs.delete_dir(stage)
+    return removed
+
+
 def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
-                      fs=None, small_bytes: int | None = None) -> int:
+                      fs=None, small_bytes: int | None = None,
+                      record=None) -> int:
     """IVF sibling of ``compact_pq_index``: appends land extra files in
     the bucket directories (``mode("append")``), so a long-refreshed
     index reads many tiny files per probe. ``small_bytes=None`` (full):
@@ -1964,10 +2086,10 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
     at or below the threshold merge into one new file (when there are
     at least two), and larger files stay untouched on disk — a bucket
     that grew big pays nothing for a trickle of appends elsewhere.
-    Tiered merges dedup only among the merged files; a duplicate id
-    straddling a merged and an untouched file is converged by a refresh
-    or a full compact. Returns the number of data files eliminated; 0
-    when already consolidated."""
+    Tiered merges dedup only among the merged files; a crash
+    mid-group is converged tiered from the recorded intent (see
+    ``record`` / ``resume_ivf_compaction``). Returns the number of
+    data files eliminated; 0 when already consolidated."""
     fs = _default_fs(fs)
     vroot = fs.join(path, "vectors")
 
@@ -1997,18 +2119,31 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
                 targets.extend(grp)
         if not targets:
             return 0
+        rels = [t[len(vroot) + 1:] for t in targets]
+        # STAGE-then-PUBLISH: the merged rows land in a staging dir
+        # first (atomic per file; Spark's _SUCCESS marks completeness),
+        # the intent records the group, then the staged files are
+        # COPIED into their bucket dirs under deterministic names and
+        # the originals deleted. Every step after the stage write is
+        # idempotent file plumbing, so a crash anywhere is converged by
+        # resume_ivf_compaction without rewriting any bucket — a bare
+        # append would be ambiguous at crash time (did it land?), and
+        # the only convergence then is rewriting whole hit buckets.
+        stage = fs.join(path, _IVF_STAGE)
+        if fs.isdir(stage):
+            fs.delete_dir(stage)  # torn pre-intent leftover
         merged = (spark.read.option("basePath", vroot).parquet(*targets)
                   .dropDuplicates([id_col])
-                  .repartition(F.col("bucket"))
-                  .localCheckpoint(eager=True))
-        # append the merged file(s), THEN delete the originals — a
-        # crash in between leaves duplicate rows that a refresh or a
-        # full compact converges (same window as the full path's
-        # write-then-delete, never a data loss)
-        merged.write.partitionBy("bucket").mode("append").parquet(vroot)
+                  .repartition(F.col("bucket")))
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(
+            stage)
+        if record is not None:
+            record({"kind": "ivf", "targets": rels})
+        _publish_ivf_stage(fs, stage, vroot)
         for f in targets:
             if fs.isfile(f):
                 fs.delete(f)
+        fs.delete_dir(stage)
         return max(0, before - _nfiles())
     nbuckets = sum(d.startswith("bucket=") for d in fs.listdir(vroot))
     if before <= nbuckets:

@@ -723,18 +723,37 @@ def _deptree_visited(
         # (otherwise the plan doubles every iteration), while the union
         # itself is k cheap checkpoint scans — linear in depth, never a
         # rewrite of everything seen so far.
+        from metrique_spark.upsert import (broadcast_fits,
+                                           key_row_bytes)
+
         fringe = spark.createDataFrame(
             [(o,) for o in fringe_set], schema).localCheckpoint(eager=True)
         visited = spark.createDataFrame(
             [(o,) for o in visited_set], schema).localCheckpoint(eager=True)
         parts = [visited]
+        # byte-aware broadcast comfort zone (shared with the history
+        # import's key frames): string oids — the reference's git-SHA
+        # case — measure their average width in the same job the fringe
+        # count already costs, so a wide-key fringe drops the hint well
+        # before the row cap would
+        str_oid = isinstance(oid_type, T.StringType)
         n_prev = len(fringe_set)
+        w_prev = (sum(len(o) for o in fringe_set) / n_prev
+                  if str_oid and n_prev else None)
         while level is None or depth < level:
-            hop = _deptree_hop(scoped, field, fringe,
-                               broadcast_fringe=n_prev <= 10_000_000)
+            hop = _deptree_hop(
+                scoped, field, fringe,
+                broadcast_fringe=broadcast_fits(
+                    n_prev, key_row_bytes(oid_type, w_prev)))
             new_fringe = (hop.join(visited, "_oid", "anti")
                           .localCheckpoint(eager=True))
-            n_prev = new_fringe.count()
+            if str_oid:
+                stat = new_fringe.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg(F.length("_oid")).alias("w")).first()
+                n_prev, w_prev = stat["n"], stat["w"]
+            else:
+                n_prev = new_fringe.count()
             if not n_prev:
                 break
             parts.append(new_fringe)

@@ -132,18 +132,54 @@ def snapshot_merge(
 
 
 BROADCAST_KEYS_CAP = 10_000_000
+# estimated in-memory bytes of the broadcast build side a forced hint may
+# claim on every executor. 10M longs (~160 MB at 16 B/row) stay under it;
+# 10M git-SHA string oids (~1 GB as JVM strings) do not — the row cap
+# alone would force-broadcast exactly the memory cliff it exists to avoid
+BROADCAST_KEYS_BYTES = 256 * 1024 * 1024
+
+
+def key_row_bytes(dtype, avg_len: float | None) -> float:
+    """Estimated per-row in-memory footprint of a one-column key frame on
+    the broadcast build side: JVM object/row overhead (~16 B) plus UTF-16
+    payload for string keys (2 B/char at ``avg_len``); fixed-width
+    numerics/timestamps are overhead-only. Deliberately rough — it only
+    needs to separate "tens of MB" from "a GB"."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        return 16.0 + 2.0 * (avg_len or 0.0)
+    return 16.0
+
+
+def broadcast_fits(n: int, row_bytes: float) -> bool:
+    """True while a key frame of ``n`` rows at ``row_bytes`` each stays
+    inside both the row cap and the byte cap."""
+    return n <= BROADCAST_KEYS_CAP and n * row_bytes <= BROADCAST_KEYS_BYTES
 
 
 def maybe_broadcast_keys(keys: DataFrame) -> DataFrame:
     """Broadcast-hint a slim key frame only while it plausibly fits the
-    build side (same 10M-row comfort zone as deptree's fringe): a bulk
-    history import can carry hundreds of millions of oids, and a FORCED
-    broadcast of that set is an executor-memory cliff — beyond the cap
-    the anti-join falls back to a plain shuffle join, which is exactly
-    the right plan at that volume. Costs one count job over the slim
-    distinct-key frame (the import itself dwarfs it)."""
-    n = keys.count()
-    return F.broadcast(keys) if n <= BROADCAST_KEYS_CAP else keys
+    build side: a bulk history import can carry hundreds of millions of
+    oids, and a FORCED broadcast of that set is an executor-memory cliff —
+    beyond the cap the anti-join falls back to a plain shuffle join, which
+    is exactly the right plan at that volume. The cap is BYTE-aware, not
+    just row-count-aware: the same 10M rows are ~160 MB as longs but a GB+
+    as the reference's git-SHA string oids, so string keys also measure
+    their average width (same single aggregate job the row count already
+    cost) and fall back to shuffle when the estimated build side outgrows
+    ``BROADCAST_KEYS_BYTES``."""
+    from pyspark.sql import types as T
+
+    key = keys.columns[0]
+    dtype = keys.schema[0].dataType
+    if isinstance(dtype, (T.StringType, T.BinaryType)):
+        row = keys.agg(F.count(F.lit(1)).alias("n"),
+                       F.avg(F.length(key)).alias("w")).first()
+        n, rb = row["n"], key_row_bytes(dtype, row["w"])
+    else:
+        n, rb = keys.count(), key_row_bytes(dtype, None)
+    return F.broadcast(keys) if broadcast_fits(n, rb) else keys
 
 
 def history_replace(table: DataFrame, incoming: DataFrame) -> DataFrame:

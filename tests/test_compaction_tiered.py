@@ -308,6 +308,26 @@ def test_describe_reports_tier_structure(spark, engine):
     assert engine.describe("nope")["state"] == "new"
 
 
+def test_rebucket_recommended_flips_on_outgrown_buckets(spark,
+                                                        tmp_path):
+    """describe().rebucket_recommended must flip exactly when the
+    largest bucket's manifest-recorded footprint exceeds 4x the
+    engine's compact threshold — the zero-scan 'this cube outgrew its
+    first-write count' probe, symmetric with compact_recommended; the
+    runbook is rebucket()/rebucket(incremental=True)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    eng.upsert("rb", _objs(
+        spark, [(k, k) for k in range(50)], "2014-01-01"), stamped=True)
+    d = eng.describe("rb")
+    assert d["max_bucket_bytes"] > 0
+    assert not d["rebucket_recommended"]  # default threshold is huge
+    # same manifest state, tighter engine threshold: the flag flips
+    tight = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2,
+                   compact_small_bytes=max(
+                       1, d["max_bucket_bytes"] // 4 - 1))
+    assert tight.describe("rb")["rebucket_recommended"]
+
+
 def test_du_fallback_is_cached_and_backfilled(spark, tmp_path):
     """Pre-upgrade manifests (no recorded byte sizes) pay the fs.du
     walk at most once per directory: the measurement is cached on the

@@ -608,6 +608,26 @@ def test_bloom_oid_writes_filters_on_every_cube_file(spark, tmp_path):
     offs2 = oid_bloom_offsets(str(tmp_path / "wh2" / "b"))
     assert offs2 and all(off == -1 for off in offs2.values()), offs2
 
+    # bloom_oid_ndv="auto": NDV derived from the manifest's own row
+    # stats (avg rows per live dir), no user capacity math — every file
+    # still carries a bloom, first write (no stats yet) included, and
+    # the derived hint tracks the cube's actual per-dir row counts
+    auto = Engine(spark, warehouse=str(tmp_path / "wh3"), oid_buckets=4,
+                  bloom_oid_ndv="auto")
+    auto.upsert("b", ver(1, "2024-01-01"), stamped=True)
+    offs3 = oid_bloom_offsets(str(tmp_path / "wh3" / "b"))
+    assert offs3 and all(off > 0 for off in offs3.values()), offs3
+    auto.upsert("b", ver(2, "2024-02-01"), stamped=True)
+    assert auto._bloom_hint and auto._bloom_hint >= 1  # stats-derived
+    offs4 = oid_bloom_offsets(str(tmp_path / "wh3" / "b"))
+    assert offs4 and all(off > 0 for off in offs4.values()), offs4
+    assert auto.count("b", "_oid == 7", date="~") == 2
+    from metrique_spark.engine import Engine as _E
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bloom_oid_ndv"):
+        _E(spark, warehouse=str(tmp_path / "whx"), bloom_oid_ndv=0)
+
 
 def test_count_metadata_only_fast_path(spark, tmp_path, monkeypatch):
     """Unfiltered count() (current-only and all-history) must answer
@@ -676,8 +696,18 @@ def test_rebucket_migrates_count_and_stays_correct(spark, tmp_path):
 
     eng.rebucket("c", 16)
     assert eng.describe("c")["oid_buckets"] == 16
-    # layout sidecar keeps the first-write count by design
-    assert eng._cube_buckets(eng._path("c")) == 4
+    # post-flip sidecar convergence: the count rewrites to the live one
+    # (shrinking the pre-fence stale-writer window) and the min_format
+    # fence lands; history entries were backfilled with their explicit
+    # old count first, so time travel below still prunes correctly
+    assert eng._cube_buckets(eng._path("c")) == 16
+    import json as _json
+
+    lay = _json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("c"), "_layout.json")))
+    assert lay["min_format"] == 3
+    meta_h = eng._manifest(eng._path("c"))["history"]
+    assert all(h["oid_buckets"] == 4 for h in meta_h)
     after = sorted((r["_oid"], r["x"], str(r["_start"]))
                    for r in eng.find("c", date="~").collect())
     assert after == before and len(after) == 96
@@ -784,3 +814,81 @@ def test_sql_resolves_warehouse_cubes_by_name(spark, tmp_path):
     # a registered view with the same name wins over the warehouse cube
     eng.register("wcube", spark.createDataFrame([(99,)], "only long"))
     assert eng.sql("select count(*) as n from wcube").first()["n"] == 1
+
+
+def test_sql_autoregistration_is_nonclobbering_and_lazy_safe(spark,
+                                                             tmp_path):
+    """sql()'s lazy cube registration must never clobber a temp view
+    the user created DIRECTLY on the SparkSession, and an INCIDENTAL
+    bare-word match (a string literal / column equal to a cube name)
+    on an UNREADABLE cube must not abort the query."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    df = spark.createDataFrame([(i, i) for i in range(4)],
+                               "oid long, x long")
+    eng.upsert("mine", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    # user-created session temp view shadowing the cube name: sql()
+    # must leave it alone
+    spark.createDataFrame([(1,)], "u long").createOrReplaceTempView(
+        "mine")
+    try:
+        assert eng.sql("select count(*) as n from mine").first()["n"] == 1
+    finally:
+        spark.catalog.dropTempView("mine")
+    # once the user view is gone, the cube resolves again
+    assert eng.sql("select count(*) as n from mine").first()["n"] == 4
+    # an unreadable directory whose name appears only inside a string
+    # literal must not abort the query (registration is skipped)
+    import os
+
+    os.makedirs(str(tmp_path / "wh" / "brokencube"))
+    with open(str(tmp_path / "wh" / "brokencube" / "_layout.json"),
+              "w") as f:
+        f.write("not json{")
+    out = eng.sql("select 'brokencube' as tag, count(*) as n from mine")
+    assert out.first()["n"] == 4
+    # but a REAL table reference to the broken cube still fails loud
+    # with Spark's own not-found error
+    import pytest as _p
+
+    with _p.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        eng.sql("select * from brokencube").collect()
+
+
+def test_oid_bucket_prune_skips_cross_family_literals(spark, tmp_path):
+    """The __obucket point-lookup prune is sound only within a type
+    family: on a STRING-oid cube, ``_oid == 1`` coerces the stored
+    column numerically, so the row '01' matches the predicate while
+    living in a bucket the literal's hash would skip — the prune must
+    NOT apply (read unpruned, still correct), while same-family
+    lookups keep pruning."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=8)
+    # numeric-looking strings only: under ANSI a non-numeric oid would
+    # make the coercing row predicate itself error — the guard's
+    # concern is the silent-miss case ('01' vs '1'), not that one
+    df = spark.createDataFrame(
+        [("01", 1), ("1", 2), ("2", 3), ("10", 4)], "oid string, v long")
+    eng.upsert("s", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    # cross-family literal: Spark coerces _oid numerically, so BOTH
+    # '01' and '1' match — the unpruned read must find both
+    got = sorted(r["v"] for r in
+                 eng.find("s", query="_oid == 1", date="~").collect())
+    assert got == [1, 2]
+    assert eng.count("s", query="_oid == 1", oids=None, date="~") == 2
+    # same family: pruned, and the partition filter reaches the scan
+    q = eng.find("s", query="_oid == '1'", date="~")
+    assert [r["v"] for r in q.collect()] == [2]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    # the explicit oids= path takes the same family guard
+    assert sorted(r["v"] for r in
+                  eng.find("s", oids=[1], date="~").collect()) == [1, 2]
+    assert [r["v"] for r in
+            eng.find("s", oids=["10"], date="~").collect()] == [4]

@@ -35,7 +35,7 @@ class FaultFS:
 
     MUTATORS = frozenset({"write_text", "put_if_absent",
                           "replace_if_match", "delete_if_match",
-                          "delete", "delete_dir", "makedirs"})
+                          "delete", "delete_dir", "makedirs", "copy"})
 
     def __init__(self, inner, budget: int | None):
         self._inner = inner
@@ -140,6 +140,10 @@ def _do(spark, eng, op):
                    stamped=True)
     elif kind == "rebucket":
         eng.rebucket(CUBE, payload)
+    elif kind == "rebucket_incr":
+        eng.rebucket(CUBE, payload, incremental=True)
+    elif kind == "rebucket_step":
+        eng.rebucket_step(CUBE, **payload)
     else:
         eng.compact(CUBE)
 
@@ -153,16 +157,16 @@ def _cube_rows(spark, eng):
         for r in eng.find(CUBE, fields="col_1", date="~").collect())
 
 
-def _run_ops(spark, wh, budget, backend=LocalFS):
-    """Apply OPS under a fault budget. Returns ('done', used_ops) or
-    ('fault', failed_op_index, model_before_that_op).
+def _run_ops(spark, wh, budget, backend=LocalFS, ops=OPS):
+    """Apply ``ops`` under a fault budget. Returns ('done', used_ops)
+    or ('fault', failed_op_index, model_before_that_op).
     auto_compact_batches=1: the auto-compaction epilogue runs inside
     the upserts too, so the sweep crosses ITS crash points as well."""
     fs = FaultFS(backend(), budget)
     eng = Engine(spark, warehouse=wh, fs=fs, oid_buckets=4,
                  auto_compact_batches=1)
     model = _Model()
-    for i, op in enumerate(OPS):
+    for i, op in enumerate(ops):
         try:
             _do(spark, eng, op)
         except InjectedFault:
@@ -222,6 +226,77 @@ def test_fault_sweep_cube_commit_protocol(spark, tmp_path, backend):
         assert _on_disk_batch_dirs(clean._path(CUBE)) == set(meta["dirs"])
         assert _cube_rows(spark, clean) == model.rows(), (k, i, "vacuum")
     assert faulted == total  # every budget value crashed somewhere
+
+
+MIG_OPS = [
+    ("snap", ([(1, 10), (2, 20), (3, 30), (4, 40)], "2014-01-01")),
+    # doubling-migration start (metadata-only), then every commit kind
+    # against the MIXED-modulus state: a snapshot merge (migrates hit
+    # open dirs), a bounded step, a history import, a compaction
+    # (migrates merged closed dirs), and the finishing step
+    ("rebucket_incr", 8),
+    ("snap", ([(1, 11), (5, 50)], "2014-02-01")),
+    ("rebucket_step", {"max_dirs": 2}),
+    ("replace", [(3, 300, "2013-06-01", "2014-01-01"),
+                 (3, 301, "2014-01-01", None)]),
+    ("compact", None),
+    ("rebucket_step", {}),
+]
+
+
+@pytest.mark.slow
+def test_fault_sweep_doubling_migration(spark, tmp_path):
+    """Crash-sweep the incremental N→2N rebucket protocol: every
+    control-plane mutation of a start → merge → step → import →
+    compact → finish sequence becomes a crash point. After each crash
+    (a) a clean reader sees exactly the pre-op or post-op content —
+    the mixed-modulus state must never tear a read; (b) retrying the
+    sequence converges to the model; (c) the migration invariant holds
+    throughout (``old_dirs`` is always a subset of the live dirs) and
+    the finished cube has no migration block, the doubled count in
+    both manifest and sidecar, and vacuum leaves exactly the
+    manifest's directories."""
+    status, total, _ = _run_ops(spark, str(tmp_path / "clean"), None,
+                                ops=MIG_OPS)
+    assert status == "done" and total >= 8
+    faulted = 0
+    for k in range(total):
+        wh = str(tmp_path / f"k{k}")
+        res = _run_ops(spark, wh, k, ops=MIG_OPS)
+        if res[0] == "done":
+            continue
+        faulted += 1
+        _, i, model = res
+        clean = Engine(spark, warehouse=wh, oid_buckets=4)
+        meta = clean._manifest(clean._path(CUBE))
+        if meta is not None and meta.get("migration") is not None:
+            assert (set(meta["migration"]["old_dirs"])
+                    <= set(meta["dirs"])), (k, i, "old_dirs invariant")
+        after = model.copy()
+        after.apply(MIG_OPS[i])
+        got = _cube_rows(spark, clean)
+        assert got in (model.rows(), after.rows()), (
+            k, i, "torn state visible")
+        for j in range(i, len(MIG_OPS)):
+            _do(spark, clean, MIG_OPS[j])
+            model.apply(MIG_OPS[j])
+        assert _cube_rows(spark, clean) == model.rows(), (k, i, "retry")
+        meta = clean._manifest(clean._path(CUBE))
+        assert meta.get("migration") is None, (k, i, "unfinished")
+        assert meta["oid_buckets"] == 8
+        import json
+
+        lay = json.loads(clean.fs.read_text(
+            clean.fs.join(clean._path(CUBE), "_layout.json")))
+        assert lay["oid_buckets"] == 8 and lay["min_format"] >= 3
+        # point lookup through the converged cube prunes correctly
+        assert sorted(
+            r["_oid"] for r in
+            clean.find(CUBE, oids=[3, 5]).collect()) == [3, 5]
+        clean.vacuum(CUBE, scratch_grace=0)
+        assert _on_disk_batch_dirs(clean._path(CUBE)) == set(meta["dirs"])
+        assert _cube_rows(spark, clean) == model.rows(), (k, i, "vacuum")
+    assert faulted == total
 
 
 @pytest.mark.slow

@@ -147,7 +147,59 @@ def test_history_replace_broadcast_capped(spark, monkeypatch):
     # so pin on the HINT by checking the optimized logical plan)
     logical = (up.history_replace(table, inc(5))
                ._jdf.queryExecution().optimizedPlan().toString())
-    assert "ResolvedHint" not in logical and big is not None
+    assert "strategy=broadcast" not in logical and big is not None
+
+
+def test_broadcast_cap_is_byte_aware_for_string_keys(spark,
+                                                     monkeypatch):
+    """The broadcast comfort zone must measure BYTES, not just rows:
+    the same row count that broadcasts fine as longs is an
+    executor-memory cliff as the reference's git-SHA string oids — so
+    wide string keys BELOW the row cap must still fall back to a
+    shuffle anti-join, while long keys of the same count keep the
+    broadcast hint."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark import upsert as up
+
+    # byte cap sized so 5 forty-char SHAs (~96 B each) exceed it but
+    # 5 longs (16 B each) do not; row cap far above both
+    monkeypatch.setattr(up, "BROADCAST_KEYS_BYTES", 300)
+    monkeypatch.setattr(up, "BROADCAST_KEYS_CAP", 1000)
+
+    def frames(oid_type):
+        if oid_type == "long":
+            t = spark.createDataFrame(
+                [(i, i) for i in range(20)], "_oid long, col_1 long")
+            i5 = spark.createDataFrame(
+                [(i, 100 + i) for i in range(5)],
+                "_oid long, col_1 long")
+        else:
+            t = spark.createDataFrame(
+                [(f"{i:040x}", i) for i in range(20)],
+                "_oid string, col_1 long")
+            i5 = spark.createDataFrame(
+                [(f"{i:040x}", 100 + i) for i in range(5)],
+                "_oid string, col_1 long")
+        def _st(df):
+            return (df.withColumn("_id", F.col("_oid").cast("string"))
+                    .withColumn("_start",
+                                F.lit("2014-01-01").cast("timestamp"))
+                    .withColumn("_end",
+                                F.lit(None).cast("timestamp")))
+        return _st(t), _st(i5)
+
+    t, i5 = frames("long")
+    logical = (up.history_replace(t, i5)
+               ._jdf.queryExecution().optimizedPlan().toString())
+    # longs under both caps: the anti-join carries the broadcast hint
+    assert "strategy=broadcast" in logical
+    t, i5 = frames("sha")
+    logical = (up.history_replace(t, i5)
+               ._jdf.queryExecution().optimizedPlan().toString())
+    # same 5 rows as wide strings: estimated build side exceeds the
+    # byte cap — the hint must be gone (shuffle anti-join)
+    assert "strategy=broadcast" not in logical
 
 
 def test_deptree_df_returns_plan_not_collect(spark):

@@ -1,0 +1,209 @@
+"""Incremental N→2N doubling rebucket (``rebucket(incremental=True)``):
+the metadata-only start, union-of-moduli pruning through the mixed
+state, opportunistic migration by every rewriting commit, byte-bounded
+``rebucket_step`` drains, completion convergence (manifest + sidecar),
+the full-rebucket escape hatch, and the layout-format fence.
+The crash sweep lives in test_fault_injection.test_fault_sweep_doubling_
+migration; the sf0.01 oracle entry is ``upsert_rebucket_incr_disk``."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrique_spark.engine import Engine
+from metrique_spark.objects import stamp
+
+
+def _snap(spark, eng, cube, items, start):
+    df = spark.createDataFrame(items, "oid long, val long")
+    eng.upsert(cube, stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit(start))), stamped=True)
+
+
+def _rows(eng, cube, **kw):
+    return sorted(
+        (r["_oid"], r["val"], str(r["_start"])[:10],
+         str(r["_end"])[:10] if r["_end"] is not None else "")
+        for r in eng.find(cube, fields="val", date="~", **kw).collect())
+
+
+def _man(eng, cube):
+    return eng._manifest(eng._path(cube))
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                  keep_generations=2)
+
+
+def test_start_is_metadata_only_and_validated(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(24)], "2014-01-01")
+    before = _rows(eng, "m")
+    dirs_before = set(_man(eng, "m")["dirs"])
+    with pytest.raises(ValueError, match="DOUBLING"):
+        eng.rebucket("m", 12, incremental=True)
+    with pytest.raises(ValueError, match="DOUBLING"):
+        eng.rebucket("m", 16, incremental=True)
+    eng.rebucket("m", 8, incremental=True)
+    m = _man(eng, "m")
+    # same directories, zero data movement — only the manifest moved
+    assert set(m["dirs"]) == dirs_before
+    assert m["oid_buckets"] == 8
+    assert m["migration"]["from"] == 4
+    assert set(m["migration"]["old_dirs"]) == dirs_before
+    assert _rows(eng, "m") == before
+    # idempotent re-start; a different target mid-migration refuses
+    eng.rebucket("m", 8, incremental=True)
+    with pytest.raises(ValueError, match="mid-migration"):
+        eng.rebucket("m", 16, incremental=True)
+    # sidecar: fence stamped immediately, count unchanged until done
+    lay = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("m"), "_layout.json")))
+    assert lay["min_format"] == 3 and lay["oid_buckets"] == 4
+
+
+def test_union_prune_point_lookup_mixed_state(spark, eng):
+    """Mid-migration point lookups must prune under BOTH moduli (a row
+    can live in an old-modulus dir at hash%N or a migrated one at
+    hash%2N) and still hit the scan's PartitionFilters."""
+    _snap(spark, eng, "m", [(i, i) for i in range(40)], "2014-01-01")
+    eng.rebucket("m", 8, incremental=True)
+    # migrate part of the cube so both vintages exist
+    st = eng.rebucket_step("m", max_dirs=2)
+    assert 0 < st["migrated_dirs"] <= 2 and not st["done"]
+    assert _man(eng, "m")["migration"] is not None
+    for probe in ([7], [11, 23], list(range(0, 40, 7))):
+        q = eng.find("m", oids=probe, date="~")
+        assert sorted(r["_oid"] for r in q.collect()) == sorted(probe)
+    q = eng.find("m", oids=[7], date="~")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    # the MQL-literal prune takes the same union path
+    assert eng.count("m", query="_oid == 7", date="~") == 1
+    assert eng.count("m", query="_oid in [3, 11]", date="~") == 2
+
+
+def test_merges_and_compact_migrate_opportunistically(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(40)], "2014-01-01")
+    _snap(spark, eng, "m", [(i, i + 1) for i in range(0, 40, 2)],
+          "2014-02-01")
+    eng.rebucket("m", 8, incremental=True)
+    n0 = len(_man(eng, "m")["migration"]["old_dirs"])
+    # a snapshot merge rewrites (and thereby migrates) the hit open dirs
+    _snap(spark, eng, "m", [(i, i + 2) for i in range(0, 40, 5)],
+          "2014-03-01")
+    m = _man(eng, "m")
+    n1 = len(m["migration"]["old_dirs"])
+    assert n1 < n0
+    assert set(m["migration"]["old_dirs"]) <= set(m["dirs"])
+    # a history import replaces through the mixed state correctly
+    hist = spark.createDataFrame(
+        [(3, 300, "2013-01-01", "2014-01-01"),
+         (3, 301, "2014-01-01", None)],
+        "oid long, val long, s string, e string")
+    eng.upsert("m", stamp(hist, oid="oid", start="s", end="e"),
+               autosnap=False, stamped=True)
+    assert [r[1] for r in _rows(eng, "m", oids=[3])] == [300, 301]
+    # a full compact migrates every merged closed dir
+    eng.compact("m", small_bytes=None)
+    m = _man(eng, "m")
+    mig = m.get("migration")
+    # whatever closed dirs merged are gone from old_dirs
+    if mig is not None:
+        assert all(d.startswith("_current=") for d in mig["old_dirs"])
+        assert set(mig["old_dirs"]) <= set(m["dirs"])
+
+
+def test_step_drains_and_completion_converges_sidecar(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(40)], "2014-01-01")
+    _snap(spark, eng, "m", [(i, i + 1) for i in range(0, 40, 3)],
+          "2014-02-01")
+    before = _rows(eng, "m")
+    eng.rebucket("m", 8, incremental=True)
+    d = eng.describe("m")
+    assert d["migration"]["from"] == 4
+    assert d["migration"]["pending_dirs"] > 0
+    assert d["migration"]["pending_bytes"] > 0
+    steps = 0
+    while True:
+        st = eng.rebucket_step("m", max_dirs=2)
+        steps += 1
+        assert st["migrated_dirs"] <= 2
+        if st["done"]:
+            break
+        assert steps < 50
+    assert steps >= 2  # genuinely incremental
+    m = _man(eng, "m")
+    assert m.get("migration") is None and m["oid_buckets"] == 8
+    lay = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("m"), "_layout.json")))
+    assert lay["oid_buckets"] == 8 and lay["min_format"] == 3
+    assert _rows(eng, "m") == before  # physical-only, content invariant
+    assert "migration" not in eng.describe("m")
+    # a later writer merges under the new modulus cleanly
+    _snap(spark, eng, "m", [(1, 99)], "2014-03-01")
+    assert _rows(eng, "m", oids=[1])[-1][1] == 99
+    # step on a finished cube is a cheap no-op
+    assert eng.rebucket_step("m")["done"]
+
+
+def test_step_respects_byte_budget(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(40)], "2014-01-01")
+    eng.rebucket("m", 8, incremental=True)
+    sizes = (_man(eng, "m").get("stats") or {}).get("bytes") or {}
+    assert sizes  # manifest-recorded, no listing needed
+    # budget below any single dir: exactly one dir migrates per step
+    st = eng.rebucket_step("m", max_bytes=1)
+    assert st["migrated_dirs"] == 1 and st["migrated_bytes"] > 1
+
+
+def test_time_travel_into_mixed_generation(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(40)], "2014-01-01")
+    eng.rebucket("m", 8, incremental=True)
+    eng.rebucket_step("m", max_dirs=1)
+    g_mixed = _man(eng, "m")["gen"]
+    eng.rebucket_step("m")  # finish
+    # the retained mixed generation still point-lookups correctly
+    # (its history entry carries the migration state for union pruning)
+    hist = _man(eng, "m")["history"]
+    entry = next(h for h in hist if h["gen"] == g_mixed)
+    assert entry["oid_buckets"] == 8
+    assert entry["migration"]["from"] == 4
+    got = sorted(r["_oid"] for r in
+                 eng.find("m", oids=[7, 23], generation=g_mixed,
+                          date="~").collect())
+    assert got == [7, 23]
+
+
+def test_full_rebucket_escapes_migration(spark, eng):
+    _snap(spark, eng, "m", [(i, i) for i in range(24)], "2014-01-01")
+    before = _rows(eng, "m")
+    eng.rebucket("m", 8, incremental=True)
+    eng.rebucket("m", 8)  # full rewrite finishes it in one pass
+    m = _man(eng, "m")
+    assert m.get("migration") is None and m["oid_buckets"] == 8
+    assert _rows(eng, "m") == before
+    lay = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("m"), "_layout.json")))
+    assert lay["oid_buckets"] == 8
+
+
+def test_layout_format_fence_refuses_future_semantics(spark, eng):
+    _snap(spark, eng, "m", [(1, 1)], "2014-01-01")
+    p = eng.fs.join(eng._path("m"), "_layout.json")
+    lay = json.loads(eng.fs.read_text(p))
+    lay["min_format"] = 99
+    eng.fs.write_text(p, json.dumps(lay))
+    with pytest.raises(RuntimeError, match="layout format 99"):
+        eng.find("m", oids=[1]).collect()
+    with pytest.raises(RuntimeError, match="layout format 99"):
+        _snap(spark, eng, "m", [(2, 2)], "2014-02-01")
+
+
+def test_unbucketed_cube_refuses_incremental(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=None)
+    _snap(spark, eng, "m", [(1, 1)], "2014-01-01")
+    with pytest.raises(ValueError, match="unbucketed"):
+        eng.rebucket("m", 8, incremental=True)
