@@ -1742,7 +1742,10 @@ class Engine:
         parallel) pass over the cube, scheduled like any other bulk
         maintenance. When even that one window is too much,
         ``incremental=True`` starts a DOUBLING migration (N → 2N only)
-        instead: ``pmod(h, 2N) ∈ {pmod(h, N), pmod(h, N) + N}`` means
+        instead — the linear-hashing idea (Litwin 1980: split one
+        bucket at a time under a doubled modulus, address under both
+        until the split round completes) applied to partition
+        directories: ``pmod(h, 2N) ∈ {pmod(h, N), pmod(h, N) + N}`` means
         each old bucket splits independently, so the start commit is
         METADATA-ONLY — it records the new live count plus a
         ``migration`` block naming the directories still at the old

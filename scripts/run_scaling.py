@@ -3,19 +3,23 @@ point-access ops at several synthetic cube sizes and record wall time
 AND physical touch cost (bytes written / directories touched, from the
 manifest's own per-directory stats) per op. The claims under test:
 
-- trickle upsert cost is FLAT as the cube grows (bucket-granular merge:
-  O(open rows of hit buckets + delta), never O(snapshot));
-- tiered compaction cost tracks the RECENT trickle, not the cube
-  (size-tiered levels: consolidated levels carry forward untouched);
-- point lookup reads a constant number of directories (bucket prune);
-- metadata-only count() and describe() stay at manifest-read cost.
+- a CDC-shaped trickle upsert (2 changed oids) costs O(open rows of hit
+  buckets + delta) — FLAT as the cube grows when rows-per-bucket is
+  held at the design point (the engine's own sizing guidance: when a
+  bucket outgrows ~4x the compact threshold, ``describe()`` flips
+  ``rebucket_recommended`` and the doubling migration restores it);
+- the SAME trickle against a deliberately under-bucketed control cube
+  grows linearly — the failure mode the recommendation exists to flag
+  (measured here, not argued);
+- tiered compaction cost tracks the RECENT trickle, not the cube;
+- point lookup, metadata-only count(), describe(), and the doubling-
+  migration START are flat (manifest-read / pruned-scan cost);
+- one bounded ``rebucket_step`` touches O(chunk), not O(cube).
 
-Any op whose touch-cost grows linearly with cube size is a scale
-killer and fails the curve. Writes ``SCALING.json`` at the repo root;
-the README table is derived from it.
-
-Usage: python scripts/run_scaling.py [rows,rows,...]  (default
-250k,1M,4M — spans 16x so a linear cost is unmistakable)."""
+Writes ``SCALING.json`` at the repo root; the README table is derived
+from it. Usage: python scripts/run_scaling.py [rows,rows,...]
+(default 250k,1M,4M — a 16x span so a linear cost is unmistakable).
+"""
 
 from __future__ import annotations
 
@@ -27,6 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS_PER_BUCKET = 16_000  # design point used for the scaled cubes
+CONTROL_BUCKETS = 16      # deliberately fixed — the under-bucketed control
 
 
 def main() -> None:
@@ -53,44 +59,50 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
-    def commit_cost(eng, cube, before_dirs):
-        """(dirs touched, bytes written) of the commit that moved the
-        manifest past ``before_dirs`` — from manifest stats alone."""
-        meta = eng._manifest(eng._path(cube))
-        new = set(meta["dirs"]) - before_dirs
-        sizes_m = (meta.get("stats") or {}).get("bytes") or {}
-        return len(new), sum(sizes_m.get(d, 0) for d in new)
-
-    def snap(n, lo, day, tag):
-        df = (spark.range(lo, lo + n)
+    def bulk(n):
+        df = (spark.range(n)
               .select(F.col("id").alias("oid"),
                       (F.col("id") % 1000).alias("v"),
                       F.sha2(F.col("id").cast("string"), 256)
                       .alias("payload")))
         return stamp(df, oid="oid",
-                     start=F.to_timestamp(F.lit(day)))
+                     start=F.to_timestamp(F.lit("2024-01-01")))
 
-    results = []
-    for n in sizes:
+    def delta(oids, day, salt):
+        # CDC shape: 2 existing oids with CHANGED values (new _hash →
+        # the open rows really close and a closed batch really lands)
+        df = spark.createDataFrame(
+            [(o, 10_000 + salt, f"upd{salt}") for o in oids],
+            "oid long, v long, payload string")
+        return stamp(df, oid="oid", start=F.to_timestamp(F.lit(day)))
+
+    def commit_cost(eng, cube, before_dirs):
+        meta = eng._manifest(eng._path(cube))
+        new = set(meta["dirs"]) - before_dirs
+        sizes_m = (meta.get("stats") or {}).get("bytes") or {}
+        return len(new), sum(sizes_m.get(d, 0) for d in new)
+
+    def measure(n, buckets, small_bytes=256 * 1024 * 1024) -> dict:
         wh = tempfile.mkdtemp(prefix="mtq_scaling_")
-        eng = Engine(spark, warehouse=wh, oid_buckets=64,
-                     bloom_oid_ndv="auto")
-        rec: dict = {"rows": n}
+        eng = Engine(spark, warehouse=wh, oid_buckets=buckets,
+                     bloom_oid_ndv="auto",
+                     compact_small_bytes=small_bytes)
+        rec: dict = {"rows": n, "oid_buckets": buckets}
         t0 = time.monotonic()
-        eng.upsert("c", snap(n, 0, "2024-01-01", "bulk"), stamped=True)
+        eng.upsert("c", bulk(n), stamped=True)
         rec["bulk_load_s"] = round(time.monotonic() - t0, 3)
-        cube_bytes = sum(((eng._manifest(eng._path("c")).get("stats")
-                           or {}).get("bytes") or {}).values())
-        rec["cube_bytes"] = cube_bytes
+        rec["cube_bytes"] = sum(
+            ((eng._manifest(eng._path("c")).get("stats") or {})
+             .get("bytes") or {}).values())
 
-        # trickle: three 100-row snapshot commits against the full cube
         trickle = []
         for i in range(3):
             before = set(eng._manifest(eng._path("c"))["dirs"])
             t0 = time.monotonic()
-            eng.upsert("c", snap(100, i * 100,
-                                 f"2024-02-0{i + 1}", "trickle"),
+            eng.upsert("c", delta([i * 7 + 1, n // 2 + i],
+                                  f"2024-02-0{i + 1}", i),
                        stamped=True)
             wall = time.monotonic() - t0
             dirs, bts = commit_cost(eng, "c", before)
@@ -99,59 +111,77 @@ def main() -> None:
         rec["trickle_dirs"] = max(d for _w, d, _b in trickle)
         rec["trickle_bytes"] = max(b for _w, _d, b in trickle)
 
-        # tiered compact of the trickle (levels above threshold carry
-        # forward untouched — bytes rewritten must track the trickle)
+        # tiered compact of the three 2-row closed batches: bytes
+        # rewritten must track the TRICKLE, never the cube
         before = set(eng._manifest(eng._path("c"))["dirs"])
         t0 = time.monotonic()
-        eng.compact("c")
+        removed = eng.compact("c")
         rec["compact_s"] = round(time.monotonic() - t0, 3)
         dirs, bts = commit_cost(eng, "c", before)
-        rec["compact_dirs"] = dirs
+        rec["compact_removed"] = removed
         rec["compact_bytes"] = bts
 
-        # point lookup (bucket-pruned scan)
         t0 = time.monotonic()
-        assert eng.find("c", oids=[n // 2]).count() == 1
+        assert eng.find("c", oids=[n // 3]).count() == 1
         rec["point_lookup_s"] = round(time.monotonic() - t0, 3)
 
-        # metadata-only count + describe (zero data files)
         t0 = time.monotonic()
         assert eng.count("c") >= n
         rec["count_meta_s"] = round(time.monotonic() - t0, 4)
         t0 = time.monotonic()
         d = eng.describe("c")
-        assert d["rows_total"] >= n
         rec["describe_s"] = round(time.monotonic() - t0, 4)
+        rec["max_bucket_bytes"] = d.get("max_bucket_bytes", 0)
+        rec["rebucket_recommended"] = bool(
+            d.get("rebucket_recommended"))
 
-        # incremental doubling migration: start is metadata-only
-        # whatever the cube size; one bounded step touches O(chunk)
         t0 = time.monotonic()
-        eng.rebucket("c", 128, incremental=True)
+        eng.rebucket("c", 2 * buckets, incremental=True)
         rec["migration_start_s"] = round(time.monotonic() - t0, 4)
-        before = set(eng._manifest(eng._path("c"))["dirs"])
         t0 = time.monotonic()
         st = eng.rebucket_step("c", max_dirs=2)
         rec["migration_step_s"] = round(time.monotonic() - t0, 3)
         rec["migration_step_bytes"] = st["migrated_bytes"]
+        shutil.rmtree(wh, ignore_errors=True)
+        return rec
 
+    results, control = [], []
+    for n in sizes:
+        rec = measure(n, max(16, n // ROWS_PER_BUCKET))
         results.append(rec)
         print(json.dumps(rec))
-        shutil.rmtree(wh, ignore_errors=True)
+    for n in sizes:
+        # under-bucketed control: a tighter compact threshold stands in
+        # for "the same cube at cluster scale", so rebucket_recommended
+        # flips exactly when the per-bucket footprint outgrows the
+        # design point the scaled run holds constant (4 MB threshold →
+        # the flag flips past 16 MB buckets)
+        rec = measure(n, CONTROL_BUCKETS,
+                      small_bytes=4 * 1024 * 1024)
+        control.append(rec)
+        print(json.dumps(rec))
 
-    out = {"sizes": sizes, "cpus": cpus, "results": results}
-    # the curve verdicts the README table quotes: cost ratios across
-    # the size span (flat ≈ 1x while the cube grows 16x)
     lo, hi = results[0], results[-1]
-    span = hi["rows"] / lo["rows"]
-    out["span"] = span
-    out["ratios"] = {
-        k: round(hi[k] / max(lo[k], 1e-9), 2)
-        for k in ("trickle_bytes", "compact_bytes", "trickle_s",
-                  "compact_s", "point_lookup_s", "count_meta_s",
-                  "describe_s", "migration_start_s")}
+    out = {
+        "sizes": sizes, "cpus": cpus,
+        "rows_per_bucket": ROWS_PER_BUCKET,
+        "scaled": results, "control_fixed_buckets": control,
+        "span": hi["rows"] / lo["rows"],
+        # the curve verdicts the README quotes: ratio of each op's cost
+        # across the 16x size span — flat ≈ 1x on the scaled cubes
+        "ratios_scaled": {
+            k: round(hi[k] / max(lo[k], 1e-9), 2)
+            for k in ("trickle_bytes", "trickle_s", "compact_bytes",
+                      "point_lookup_s", "count_meta_s", "describe_s",
+                      "migration_start_s", "migration_step_bytes")},
+        "ratios_control": {
+            k: round(control[-1][k] / max(control[0][k], 1e-9), 2)
+            for k in ("trickle_bytes", "migration_step_bytes")},
+    }
     with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out["ratios"]))
+    print(json.dumps({"ratios_scaled": out["ratios_scaled"],
+                      "ratios_control": out["ratios_control"]}))
 
 
 if __name__ == "__main__":

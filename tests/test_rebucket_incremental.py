@@ -77,9 +77,19 @@ def test_union_prune_point_lookup_mixed_state(spark, eng):
     for probe in ([7], [11, 23], list(range(0, 40, 7))):
         q = eng.find("m", oids=probe, date="~")
         assert sorted(r["_oid"] for r in q.collect()) == sorted(probe)
-    q = eng.find("m", oids=[7], date="~")
+    # pick a probe whose bucket value DIFFERS under the two moduli, so
+    # the plan visibly carries both (pure single-modulus pruning could
+    # never produce the other value)
+    probe = next(o for o in range(40)
+                 if len(eng._oid_bucket_values([o], [8, 4])) == 2)
+    vals = eng._oid_bucket_values([probe], [8, 4])
+    q = eng.find("m", oids=[probe], date="~")
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "__obucket" in plan.split("PartitionFilters", 1)[-1][:400]
+    seg = plan.split("PartitionFilters", 1)[-1][:400]
+    assert "__obucket" in seg
+    for v in vals:
+        assert str(v) in seg, (probe, vals, seg)
+    assert [r["_oid"] for r in q.collect()] == [probe]
     # the MQL-literal prune takes the same union path
     assert eng.count("m", query="_oid == 7", date="~") == 1
     assert eng.count("m", query="_oid in [3, 11]", date="~") == 2
