@@ -629,6 +629,78 @@ def test_bloom_oid_writes_filters_on_every_cube_file(spark, tmp_path):
         _E(spark, warehouse=str(tmp_path / "whx"), bloom_oid_ndv=0)
 
 
+def test_bloom_actually_skips_row_groups_inside_a_bucket(spark,
+                                                         tmp_path):
+    """The point of the ``_oid`` bloom is the THIRD level of the lookup
+    story: inside a hit bucket directory, row-group min/max on _oid is
+    useless (the hash scatters oids uniformly), so the bloom is what
+    lets the reader drop row groups. Prove the skip itself, not just
+    the footer bytes: evaluate an ``_oid = k`` predicate through
+    parquet-mr's own row-group filter with the stats, dictionary and
+    column-index filters all DISABLED — any surviving/dropped row group
+    is then attributable to the bloom alone. A present oid must keep
+    its row group; an absent oid must drop every row group of every
+    file in its hit bucket. (Keys sit above 2^31 so py4j passes
+    java.lang.Long — parquet hashes the value at the column's physical
+    width.)"""
+    import glob as _glob
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+
+    BASE = 10_000_000_000
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 bloom_oid_ndv="auto")
+    df = spark.createDataFrame([(BASE + i, i) for i in range(2000)],
+                               "oid long, x long")
+    eng.upsert("b", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    FilterApi = jvm.org.apache.parquet.filter2.predicate.FilterApi
+    FilterCompat = jvm.org.apache.parquet.filter2.compat.FilterCompat
+    col = FilterApi.longColumn("_oid")
+
+    def surviving_rows(f: str, key: int, use_bloom: bool = True) -> int:
+        hif = (jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+               .fromPath(jvm.org.apache.hadoop.fs.Path(f), conf))
+        opts = (jvm.org.apache.parquet.ParquetReadOptions.builder()
+                .withRecordFilter(FilterCompat.get(
+                    FilterApi.eq(col, key)))
+                .useBloomFilter(use_bloom)
+                .useStatsFilter(False)
+                .useDictionaryFilter(False)
+                .useColumnIndexFilter(False)
+                .build())
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            hif, opts)
+        try:
+            return r.getFilteredRecordCount()
+        finally:
+            r.close()
+
+    files = _glob.glob(str(tmp_path / "wh" / "b") +
+                       "/_current=true/**/*.parquet", recursive=True)
+    assert len(files) >= 2  # one per hit bucket
+    # a present oid: its bucket's file keeps the row group
+    probe = BASE + 777
+    bval = eng._oid_bucket_values([probe], 4)[0]
+    hit = [f for f in files if f"__obucket={bval}/" in f]
+    assert hit and all(surviving_rows(f, probe) > 0 for f in hit)
+    # an absent oid: EVERY row group of every file in its hit bucket
+    # drops — and only the bloom could have done it (all other
+    # row-group filters are off; with the bloom off nothing drops)
+    absent = BASE + 50_000_000
+    bval = eng._oid_bucket_values([absent], 4)[0]
+    hit = [f for f in files if f"__obucket={bval}/" in f]
+    assert hit
+    for f in hit:
+        assert surviving_rows(f, absent) == 0
+        assert surviving_rows(f, absent, use_bloom=False) > 0
+
+
 def test_count_metadata_only_fast_path(spark, tmp_path, monkeypatch):
     """Unfiltered count() (current-only and all-history) must answer
     from the manifest's per-directory row stats WITHOUT touching any
