@@ -150,12 +150,15 @@ def main() -> None:
         rec = measure(n, max(16, n // ROWS_PER_BUCKET))
         results.append(rec)
         print(json.dumps(rec))
-    for n in sizes:
+    for n in [s for s in sizes if s <= 4_000_000]:
         # under-bucketed control: a tighter compact threshold stands in
         # for "the same cube at cluster scale", so rebucket_recommended
         # flips exactly when the per-bucket footprint outgrows the
         # design point the scaled run holds constant (4 MB threshold →
-        # the flag flips past 16 MB buckets)
+        # the flag flips past 16 MB buckets). Capped at 4M rows: the
+        # linear curve and the flag flip are established there, and
+        # past it the control's ~100 MB-per-2-row-commit cost is the
+        # pathology itself, not a measurement worth paying repeatedly.
         rec = measure(n, CONTROL_BUCKETS,
                       small_bytes=4 * 1024 * 1024)
         control.append(rec)

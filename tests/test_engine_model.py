@@ -144,9 +144,10 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
     import copy
 
     gen_states: dict[int, list] = {}   # engine gen -> model snapshot
-    for step in range(14):
+    for step in range(18):
         op = rng.choice(["snap", "snap", "snap", "replace", "compact",
-                         "vacuum", "rebucket"])
+                         "vacuum", "rebucket", "rebucket_incr",
+                         "rebucket_step"])
         if first:
             op = "snap"
         if step == ev_step:
@@ -207,8 +208,23 @@ def test_random_op_sequence_matches_model(spark, tmp_path):
         elif op == "rebucket":
             # bucket-count migration is physical-only: content (and
             # every probe below, incl. time travel to pre-rebucket
-            # generations, which must prune with THEIR count) invariant
+            # generations, which must prune with THEIR count) invariant.
+            # Mid-doubling-migration this is the escape hatch: the full
+            # rewrite finishes the migration in one pass.
             eng.rebucket(cube, rng.choice([2, 4, 8]))
+        elif op == "rebucket_incr":
+            # doubling-migration start (metadata-only): later random
+            # snaps/replaces/compacts then run against the MIXED-modulus
+            # layout and every probe below must stay model-exact
+            meta = eng._manifest(eng._path(cube))
+            layout = eng._cube_layout(eng._path(cube)) or {}
+            cur = eng._live_buckets(meta, layout)
+            if meta is not None and meta.get("migration") is None \
+                    and cur:
+                eng.rebucket(cube, 2 * cur, incremental=True)
+        elif op == "rebucket_step":
+            # bounded background drain (no-op without a migration)
+            eng.rebucket_step(cube, max_dirs=rng.choice([1, 2, None]))
         else:
             eng.vacuum(cube)
 

@@ -212,6 +212,47 @@ def test_layout_format_fence_refuses_future_semantics(spark, eng):
         _snap(spark, eng, "m", [(2, 2)], "2014-02-01")
 
 
+def test_migration_on_timepartitioned_cube_and_objectstore(spark,
+                                                           tmp_path):
+    """The doubling migration must compose with the ``__stime``
+    sublevel (relpaths gain a third segment; bucket identification and
+    the rewrite's period recomputation both survive) and run unchanged
+    on the rename-free object-store backend."""
+    from metrique_spark.fs import ObjectStoreFS
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4,
+                 time_partition="month", fs=ObjectStoreFS())
+    df1 = spark.createDataFrame(
+        [(i, i, f"2014-0{1 + i % 3}-15") for i in range(30)],
+        "oid long, val long, s string")
+    eng.upsert("m", stamp(df1, oid="oid", start="s"), stamped=True)
+    df2 = spark.createDataFrame(
+        [(i, i + 100, "2014-05-01") for i in range(0, 30, 3)],
+        "oid long, val long, s string")
+    eng.upsert("m", stamp(df2, oid="oid", start="s"), stamped=True)
+    before = _rows(eng, "m")
+    eng.rebucket("m", 8, incremental=True)
+    m = _man(eng, "m")
+    assert all("/__stime=" in d or "/__batch=" in d
+               for d in m["migration"]["old_dirs"])
+    # merge + step through the mixed, period-partitioned layout
+    df3 = spark.createDataFrame(
+        [(5, 999, "2014-06-01")], "oid long, val long, s string")
+    eng.upsert("m", stamp(df3, oid="oid", start="s"), stamped=True)
+    st = eng.rebucket_step("m", max_dirs=3)
+    assert st["migrated_dirs"] >= 1
+    while not eng.rebucket_step("m")["done"]:
+        pass
+    after = _rows(eng, "m")
+    # content invariant except the oid-5 update applied mid-migration
+    changed = {r for r in after if r not in before}
+    assert all(r[0] == 5 for r in changed)
+    assert eng.count("m", query="_oid == 5") == 1
+    assert _man(eng, "m").get("migration") is None
+    got = sorted(r["_oid"] for r in eng.find("m", oids=[5, 17]).collect())
+    assert got == [5, 17]
+
+
 def test_unbucketed_cube_refuses_incremental(spark, tmp_path):
     eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=None)
     _snap(spark, eng, "m", [(1, 1)], "2014-01-01")
