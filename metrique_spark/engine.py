@@ -132,7 +132,7 @@ class Engine:
                  keep_generations: int = 0,
                  auto_compact_index_batches: int | None = None,
                  compact_small_bytes: int = 256 * 1024 * 1024,
-                 bloom_oid_ndv: int | None = None):
+                 bloom_oid_ndv: int | str | None = None):
         self.spark = spark
         self.warehouse = warehouse
         # control-plane storage backend (catalog listings, sidecars,
@@ -237,8 +237,10 @@ class Engine:
         # within the open snapshot) — blooms sized usefully without the
         # user doing capacity math. First writes (no stats yet) fall
         # back to a 100k-key default (~130 KB/file at 1% FPP).
-        if (bloom_oid_ndv is not None and bloom_oid_ndv != "auto"
-                and bloom_oid_ndv <= 0):
+        if isinstance(bloom_oid_ndv, str):
+            if bloom_oid_ndv != "auto":
+                raise ValueError("bloom_oid_ndv must be > 0 or 'auto'")
+        elif bloom_oid_ndv is not None and bloom_oid_ndv <= 0:
             raise ValueError("bloom_oid_ndv must be > 0 or 'auto'")
         self.bloom_oid_ndv = bloom_oid_ndv
         # per-write NDV estimate for bloom_oid_ndv="auto", refreshed by
@@ -258,10 +260,6 @@ class Engine:
             except Exception:
                 pass
         self._views: dict[str, DataFrame] = {}
-        # warehouse cubes sql() lazily registered as temp views — only
-        # these may be re-registered on a later sql() call; a same-named
-        # view the USER created directly on the SparkSession wins
-        self._sql_autoviews: set[str] = set()
         # advisory index registry: cube -> [{"name", "column_names"}]
         # (underscore-prefixed sidecar files are invisible to Spark's
         # parquet discovery, so _indexes.json can live inside the cube dir)
@@ -1292,8 +1290,7 @@ class Engine:
                     if pend is not None:
                         if m["kind"] == "ivf":
                             _sim.resume_ivf_compaction(
-                                self.spark, apath, pend,
-                                id_col=m["id_col"], fs=self.fs)
+                                self.spark, apath, pend, fs=self.fs)
                         else:
                             _sim.resume_pq_compaction(
                                 self.spark, apath, pend, fs=self.fs)
@@ -1991,6 +1988,13 @@ class Engine:
             sizes = (meta.get("stats") or {}).get("bytes") or {}
             live = set(meta["dirs"])
             pending = [d for d in mig["old_dirs"] if d in live]
+            if not pending:
+                # defensive: the carry rule drops the migration block
+                # when old_dirs empties, so this state needs a
+                # hand-edited manifest — treat as complete, don't build
+                # a zero-path read
+                return {"migrated_dirs": 0, "migrated_bytes": 0,
+                        "remaining_dirs": 0, "done": True}
             chunk: list[str] = []
             used = 0
             for d in pending:
@@ -3489,6 +3493,7 @@ class Engine:
         would skip. Cross-family lookups read unpruned (skipped, not
         wrong); bool literals are excluded from the numeric family
         (Spark coerces them on their own rules)."""
+        import datetime as _dt
         from numbers import Number
 
         from pyspark.sql import types as T
@@ -3498,6 +3503,13 @@ class Engine:
         if isinstance(dtype, T.NumericType):
             return all(isinstance(v, Number)
                        and not isinstance(v, bool) for v in values)
+        if isinstance(dtype, (T.DateType, T.TimestampType,
+                              T.TimestampNTZType)):
+            return all(isinstance(v, (_dt.date, _dt.datetime))
+                       for v in values)
+        if isinstance(dtype, T.BinaryType):
+            return all(isinstance(v, (bytes, bytearray))
+                       for v in values)
         return False
 
     def _oid_bucket_values(self, oids: Sequence,
@@ -3833,6 +3845,18 @@ class Engine:
         if self.warehouse:
             import re as _re
 
+            # names sql() itself auto-registered, shared SESSION-wide
+            # (temp views are per-SparkSession, so per-engine tracking
+            # would mistake another engine's autoview for a user view
+            # and serve it stale forever); refreshing an autoview on
+            # every call re-resolves the live manifest
+            reg: set = getattr(self.spark, "_mtq_sql_autoviews", None)
+            if reg is None:
+                reg = set()
+                try:
+                    self.spark._mtq_sql_autoviews = reg
+                except Exception:
+                    pass
             for name in self.ls():
                 if name in self._views or name.startswith("_"):
                     continue
@@ -3840,7 +3864,7 @@ class Engine:
                     continue  # not addressable as a bare SQL identifier
                 if not _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
                     continue
-                if name not in self._sql_autoviews:
+                if name not in reg:
                     try:
                         if self.spark.catalog.tableExists(name):
                             continue  # user-created view wins
@@ -3850,5 +3874,5 @@ class Engine:
                     self.table(name).createOrReplaceTempView(name)
                 except Exception:
                     continue  # incidental match on an unreadable cube
-                self._sql_autoviews.add(name)
+                reg.add(name)
         return self.spark.sql(query)

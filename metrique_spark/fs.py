@@ -289,10 +289,19 @@ class _LocalBacked(FileSystem):
             shutil.rmtree(path, ignore_errors=True)
 
     def copy(self, src: str, dst: str) -> None:
+        # atomic VISIBILITY, like the object-store copy it models (S3
+        # CopyObject never exposes a half-written object): stage the
+        # bytes under a dot-prefixed temp name (invisible to parquet
+        # discovery and cube listings) and os.replace into place — an
+        # internal implementation detail of this backend, not a rename
+        # in the interface
         import shutil
 
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
+        tmp = os.path.join(os.path.dirname(dst),
+                           f".copytmp.{os.getpid()}.{os.path.basename(dst)}")
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
 
 
 class LocalFS(_LocalBacked):

@@ -1924,29 +1924,42 @@ def resume_pq_compaction(spark, path: str, pending: dict,
     deterministically rebuilds the same consolidated directory, after
     which the originals are deleted. A group whose originals are all
     gone already completed. Returns directories removed."""
+    import json as _json
+
     fs = _default_fs(fs)
-    codes, meta = read_pq_index(spark, path, fs=fs)
+    croot = fs.join(path, "codes")
+    meta = _json.loads(fs.read_text(fs.join(path, _PQ_SIDECAR)))
     id_col = meta["id_col"]
     part_cols = _pq_part_cols(meta)
-    _, tok_dirs = _pq_token_dirs(fs, fs.join(path, "codes"), part_cols)
+    _, tok_dirs = _pq_token_dirs(fs, croot, part_cols)
     out_tok = pending["out"]
     present = [t for t in pending["group"]
                if t in tok_dirs and t != out_tok]
     if not present:
         return 0  # group fully completed before the crash
     want = int(out_tok[4:].split("x", 1)[0])  # "cmp" + "n{rows}x{sum}"
-    have = (codes.where(F.col("__abatch") == out_tok).count()
+    have = (spark.read.option("basePath", croot)
+            .parquet(*tok_dirs[out_tok]).count()
             if out_tok in tok_dirs else 0)
     if have != want:
-        sel = sorted(set(present)
-                     | ({out_tok} if out_tok in tok_dirs else set()))
-        deduped = (codes.where(F.col("__abatch").isin(sel))
-                   .dropDuplicates([id_col])
+        # drop any TORN consolidated dirs before rebuilding: the
+        # rebuild's dynamic overwrite only replaces partitions present
+        # in ITS output, and a torn cluster=X/__abatch=<out> dir whose
+        # rows the re-dedup assigns to a different cluster this time
+        # would otherwise survive as a permanent duplicate. Safe: the
+        # write-then-delete order guarantees every original is still
+        # present while the consolidated content is incomplete.
+        for full in tok_dirs.get(out_tok, []):
+            if fs.isdir(full):
+                fs.delete_dir(full)
+        sub = (spark.read.option("basePath", croot)
+               .parquet(*[d for t in present for d in tok_dirs[t]]))
+        deduped = (sub.dropDuplicates([id_col])
                    .localCheckpoint(eager=True))
         out = deduped.withColumn("__abatch", F.lit(out_tok))
         (out.write.partitionBy(*part_cols).mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .parquet(path + "/codes"))
+         .parquet(croot))
     removed = 0
     for t in present:
         for full in tok_dirs[t]:
@@ -2043,7 +2056,7 @@ def _publish_ivf_stage(fs, stage: str, vroot: str) -> None:
 
 
 def resume_ivf_compaction(spark, path: str, pending: dict,
-                          id_col: str = "vec_id", fs=None) -> int:
+                          fs=None) -> int:
     """Converge a crashed tiered ``compact_ivf_index`` pass from its
     recorded intent (``pending = {"targets": [vroot-relative files]}``)
     WITHOUT rewriting anything — the merged rows were STAGED (one

@@ -177,9 +177,10 @@ def main() -> None:
             for k in ("trickle_bytes", "trickle_s", "compact_bytes",
                       "point_lookup_s", "count_meta_s", "describe_s",
                       "migration_start_s", "migration_step_bytes")},
-        "ratios_control": {
+        "ratios_control": ({
             k: round(control[-1][k] / max(control[0][k], 1e-9), 2)
-            for k in ("trickle_bytes", "migration_step_bytes")},
+            for k in ("trickle_bytes", "migration_step_bytes")}
+            if len(control) >= 2 else {}),
     }
     with open(os.path.join(ROOT, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -142,6 +142,45 @@ def test_fault_sweep_tiered_index_compaction(spark, tmp_path, kind):
     assert faulted >= 1  # the sweep actually crossed crash points
 
 
+def test_resume_pq_drops_torn_consolidated_dirs_first(spark, tmp_path):
+    """A REAL-WORLD crash mid-consolidated-write (outside the fault
+    model's atomic data writes) leaves TORN ``__abatch=<out>`` dirs:
+    some clusters written, others not. The resume must delete them
+    before rebuilding — its dynamic overwrite only replaces partitions
+    present in the rebuilt output, and the re-dedup may assign a
+    duplicate id's surviving row to a DIFFERENT cluster than the
+    crashed run did, which would leave the torn copy as a permanent
+    duplicate."""
+    import glob as _glob
+    import json
+
+    wh = str(tmp_path / "wh")
+    thr, _base = _build(spark, wh, "ivfpq")
+    eng = Engine(spark, warehouse=wh)
+    apath = eng._ann_path("vx", "cx")
+    # crash exactly at the first original-dir delete: the consolidated
+    # write completed and the intent carries the group
+    with pytest.raises(InjectedFault):
+        crashed = Engine(spark, warehouse=wh, fs=FaultFS(LocalFS(), 2))
+        crashed.compact_vector_index("vx", "cx", small_bytes=thr)
+    ipath = eng._ann_intent_path("vx", "cx")
+    intent = json.loads(eng.fs.read_text(ipath))
+    out_tok = intent["pending"]["out"]
+    out_dirs = sorted(_glob.glob(
+        f"{apath}/codes/cluster=*/__abatch={out_tok}"))
+    assert out_dirs, "premise: consolidated dirs landed before crash"
+    # tear the consolidated write: drop one cluster's out dir (with a
+    # single-cluster output this degrades to the fully-absent case —
+    # also converged by the rebuild)
+    eng.fs.delete_dir(out_dirs[0])
+    # resume converges: rebuild from the (complete) originals, no
+    # duplicates, no torn leftovers
+    eng.compact_vector_index("vx", "cx", small_bytes=thr)
+    ids = _stored_ids(spark, apath, "ivfpq")
+    assert len(ids) == len(set(ids)), "torn dir survived as duplicates"
+    assert set(ids) == set(range(N_BASE)) | {999_990, 999_991, 999_992}
+
+
 def test_legacy_groupless_compact_intent_still_escalates(spark,
                                                          tmp_path):
     """An op=compact intent WITHOUT a recorded group (written by a

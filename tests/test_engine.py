@@ -930,6 +930,34 @@ def test_sql_autoregistration_is_nonclobbering_and_lazy_safe(spark,
         eng.sql("select * from brokencube").collect()
 
 
+def test_sql_autoview_refreshes_across_engines(spark, tmp_path):
+    """The lazy-view registry is SESSION-scoped: a second engine on the
+    same SparkSession must recognize the first engine's autoview as
+    engine-owned and refresh it — not mistake it for a user view and
+    serve the old generation forever."""
+    from metrique_spark.objects import stamp
+
+    wh = str(tmp_path / "wh")
+    eng_a = Engine(spark, warehouse=wh, oid_buckets=2)
+    df = spark.createDataFrame([(i, i) for i in range(3)],
+                               "oid long, x long")
+    eng_a.upsert("xeng", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    assert eng_a.sql("select count(*) as n from xeng").first()["n"] == 3
+    eng_b = Engine(spark, warehouse=wh, oid_buckets=2)
+    df2 = spark.createDataFrame([(i, i) for i in range(3, 5)],
+                                "oid long, x long")
+    eng_b.upsert("xeng", stamp(
+        df2, oid="oid", start=F.to_timestamp(F.lit("2024-02-01"))),
+        stamped=True)
+    # eng_b must refresh the view eng_a registered (live manifest, not
+    # the generation eng_a pinned)
+    assert eng_b.sql("select count(*) as n from xeng").first()["n"] == 5
+    # and eng_a sees the new generation on ITS next sql() too
+    assert eng_a.sql("select count(*) as n from xeng").first()["n"] == 5
+
+
 def test_oid_bucket_prune_skips_cross_family_literals(spark, tmp_path):
     """The __obucket point-lookup prune is sound only within a type
     family: on a STRING-oid cube, ``_oid == 1`` coerces the stored
