@@ -541,3 +541,71 @@ def test_writer_rebuckets_under_concurrent_snapshots(spark, tmp_path):
     assert clean.describe(CUBE)["oid_buckets"] == 8
     assert clean.count(CUBE) == 4  # metadata path agrees
     assert clean.find_one(CUBE, "_oid == 4")["col_1"] == 42
+
+
+def test_migration_steps_race_concurrent_snapshots(spark, tmp_path):
+    """A doubling migration drained by ONE engine's rebucket_steps
+    while ANOTHER engine streams snapshot upserts, both under
+    lock_wait: the lease serializes the commits in some order; the
+    migration is physical-only and the merges are migration-aware, so
+    the final cube must equal the snapshot model exactly, the
+    migration must complete, and the converged layout (manifest count,
+    sidecar sync, point lookups) must be consistent."""
+    import threading
+
+    wh = str(tmp_path / "wh")
+    boot = Engine(spark, warehouse=wh, oid_buckets=2, lock_wait=120.0)
+    boot.upsert(CUBE, _snap_df(spark, [(i, i * 10) for i in range(1, 7)],
+                               "2015-01-01"), stamped=True)
+    boot.rebucket(CUBE, 4, incremental=True)
+    model = _Model()
+    model.snapshot([(i, i * 10) for i in range(1, 7)], "2015-01-01")
+    errors: list[BaseException] = []
+
+    def snapper():
+        eng = Engine(spark, warehouse=wh, oid_buckets=2,
+                     lock_wait=120.0)
+        try:
+            for i in range(3):
+                eng.upsert(CUBE, _snap_df(
+                    spark, [(1, 100 + i), (9, 90 + i)],
+                    f"2015-0{i + 2}-01"), stamped=True)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def stepper():
+        eng = Engine(spark, warehouse=wh, oid_buckets=2,
+                     lock_wait=120.0)
+        try:
+            for _ in range(12):
+                if eng.rebucket_step(CUBE, max_dirs=1)["done"]:
+                    break
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=snapper),
+               threading.Thread(target=stepper)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for i in range(3):
+        model.snapshot([(1, 100 + i), (9, 90 + i)], f"2015-0{i + 2}-01")
+    clean = Engine(spark, warehouse=wh, oid_buckets=2)
+    # finish any remainder (the snapper may have held the lease at the
+    # stepper's last attempts)
+    while not clean.rebucket_step(CUBE)["done"]:
+        pass
+    assert _cube_rows(spark, clean) == model.rows()
+    meta = clean._manifest(clean._path(CUBE))
+    assert meta.get("migration") is None
+    assert meta["oid_buckets"] == 4
+    import json
+
+    lay = json.loads(clean.fs.read_text(
+        clean.fs.join(clean._path(CUBE), "_layout.json")))
+    assert lay["oid_buckets"] == 4 and lay["min_format"] >= 3
+    assert clean.count(CUBE) == 7  # 6 boot oids + oid 9
+    assert sorted(r["_oid"] for r in
+                  clean.find(CUBE, oids=[1, 9]).collect()) == [1, 9]
