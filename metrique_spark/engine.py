@@ -1605,9 +1605,14 @@ class Engine:
         size-tiered compaction manages), whether a ``compact()`` would
         merge anything right now (``compact_recommended`` — the trickle
         or a promotion quorum qualifies under the engine's
-        ``compact_small_bytes``), and the committed ANN indexes with
-        staleness flags. The "does this cube need maintenance" probe a
-        scheduler can poll per cube at manifest-read cost."""
+        ``compact_small_bytes``), whether the largest oid bucket has
+        outgrown its first-write count (``rebucket_recommended`` —
+        runbook: ``rebucket()`` or the incremental doubling), the
+        progress of an in-flight doubling migration (``migration``:
+        pending dirs/bytes for ``rebucket_step`` scheduling), and the
+        committed ANN indexes with staleness flags. The "does this cube
+        need maintenance" probe a scheduler can poll per cube at
+        manifest-read cost."""
         from metrique_spark.compaction import tier_groups
 
         path = self._path(cube)
