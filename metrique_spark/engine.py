@@ -3850,14 +3850,20 @@ class Engine:
         if self.warehouse:
             import re as _re
 
-            # names sql() itself auto-registered, shared SESSION-wide
+            # autoviews sql() itself registered, shared SESSION-wide
             # (temp views are per-SparkSession, so per-engine tracking
             # would mistake another engine's autoview for a user view
-            # and serve it stale forever); refreshing an autoview on
-            # every call re-resolves the live manifest
-            reg: set = getattr(self.spark, "_mtq_sql_autoviews", None)
-            if reg is None:
-                reg = set()
+            # and serve it stale forever): name -> the exact DataFrame
+            # this path registered last. Refreshing re-resolves the
+            # live manifest; before refreshing, the CURRENT catalog
+            # view is compared (sameResult) against the one we
+            # registered — a same-named view the user created AFTER
+            # our autoview existed is therefore never clobbered (it no
+            # longer matches ours), closing the old name-set
+            # registry's gap.
+            reg = getattr(self.spark, "_mtq_sql_autoviews", None)
+            if not isinstance(reg, dict):
+                reg = {}
                 try:
                     self.spark._mtq_sql_autoviews = reg
                 except Exception:
@@ -3869,15 +3875,31 @@ class Engine:
                     continue  # not addressable as a bare SQL identifier
                 if not _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
                     continue
-                if name not in reg:
-                    try:
-                        if self.spark.catalog.tableExists(name):
-                            continue  # user-created view wins
-                    except Exception:
-                        pass
+                ours = reg.get(name)
+                exists = False
                 try:
-                    self.table(name).createOrReplaceTempView(name)
+                    exists = self.spark.catalog.tableExists(name)
+                except Exception:
+                    pass
+                if exists:
+                    if ours is None:
+                        continue  # user-created view wins
+                    try:
+                        cur = self.spark.table(name)
+                        same = (cur._jdf.queryExecution().analyzed()
+                                .sameResult(ours._jdf.queryExecution()
+                                            .analyzed()))
+                    except Exception:
+                        same = False
+                    if not same:
+                        # the user replaced our autoview since the last
+                        # call — theirs wins from now on
+                        reg.pop(name, None)
+                        continue
+                try:
+                    df = self.table(name)
+                    df.createOrReplaceTempView(name)
                 except Exception:
                     continue  # incidental match on an unreadable cube
-                reg.add(name)
+                reg[name] = df
         return self.spark.sql(query)

@@ -1942,24 +1942,55 @@ def resume_pq_compaction(spark, path: str, pending: dict,
             .parquet(*tok_dirs[out_tok]).count()
             if out_tok in tok_dirs else 0)
     if have != want:
-        # drop any TORN consolidated dirs before rebuilding: the
-        # rebuild's dynamic overwrite only replaces partitions present
-        # in ITS output, and a torn cluster=X/__abatch=<out> dir whose
-        # rows the re-dedup assigns to a different cluster this time
-        # would otherwise survive as a permanent duplicate. Safe: the
-        # write-then-delete order guarantees every original is still
-        # present while the consolidated content is incomplete.
-        for full in tok_dirs.get(out_tok, []):
-            if fs.isdir(full):
-                fs.delete_dir(full)
-        sub = (spark.read.option("basePath", croot)
-               .parquet(*[d for t in present for d in tok_dirs[t]]))
+        in_group = out_tok in pending["group"]
+        src = [d for t in present for d in tok_dirs[t]]
+        if in_group:
+            # the recorded out token IS one of the group's own levels
+            # (the merged content's census matched an existing cmp
+            # level — every merged id already lives there): its
+            # surviving dirs are ORIGINAL data, not torn output, so
+            # rebuild from all surviving group dirs INCLUDING them and
+            # write BEFORE any delete (the originals stay on disk);
+            # torn orphan dirs are pruned against the rewrite's own
+            # partition set afterwards. Post-fix writers never record
+            # an out token inside its own group (compact_pq_index
+            # suffixes colliding tokens), so this escalation only runs
+            # for intents a pre-fix writer recorded.
+            src += tok_dirs.get(out_tok, [])
+        else:
+            # drop any TORN consolidated dirs before rebuilding: the
+            # rebuild's dynamic overwrite only replaces partitions
+            # present in ITS output, and a torn
+            # cluster=X/__abatch=<out> dir whose rows the re-dedup
+            # assigns to a different cluster this time would otherwise
+            # survive as a permanent duplicate. Safe: the
+            # write-then-delete order guarantees every original is
+            # still present while the consolidated content is
+            # incomplete.
+            for full in tok_dirs.get(out_tok, []):
+                if fs.isdir(full):
+                    fs.delete_dir(full)
+        sub = (spark.read.option("basePath", croot).parquet(*src))
         deduped = (sub.dropDuplicates([id_col])
                    .localCheckpoint(eager=True))
         out = deduped.withColumn("__abatch", F.lit(out_tok))
         (out.write.partitionBy(*part_cols).mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(croot))
+        if in_group:
+            # prune out-token dirs the rewrite no longer owns (torn
+            # leftovers in partitions the re-dedup vacated)
+            if len(part_cols) == 2:
+                lead = part_cols[0]
+                vals = [r[0] for r in out.select(lead)
+                        .distinct().collect()]
+                written = {fs.join(croot, f"{lead}={v}",
+                                   f"__abatch={out_tok}") for v in vals}
+            else:
+                written = {fs.join(croot, f"__abatch={out_tok}")}
+            for full in tok_dirs.get(out_tok, []):
+                if full not in written and fs.isdir(full):
+                    fs.delete_dir(full)
     removed = 0
     for t in present:
         for full in tok_dirs[t]:
@@ -2017,6 +2048,20 @@ def compact_pq_index(spark, path: str, fs=None,
         deduped = (sub.dropDuplicates([id_col])
                    .localCheckpoint(eager=True))
         token = "cmp" + _abatch_token(deduped, id_col)
+        while token in merge:
+            # the merged census can collide with a group member's OWN
+            # token (re-appended identical ids — and the member's
+            # content may even have drifted from its name after
+            # refresh removals rewrote it in place): writing under the
+            # member's token would self-overwrite a live level
+            # mid-merge, the one state write-then-delete can't
+            # converge. Disambiguate deterministically (a crash-retry
+            # recomputes the same suffix) while keeping the
+            # ``cmpn{rows}x...`` prefix the resume's row-count check
+            # parses — the output then always lands in fresh
+            # directories and out ∉ group holds for every recorded
+            # intent this code writes.
+            token += "r"
         if record is not None:
             record({"kind": "pq", "group": sorted(merge),
                     "out": token})

@@ -198,3 +198,96 @@ def test_legacy_groupless_compact_intent_still_escalates(spark,
     # full escalation: everything consolidated into one level
     assert eng._index_batch_count(apath, "ivfpq") == 1
     assert not eng.fs.isfile(ipath)
+
+
+def _census_collision_setup(spark, wh):
+    """Full-compact the index into one cmp level, then re-append an
+    EXISTING id (a new version of oid 999_990): the next full merge's
+    deduped census equals the cmp level's own token — the out-token-
+    in-group corner."""
+    import glob as _glob
+
+    _build(spark, wh, "ivfpq")
+    eng = Engine(spark, warehouse=wh)
+    eng.compact_vector_index("vx", "cx", small_bytes=None)
+    apath = eng._ann_path("vx", "cx")
+    cmp_dirs = sorted(_glob.glob(
+        f"{apath}/codes/cluster=*/__abatch=cmp*"))
+    assert cmp_dirs, "premise: one consolidated cmp level exists"
+    cmp_tok = os.path.basename(cmp_dirs[0])[len("__abatch="):]
+    # re-append a duplicate id: a new version of an indexed oid
+    eng.upsert("vx", _vrows(
+        spark, [(999_990, [9.0] * 8, 2)], "2014-05-01"), stamped=True)
+    eng.refresh_vector_index("vx", "cx")
+    dup_dirs = sorted(
+        d for d in _glob.glob(f"{apath}/codes/cluster=*/__abatch=*")
+        if os.path.basename(d) != f"__abatch={cmp_tok}")
+    assert dup_dirs, "premise: the duplicate-id append landed"
+    dup_tok = os.path.basename(dup_dirs[0])[len("__abatch="):]
+    return eng, apath, cmp_tok, dup_tok
+
+
+def test_compact_never_records_out_token_inside_its_own_group(
+        spark, tmp_path):
+    """When a merge group's deduped census collides with one of its
+    OWN cmp levels (re-appended identical ids), the compactor must not
+    write under that member's token — a crash mid-overwrite would tear
+    ORIGINAL data the resume then mistakes for torn output. The token
+    is deterministically suffixed instead, so the consolidated write
+    lands in fresh directories and out ∉ group holds. Content-wise
+    this is the case that proved 'skip the write' unsafe: after the
+    duplicate-id refresh, the cmp level's content has drifted from its
+    token name (the removal rewrote it in place), so only a real
+    merge-and-rewrite keeps every id."""
+    import glob as _glob
+
+    eng, apath, cmp_tok, dup_tok = _census_collision_setup(
+        spark, str(tmp_path / "wh"))
+    croot = os.path.join(apath, "codes")
+    removed = eng.compact_vector_index("vx", "cx", small_bytes=None)
+    assert removed >= 1
+    # both the old cmp level and the duplicate append are gone; the
+    # survivor is the suffixed fresh token
+    assert not _glob.glob(f"{croot}/cluster=*/__abatch={cmp_tok}")
+    assert not _glob.glob(f"{croot}/cluster=*/__abatch={dup_tok}")
+    assert _glob.glob(f"{croot}/cluster=*/__abatch={cmp_tok}r")
+    ids = _stored_ids(spark, apath, "ivfpq")
+    assert len(ids) == len(set(ids))
+    assert set(ids) == set(range(N_BASE)) | {999_990, 999_991, 999_992}
+
+
+def test_resume_escalates_out_token_in_group_without_data_loss(
+        spark, tmp_path):
+    """A PRE-fix writer crashed mid-overwrite of the corner above:
+    the intent's out token is one of the group's own levels and the
+    level is TORN (duplicate rows in a wrong-cluster dir). The resume
+    must treat the surviving out-token dirs as SOURCE (rebuild from
+    all surviving group dirs including them, write before any delete)
+    — the old code deleted them first and lost every id unique to the
+    level."""
+    import glob as _glob
+    import json
+
+    eng, apath, cmp_tok, dup_tok = _census_collision_setup(
+        spark, str(tmp_path / "wh"))
+    croot = os.path.join(apath, "codes")
+    # simulate the pre-fix torn overwrite: duplicate one cluster's cmp
+    # parquet file into ANOTHER cluster's cmp dir (same ids, wrong
+    # cluster — the re-assignment symptom), so the census mismatches
+    cmp_dirs = sorted(_glob.glob(f"{croot}/cluster=*/__abatch={cmp_tok}"))
+    assert len(cmp_dirs) >= 2, "premise needs two clusters"
+    src_files = [f for f in os.listdir(cmp_dirs[0])
+                 if f.endswith(".parquet")]
+    shutil.copyfile(os.path.join(cmp_dirs[0], src_files[0]),
+                    os.path.join(cmp_dirs[1], "torn-" + src_files[0]))
+    ipath = eng._ann_intent_path("vx", "cx")
+    eng.fs.write_text(ipath, json.dumps(
+        {"op": "compact",
+         "pending": {"kind": "pq", "group": sorted([cmp_tok, dup_tok]),
+                     "out": cmp_tok}}))
+    eng.compact_vector_index("vx", "cx", small_bytes=None)
+    ids = _stored_ids(spark, apath, "ivfpq")
+    assert len(ids) == len(set(ids)), "torn duplicate survived"
+    assert set(ids) == set(range(N_BASE)) | {999_990, 999_991, 999_992}, \
+        "resume lost ids unique to the out-token level"
+    assert not eng.fs.isfile(ipath)

@@ -992,3 +992,35 @@ def test_oid_bucket_prune_skips_cross_family_literals(spark, tmp_path):
                   eng.find("s", oids=[1], date="~").collect()) == [1, 2]
     assert [r["v"] for r in
             eng.find("s", oids=["10"], date="~").collect()] == [4]
+
+
+def test_sql_user_view_created_after_autoview_wins(spark, tmp_path):
+    """A temp view the user creates AFTER sql() already auto-registered
+    the cube name must win from then on — the old name-set registry
+    skipped the tableExists guard once a name was registered and
+    silently clobbered it."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    df = spark.createDataFrame([(i, i) for i in range(4)],
+                               "oid long, x long")
+    eng.upsert("latecube", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    # first sql() registers the autoview
+    assert eng.sql(
+        "select count(*) as n from latecube").first()["n"] == 4
+    # the user NOW shadows the name directly on the session
+    spark.createDataFrame([(1,)], "u long").createOrReplaceTempView(
+        "latecube")
+    try:
+        assert eng.sql(
+            "select count(*) as n from latecube").first()["n"] == 1
+        # and it keeps winning on subsequent calls
+        assert eng.sql(
+            "select count(*) as n from latecube").first()["n"] == 1
+    finally:
+        spark.catalog.dropTempView("latecube")
+    # gone again: the cube resolves (and refreshes) once more
+    assert eng.sql(
+        "select count(*) as n from latecube").first()["n"] == 4
