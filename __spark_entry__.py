@@ -659,6 +659,59 @@ def upsert_rebucket_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_rebucket_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED doubling migrations value-checked through the gate —
+    reading through a TRIPLE-modulus cube: batch 1 lands at 4
+    oid-buckets, the 4→8 doubling starts and partially drains (one
+    bounded step), then the 8→16 doubling starts WHILE the first still
+    has old-modulus directories (per-directory modulus stamps in the
+    segmented manifest make the blocks independent —
+    engine._rebucket_start_incremental), batch 2 merges against the
+    mixed 4/8/16 state (the migration-aware merge resolves hit
+    directories per vintage, one hash job for all three moduli —
+    engine._migration_hit_dirs), and one more bounded step drains a
+    little further, deliberately leaving all three moduli live. The
+    full-history read — point lookups union-prune under every modulus
+    present (3-moduli PartitionFilters pin in
+    tests/test_rebucket_incremental.py; chained fault sweep in
+    tests/test_fault_injection.py) — must equal the pure 2-way merge
+    oracle EXACTLY. At 100 TB this is 16→1024 as six overlapping
+    background drains instead of six fully-sequential windows."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    wh = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                      "rebucket_chain_" + os.path.basename(
+                          os.path.normpath(sf_dir)))
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    if eng.exists("state"):
+        eng.drop("state")
+    eng.upsert("state", latest_state(ev.where(F.col("ts") < cut)),
+               stamped=True)
+    eng.rebucket("state", 8, incremental=True)
+    eng.rebucket_step("state", max_dirs=1)   # some dirs now at 8
+    eng.rebucket("state", 16, incremental=True)  # chained: 4+8 pending
+    eng.upsert("state", latest_state(ev.where(F.col("ts") >= cut)),
+               stamped=True)
+    eng.rebucket_step("state", max_dirs=1)   # still triple-modulus
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def mql_oid_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MQL-STRING point lookup through the full on-disk engine (the
     reference's own idiom, ``find(query='_oid in [...]')``,
@@ -2329,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_zorder_disk": upsert_zorder_disk,
         "upsert_rebucket_disk": upsert_rebucket_disk,
         "upsert_rebucket_incr": upsert_rebucket_incr,
+        "upsert_rebucket_chain": upsert_rebucket_chain,
         "mql_oid_pointlookup": mql_oid_pointlookup,
         "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
@@ -2400,7 +2454,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_incremental": dedup_incremental,
         "dedup_substring_windows": dedup_substring_windows,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
+        # the SimHash family's gate entry is the md5-signature twin
+        # below — bit-for-bit reproducible in DuckDB, so it carries a
+        # FULL value oracle. The xxhash64-signature variant
+        # (dedup_simhash_pairs above in this module) stays the
+        # production default in the library with pinned unit tests
+        # (tests/test_dedup.py), but has no cross-engine twin by
+        # construction and is deliberately NOT a gate entry: every
+        # gate/sweep entry should be value-checked, not rows-only.
         "dedup_simhash_md5_pairs": dedup_simhash_md5_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -2777,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_zorder_disk": _UPSERT_3WAY_ORACLE,
         "upsert_rebucket_disk": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_rebucket_incr": _UPSERT_SNAPSHOT_ORACLE,
+        "upsert_rebucket_chain": _UPSERT_SNAPSHOT_ORACLE,
         "mql_oid_pointlookup": f"""
             SELECT * FROM ({_UPSERT_SNAPSHOT_ORACLE})
             WHERE _oid IN (1, 7, 11)

@@ -274,6 +274,14 @@ class Engine:
         # (see _merged_stats) so the walk is paid once per dir EVER,
         # not once per compaction trigger.
         self._du_cache: dict[str, int] = {}
+        # parsed manifest SEGMENT files (format-4 cubes), keyed by full
+        # path. Sound to cache: a segment file is immutable once the
+        # root referencing it commits (writers only ever create new
+        # gen-scoped segment files; a crashed writer's overwrite of its
+        # own uncommitted file is invisible — no committed root ever
+        # referenced it). Entries are dropped when the segment sweep
+        # retires the file.
+        self._seg_cache: dict[str, dict] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -381,6 +389,31 @@ class Engine:
             df = df.withColumn("_current",
                                F.col("_current").cast("boolean"))
         return df
+
+    def _migration_hit_dirs(self, incoming: DataFrame, meta: dict,
+                            buckets: int, dirs,
+                            current_only: bool) -> set[str]:
+        """The manifest directories a merge/import must read-and-drop
+        for ``incoming``'s oids during in-flight doubling migration(s):
+        an oid's rows live in a directory at modulus ``m`` only where
+        ``__obucket = hash % m`` — resolved per DIRECTORY vintage from
+        the per-dir modulus blocks (a value-level predicate cannot tell
+        vintages apart). One tiny Spark job computes the hit bucket
+        values under EVERY live modulus at once — chained doublings
+        (3+ moduli) cost the same single job. Caller must have
+        checkpointed ``incoming`` first."""
+        blocks = meta.get("migration") or []
+        mods = [buckets] + [b["from"] for b in blocks]
+        sel = [self._obucket(m).alias(f"__b{i}")
+               for i, m in enumerate(mods)]
+        hitrows = incoming.select(*sel).distinct().collect()
+        hit = {m: {f"__obucket={r[f'__b{i}']}" for r in hitrows}
+               for i, m in enumerate(mods)}
+        dmod = {d: b["from"] for b in blocks for d in b["old_dirs"]}
+        return {d for d in dirs
+                if (not current_only or d.startswith("_current=true"))
+                and "/__obucket=" in d
+                and d.split("/")[1] in hit[dmod.get(d, buckets)]}
 
     def _prune_by_end_stats(self, meta: dict, dirs: list,
                             min_end: str | None,
@@ -1381,14 +1414,16 @@ class Engine:
     # Highest layout semantics this engine version understands. A
     # sidecar's ``min_format`` field names the semantics an engine MUST
     # implement to read or write the cube without corrupting it —
-    # ``rebucket`` stamps 3 (manifest-first bucket counts; incremental
-    # migrations add mixed-modulus pruning), so any later engine that
-    # resolves the count sidecar-only, or prunes under a single modulus
-    # mid-migration, refuses loud here instead of merging with the wrong
-    # modulus. (Engines that PREDATE the field can't be fenced
-    # retroactively — the post-flip sidecar count rewrite shrinks their
-    # stale window; see rebucket.)
-    _SUPPORTED_LAYOUT_FORMAT = 3
+    # ``rebucket`` stamped 3 (manifest-first bucket counts; incremental
+    # migrations add mixed-modulus pruning); 4 adds the SEGMENTED
+    # manifest (root pointer → per-bucket-range segment files, written
+    # by every commit to a bucketed cube) and per-directory modulus
+    # stamps (chained doubling migrations) — an engine that only reads
+    # monolithic manifests, or prunes under at most two moduli, refuses
+    # loud here instead of misreading the cube. (Engines that PREDATE
+    # the field can't be fenced retroactively — the post-flip sidecar
+    # count rewrite shrinks their stale window; see rebucket.)
+    _SUPPORTED_LAYOUT_FORMAT = 4
 
     def _cube_layout(self, path: str) -> dict | None:
         """The cube's recorded layout sidecar (oid-bucket count + time
@@ -1459,31 +1494,39 @@ class Engine:
         proper error).
 
         The moduli list is what a point-lookup prune must UNION over:
-        normally just the count itself; during an in-flight doubling
-        migration the FROM modulus joins it — an old-modulus directory
-        ``__obucket=v`` holds oids with ``hash % N == v`` and a
-        migrated one holds ``hash % 2N == v``, so keeping every
-        directory whose value is in {hash % N, hash % 2N} is sound
-        whichever vintage the directory is (no per-directory modulus
-        lookup needed at prune time)."""
+        normally just the count itself; during in-flight doubling
+        migration(s) every FROM modulus joins it — a directory at
+        modulus ``m`` with value ``__obucket=v`` holds oids with
+        ``hash % m == v``, so keeping every directory whose value is in
+        ``{hash % m : m in moduli}`` is sound whichever vintage the
+        directory is (no per-directory modulus lookup needed at prune
+        time) — including CHAINED doublings, where three or more moduli
+        coexist until the oldest block drains."""
         meta = self._manifest(path)
         sidecar = layout.get("oid_buckets") if layout else None
         if meta is None:
             return sidecar, [sidecar] if sidecar else []
         if generation is None or generation == meta["gen"]:
-            buckets, mig = (self._live_buckets(meta, layout),
-                            meta.get("migration"))
+            buckets = self._live_buckets(meta, layout)
+            mods = {b["from"] for b in (meta.get("migration") or [])}
         else:
             for h in meta.get("history", []):
                 if h["gen"] == generation:
-                    buckets, mig = (h.get("oid_buckets", sidecar),
-                                    h.get("migration"))
+                    buckets = h.get("oid_buckets", sidecar)
+                    if "moduli" in h:
+                        mods = set(h["moduli"])
+                    else:
+                        # pre-blocks history entries recorded the whole
+                        # migration dict (single doubling)
+                        legacy = h.get("migration")
+                        if isinstance(legacy, dict):
+                            legacy = [legacy]
+                        mods = {b["from"] for b in (legacy or [])}
                     break
             else:
                 return None, []
         moduli = [buckets] if buckets else []
-        if mig is not None and mig.get("from") and mig["from"] != buckets:
-            moduli.append(mig["from"])
+        moduli += sorted(m for m in mods if m and m != buckets)
         return buckets, moduli
 
     def _session_tz(self) -> str:
@@ -1530,6 +1573,10 @@ class Engine:
         # was committed by the data write itself and must be ADOPTED on
         # the next write, never retried-as-new (which would sweep it).
         meta: dict = {"oid_buckets": buckets, "format": 2}
+        if buckets:
+            # bucketed cubes commit SEGMENTED manifests from the first
+            # write: fence engines that only read monolithic ones
+            meta["min_format"] = self._SUPPORTED_LAYOUT_FORMAT
         if timepart:
             meta["time_partition"] = timepart
             meta["time_zone"] = self._session_tz()
@@ -1596,6 +1643,10 @@ class Engine:
                 # legacy / premanifest: the listing IS the data
                 return
             self._sweep_unreferenced(path, self._retained_dirs(meta))
+            root = self._manifest_root(path)
+            if root is not None and "segs" in root:
+                # manifest segment files stranded by crashed commits
+                self._sweep_segments(path, root)
 
     def describe(self, cube: str) -> dict:
         """Zero-scan storage-health report from manifest/sidecar state
@@ -1616,15 +1667,59 @@ class Engine:
         from metrique_spark.compaction import tier_groups
 
         path = self._path(cube)
-        state, meta, _ = self._cube_state(path)
+        root = (self._manifest_root(path) if self.fs.isdir(path)
+                else None)
         layout = self._cube_layout(path) or {}
         out: dict = {
             "cube": cube,
-            "state": state,
             "layout": {k: layout[k]
                        for k in ("oid_buckets", "time_partition",
                                  "keep_generations") if k in layout},
         }
+        rollup = (root or {}).get("rollup")
+        if (root is not None and root.get("format", 0) >= 4
+                and rollup is not None and "token_bytes" in rollup):
+            # ROOT-ONLY fast path (format 4): every scalar below was
+            # rolled up at commit time, so describe costs one small
+            # JSON parse — O(segment refs), never O(dirs) — at any
+            # cube size; tier recommendation is evaluated against the
+            # READER's threshold from the per-token byte rollup.
+            tok = rollup["token_bytes"]
+            groups = tier_groups(tok, self.compact_small_bytes)
+            out.update({
+                "state": "manifest",
+                "generation": root["gen"],
+                "oid_buckets": root.get(
+                    "oid_buckets", layout.get("oid_buckets")),
+                "retained_generations": [h["gen"] for h in
+                                         root.get("history", [])],
+                "open_dirs": rollup["open_dirs"],
+                "closed_dirs": rollup["closed_dirs"],
+                "history_tokens": dict(sorted(tok.items(),
+                                              key=lambda kv: -kv[1])),
+                "history_bytes": sum(tok.values()),
+                "small_tokens": sum(s <= self.compact_small_bytes
+                                    for s in tok.values()),
+                "compact_recommended": bool(groups),
+                "indexes": self.vector_index_list(cube),
+            })
+            if "rows" in rollup:
+                out["rows_total"] = rollup["rows"]
+                out["rows_open"] = rollup["rows_open"]
+            if rollup.get("migration") is not None:
+                out["migration"] = rollup["migration"]
+            if "max_bucket_bytes" in rollup:
+                out["max_bucket_bytes"] = rollup["max_bucket_bytes"]
+                if "migration" not in out:
+                    out["rebucket_recommended"] = (
+                        rollup["max_bucket_bytes"]
+                        > 4 * self.compact_small_bytes)
+                # mid-migration the runbook action is already in
+                # progress (and old/new vintages sharing a bucket VALUE
+                # are different buckets) — no recommendation
+            return out
+        state, meta, _ = self._cube_state(path)
+        out["state"] = state
         if meta is None:
             return out
         tok = self._history_token_sizes(path, meta)
@@ -1648,16 +1743,16 @@ class Engine:
             "compact_recommended": bool(groups),
             "indexes": self.vector_index_list(cube),
         })
-        if meta.get("migration") is not None:
-            # in-flight doubling migration: how much is left, from
+        sizes = (meta.get("stats") or {}).get("bytes") or {}
+        blocks = meta.get("migration") or []
+        stamped = {d for b in blocks for d in b["old_dirs"]}
+        if blocks:
+            # in-flight doubling migration(s): how much is left, from
             # manifest state alone (rebucket_step drains it)
-            mig = meta["migration"]
-            sizes = (meta.get("stats") or {}).get("bytes") or {}
             out["migration"] = {
-                "from": mig["from"],
-                "pending_dirs": len(mig["old_dirs"]),
-                "pending_bytes": sum(sizes.get(d, 0)
-                                     for d in mig["old_dirs"]),
+                "from": sorted({b["from"] for b in blocks}),
+                "pending_dirs": len(stamped),
+                "pending_bytes": sum(sizes.get(d, 0) for d in stamped),
             }
         rows = (meta.get("stats") or {}).get("rows") or {}
         if all(d in rows for d in meta["dirs"]):
@@ -1667,10 +1762,12 @@ class Engine:
                 rows[d] for d in meta["dirs"]
                 if d.startswith("_current=true"))
             out["rows_total"] = sum(rows[d] for d in meta["dirs"])
-        sizes = (meta.get("stats") or {}).get("bytes") or {}
         buckets: dict[str, int] = {}
+        live = set(meta["dirs"])
         for d, b in sizes.items():
-            if d not in set(meta["dirs"]):
+            if d not in live or d in stamped:
+                # old-modulus (stamped) dirs excluded: two vintages
+                # sharing a bucket VALUE are different buckets
                 continue
             seg = next((s for s in d.split("/")
                         if s.startswith("__obucket=")), None)
@@ -1682,8 +1779,12 @@ class Engine:
             # rewrite per commit (~4x the compact threshold here), the
             # cube has outgrown its first-write count — rebucket()
             out["max_bucket_bytes"] = max(buckets.values())
-            out["rebucket_recommended"] = (
-                out["max_bucket_bytes"] > 4 * self.compact_small_bytes)
+            if not blocks:
+                # mid-migration the runbook action is in progress —
+                # no recommendation
+                out["rebucket_recommended"] = (
+                    out["max_bucket_bytes"]
+                    > 4 * self.compact_small_bytes)
         return out
 
     def set_retention(self, cube: str, keep_generations: int) -> None:
@@ -1779,7 +1880,7 @@ class Engine:
                     "generation-manifested cube")
             layout = self._cube_layout(path) or {}
             if (self._live_buckets(meta, layout) == oid_buckets
-                    and meta.get("migration") is None):
+                    and not meta.get("migration")):
                 # converge the sidecar too: a crash between a prior
                 # rebucket's flip and its sidecar sync leaves the
                 # first-write count in place — re-running heals it.
@@ -1878,14 +1979,20 @@ class Engine:
                                     oid_buckets: int) -> None:
         """Start a doubling migration (``rebucket(incremental=True)``):
         one METADATA-ONLY commit — the manifest's live count becomes
-        ``2N`` and a ``migration`` block records the old modulus plus
-        every directory still bucketed under it; zero bytes of data
-        move. The sidecar gains the ``min_format`` fence immediately
-        (its COUNT stays at the old value until completion — no single
-        sidecar number can describe a mixed-modulus cube, and the
-        manifest is authoritative throughout)."""
-        import json
-
+        ``2N`` and every directory still at the old modulus gets a
+        per-directory modulus STAMP in the segmented manifest; zero
+        bytes of data move. Doublings CHAIN: starting another one
+        mid-migration is legal — directories already stamped keep
+        their (older) modulus, the rest get stamped at the
+        pre-doubling live count, and reads union-prune under every
+        modulus present (``_buckets_for_read``), so growing 16 → 1024
+        is six starts whose drains overlap freely instead of six
+        fully-sequential windows. The sidecar's ``min_format`` fence
+        is written by the flip BEFORE the CAS (a crash between the two
+        leaves an over-fenced, uncorrupted cube — the safe direction);
+        its COUNT stays at the first-write value until completion — no
+        single sidecar number can describe a mixed-modulus cube, and
+        the manifest is authoritative throughout."""
         with self._write_lock(cube):
             path = self._path(cube)
             state, meta, raw = self._cube_state(path)
@@ -1897,18 +2004,14 @@ class Engine:
                     "generation-manifested cube")
             layout = self._cube_layout(path) or {}
             cur = self._live_buckets(meta, layout)
-            mig = meta.get("migration")
-            if mig is not None:
-                if cur == oid_buckets:
-                    return  # already migrating to this target
-                raise ValueError(
-                    f"cube {cube!r} is mid-migration to {cur} buckets "
-                    f"(from {mig['from']}) — finish it (rebucket_step) "
-                    "or run a full rebucket before starting another")
+            blocks = meta.get("migration") or []
             if cur == oid_buckets:
-                self._sync_layout_after_rebucket(path, layout,
-                                                 oid_buckets)
-                return
+                if not blocks:
+                    # converge the sidecar (idempotent restart after a
+                    # completed migration whose sync crashed)
+                    self._sync_layout_after_rebucket(path, layout,
+                                                     oid_buckets)
+                return  # already at / already migrating to this target
             if not cur:
                 raise ValueError(
                     f"cube {cube!r} is unbucketed — incremental "
@@ -1918,10 +2021,12 @@ class Engine:
                 raise ValueError(
                     f"incremental rebucket supports DOUBLING only "
                     f"({cur} -> {2 * cur}); got target {oid_buckets}. "
-                    "Chain doublings, or use a full rebucket")
+                    "Chain doublings (each start is metadata-only and "
+                    "they drain concurrently), or use a full rebucket")
+            stamped = {d for b in blocks for d in b["old_dirs"]}
             old_dirs = sorted(d for d in meta["dirs"]
-                              if "/__obucket=" in d)
-            if not old_dirs:
+                              if "/__obucket=" in d and d not in stamped)
+            if not old_dirs and not blocks:
                 raise RuntimeError(
                     f"cube {cube!r} has no bucketed directories to "
                     "migrate — layout/manifest disagree")
@@ -1935,18 +2040,8 @@ class Engine:
                                          hist, path=path),
                 schema=meta.get("schema"),
                 oid_buckets=oid_buckets,
-                migration={"from": cur, "old_dirs": old_dirs})
-            # fence now: any fence-aware engine too old for
-            # mixed-modulus semantics must refuse the cube from this
-            # commit on (the count itself is still the old value —
-            # see the docstring)
-            if (layout.get("min_format", 0)
-                    < self._SUPPORTED_LAYOUT_FORMAT):
-                out = dict(layout)
-                out["min_format"] = self._SUPPORTED_LAYOUT_FORMAT
-                self.fs.write_text(
-                    self.fs.join(path, self._LAYOUT_SIDECAR),
-                    json.dumps(out))
+                migration=({"from": cur, "old_dirs": old_dirs}
+                           if old_dirs else Engine._CARRY))
 
     def rebucket_step(self, cube: str, max_bytes: int | None = None,
                       max_dirs: int | None = None) -> dict:
@@ -1973,10 +2068,10 @@ class Engine:
             if state != "manifest":
                 raise ValueError(
                     f"cube {cube!r} is {state} — no migration to step")
-            mig = meta.get("migration")
+            blocks = meta.get("migration") or []
             layout = self._cube_layout(path) or {}
             buckets = self._live_buckets(meta, layout)
-            if mig is None:
+            if not blocks:
                 if (isinstance(buckets, int)
                         and layout.get("oid_buckets") != buckets):
                     # converge the sidecar: a crash between the
@@ -1992,7 +2087,12 @@ class Engine:
                                            layout=layout)
             sizes = (meta.get("stats") or {}).get("bytes") or {}
             live = set(meta["dirs"])
-            pending = [d for d in mig["old_dirs"] if d in live]
+            # oldest modulus first: draining the oldest block shrinks
+            # the union-prune's moduli set soonest under chained
+            # doublings (any order is correct — every rewrite lands at
+            # the LIVE modulus)
+            pending = [d for b in blocks for d in b["old_dirs"]
+                       if d in live]
             if not pending:
                 # defensive: the carry rule drops the migration block
                 # when old_dirs empties, so this state needs a
@@ -2055,7 +2155,8 @@ class Engine:
             self._sweep_unreferenced(
                 path, dirs | {d for h in hist for d in h["dirs"]})
             self._auto_refresh_indexes(cube)
-            remaining = len(set(mig["old_dirs"]) & dirs)
+            remaining = len({d for b in blocks
+                             for d in b["old_dirs"]} & dirs)
             return {"migrated_dirs": len(chunk), "migrated_bytes": used,
                     "remaining_dirs": remaining,
                     "done": remaining == 0}
@@ -2079,28 +2180,177 @@ class Engine:
     # next successful commit.
 
     _MANIFEST_SIDECAR = "_manifest.json"
+    # Segmented manifest (format 4, bucketed cubes): the root sidecar
+    # stays the single CAS commit point but holds only the generation,
+    # rolled-up stats, and REFERENCES into ``_manifest_seg/`` — one
+    # immutable JSON segment per oid-bucket RANGE carrying that range's
+    # directory list, per-directory stats, and per-directory old-modulus
+    # stamps. A commit serializes only the segments whose content
+    # changed (unchanged ranges carry forward by filename reference,
+    # like data directories), so per-commit manifest bytes are
+    # O(touched buckets), not O(cube) — the monolithic manifest was the
+    # one measured super-linear per-commit cost at 100 TB directory
+    # counts (tens of MB re-serialized per 2-row trickle commit).
+    # Retained generations reference THEIR segment files; the
+    # post-flip segment sweep deletes only files no retained root
+    # references. Segment files are immutable once their root commits,
+    # so parses are cached per filename.
+    _MANIFEST_SEGDIR = "_manifest_seg"
+    _SEG_SPAN = 64  # oid-bucket values per segment file
 
     def _manifest_raw(self, path: str) -> str | None:
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         return self.fs.read_text(p) if self.fs.isfile(p) else None
 
-    def _manifest(self, path: str) -> dict | None:
+    def _manifest_root(self, path: str,
+                       raw: str | None = None) -> dict | None:
+        """Parse (only) the manifest ROOT sidecar — O(segments), not
+        O(dirs): enough for describe()/metadata-count rollups and the
+        CAS protocol. ``_manifest`` assembles the full legacy-shaped
+        dict from it."""
         import json
 
-        raw = self._manifest_raw(path)
+        if raw is None:
+            raw = self._manifest_raw(path)
         if raw is None:
             return None
         try:
-            meta = json.loads(raw)
+            root = json.loads(raw)
         except ValueError as e:
             raise RuntimeError(
                 f"unreadable cube manifest {path!r}/_manifest.json: {e} — "
                 "refusing to fall back to a listing read") from e
-        if not isinstance(meta, dict) or "dirs" not in meta:
+        if not isinstance(root, dict) or (
+                "dirs" not in root and "segs" not in root):
             raise RuntimeError(
                 f"malformed cube manifest in {path!r} — refusing to fall "
                 "back to a listing read")
+        return root
+
+    @classmethod
+    def _seg_key(cls, rel: str) -> str:
+        """The manifest segment a directory belongs to: its oid-bucket
+        VALUE range (``b{value // span}``) — the same key whatever the
+        directory's modulus vintage, so a point lookup's pruned bucket
+        values name exactly the segments worth loading. Unbucketed
+        directories share the ``m`` segment."""
+        i = rel.find("/__obucket=")
+        if i < 0:
+            return "m"
+        v = rel[i + 11:].split("/", 1)[0]
+        try:
+            return f"b{int(v) // cls._SEG_SPAN:05d}"
+        except ValueError:
+            return "m"
+
+    def _load_segment(self, path: str, fname: str) -> dict:
+        full = self.fs.join(path, self._MANIFEST_SEGDIR, fname)
+        seg = self._seg_cache.get(full)
+        if seg is None:
+            import json
+
+            seg = json.loads(self.fs.read_text(full))
+            self._seg_cache[full] = seg
+        return seg
+
+    def _assemble(self, path: str, root: dict) -> dict:
+        """The legacy-shaped manifest dict every consumer reads —
+        ``{gen, dirs, stats, schema, oid_buckets, history, migration}``
+        — assembled from a segmented root (or passed through for a
+        pre-segmentation monolithic one, with the single-block
+        ``migration`` dict normalized to the blocks list). Wall-clock
+        stats (``max_end``/``min_start``) are taken only from segments
+        recorded under the root's commit timezone — same skipped-not-
+        wrong contract as the monolithic ``stats.tz``; byte/row stats
+        are tz-independent and always fold. ``migration`` assembles
+        from the per-directory modulus stamps into per-modulus blocks
+        ``[{"from": N, "old_dirs": [...]}, ...]`` (oldest modulus
+        first) — the shape every merge/drain path consumes."""
+        if root.get("format", 0) < 4:
+            meta = dict(root)
+            mig = meta.get("migration")
+            if isinstance(mig, dict):
+                meta["migration"] = [mig]
+            return meta
+        tz = root.get("tz")
+        dirs: list[str] = []
+        me: dict = {}
+        ms: dict = {}
+        by: dict = {}
+        rw: dict = {}
+        stamps: dict[str, int] = {}
+
+        def fold(segrefs: dict, live: bool) -> list[str]:
+            got: list[str] = []
+            for key in sorted(segrefs):
+                seg = self._load_segment(path, segrefs[key])
+                got.extend(seg["dirs"])
+                if live:
+                    for d, m in (seg.get("moduli") or {}).items():
+                        stamps[d] = m
+                st = seg.get("stats") or {}
+                if st.get("tz") == tz:
+                    for d, v in (st.get("max_end") or {}).items():
+                        me.setdefault(d, v)
+                    for d, v in (st.get("min_start") or {}).items():
+                        ms.setdefault(d, v)
+                for d, v in (st.get("bytes") or {}).items():
+                    by.setdefault(d, v)
+                for d, v in (st.get("rows") or {}).items():
+                    rw.setdefault(d, v)
+            return got
+
+        dirs = fold(root.get("segs") or {}, live=True)
+        meta: dict = {"gen": root["gen"], "format": 4,
+                      "dirs": sorted(dirs)}
+        hist_out: list[dict] = []
+        for h in root.get("history", []):
+            e = {k: h[k] for k in ("gen", "oid_buckets", "moduli",
+                                   "schema") if k in h}
+            e["dirs"] = (h["dirs"] if "dirs" in h
+                         else sorted(fold(h.get("segs") or {},
+                                          live=False)))
+            hist_out.append(e)
+        if hist_out:
+            meta["history"] = hist_out
+        if me or ms or by or rw:
+            st_out: dict = {"tz": tz, "max_end": me, "min_start": ms}
+            if by:
+                st_out["bytes"] = by
+            if rw:
+                st_out["rows"] = rw
+            meta["stats"] = st_out
+        if "schema" in root:
+            meta["schema"] = root["schema"]
+        if "oid_buckets" in root:
+            meta["oid_buckets"] = root["oid_buckets"]
+        if "rollup" in root:
+            meta["rollup"] = root["rollup"]
+        if stamps:
+            by_mod: dict[int, list[str]] = {}
+            for d, m in stamps.items():
+                by_mod.setdefault(m, []).append(d)
+            meta["migration"] = [
+                {"from": m, "old_dirs": sorted(ds)}
+                for m, ds in sorted(by_mod.items())]
         return meta
+
+    def _manifest(self, path: str) -> dict | None:
+        for attempt in (0, 1):
+            root = self._manifest_root(path)
+            if root is None:
+                return None
+            try:
+                return self._assemble(path, root)
+            except (FileNotFoundError, OSError) as e:
+                # the swept-SEGMENT race: a concurrent commit retired
+                # segment files our root resolution referenced —
+                # re-resolve once from the fresh pointer (same contract
+                # as the swept data-directory retry in _read_raw)
+                if attempt:
+                    raise RuntimeError(
+                        f"cube manifest at {path!r} references missing "
+                        f"segment files: {e} — torn manifest") from e
 
     def _push_history(self, meta: dict | None, keep: int) -> list[dict]:
         """History entries for the NEXT manifest: the superseded current
@@ -2117,11 +2367,14 @@ class Engine:
             # must prune with the modulus its directories were hashed
             # under, not the live one
             cur["oid_buckets"] = meta["oid_buckets"]
-        if meta.get("migration") is not None:
-            # mid-migration generations keep their migration state too:
-            # a time-travel point lookup of a mixed-modulus snapshot
-            # must union-prune under BOTH moduli (see _prune_moduli)
-            cur["migration"] = meta["migration"]
+        if meta.get("migration"):
+            # mid-migration generations keep their moduli SET: a
+            # time-travel point lookup of a mixed-modulus snapshot must
+            # union-prune under every modulus its directories were
+            # hashed under (the old_dirs lists themselves are not
+            # needed for reads — only the moduli)
+            cur["moduli"] = sorted({b["from"]
+                                    for b in meta["migration"]})
         if meta.get("schema") is not None:
             # each retained generation keeps ITS OWN read schema: after a
             # schema evolution, a time-travel read of an old snapshot
@@ -2223,6 +2476,20 @@ class Engine:
         text read at operation start — under the writer lease this only
         fails if a TTL-expired zombie writer raced us; fail loud.
 
+        Bucketed cubes commit the SEGMENTED layout (format 4): the
+        directory list and per-directory stats are re-grouped into
+        per-bucket-range segment files, only segments whose content
+        changed are serialized (to fresh gen-scoped filenames — a
+        crash-retry of the same generation overwrites the same
+        not-yet-referenced files), unchanged ranges carry forward by
+        filename reference, and the tiny root — generation, segment
+        refs, rolled-up stats — is the CAS payload. Per-commit manifest
+        bytes are therefore O(touched buckets); the root also carries
+        the rollup ``describe()`` and the metadata-only ``count()``
+        answer from without loading any segment. Unbucketed cubes keep
+        the monolithic single-JSON manifest (they have no bucket ranges
+        to segment by, and no migration either).
+
         ``schema`` is the generation's authoritative read schema (data
         columns + directory-encoded partition columns, StructType JSON):
         readers pass it to the parquet scan instead of sampling file
@@ -2230,44 +2497,64 @@ class Engine:
         before a column existed read back as typed nulls instead of the
         footer-picked-at-random roulette — and (b) skips the footer
         schema-merge job entirely at plan time (at 100 TB a listing of a
-        million files never needs a schema-inference pass)."""
+        million files never needs a schema-inference pass).
+
+        ``migration`` carries the in-flight doubling migration(s) as
+        per-directory old-modulus STAMPS (see
+        ``rebucket(incremental=True)``): the default carries every
+        stamped directory that survives into this generation forward —
+        a commit that rewrites an old directory (merge, import,
+        compact, migration step) thereby migrates it, because the
+        rewrite used the live modulus and the vanished relpath drops
+        its stamp; new directories are never stamped. Explicit None
+        clears every stamp (full rebucket); an explicit
+        ``{"from": N, "old_dirs": [...]}`` dict ADDS stamps for a newly
+        started doubling on top of the carried ones (chained
+        migrations). The stamps live in the segment files; the root
+        keeps only the rolled-up moduli/pending summary. When the last
+        stamp drains, the migration is complete and the layout sidecar
+        count converges (post-CAS, best-effort — the manifest stays
+        authoritative)."""
         import json
 
-        body: dict = {"gen": gen, "dirs": sorted(dirs)}
-        if history:
-            body["history"] = history
-        if stats:
-            body["stats"] = stats
-        if schema is not None:
-            body["schema"] = schema
+        prior_root = json.loads(old_raw) if old_raw else {}
+        prior = self._assemble(path, prior_root) if old_raw else {}
         # the generation's authoritative oid-bucket count: ``rebucket``
         # sets it explicitly (atomically with the rewritten dirs — the
         # layout sidecar alone can't change in the same write as the
         # data); every other flip carries the prior generation's value
         # forward, so once recorded it never silently reverts to the
         # sidecar default
-        prior = json.loads(old_raw) if old_raw else {}
         if oid_buckets is Engine._CARRY:
             oid_buckets = prior.get("oid_buckets", Engine._CARRY)
+        carried = {d: b["from"] for b in (prior.get("migration") or [])
+                   for d in b["old_dirs"] if d in dirs}
+        if migration is Engine._CARRY:
+            stamps = carried
+        elif migration is None:
+            stamps = {}
+        else:
+            stamps = carried
+            stamps.update({d: migration["from"]
+                           for d in migration["old_dirs"]
+                           if d in dirs and d not in carried})
+        body: dict = {"gen": gen}
         if oid_buckets is not Engine._CARRY:
             body["oid_buckets"] = oid_buckets
-        # in-flight doubling migration (see rebucket(incremental=True)):
-        # ``migration.old_dirs`` names the directories still bucketed
-        # under the OLD modulus. The carry rule makes every commit path
-        # migration-correct for free: old_dirs shrinks to its
-        # intersection with the new generation's dirs (a commit that
-        # rewrites an old directory — merge, import, compact, migration
-        # step — thereby migrates it; new writes always use the live
-        # modulus so old_dirs never grows), and an emptied intersection
-        # completes the migration. Explicit None clears (full rebucket);
-        # an explicit dict starts one.
-        if migration is Engine._CARRY:
-            migration = prior.get("migration")
-        if migration is not None:
-            old_left = sorted(set(migration["old_dirs"]) & set(dirs))
-            if old_left:
-                body["migration"] = {"from": migration["from"],
-                                     "old_dirs": old_left}
+        buckets = (oid_buckets if isinstance(oid_buckets, int)
+                   else self._cube_buckets(path))
+        if buckets:
+            self._flip_build_segmented(path, prior_root, gen, dirs,
+                                       history, stats, schema, stamps,
+                                       body)
+        else:
+            body["dirs"] = sorted(dirs)
+            if history:
+                body["history"] = history
+            if stats:
+                body["stats"] = stats
+            if schema is not None:
+                body["schema"] = schema
         new = json.dumps(body)
         p = self.fs.join(path, self._MANIFEST_SIDECAR)
         if old_raw is None:
@@ -2284,8 +2571,11 @@ class Engine:
             raise ConcurrentWriteError(
                 f"cube manifest at {path!r} changed under our writer "
                 "lease — concurrent writer detected, commit aborted")
-        if (prior.get("migration") is not None
-                and "migration" not in body
+        if "segs" in body:
+            # retire segment files no retained root references (this
+            # commit's superseded ones, or strands of crashed attempts)
+            self._sweep_segments(path, body)
+        if (prior.get("migration") and not stamps
                 and isinstance(body.get("oid_buckets"), int)):
             # this commit rewrote the last old-modulus directory: the
             # doubling migration is COMPLETE — converge the layout
@@ -2293,6 +2583,165 @@ class Engine:
             # the full rebucket's sync; the manifest stays authoritative)
             self._sync_layout_after_rebucket(
                 path, self._cube_layout(path) or {}, body["oid_buckets"])
+
+    def _flip_build_segmented(self, path: str, prior_root: dict,
+                              gen: int, dirs: set[str],
+                              history: list[dict] | None,
+                              stats: dict | None, schema: dict | None,
+                              stamps: dict[str, int],
+                              body: dict) -> None:
+        """Build the format-4 root ``body`` in place and write the
+        changed segment files (BEFORE the CAS — stranded ones are
+        invisible until a root references them and are swept by the
+        next successful commit). Also writes the layout ``min_format``
+        fence FIRST when this flip upgrades a monolithic cube: a crash
+        between fence and flip leaves an over-fenced but uncorrupted
+        cube, the safe failure direction."""
+        import json
+
+        if prior_root.get("format", 0) < 4:
+            lay = self._cube_layout(path)
+            if (lay is not None and lay.get("min_format", 0)
+                    < self._SUPPORTED_LAYOUT_FORMAT):
+                out = dict(lay)
+                out["min_format"] = self._SUPPORTED_LAYOUT_FORMAT
+                self.fs.write_text(
+                    self.fs.join(path, self._LAYOUT_SIDECAR),
+                    json.dumps(out))
+        st = stats or {}
+        tz = st.get("tz") or self._session_tz()
+        per_seg: dict[str, dict] = {}
+        for d in sorted(dirs):
+            per_seg.setdefault(self._seg_key(d),
+                               {"dirs": []})["dirs"].append(d)
+        for k, s in per_seg.items():
+            seg_st: dict = {"tz": tz}
+            for field in ("max_end", "min_start", "bytes", "rows"):
+                src = st.get(field) or {}
+                sub = {d: src[d] for d in s["dirs"] if d in src}
+                if sub:
+                    seg_st[field] = sub
+            if len(seg_st) > 1:
+                s["stats"] = seg_st
+            mod = {d: stamps[d] for d in s["dirs"] if d in stamps}
+            if mod:
+                s["moduli"] = mod
+        prior_segs = prior_root.get("segs") or {}
+        seg_refs: dict[str, str] = {}
+        for k, s in per_seg.items():
+            pf = prior_segs.get(k)
+            if pf is not None and self._load_segment(path, pf) == s:
+                seg_refs[k] = pf  # unchanged range: carry by reference
+                continue
+            fname = f"g{gen:08d}-{k}.json"
+            full = self.fs.join(path, self._MANIFEST_SEGDIR, fname)
+            self.fs.write_text(full, json.dumps(s))
+            # deliberately NOT cached here: the cache invariant is
+            # "only content a committed root references" — caching a
+            # yet-uncommitted write would serve THIS writer's bytes
+            # even if its CAS later loses to a TTL-expired-lease winner
+            # that rewrote the same gen-scoped filename
+            self._seg_cache.pop(full, None)
+            seg_refs[k] = fname
+        body["format"] = 4
+        body["tz"] = tz
+        body["segs"] = seg_refs
+        if schema is not None:
+            body["schema"] = schema
+        hist_out: list[dict] = []
+        for h in history or []:
+            e = {k: h[k] for k in ("gen", "oid_buckets", "moduli",
+                                   "schema") if k in h}
+            if h["gen"] == prior_root.get("gen") and prior_segs:
+                e["segs"] = prior_segs
+            else:
+                for ph in prior_root.get("history", []):
+                    if ph["gen"] == h["gen"] and "segs" in ph:
+                        e["segs"] = ph["segs"]
+                        break
+                else:
+                    # format upgrade / adopted cube: no prior segment
+                    # refs exist for this generation — inline its dirs
+                    e["dirs"] = h["dirs"]
+            hist_out.append(e)
+        if hist_out:
+            body["history"] = hist_out
+        body["rollup"] = self._flip_rollup(dirs, st, stamps)
+
+    def _flip_rollup(self, dirs: set[str], st: dict,
+                     stamps: dict[str, int]) -> dict:
+        """Root-level rolled-up stats, computed once per commit from
+        the merged per-directory stats already in hand: everything
+        ``describe()`` and the metadata-only ``count()`` report, so
+        both answer from the root alone — O(segment refs), not
+        O(dirs) — at any cube size. ``token_bytes`` (per history-batch
+        byte totals, the size-tiered level structure) lets describe
+        evaluate ``tier_groups`` under the READER's threshold; with
+        compaction on its size is O(levels). Per-bucket byte maxima
+        exclude old-modulus (stamped) directories — two vintages
+        sharing a bucket VALUE are different buckets, and summing them
+        would over-trigger ``rebucket_recommended`` mid-migration."""
+        rows_map = st.get("rows") or {}
+        bytes_map = st.get("bytes") or {}
+        open_d = [d for d in dirs if d.startswith("_current=true")]
+        rollup: dict = {"dirs": len(dirs), "open_dirs": len(open_d),
+                        "closed_dirs": len(dirs) - len(open_d)}
+        if dirs and all(d in rows_map for d in dirs):
+            rollup["rows"] = sum(rows_map[d] for d in dirs)
+            rollup["rows_open"] = sum(rows_map[d] for d in open_d)
+        tok: dict[str, int] = {}
+        tok_ok = True
+        for d in dirs:
+            if d.startswith("_current=true"):
+                continue
+            b = bytes_map.get(d)
+            if b is None:
+                tok_ok = False
+                break  # unsized closed dir: no token rollup (fallback)
+            t = self._batch_dir_token(d)
+            tok[t] = tok.get(t, 0) + b
+        if tok_ok:
+            rollup["token_bytes"] = tok
+        bb: dict[str, int] = {}
+        for d in dirs:
+            if d in stamps:
+                continue
+            b = bytes_map.get(d)
+            if b is None:
+                continue
+            i = d.find("/__obucket=")
+            if i < 0:
+                continue
+            seg = d[i + 1:].split("/", 1)[0]
+            bb[seg] = bb.get(seg, 0) + b
+        if bb:
+            rollup["max_bucket_bytes"] = max(bb.values())
+        if stamps:
+            rollup["migration"] = {
+                "from": sorted(set(stamps.values())),
+                "pending_dirs": len(stamps),
+                "pending_bytes": sum(bytes_map.get(d, 0)
+                                     for d in stamps)}
+        return rollup
+
+    def _sweep_segments(self, path: str, root: dict) -> None:
+        """Delete manifest segment files the just-committed root (live
+        refs + every retained generation's refs) does not reference.
+        Runs post-CAS under the writer lease; listing the segment dir
+        is safe — readers resolve segments from root refs, never
+        listings, and a reader still holding the superseded root
+        re-resolves once on a missing segment (see ``_manifest``)."""
+        keep = set((root.get("segs") or {}).values())
+        for h in root.get("history", []):
+            keep.update((h.get("segs") or {}).values())
+        segdir = self.fs.join(path, self._MANIFEST_SEGDIR)
+        if not self.fs.isdir(segdir):
+            return
+        for f in self.fs.listdir(segdir):
+            if f not in keep:
+                full = self.fs.join(segdir, f)
+                self.fs.delete(full)
+                self._seg_cache.pop(full, None)
 
     def _sweep_unreferenced(self, path: str, keep: set[str]) -> None:
         """Delete data directories the live manifest does not reference:
@@ -3167,31 +3616,21 @@ class Engine:
         if autosnap:
             hit_open: set[str] | None = None
             drop_open: set[str] | None = None
-            if meta is not None and buckets and mig is not None:
-                # MIGRATION-AWARE bucket-granular merge: the open rows an
-                # incoming oid can touch live either in a NEW-modulus
-                # open dir (bucket = hash % 2N) or in a not-yet-migrated
-                # OLD-modulus one (bucket = hash % N) — resolve the hit
-                # DIRECTORIES from the manifest relpaths (a value-level
-                # predicate can't tell the vintages apart) and read
-                # exactly the set being dropped. Rewriting under the
-                # live modulus migrates the hit old dirs' open rows as a
-                # side effect — the opportunistic half of the doubling
-                # migration; _manifest_flip's carry rule retires them
-                # from migration.old_dirs automatically.
+            if meta is not None and buckets and mig:
+                # MIGRATION-AWARE bucket-granular merge: the open rows
+                # an incoming oid can touch live in an open dir at ANY
+                # modulus still present (live count, plus each chained
+                # doubling's from-modulus) — resolve the hit
+                # DIRECTORIES per vintage from the manifest blocks and
+                # read exactly the set being dropped. Rewriting under
+                # the live modulus migrates the hit old dirs' open rows
+                # as a side effect — the opportunistic half of the
+                # doubling migration; _manifest_flip's carry rule
+                # retires their stamps automatically.
                 incoming = incoming.localCheckpoint(eager=True)
-                hitrows = (incoming.select(
-                    self._obucket(buckets).alias("b2"),
-                    self._obucket(mig["from"]).alias("b1"))
-                    .distinct().collect())
-                hit2 = {f"__obucket={r['b2']}" for r in hitrows}
-                hit1 = {f"__obucket={r['b1']}" for r in hitrows}
-                old_set = set(mig["old_dirs"])
-                drop_open = {
-                    d for d in meta["dirs"]
-                    if d.startswith("_current=true")
-                    and d.split("/")[1] in (hit1 if d in old_set
-                                            else hit2)}
+                drop_open = self._migration_hit_dirs(
+                    incoming, meta, buckets, meta["dirs"],
+                    current_only=True)
                 if drop_open:
                     pruned = self._read_dirs(path, meta,
                                              sorted(drop_open))
@@ -3387,23 +3826,16 @@ class Engine:
         part_cols = self._partition_keys(buckets, timepart)
         raw = self._read_raw(path)
         mig = meta.get("migration")
-        if buckets and mig is not None:
-            # migration-aware: an incoming oid's stored versions live in
-            # OLD-modulus dirs at hash % N or migrated dirs at
-            # hash % 2N — resolve the replaced DIRECTORIES from the
-            # manifest relpaths and read exactly that set (see the
-            # snapshot merge's migration branch). The rewrite under the
-            # live modulus migrates the hit old dirs as a side effect.
-            hitrows = (incoming.select(
-                self._obucket(buckets).alias("b2"),
-                self._obucket(mig["from"]).alias("b1"))
-                .distinct().collect())
-            hit2 = {f"__obucket={r['b2']}" for r in hitrows}
-            hit1 = {f"__obucket={r['b1']}" for r in hitrows}
-            old_set = set(mig["old_dirs"])
-            replaced_dirs = {
-                d for d in live
-                if d.split("/")[1] in (hit1 if d in old_set else hit2)}
+        if buckets and mig:
+            # migration-aware: an incoming oid's stored versions live
+            # in dirs at ANY modulus still present (chained doublings
+            # included) — resolve the replaced DIRECTORIES per vintage
+            # from the manifest blocks and read exactly that set (see
+            # the snapshot merge's migration branch). The rewrite under
+            # the live modulus migrates the hit old dirs as a side
+            # effect.
+            replaced_dirs = self._migration_hit_dirs(
+                incoming, meta, buckets, live, current_only=False)
             pruned = (self._read_dirs(path, meta, sorted(replaced_dirs))
                       if replaced_dirs else raw.where(F.lit(False)))
         elif buckets:
@@ -3758,9 +4190,18 @@ class Engine:
         path = self._path(cube)
         if not self.fs.isdir(path):
             return None  # the scan path raises the proper error
-        meta = self._manifest(path)
-        if meta is None:
+        root = self._manifest_root(path)
+        if root is None:
             return None
+        if (root.get("format", 0) >= 4
+                and (generation is None or generation == root["gen"])):
+            # ROOT-ONLY fast path: the totals were rolled up at commit
+            # time — a bare count() parses one small JSON whatever the
+            # cube's directory count (no segment loads, no Spark job)
+            r = root.get("rollup") or {}
+            key = "rows_open" if want_open_only else "rows"
+            return r.get(key)  # None when incomplete: fall back to scan
+        meta = self._manifest(path)  # full assembly (swept-seg retry)
         if generation is None or generation == meta["gen"]:
             dirs = meta["dirs"]
         else:

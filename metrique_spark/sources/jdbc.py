@@ -103,3 +103,41 @@ def save_checkpoint(path: str, last_update: str | None = None) -> str:
     with open(path, "w") as fh:
         json.dump({"last_update": last_update}, fh)
     return last_update
+
+
+def read_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Driver-free SQLite source (stdlib ``sqlite3``; no JDBC jar in
+    the runtime): the delta predicate is applied IN the source query —
+    the same pushdown ``spark.read.jdbc`` performs — so the three delta
+    plans (``new_oids_predicate`` / ``changed_oids_predicate`` / full)
+    run end-to-end against a real database file. Sized for the small
+    operational databases the reference's sqldata cubes actually target
+    (its own proxy fixture is a sqlite file,
+    ``reference/tests/test_sqla_proxy.py:173-190``); the read is
+    driver-side by construction — a big JDBC source belongs on
+    ``read_table`` with a real driver and ``partitionColumn`` bounds."""
+    import sqlite3
+
+    import pandas as pd
+
+    q = f"SELECT * FROM {table}"  # noqa: S608 — table from cube config
+    if predicate:
+        q += f" WHERE {predicate}"
+    with sqlite3.connect(db_path) as con:
+        pdf = pd.read_sql_query(q, con)
+        if pdf.empty:
+            # empty delta: pandas can't infer dtypes from zero rows —
+            # take the schema from an unfiltered single-row probe
+            probe = pd.read_sql_query(
+                f"SELECT * FROM {table} LIMIT 1", con)  # noqa: S608
+            if probe.empty:
+                raise ValueError(
+                    f"sqlite table {table!r} is empty — no schema to "
+                    "infer for the delta frame")
+            return spark.createDataFrame(probe).limit(0)
+    return spark.createDataFrame(pdf)

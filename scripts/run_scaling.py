@@ -14,7 +14,16 @@ manifest's own per-directory stats) per op. The claims under test:
 - tiered compaction cost tracks the RECENT trickle, not the cube;
 - point lookup, metadata-only count(), describe(), and the doubling-
   migration START are flat (manifest-read / pruned-scan cost);
-- one bounded ``rebucket_step`` touches O(chunk), not O(cube).
+- one bounded ``rebucket_step`` touches O(chunk), not O(cube);
+- a trickle commit's MANIFEST write cost (root + fresh segment files)
+  is O(touched buckets), not O(cube) — the segmented-manifest claim
+  that replaced the monolithic per-commit rewrite;
+- the headline ANALYTICS ops scale no worse than linearly in their
+  input (wall + task-attributed shuffle/scan bytes recorded per size,
+  via the Spark monitoring REST API): the temporal ``history``
+  prefix-sum plan, MinHash-LSH dedup pairs, session windows, and the
+  stored-IVF ANN probe (whose scan bytes should stay ~FLAT — probes
+  touch nprobe buckets, not the corpus).
 
 Writes ``SCALING.json`` at the repo root; the README table is derived
 from it. Usage: python scripts/run_scaling.py [rows,rows,...]
@@ -52,7 +61,9 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # the monitoring REST API (task-attributed metrics) needs the UI
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "5000")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .appName("metrique-spark-scaling")
@@ -84,7 +95,104 @@ def main() -> None:
         sizes_m = (meta.get("stats") or {}).get("bytes") or {}
         return len(new), sum(sizes_m.get(d, 0) for d in new)
 
-    def measure(n, buckets, small_bytes=256 * 1024 * 1024) -> dict:
+    def seg_listing(eng, cube):
+        segdir = eng.fs.join(eng._path(cube), "_manifest_seg")
+        if not os.path.isdir(segdir):
+            return set()
+        return set(os.listdir(segdir))
+
+    def manifest_commit_bytes(eng, cube, before_segs):
+        """Bytes of manifest THIS commit wrote: the root CAS payload
+        plus every fresh segment file — the per-commit metadata cost
+        the segmented layout bounds at O(touched buckets)."""
+        path = eng._path(cube)
+        segdir = eng.fs.join(path, "_manifest_seg")
+        total = os.path.getsize(os.path.join(path, "_manifest.json"))
+        if os.path.isdir(segdir):
+            for f in os.listdir(segdir):
+                if f not in before_segs:
+                    total += os.path.getsize(os.path.join(segdir, f))
+        return total
+
+    def measure_analytics(eng, wh, n) -> dict:
+        """Wall + task-attributed shuffle/scan bytes for the headline
+        ANALYTICS ops at this size (the storage curve alone doesn't
+        cover them): temporal history, MinHash-LSH dedup, session
+        windows, stored-IVF probe. Synthetic inputs derived from the
+        size, deterministic per run."""
+        from metrique_spark import temporal
+        from metrique_spark.functions import dedup as _dd
+        from metrique_spark.functions import similarity as _sim
+        from metrique_spark.plans.metrics import StageMetricsProbe
+        from metrique_spark.streaming import events as _ev
+
+        probe = StageMetricsProbe(spark)
+        out: dict = {}
+
+        def run(tag, fn):
+            probe.start()
+            t0 = time.monotonic()
+            fn()
+            out[f"{tag}_s"] = round(time.monotonic() - t0, 3)
+            m = probe.finish()
+            out[f"{tag}_task_cpu_s"] = m["task_cpu_s"]
+            out[f"{tag}_scan_bytes"] = m["input_bytes"]
+            out[f"{tag}_shuffle_bytes"] = (m["shuffle_read_bytes"]
+                                           + m["shuffle_write_bytes"])
+
+        # temporal history (prefix-sum plan) over every version of the
+        # scaled cube, 60-point daily spine — expected LINEAR in
+        # versions with shuffle O(spine), never O(versions x spine)
+        spine = spark.sql(
+            "select explode(sequence(to_timestamp('2024-01-01'), "
+            "to_timestamp('2024-02-29'), interval 1 day)) as _date")
+        tbl = eng.table("c")
+        run("hist", lambda: temporal.history(tbl, spine).collect())
+
+        # MinHash-LSH dedup pairs over n/10 synthetic docs (every doc
+        # has exactly one twin by construction) — expected LINEAR
+        docs = (spark.range(n // 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.sha2(((F.col("id") % (n // 20)) * 31 + j)
+                       .cast("string"), 256)
+                for j in range(8)]).alias("text")))
+        run("dedup", lambda: _dd.minhash_dedup_pairs(
+            docs, num_hashes=32).count())
+
+        # session windows over n events / n/100 users — LINEAR, one
+        # shuffle keyed on user
+        ev = (spark.range(n).select(
+            (F.col("id") % (n // 100)).cast("string").alias("user_id"),
+            (F.to_timestamp(F.lit("2024-01-01"))
+             + F.make_interval(
+                 mins=(F.col("id") % 40_000).cast("int"))).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value")))
+        run("sessionize", lambda: _ev.session_stats(ev).count())
+
+        # stored-IVF ANN probe over n/16 vectors at the engine's own
+        # bucket sizing: probes read nprobe buckets, so the probe's
+        # SCAN BYTES should stay ~flat while the corpus grows 64x
+        rows_v = n // 16
+        dim = 16
+        vecs = (spark.range(rows_v).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(((F.col("id") % (13 + 7 * j)) + 1)
+                       / (13 + 7 * j)).cast("double")
+                      for j in range(dim)]).alias("embedding")))
+        ipath = os.path.join(wh, "_ann_scaling")
+        t0 = time.monotonic()
+        _sim.write_ivf_index(vecs, ipath,
+                             nlist=_sim.auto_nlist(rows_v))
+        out["ann_build_s"] = round(time.monotonic() - t0, 3)
+        assigned, centroids = _sim.read_ivf_index(spark, ipath)
+        queries = vecs.where(F.col("vec_id") % (rows_v // 8) == 3)
+        run("ann_probe", lambda: _sim.ivf_topk_indexed(
+            assigned, centroids, queries, 5, 4).count())
+        return out
+
+    def measure(n, buckets, small_bytes=256 * 1024 * 1024,
+                analytics=False) -> dict:
         wh = tempfile.mkdtemp(prefix="mtq_scaling_")
         eng = Engine(spark, warehouse=wh, oid_buckets=buckets,
                      bloom_oid_ndv="auto",
@@ -100,16 +208,28 @@ def main() -> None:
         trickle = []
         for i in range(3):
             before = set(eng._manifest(eng._path("c"))["dirs"])
+            before_segs = seg_listing(eng, "c")
             t0 = time.monotonic()
             eng.upsert("c", delta([i * 7 + 1, n // 2 + i],
                                   f"2024-02-0{i + 1}", i),
                        stamped=True)
             wall = time.monotonic() - t0
             dirs, bts = commit_cost(eng, "c", before)
-            trickle.append((wall, dirs, bts))
-        rec["trickle_s"] = round(min(w for w, _d, _b in trickle), 3)
-        rec["trickle_dirs"] = max(d for _w, d, _b in trickle)
-        rec["trickle_bytes"] = max(b for _w, _d, b in trickle)
+            mbts = manifest_commit_bytes(eng, "c", before_segs)
+            trickle.append((wall, dirs, bts, mbts))
+        rec["trickle_s"] = round(min(w for w, _d, _b, _m in trickle), 3)
+        rec["trickle_dirs"] = max(d for _w, d, _b, _m in trickle)
+        rec["trickle_bytes"] = max(b for _w, _d, b, _m in trickle)
+        rec["trickle_manifest_bytes"] = max(
+            m for _w, _d, _b, m in trickle)
+        # group commit: the same 3 deltas' worth of rows folded into
+        # ONE commit (what the streaming sink's opt-in coalescer does)
+        # — the fixed per-commit overhead is paid once, so effective
+        # commits/s ≈ 3x the per-delta cadence at the same durability
+        t0 = time.monotonic()
+        eng.upsert("c", delta([i * 11 + 2 for i in range(6)],
+                              "2024-02-09", 9), stamped=True)
+        rec["trickle_coalesced3_s"] = round(time.monotonic() - t0, 3)
 
         # tiered compact of the three 2-row closed batches: bytes
         # rewritten must track the TRICKLE, never the cube
@@ -142,12 +262,14 @@ def main() -> None:
         st = eng.rebucket_step("c", max_dirs=2)
         rec["migration_step_s"] = round(time.monotonic() - t0, 3)
         rec["migration_step_bytes"] = st["migrated_bytes"]
+        if analytics:
+            rec.update(measure_analytics(eng, wh, n))
         shutil.rmtree(wh, ignore_errors=True)
         return rec
 
     results, control = [], []
     for n in sizes:
-        rec = measure(n, max(16, n // ROWS_PER_BUCKET))
+        rec = measure(n, max(16, n // ROWS_PER_BUCKET), analytics=True)
         results.append(rec)
         print(json.dumps(rec))
     for n in [s for s in sizes if s <= 4_000_000]:
@@ -174,9 +296,15 @@ def main() -> None:
         # across the 16x size span — flat ≈ 1x on the scaled cubes
         "ratios_scaled": {
             k: round(hi[k] / max(lo[k], 1e-9), 2)
-            for k in ("trickle_bytes", "trickle_s", "compact_bytes",
+            for k in ("trickle_bytes", "trickle_s",
+                      "trickle_manifest_bytes", "compact_bytes",
                       "point_lookup_s", "count_meta_s", "describe_s",
-                      "migration_start_s", "migration_step_bytes")},
+                      "migration_start_s", "migration_step_bytes",
+                      "hist_s", "hist_shuffle_bytes",
+                      "dedup_s", "dedup_shuffle_bytes",
+                      "sessionize_s", "sessionize_shuffle_bytes",
+                      "ann_probe_s", "ann_probe_scan_bytes")
+            if k in hi and k in lo},
         "ratios_control": ({
             k: round(control[-1][k] / max(control[0][k], 1e-9), 2)
             for k in ("trickle_bytes", "migration_step_bytes")}

@@ -340,12 +340,21 @@ def test_du_fallback_is_cached_and_backfilled(spark, tmp_path):
         eng.upsert("bf", _objs(
             spark, [(k, k + i) for k in range(20)], day), stamped=True)
     path = eng._path("bf")
-    # simulate a pre-upgrade manifest: strip the recorded byte sizes
+    # simulate a PRE-UPGRADE manifest: replace the segmented root with
+    # a monolithic (pre-segmentation) one whose stats carry no byte
+    # sizes — also exercises the format-upgrade conversion the next
+    # commit performs
     raw = eng._manifest_raw(path)
-    meta = json.loads(raw)
-    meta.get("stats", {}).pop("bytes", None)
+    full = eng._manifest(path)
+    legacy = {"gen": full["gen"], "dirs": full["dirs"]}
+    st = dict(full.get("stats") or {})
+    st.pop("bytes", None)
+    if st:
+        legacy["stats"] = st
+    if full.get("schema") is not None:
+        legacy["schema"] = full["schema"]
     assert eng.fs.replace_if_match(
-        eng.fs.join(path, eng._MANIFEST_SIDECAR), json.dumps(meta), raw)
+        eng.fs.join(path, eng._MANIFEST_SIDECAR), json.dumps(legacy), raw)
 
     eng2 = Engine(spark, warehouse=str(tmp_path / "wh"))
     calls = {"n": 0}

@@ -310,7 +310,7 @@ def test_first_write_crash_between_sidecar_and_data_converges(spark, tmp_path):
     # layout survived (the first write must not delete the sidecar);
     # the retry re-stamps it with the protocol format marker
     assert json.load(open(os.path.join(wh, "c", "_layout.json"))) == \
-        {"oid_buckets": 8, "format": 2}
+        {"oid_buckets": 8, "format": 2, "min_format": 4}
     # and the cube keeps working through the normal merge path
     eng.upsert("c", stamped.withColumn("val", F.lit("b"))
                .withColumn("_start",
@@ -777,7 +777,7 @@ def test_rebucket_migrates_count_and_stays_correct(spark, tmp_path):
 
     lay = _json.loads(eng.fs.read_text(
         eng.fs.join(eng._path("c"), "_layout.json")))
-    assert lay["min_format"] == 3
+    assert lay["min_format"] == 4
     meta_h = eng._manifest(eng._path("c"))["history"]
     assert all(h["oid_buckets"] == 4 for h in meta_h)
     after = sorted((r["_oid"], r["x"], str(r["_start"]))

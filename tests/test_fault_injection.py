@@ -237,6 +237,9 @@ MIG_OPS = [
     ("rebucket_incr", 8),
     ("snap", ([(1, 11), (5, 50)], "2014-02-01")),
     ("rebucket_step", {"max_dirs": 2}),
+    # CHAINED second doubling while the first still drains: the
+    # commits below run against a triple-modulus (4/8/16) layout
+    ("rebucket_incr", 16),
     ("replace", [(3, 300, "2013-06-01", "2014-01-01"),
                  (3, 301, "2014-01-01", None)]),
     ("compact", None),
@@ -269,9 +272,9 @@ def test_fault_sweep_doubling_migration(spark, tmp_path):
         _, i, model = res
         clean = Engine(spark, warehouse=wh, oid_buckets=4)
         meta = clean._manifest(clean._path(CUBE))
-        if meta is not None and meta.get("migration") is not None:
-            assert (set(meta["migration"]["old_dirs"])
-                    <= set(meta["dirs"])), (k, i, "old_dirs invariant")
+        if meta is not None and meta.get("migration"):
+            old = {d for b in meta["migration"] for d in b["old_dirs"]}
+            assert old <= set(meta["dirs"]), (k, i, "old_dirs invariant")
         after = model.copy()
         after.apply(MIG_OPS[i])
         got = _cube_rows(spark, clean)
@@ -283,12 +286,12 @@ def test_fault_sweep_doubling_migration(spark, tmp_path):
         assert _cube_rows(spark, clean) == model.rows(), (k, i, "retry")
         meta = clean._manifest(clean._path(CUBE))
         assert meta.get("migration") is None, (k, i, "unfinished")
-        assert meta["oid_buckets"] == 8
+        assert meta["oid_buckets"] == 16
         import json
 
         lay = json.loads(clean.fs.read_text(
             clean.fs.join(clean._path(CUBE), "_layout.json")))
-        assert lay["oid_buckets"] == 8 and lay["min_format"] >= 3
+        assert lay["oid_buckets"] == 16 and lay["min_format"] >= 4
         # point lookup through the converged cube prunes correctly
         assert sorted(
             r["_oid"] for r in

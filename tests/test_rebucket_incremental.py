@@ -51,17 +51,19 @@ def test_start_is_metadata_only_and_validated(spark, eng):
     # same directories, zero data movement — only the manifest moved
     assert set(m["dirs"]) == dirs_before
     assert m["oid_buckets"] == 8
-    assert m["migration"]["from"] == 4
-    assert set(m["migration"]["old_dirs"]) == dirs_before
+    assert [b["from"] for b in m["migration"]] == [4]
+    assert set(m["migration"][0]["old_dirs"]) == dirs_before
     assert _rows(eng, "m") == before
-    # idempotent re-start; a different target mid-migration refuses
+    # idempotent re-start; a NON-doubling target still refuses (a
+    # doubling one now CHAINS — see test_chained_doublings)
     eng.rebucket("m", 8, incremental=True)
-    with pytest.raises(ValueError, match="mid-migration"):
-        eng.rebucket("m", 16, incremental=True)
-    # sidecar: fence stamped immediately, count unchanged until done
+    with pytest.raises(ValueError, match="DOUBLING"):
+        eng.rebucket("m", 32, incremental=True)
+    # sidecar: fence stamped from first write, count unchanged until
+    # the migration completes
     lay = json.loads(eng.fs.read_text(
         eng.fs.join(eng._path("m"), "_layout.json")))
-    assert lay["min_format"] == 3 and lay["oid_buckets"] == 4
+    assert lay["min_format"] == 4 and lay["oid_buckets"] == 4
 
 
 def test_union_prune_point_lookup_mixed_state(spark, eng):
@@ -100,14 +102,14 @@ def test_merges_and_compact_migrate_opportunistically(spark, eng):
     _snap(spark, eng, "m", [(i, i + 1) for i in range(0, 40, 2)],
           "2014-02-01")
     eng.rebucket("m", 8, incremental=True)
-    n0 = len(_man(eng, "m")["migration"]["old_dirs"])
+    n0 = len(_man(eng, "m")["migration"][0]["old_dirs"])
     # a snapshot merge rewrites (and thereby migrates) the hit open dirs
     _snap(spark, eng, "m", [(i, i + 2) for i in range(0, 40, 5)],
           "2014-03-01")
     m = _man(eng, "m")
-    n1 = len(m["migration"]["old_dirs"])
+    n1 = len(m["migration"][0]["old_dirs"])
     assert n1 < n0
-    assert set(m["migration"]["old_dirs"]) <= set(m["dirs"])
+    assert set(m["migration"][0]["old_dirs"]) <= set(m["dirs"])
     # a history import replaces through the mixed state correctly
     hist = spark.createDataFrame(
         [(3, 300, "2013-01-01", "2014-01-01"),
@@ -121,9 +123,10 @@ def test_merges_and_compact_migrate_opportunistically(spark, eng):
     m = _man(eng, "m")
     mig = m.get("migration")
     # whatever closed dirs merged are gone from old_dirs
-    if mig is not None:
-        assert all(d.startswith("_current=") for d in mig["old_dirs"])
-        assert set(mig["old_dirs"]) <= set(m["dirs"])
+    if mig:
+        old = {d for b in mig for d in b["old_dirs"]}
+        assert all(d.startswith("_current=") for d in old)
+        assert old <= set(m["dirs"])
 
 
 def test_step_drains_and_completion_converges_sidecar(spark, eng):
@@ -133,7 +136,7 @@ def test_step_drains_and_completion_converges_sidecar(spark, eng):
     before = _rows(eng, "m")
     eng.rebucket("m", 8, incremental=True)
     d = eng.describe("m")
-    assert d["migration"]["from"] == 4
+    assert d["migration"]["from"] == [4]
     assert d["migration"]["pending_dirs"] > 0
     assert d["migration"]["pending_bytes"] > 0
     steps = 0
@@ -149,7 +152,7 @@ def test_step_drains_and_completion_converges_sidecar(spark, eng):
     assert m.get("migration") is None and m["oid_buckets"] == 8
     lay = json.loads(eng.fs.read_text(
         eng.fs.join(eng._path("m"), "_layout.json")))
-    assert lay["oid_buckets"] == 8 and lay["min_format"] == 3
+    assert lay["oid_buckets"] == 8 and lay["min_format"] == 4
     assert _rows(eng, "m") == before  # physical-only, content invariant
     assert "migration" not in eng.describe("m")
     # a later writer merges under the new modulus cleanly
@@ -180,7 +183,7 @@ def test_time_travel_into_mixed_generation(spark, eng):
     hist = _man(eng, "m")["history"]
     entry = next(h for h in hist if h["gen"] == g_mixed)
     assert entry["oid_buckets"] == 8
-    assert entry["migration"]["from"] == 4
+    assert entry["moduli"] == [4]
     got = sorted(r["_oid"] for r in
                  eng.find("m", oids=[7, 23], generation=g_mixed,
                           date="~").collect())
@@ -234,7 +237,7 @@ def test_migration_on_timepartitioned_cube_and_objectstore(spark,
     eng.rebucket("m", 8, incremental=True)
     m = _man(eng, "m")
     assert all("/__stime=" in d or "/__batch=" in d
-               for d in m["migration"]["old_dirs"])
+               for d in m["migration"][0]["old_dirs"])
     # merge + step through the mixed, period-partitioned layout
     df3 = spark.createDataFrame(
         [(5, 999, "2014-06-01")], "oid long, val long, s string")
@@ -258,3 +261,102 @@ def test_unbucketed_cube_refuses_incremental(spark, tmp_path):
     _snap(spark, eng, "m", [(1, 1)], "2014-01-01")
     with pytest.raises(ValueError, match="unbucketed"):
         eng.rebucket("m", 8, incremental=True)
+
+
+def test_chained_doublings_three_moduli(spark, eng):
+    """A second doubling may START while the first still drains:
+    directories already stamped keep their older modulus, the rest
+    stamp at the pre-doubling live count, and point lookups union-
+    prune under all THREE moduli (PartitionFilters pin). Drains and
+    opportunistic merges retire stamps per block; completion converges
+    the sidecar to the final count."""
+    _snap(spark, eng, "m", [(i, i) for i in range(48)], "2014-01-01")
+    before = _rows(eng, "m")
+    eng.rebucket("m", 8, incremental=True)
+    # migrate a couple of dirs so modulus-8 directories exist too
+    st = eng.rebucket_step("m", max_dirs=2)
+    assert 0 < st["migrated_dirs"] <= 2 and not st["done"]
+    # chained second doubling: metadata-only, no refusal
+    eng.rebucket("m", 16, incremental=True)
+    m = _man(eng, "m")
+    assert m["oid_buckets"] == 16
+    froms = [b["from"] for b in m["migration"]]
+    assert froms == [4, 8]
+    # stamps partition the bucketed dirs: modulus-4 originals + the
+    # step's modulus-8 rewrites; nothing is double-stamped
+    o4 = set(m["migration"][0]["old_dirs"])
+    o8 = set(m["migration"][1]["old_dirs"])
+    assert o4 and o8 and not (o4 & o8)
+    assert (o4 | o8) <= set(m["dirs"])
+    # describe reports the union
+    d = eng.describe("m")
+    assert d["migration"]["from"] == [4, 8]
+    assert d["migration"]["pending_dirs"] == len(o4 | o8)
+    assert "rebucket_recommended" not in d  # action already in flight
+    # point lookups stay exact through the triple-modulus state, and
+    # the plan carries all three bucket values for a probe whose value
+    # differs under every modulus
+    for probe in ([7], [11, 23], list(range(0, 48, 7))):
+        q = eng.find("m", oids=probe, date="~")
+        assert sorted(r["_oid"] for r in q.collect()) == sorted(probe)
+    probe = next(o for o in range(48)
+                 if len(eng._oid_bucket_values([o], [16, 8, 4])) == 3)
+    vals = eng._oid_bucket_values([probe], [16, 8, 4])
+    q = eng.find("m", oids=[probe], date="~")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)[-1][:400]
+    assert "__obucket" in seg
+    for v in vals:
+        assert str(v) in seg, (probe, vals, seg)
+    assert [r["_oid"] for r in q.collect()] == [probe]
+    # a snapshot merge mid-chain migrates whatever it touches, from
+    # EITHER old block, to the live modulus
+    _snap(spark, eng, "m", [(i, i + 2) for i in range(0, 48, 5)],
+          "2014-02-01")
+    m2 = _man(eng, "m")
+    left = {d for b in (m2.get("migration") or [])
+            for d in b["old_dirs"]}
+    assert left < (o4 | o8)
+    # drain everything; the sidecar converges to 16
+    while not eng.rebucket_step("m", max_dirs=3)["done"]:
+        pass
+    m3 = _man(eng, "m")
+    assert m3.get("migration") is None and m3["oid_buckets"] == 16
+    lay = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("m"), "_layout.json")))
+    assert lay["oid_buckets"] == 16
+    # content invariant except the mid-chain merge's updates
+    changed = {r for r in _rows(eng, "m") if r not in before}
+    assert all(r[0] % 5 == 0 for r in changed)
+    assert eng.count("m", date="~") == 48 + len(range(0, 48, 5))
+
+
+def test_segmented_manifest_commit_touches_only_hit_segments(
+        spark, tmp_path):
+    """Format-4 manifests: with more buckets than one segment spans, a
+    trickle commit must rewrite only the segment files covering its
+    hit buckets (plus the root) — the per-commit manifest-bytes bound
+    that replaced the monolithic rewrite."""
+    import os
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"),
+                 oid_buckets=256)
+    _snap(spark, eng, "m", [(i, i) for i in range(2000)], "2014-01-01")
+    segdir = eng.fs.join(eng._path("m"), "_manifest_seg")
+    before = {f: os.path.getmtime(os.path.join(segdir, f))
+              for f in os.listdir(segdir)}
+    assert len(before) >= 3, "premise: several bucket-range segments"
+    _snap(spark, eng, "m", [(1, 99)], "2014-02-01")
+    after = set(os.listdir(segdir))
+    fresh = after - set(before)
+    # the single-oid commit wrote at most a couple of fresh segments
+    # (its bucket's range, plus nothing else)
+    assert 1 <= len(fresh) <= 2, fresh
+    carried = after & set(before)
+    assert carried, "unchanged ranges must carry forward by reference"
+    root = json.loads(eng.fs.read_text(
+        eng.fs.join(eng._path("m"), "_manifest.json")))
+    assert set(root["segs"].values()) == after
+    # reads stay exact
+    assert eng.count("m") == 2000
+    assert eng.find("m", oids=[1]).first()["_oid"] == 1

@@ -129,10 +129,13 @@ def test_ivf_partial_probe_pinned_quality(spark):
 
 
 def test_simhash_pairs_pinned_golden(spark):
+    # the xxhash64 production variant is not a gate entry (no
+    # cross-engine twin by construction — the md5 twin carries the
+    # value oracle); its pinned golden output lives here instead
     e = _entry()
     got = sorted(
         tuple(r) for r in
-        e.queries()["dedup_simhash_pairs"](spark, SF0001).collect()
+        e.dedup_simhash_pairs(spark, SF0001).collect()
     )
     # exact pinned output at sf0.001 (xxhash64 tokens → 64-bit fold →
     # 16-bit banding, hamming ≤ 3); any drift in tokenization, hashing,

@@ -1380,3 +1380,75 @@ def test_streaming_ingest_keeps_auto_index_fresh(spark, tmp_path):
     top = (eng.vector_search("v", "ix", q1, k=1, nprobe=4)
            .collect()[0])
     assert top["neighbor_id"] == 110 and top["sim"] == 1.0
+
+
+def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path):
+    """Opt-in group commit: micro-batches stage durably and fold into
+    ONE engine commit per N batches — the CURRENT state matches the
+    per-batch oracle exactly (intermediate versions within a window
+    collapse, the documented buffered-container semantics), rows
+    stranded in the stage by a crash are drained by the next sink
+    instance, and replay converges."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark.engine import Engine
+    from metrique_spark.objects import stamp
+    from metrique_spark.streaming.events import stream_upsert_sink
+
+    def b(items, t):
+        df = spark.createDataFrame(items, "oid long, v long")
+        return stamp(df, oid="oid",
+                     start=F.to_timestamp(F.lit(t))).localCheckpoint()
+
+    batches = [
+        b([(1, 10), (2, 20)], "2024-01-01"),
+        b([(3, 30), (4, 40)], "2024-01-02"),
+        b([(1, 11)], "2024-01-03"),
+        b([(2, 21)], "2024-01-04"),
+        b([(5, 50)], "2024-01-05"),
+        b([(3, 31)], "2024-01-06"),
+    ]
+    # per-batch oracle
+    oracle = Engine(spark, warehouse=str(tmp_path / "wh_o"),
+                    oid_buckets=2)
+    plain = stream_upsert_sink(oracle, "cube", str(tmp_path / "ck_o"))
+    for i, bd in enumerate(batches):
+        plain(bd, i)
+
+    def cur(eng):
+        return sorted((r["_oid"], r["v"]) for r in
+                      eng.find("cube", fields="v").collect())
+
+    # coalesced: 3 staged batches per engine commit
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_c"), oid_buckets=2)
+    ck = str(tmp_path / "ck_c")
+    sink = stream_upsert_sink(eng, "cube", ck, coalesce_batches=3)
+    for i, bd in enumerate(batches[:5]):
+        sink(bd, i)
+    # 5 batches in: one flush happened (at 3), two remain staged —
+    # durably on disk, not in the cube yet
+    import os
+
+    assert eng._manifest(eng._path("cube"))["gen"] == 1
+    assert len(os.listdir(sink.stage_root)) == 2
+    # "crash": a NEW sink instance (restart) inherits the stage and
+    # drains it with the next batch's flush trigger
+    sink2 = stream_upsert_sink(eng, "cube", ck, coalesce_batches=3)
+    sink2(batches[5], 5)
+    assert not os.listdir(sink2.stage_root)
+    assert eng._manifest(eng._path("cube"))["gen"] == 2  # 2 commits / 6 batches
+    # current state identical to the per-batch oracle
+    assert cur(eng) == cur(oracle) == [(1, 11), (2, 21), (3, 31),
+                                       (4, 40), (5, 50)]
+    # replay of the last batch (at-least-once) + a final drain: no-op
+    sink2(batches[5], 5)
+    assert sink2.flush(spark) == 1
+    assert cur(eng) == cur(oracle)
+    assert eng.count("cube", date="~") == len(cur(eng)) + 2  # 2 closed
+    # time-based trigger: a fresh sink with a tiny window flushes on
+    # the next batch
+    eng3 = Engine(spark, warehouse=str(tmp_path / "wh_t"), oid_buckets=2)
+    sink3 = stream_upsert_sink(eng3, "cube", str(tmp_path / "ck_t"),
+                               coalesce_seconds=0.0)
+    sink3(batches[0], 0)
+    assert cur(eng3) == [(1, 10), (2, 20)]

@@ -34,15 +34,33 @@ def _gen1_then_gen2(spark, engine, cube="c"):
     engine.upsert(cube, _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
                   stamped=True)
     path = engine._path(cube)
-    stale = json.loads(engine._manifest_raw(path))
+    # capture the ASSEMBLED stale meta (the segmented root alone has no
+    # dirs list, and gen 1's segment files are about to be swept too —
+    # the stale dict stands in for a reader that resolved everything
+    # before the flip)
+    stale = engine._manifest(path)
     engine.upsert(cube, _objs(spark, [(1, 11), (2, 21), (3, 30)],
                               "2014-02-01"), stamped=True)
     # the race must be real: every gen-1 directory is gone
-    live = set(json.loads(engine._manifest_raw(path))["dirs"])
+    live = set(engine._manifest(path)["dirs"])
     assert not (set(stale["dirs"]) & live)
     for d in stale["dirs"]:
         assert not engine.fs.isdir(engine.fs.join(path, d))
     return stale
+
+
+def _gen1_root_then_gen2(spark, engine, cube="r"):
+    """Like _gen1_then_gen2 but captures the stale ROOT sidecar dict —
+    what the metadata-only count resolves (its rollup answers without
+    loading segments, so even a root whose segment files were since
+    swept yields its committed totals)."""
+    engine.upsert(cube, _objs(spark, [(1, 10), (2, 20)], "2014-01-01"),
+                  stamped=True)
+    path = engine._path(cube)
+    stale_root = engine._manifest_root(path)
+    engine.upsert(cube, _objs(spark, [(1, 11), (2, 21), (3, 30)],
+                              "2014-02-01"), stamped=True)
+    return stale_root
 
 
 def test_plan_time_race_retries_to_new_generation(spark, engine,
@@ -58,11 +76,21 @@ def test_plan_time_race_retries_to_new_generation(spark, engine,
         return stale if calls["n"] == 1 else real(path)
 
     # unfiltered count is metadata-only: it answers from the resolved
-    # (stale) pointer's row stats — a consistent committed snapshot,
-    # zero file reads, so there is no race to retry
+    # (stale) pointer's ROOT rollup — a consistent committed snapshot,
+    # zero file/segment reads, so there is no race to retry
     assert engine.count("c") == 3
+    stale_root = _gen1_root_then_gen2(spark, engine)
+    real_root = engine._manifest_root
+    rcalls = {"n": 0}
+
+    def stale_root_first(path, raw=None):
+        rcalls["n"] += 1
+        return stale_root if rcalls["n"] == 1 else real_root(path, raw)
+
+    monkeypatch.setattr(engine, "_manifest_root", stale_root_first)
+    assert engine.count("r") == 2          # gen 1's committed count
+    monkeypatch.setattr(engine, "_manifest_root", real_root)
     monkeypatch.setattr(engine, "_manifest", stale_first)
-    assert engine.count("c") == 2          # gen 1's committed count
     calls["n"] = 0
     # a FILTERED count must scan: stale resolution hits the swept files
     # -> re-resolve once and read gen 2 exactly

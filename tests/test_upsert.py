@@ -274,6 +274,10 @@ def test_history_import_rewrites_only_hit_buckets(spark, tmp_path):
         for dirpath, _, files in os.walk(root):
             if f"__obucket={exclude_bucket}" in dirpath:
                 continue
+            if "_manifest_seg" in dirpath:
+                continue  # manifest segment files rotate per commit
+                # (by design — only the TOUCHED ranges, see the
+                # segmented-manifest commit bytes test)
             for f in files:
                 if f.startswith("_") and f.endswith(".json"):
                     continue  # control-plane sidecars (the manifest
@@ -875,7 +879,7 @@ def test_upsert_records_open_dir_min_start_stats(spark, tmp_path):
     eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=4)
     eng.upsert("st", _objs(spark, [(1, 10)], "2014-01-01"), stamped=True)
     eng.upsert("st", _objs(spark, [(1, 11)], "2014-06-01"), stamped=True)
-    meta = json.loads(eng._manifest_raw(eng._path("st")))
+    meta = eng._manifest(eng._path("st"))  # assembled from segments
     ms = meta["stats"]["min_start"]
     open_stats = {d: v for d, v in ms.items()
                   if d.startswith("_current=true")}
