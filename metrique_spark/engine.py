@@ -282,6 +282,12 @@ class Engine:
         # referenced it). Entries are dropped when the segment sweep
         # retires the file.
         self._seg_cache: dict[str, dict] = {}
+        # assembled-manifest cache: path -> (root raw text, meta).
+        # Keyed by the EXACT root text, so any commit (ours or another
+        # engine's) invalidates it on the next read; holders must treat
+        # the returned dict as read-only (_push_history copies the
+        # entries it hands out for mutation).
+        self._meta_cache: dict[str, tuple[str, dict]] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -637,8 +643,17 @@ class Engine:
         self._views.pop(cube, None)
         self.spark.catalog.dropTempView(cube)
         if self.warehouse and self.fs.isdir(self._path(cube)):
+            path = self._path(cube)
             with self._write_lock(cube):
-                self.fs.delete_dir(self._path(cube))
+                self.fs.delete_dir(path)
+            # purge manifest caches under the dropped path: a
+            # RE-CREATED cube reuses gen-scoped segment filenames, and
+            # a stale cached parse would otherwise serve the old
+            # cube's content through the new cube's root
+            self._meta_cache.pop(path, None)
+            prefix = self.fs.join(path, self._MANIFEST_SEGDIR)
+            for k in [k for k in self._seg_cache if k.startswith(prefix)]:
+                self._seg_cache.pop(k, None)
 
     def _index_meta_path(self, cube: str) -> str:
         return self.fs.join(self._path(cube), "_indexes.json")
@@ -2336,12 +2351,22 @@ class Engine:
         return meta
 
     def _manifest(self, path: str) -> dict | None:
+        """The assembled manifest dict — treat as READ-ONLY: the
+        assembly is cached per path keyed by the exact root text (a
+        commit changes the root, so staleness is impossible; segment
+        content behind an unchanged root is immutable), making the
+        second and later resolutions of one generation O(1) instead of
+        O(dirs) — several resolutions happen per query."""
         for attempt in (0, 1):
-            root = self._manifest_root(path)
-            if root is None:
+            raw = self._manifest_raw(path)
+            if raw is None:
                 return None
+            cached = self._meta_cache.get(path)
+            if cached is not None and cached[0] == raw:
+                return cached[1]
+            root = self._manifest_root(path, raw)
             try:
-                return self._assemble(path, root)
+                meta = self._assemble(path, root)
             except (FileNotFoundError, OSError) as e:
                 # the swept-SEGMENT race: a concurrent commit retired
                 # segment files our root resolution referenced —
@@ -2351,6 +2376,9 @@ class Engine:
                     raise RuntimeError(
                         f"cube manifest at {path!r} references missing "
                         f"segment files: {e} — torn manifest") from e
+                continue
+            self._meta_cache[path] = (raw, meta)
+            return meta
 
     def _push_history(self, meta: dict | None, keep: int) -> list[dict]:
         """History entries for the NEXT manifest: the superseded current
@@ -2381,7 +2409,10 @@ class Engine:
             # must reproduce exactly the frame a job saw then — not the
             # union schema with phantom null columns
             cur["schema"] = meta["schema"]
-        hist = [cur] + meta.get("history", [])
+        # entry dicts are COPIED: callers may stamp fields into them
+        # (_backfill_history_buckets), and the assembled manifest they
+        # came from is cached and shared (see _manifest)
+        hist = [cur] + [dict(h) for h in meta.get("history", [])]
         return hist[:keep]
 
     @staticmethod
@@ -2633,15 +2664,21 @@ class Engine:
             if pf is not None and self._load_segment(path, pf) == s:
                 seg_refs[k] = pf  # unchanged range: carry by reference
                 continue
-            fname = f"g{gen:08d}-{k}.json"
+            import hashlib
+
+            txt = json.dumps(s)
+            # CONTENT-ADDRESSED name (gen prefix for debuggability):
+            # same name ⇒ same bytes, everywhere and forever — so the
+            # per-filename parse cache is sound across engines, across
+            # drop-and-recreate of the cube, and across a TTL-expired
+            # zombie losing the CAS race; a crash-retry with identical
+            # input rewrites the identical file, and one with changed
+            # input writes a NEW name whose stranded predecessor the
+            # post-commit sweep retires
+            h = hashlib.md5(txt.encode()).hexdigest()[:10]
+            fname = f"g{gen:08d}-{k}-{h}.json"
             full = self.fs.join(path, self._MANIFEST_SEGDIR, fname)
-            self.fs.write_text(full, json.dumps(s))
-            # deliberately NOT cached here: the cache invariant is
-            # "only content a committed root references" — caching a
-            # yet-uncommitted write would serve THIS writer's bytes
-            # even if its CAS later loses to a TTL-expired-lease winner
-            # that rewrote the same gen-scoped filename
-            self._seg_cache.pop(full, None)
+            self.fs.write_text(full, txt)
             seg_refs[k] = fname
         body["format"] = 4
         body["tz"] = tz
