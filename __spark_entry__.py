@@ -712,6 +712,57 @@ def upsert_rebucket_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_oid", "event_type", "value", "_start", "_end")
 
 
+def upsert_group_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GROUP COMMIT value-checked through the gate: three
+    micro-batches (event-time terciles) flow through
+    ``stream_upsert_sink(coalesce_batches=2)`` — the first two STAGE
+    durably and fold into ONE snapshot commit (per-oid latest wins
+    inside the window, micro-batch id breaking ties — the same
+    buffered-container semantics the reference's flush applies,
+    ``core_api.py:537-540``), the third drains via the final
+    ``flush()``. Two engine commits for three batches, read back as
+    full history: must equal the pure 2-way merge oracle EXACTLY —
+    i.e. group commit changes the COST (one manifest flip per window;
+    ~3x commits/s in SCALING's ``trickle_coalesced3_s`` row), never
+    the committed content. Crash/replay behavior is pinned in
+    tests/test_streaming.py (stranded-stage recovery, replay no-op)."""
+    import tempfile
+
+    _utc(spark)
+    from metrique_spark.engine import Engine
+    from metrique_spark.streaming.events import stream_upsert_sink
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+
+    def latest_state(df: DataFrame) -> DataFrame:
+        snap = (df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(F.col("user_id").alias("_oid"), "event_type",
+                        "value", F.col("ts").alias("_start")))
+        return stamp(snap)
+
+    cut1 = F.lit("2024-01-10").cast("timestamp")
+    cut2 = F.lit("2024-01-16").cast("timestamp")
+    base = os.path.join(tempfile.gettempdir(), "metrique_spark_entry",
+                        "group_commit_" + os.path.basename(
+                            os.path.normpath(sf_dir)))
+    wh, ck = os.path.join(base, "wh"), os.path.join(base, "ck")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    eng = Engine(spark, warehouse=wh, oid_buckets=4)
+    sink = stream_upsert_sink(eng, "state", ck, coalesce_batches=2)
+    sink(latest_state(ev.where(F.col("ts") < cut1)), 0)
+    sink(latest_state(ev.where((F.col("ts") >= cut1)
+                               & (F.col("ts") < cut2))), 1)
+    sink(latest_state(ev.where(F.col("ts") >= cut2)), 2)
+    sink.flush(spark)
+    return eng.find("state", date="~").select(
+        "_oid", "event_type", "value", "_start", "_end")
+
+
 def mql_oid_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MQL-STRING point lookup through the full on-disk engine (the
     reference's own idiom, ``find(query='_oid in [...]')``,
@@ -2383,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_rebucket_disk": upsert_rebucket_disk,
         "upsert_rebucket_incr": upsert_rebucket_incr,
         "upsert_rebucket_chain": upsert_rebucket_chain,
+        "upsert_group_commit": upsert_group_commit,
         "mql_oid_pointlookup": mql_oid_pointlookup,
         "upsert_evolve_disk": upsert_evolve_disk,
         "upsert_history_replace": upsert_history_replace,
@@ -2839,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_rebucket_disk": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_rebucket_incr": _UPSERT_SNAPSHOT_ORACLE,
         "upsert_rebucket_chain": _UPSERT_SNAPSHOT_ORACLE,
+        "upsert_group_commit": _UPSERT_SNAPSHOT_ORACLE,
         "mql_oid_pointlookup": f"""
             SELECT * FROM ({_UPSERT_SNAPSHOT_ORACLE})
             WHERE _oid IN (1, 7, 11)

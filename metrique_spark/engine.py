@@ -4346,12 +4346,36 @@ class Engine:
                     self.spark._mtq_sql_autoviews = reg
                 except Exception:
                     pass
+            # the names the query actually references AS TABLES: parse
+            # it with Spark's own SQL parser and collect the
+            # single-part UnresolvedRelation identifiers — a cube name
+            # inside a string literal or column alias is no longer a
+            # match at all (the old bare-word scan registered a
+            # harmless lazy view for those). Parse failure (or an
+            # engine without this internal) falls back to the bare-word
+            # scan: registration stays best-effort either way, and a
+            # truly-referenced missing table still fails with Spark's
+            # own not-found error.
+            referenced: set | None = None
+            try:
+                jplan = (self.spark._jsparkSession.sessionState()
+                         .sqlParser().parsePlan(query))
+                referenced = {
+                    m for m in _re.findall(
+                        r"'UnresolvedRelation \[([^\],]+)\]",
+                        jplan.toString())}
+            except Exception:
+                referenced = None
             for name in self.ls():
                 if name in self._views or name.startswith("_"):
                     continue
                 if not _re.match(r"^\w+$", name):
                     continue  # not addressable as a bare SQL identifier
-                if not _re.search(rf"(?<![\w.`]){name}(?![\w`])", query):
+                if referenced is not None:
+                    if name not in referenced:
+                        continue
+                elif not _re.search(rf"(?<![\w.`]){name}(?![\w`])",
+                                    query):
                     continue
                 ours = reg.get(name)
                 exists = False
