@@ -1945,8 +1945,8 @@ class Engine:
                                 oid_buckets=oid_buckets,
                                 migration=None)
             self._sync_layout_after_rebucket(path, layout, oid_buckets)
-            self._sweep_unreferenced(
-                path, dirs | {d for h in hist for d in h["dirs"]})
+            self._sweep_dropped(
+                path, meta, dirs | {d for h in hist for d in h["dirs"]})
             self._auto_refresh_indexes(cube)
 
     def _backfill_history_buckets(self, hist: list[dict], meta: dict,
@@ -2167,8 +2167,8 @@ class Engine:
                                     meta, new_rels, dirs, hist,
                                     path=path),
                                 schema=meta.get("schema"))
-            self._sweep_unreferenced(
-                path, dirs | {d for h in hist for d in h["dirs"]})
+            self._sweep_dropped(
+                path, meta, dirs | {d for h in hist for d in h["dirs"]})
             self._auto_refresh_indexes(cube)
             remaining = len({d for b in blocks
                              for d in b["old_dirs"]} & dirs)
@@ -2183,9 +2183,11 @@ class Engine:
     # the exact set of data directories belonging to it. Every mutating
     # operation (1) writes its output into NEW directories only — never
     # into a directory the live manifest references — (2) flips the
-    # pointer with ONE compare-and-swap PUT, then (3) sweeps directories
-    # the new manifest no longer references (plus any stranded by crashed
-    # attempts). Readers resolve paths from the manifest, never listings,
+    # pointer with ONE compare-and-swap PUT, then (3) sweeps exactly the
+    # directories this commit retired (prior-retained minus
+    # new-retained — known from the two manifests, no listing; strands
+    # of CRASHED attempts are invisible and left for vacuum's listing
+    # sweep). Readers resolve paths from the manifest, never listings,
     # so the flip is the commit point: a concurrent reader sees exactly
     # the old or exactly the new generation — the transient mixed
     # old+new-version window of the in-place two-step commit is gone.
@@ -2780,11 +2782,41 @@ class Engine:
                 self.fs.delete(full)
                 self._seg_cache.pop(full, None)
 
+    def _sweep_dropped(self, path: str, prior_meta: dict | None,
+                       keep: set[str]) -> None:
+        """Post-commit sweep WITHOUT LISTING: the directories this
+        commit retired are exactly (what the prior manifest retained)
+        minus (what the new one retains) — both known, so the sweep
+        costs O(dropped) deletes, never an O(cube) directory walk (at
+        100 TB the per-commit tree LIST was the last O(cube) metadata
+        op left in the commit path; object-store LIST round trips make
+        it the dominant one). Crash-STRANDED directories (invisible —
+        no manifest ever referenced them) are left for ``vacuum``'s
+        listing sweep instead of being collected per commit."""
+        for d in sorted(self._retained_dirs(prior_meta) - keep,
+                        reverse=True):
+            full = self.fs.join(path, d)
+            if self.fs.isdir(full):
+                self.fs.delete_dir(full)
+            # prune emptied parent shells (__obucket= / __stime= /
+            # _current= levels) so point-lookup listings never walk
+            # hollow directories — bounded by the dropped dir's depth
+            parts = d.split("/")
+            for i in range(len(parts) - 1, 0, -1):
+                parent = self.fs.join(path, *parts[:i])
+                if self.fs.isdir(parent) and not self.fs.listdir(parent):
+                    self.fs.delete_dir(parent)
+                else:
+                    break
+
     def _sweep_unreferenced(self, path: str, keep: set[str]) -> None:
-        """Delete data directories the live manifest does not reference:
-        superseded by this commit, or stranded by a crashed one. Runs
-        AFTER the flip, under the writer lease. Listing here is safe —
-        only the writer lists; readers never do."""
+        """Delete data directories the live manifest does not reference
+        — superseded OR stranded by crashed attempts. This is the
+        LISTING sweep: it walks the cube's directory tree, so it runs
+        only where that is cheap or necessary (first write, premanifest
+        adoption, ``vacuum``); ordinary commits use ``_sweep_dropped``,
+        which needs no listing. Runs under the writer lease — only the
+        writer lists; readers never do."""
         def walk(dirpath: str, rel: str) -> None:
             for d in self.fs.listdir(dirpath):
                 full = self.fs.join(dirpath, d)
@@ -3440,8 +3472,8 @@ class Engine:
                                 meta, self._record_sizes(path, rels),
                                 dirs, hist, path=path),
                             schema=meta.get("schema"))
-        self._sweep_unreferenced(
-            path, dirs | {d for h in hist for d in h["dirs"]})
+        self._sweep_dropped(
+            path, meta, dirs | {d for h in hist for d in h["dirs"]})
         # content is identical post-compact: the auto-refresh diff
         # is empty and this only bumps auto indexes' marker gens
         self._auto_refresh_indexes(cube)
@@ -3594,8 +3626,8 @@ class Engine:
                                     dirs, hist, path=path),
                                 schema=self._manifest_schema(
                                     obj.schema, buckets, timepart))
-            self._sweep_unreferenced(
-                path, dirs | {d for h in hist for d in h["dirs"]})
+            self._sweep_dropped(
+                path, meta, dirs | {d for h in hist for d in h["dirs"]})
             self._auto_refresh_indexes(cube)
 
     def upsert(self, cube: str, df: DataFrame, autosnap: bool | None = None,
@@ -3779,8 +3811,9 @@ class Engine:
                                             {**closed_rels, **open_stats}),
                                         dirs, hist, path=path),
                                     schema=msch)
-                self._sweep_unreferenced(
-                    path, dirs | {d for h in hist for d in h["dirs"]})
+                self._sweep_dropped(
+                    path, meta,
+                    dirs | {d for h in hist for d in h["dirs"]})
             else:
                 # legacy in-place commit (no isolation): closed rows
                 # FIRST (idempotent token-keyed partition), open
@@ -3927,8 +3960,8 @@ class Engine:
                                                      hist, path=path),
                             schema=schema if schema is not None
                             else meta.get("schema"))
-        self._sweep_unreferenced(
-            path, dirs | {d for h in hist for d in h["dirs"]})
+        self._sweep_dropped(
+            path, meta, dirs | {d for h in hist for d in h["dirs"]})
 
     def _closed_batch_dirs(self, path: str) -> list[str]:
         """Full paths of every history ``__batch=`` directory — from the

@@ -208,3 +208,49 @@ def test_describe_fast_path_matches_assembled_path(spark, tmp_path):
               "compact_recommended", "rows_open", "rows_total",
               "max_bucket_bytes", "retained_generations"):
         assert fast[k] == slow[k], k
+
+
+def test_commit_listing_is_bounded_by_the_commit_not_the_cube(
+        spark, tmp_path):
+    """Commits must never LIST the cube tree: the post-commit sweep
+    works from (prior-retained - new-retained) manifest sets, so the
+    control-plane listdir count of a 2-oid trickle commit is bounded
+    by what the commit itself touched (written dirs' du + segment dir
+    + lock traffic), NOT by how many directories the cube has — on an
+    object store the per-commit tree walk was an O(cube) LIST bill."""
+    from pyspark.sql import functions as F
+
+    from metrique_spark.fs import LocalFS
+    from metrique_spark.objects import stamp
+
+    class CountingFS(LocalFS):
+        def __init__(self):
+            self.listdirs = 0
+
+        def listdir(self, path):
+            self.listdirs += 1
+            return super().listdir(path)
+
+    def trickle_listdirs(buckets, rows):
+        fs = CountingFS()
+        eng = Engine(spark, warehouse=str(tmp_path / f"wh{buckets}"),
+                     oid_buckets=buckets, fs=fs)
+        df = spark.createDataFrame([(i, i) for i in range(rows)],
+                                   "oid long, x long")
+        eng.upsert("c", stamp(
+            df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+            stamped=True)
+        n_dirs = len(eng._manifest(eng._path("c"))["dirs"])
+        fs.listdirs = 0
+        d2 = spark.createDataFrame([(1, 99), (2, 98)], "oid long, x long")
+        eng.upsert("c", stamp(
+            d2, oid="oid", start=F.to_timestamp(F.lit("2024-02-01"))),
+            stamped=True)
+        return n_dirs, fs.listdirs
+
+    small_dirs, small_calls = trickle_listdirs(4, 40)
+    big_dirs, big_calls = trickle_listdirs(64, 2000)
+    assert big_dirs > 3 * small_dirs  # premise: the cubes differ in size
+    # the commit's listing bill must NOT scale with the cube's dirs
+    assert big_calls <= small_calls + 10, (
+        small_dirs, small_calls, big_dirs, big_calls)
