@@ -16,6 +16,7 @@ filter pushdown and column pruning reach the parquet scan).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -288,6 +289,33 @@ class Engine:
         # the returned dict as read-only (_push_history copies the
         # entries it hands out for mutation).
         self._meta_cache: dict[str, tuple[str, dict]] = {}
+        # phase-attributed wall accumulator (scale-curve diagnostics):
+        # _phase() sections add here when enabled; disabled (None) in
+        # normal operation so the hot path pays one attribute check.
+        self.phase_times: dict[str, float] | None = None
+
+    def _phase(self, name: str):
+        """Accumulate a named section's wall into ``phase_times`` when
+        phase accounting is on (``eng.phase_times = {}``) — how the
+        scaling harness attributes an op's wall to manifest-resolve /
+        commit-build / CAS without guessing from totals. Overhead when
+        off: one None check."""
+        if self.phase_times is None:
+            return contextlib.nullcontext()
+        return self._phase_cm(name)
+
+    @contextlib.contextmanager
+    def _phase_cm(self, name: str):
+        import time as _t
+
+        t0 = _t.monotonic()
+        try:
+            yield
+        finally:
+            acc = self.phase_times
+            if acc is not None:
+                acc[name] = round(
+                    acc.get(name, 0.0) + _t.monotonic() - t0, 6)
 
     # -- catalog ------------------------------------------------------------
 
@@ -304,7 +332,8 @@ class Engine:
     def _read_raw(self, path: str,
                   generation: int | None = None,
                   min_end: str | None = None,
-                  start_upper: str | None = None) -> DataFrame:
+                  start_upper: str | None = None,
+                  bucket_values: Sequence[int] | None = None) -> DataFrame:
         """Cube read KEEPING the internal partition columns (``__batch``,
         ``__obucket``) — the bounded history import needs them to rewrite
         kept rows back into their own directories.
@@ -321,7 +350,19 @@ class Engine:
         — ``count``/``find_one``/``find_scalar``/``get_last_field``/
         ``deptree`` — and the plan-time read below auto-retry ONCE from
         a fresh manifest resolution, then fail loud.) Legacy cubes (no
-        manifest) fall back to the root-listing read."""
+        manifest) fall back to the root-listing read.
+
+        ``bucket_values`` prunes the DIRECTORY LIST handed to the
+        reader to the dirs whose path-encoded ``__obucket`` value is in
+        the set (dirs without a bucket component are kept) — exactly
+        the dirs the value-level partition filter would leave, applied
+        BEFORE Spark lists files, so a point lookup's plan-time listing
+        is O(hit dirs) instead of O(cube): past ~32 paths Spark runs
+        the listing as a one-task-per-directory JOB, which was the
+        measured O(dirs) term in the point-lookup scale curve. When the
+        prune empties the list (the literals hash only into buckets no
+        write ever created), a zero-row frame with the generation's
+        manifest schema returns without listing anything."""
         df = None
         for attempt in (0, 1):
             meta = self._manifest(path)
@@ -352,6 +393,13 @@ class Engine:
                     f"cube manifest at {path!r} lists no data directories")
             dirs = self._prune_by_end_stats(meta, dirs, min_end,
                                             start_upper)
+            if bucket_values is not None and schema is not None:
+                # schema gate: the empty-prune shortcut needs an
+                # authoritative schema to build the zero-row frame from
+                dirs = self._prune_dirs_by_bucket(dirs, bucket_values)
+                if not dirs:
+                    df = self._empty_schema_frame(schema)
+                    break
             try:
                 reader = self.spark.read.option("basePath", path)
                 if schema is not None:
@@ -420,6 +468,66 @@ class Engine:
                 if (not current_only or d.startswith("_current=true"))
                 and "/__obucket=" in d
                 and d.split("/")[1] in hit[dmod.get(d, buckets)]}
+
+    @staticmethod
+    def _prune_dirs_by_bucket(dirs: list, values: Sequence[int]) -> list:
+        """Directory-level twin of the ``__obucket`` value filter: keep
+        a dir iff its path-encoded bucket value is in the hit set (dirs
+        without a bucket component are kept — the row predicate decides
+        there). Exactly the directories partition pruning would leave,
+        but applied before the reader ever lists files. Sound under
+        in-flight doubling migrations for the same reason the value
+        filter is: ``values`` is the union of the hit values under
+        EVERY live modulus (``_oid_bucket_values(moduli=...)``), and a
+        dir's path value was written under one of them."""
+        vals = {str(v) for v in values}
+        out = []
+        for d in dirs:
+            i = d.find("/__obucket=")
+            if i < 0:
+                out.append(d)
+                continue
+            if d[i + 11:].split("/", 1)[0] in vals:
+                out.append(d)
+        return out
+
+    def _manifest_oid_dtype(self, path: str,
+                            generation: int | None = None):
+        """The stored ``_oid`` dtype from the (cached) manifest schema
+        of the requested generation, or None when the cube predates
+        manifest schemas — lets a point lookup resolve its bucket
+        values BEFORE the read so the directory list itself prunes.
+        Unknown generations return None here; ``_read_raw`` raises the
+        canonical error."""
+        meta = self._manifest(path)
+        if meta is None:
+            return None
+        sch = meta.get("schema")
+        if generation is not None and generation != meta["gen"]:
+            sch = None
+            for h in meta.get("history", []):
+                if h["gen"] == generation:
+                    sch = h.get("schema")
+                    break
+        if sch is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(sch)
+        return st["_oid"].dataType if "_oid" in st.fieldNames() else None
+
+    def _empty_schema_frame(self, schema: dict) -> DataFrame:
+        """Zero-row frame carrying a generation's manifest schema —
+        what a fully-pruned read returns without listing anything, and
+        what the bucket-granular merge reads when no existing directory
+        can hold the incoming oids."""
+        from pyspark.sql.types import StructType
+
+        df = self.spark.createDataFrame([], StructType.fromJson(schema))
+        if "_current" in df.columns:
+            df = df.withColumn("_current",
+                               F.col("_current").cast("boolean"))
+        return df
 
     def _prune_by_end_stats(self, meta: dict, dirs: list,
                             min_end: str | None,
@@ -2368,7 +2476,8 @@ class Engine:
                 return cached[1]
             root = self._manifest_root(path, raw)
             try:
-                meta = self._assemble(path, root)
+                with self._phase("manifest_assemble"):
+                    meta = self._assemble(path, root)
             except (FileNotFoundError, OSError) as e:
                 # the swept-SEGMENT race: a concurrent commit retired
                 # segment files our root resolution referenced —
@@ -2551,7 +2660,18 @@ class Engine:
         import json
 
         prior_root = json.loads(old_raw) if old_raw else {}
-        prior = self._assemble(path, prior_root) if old_raw else {}
+        # reuse the read-path's assembled-manifest cache when it holds
+        # exactly the root text this commit CASes against (the common
+        # case: the caller just resolved the manifest to plan its
+        # writes) — the flip then skips its own O(dirs) assembly fold
+        cached = self._meta_cache.get(path)
+        if old_raw is None:
+            prior = {}
+        elif cached is not None and cached[0] == old_raw:
+            prior = cached[1]
+        else:
+            with self._phase("flip_assemble"):
+                prior = self._assemble(path, prior_root)
         # the generation's authoritative oid-bucket count: ``rebucket``
         # sets it explicitly (atomically with the rewritten dirs — the
         # layout sidecar alone can't change in the same write as the
@@ -2577,9 +2697,10 @@ class Engine:
         buckets = (oid_buckets if isinstance(oid_buckets, int)
                    else self._cube_buckets(path))
         if buckets:
-            self._flip_build_segmented(path, prior_root, gen, dirs,
-                                       history, stats, schema, stamps,
-                                       body)
+            with self._phase("flip_build_segments"):
+                self._flip_build_segmented(path, prior_root, gen, dirs,
+                                           history, stats, schema,
+                                           stamps, body)
         else:
             body["dirs"] = sorted(dirs)
             if history:
@@ -2607,7 +2728,8 @@ class Engine:
         if "segs" in body:
             # retire segment files no retained root references (this
             # commit's superseded ones, or strands of crashed attempts)
-            self._sweep_segments(path, body)
+            with self._phase("flip_sweep_segments"):
+                self._sweep_segments(path, body)
         if (prior.get("migration") and not stamps
                 and isinstance(body.get("oid_buckets"), int)):
             # this commit rewrote the last old-modulus directory: the
@@ -3675,7 +3797,20 @@ class Engine:
         layout = self._cube_layout(path)
         buckets = self._live_buckets(meta, layout)
         timepart = self._cube_timepart(path, for_write=True, layout=layout)
-        table = self._read(path)
+        if meta is not None and meta.get("schema") is not None and buckets:
+            # every consumer of ``table`` on the bucketed manifested
+            # path reads only its SCHEMA (oid-type / evolution / redrop
+            # checks, column alignment) — the data reads below go
+            # through the hit-directory prunes. A zero-row frame from
+            # the manifest schema stands in, skipping the O(dirs)
+            # full-cube listing a trickle commit paid just to look at
+            # column types (the measured plan-build term in the
+            # trickle scale curve). Internal partition keys are
+            # dropped exactly as _read drops them.
+            table = self._empty_schema_frame(meta["schema"]).drop(
+                *[c for c in ("__batch", "__obucket", "__stime")])
+        else:
+            table = self._read(path)
         self._check_oid_type(table, incoming)
         self._refuse_legacy_evolution(table, incoming, meta)
         self._check_redrop(path, incoming, set(table.columns))
@@ -3703,9 +3838,13 @@ class Engine:
                 if drop_open:
                     pruned = self._read_dirs(path, meta,
                                              sorted(drop_open))
-                else:
+                elif meta.get("schema") is not None:
                     # no existing open dir can hold these oids: merge
-                    # against an empty open side (schema intact)
+                    # against an empty open side (schema from the
+                    # manifest — no O(cube) listing for a no-op read)
+                    pruned = self._empty_schema_frame(meta["schema"])
+                else:
+                    # pre-schema manifest: the listing read's schema
                     pruned = self._read_raw(path).where(F.lit(False))
                 pruned = pruned.drop(*[c for c in
                                        ("__batch", "__obucket", "__stime",
@@ -3741,9 +3880,26 @@ class Engine:
                     r["b"] for r in
                     incoming.select(ob.alias("b")).distinct().collect())
                 hit_open = {f"__obucket={b}" for b in hit}
-                raw_df = self._read_raw(path)
-                pruned = raw_df.where(F.col("_current")
-                                      & F.col("__obucket").isin(hit))
+                # read exactly the open dirs of hit buckets by RELPATH
+                # (the same selector the post-write carry-forward drops
+                # by, so read-set == drop-set by construction) — the
+                # full-cube _read_raw here listed O(cube) directories
+                # per trickle commit just to partition-filter them
+                # away; at 100 TB that listing was the commit's
+                # dominant metadata cost
+                hit_rels = sorted(
+                    d for d in meta["dirs"]
+                    if d.startswith("_current=true")
+                    and d.split("/")[1] in hit_open)
+                if hit_rels:
+                    pruned = self._read_dirs(path, meta, hit_rels)
+                    pruned = pruned.where(
+                        F.col("_current")
+                        & F.col("__obucket").isin(hit))
+                elif meta.get("schema") is not None:
+                    pruned = self._empty_schema_frame(meta["schema"])
+                else:
+                    pruned = self._read_raw(path).where(F.lit(False))
                 pruned = pruned.drop(*[c for c in
                                        ("__batch", "__obucket", "__stime",
                                         "_current")
@@ -4034,9 +4190,22 @@ class Engine:
 
         ``moduli`` may be a list (an in-flight doubling migration prunes
         under the UNION of the old and new bucket counts — see
-        ``_buckets_for_read``); the union still costs the one job."""
+        ``_buckets_for_read``); the union still costs the one job.
+
+        Fast path: when every literal is a plain ``int``/``str`` and
+        the stored dtype is an integral or string type, the string
+        rendering the JVM would hash is knowable on the driver —
+        ``metrique_spark.xxh64`` (property-tested against Spark's own
+        expression) computes the values with NO Spark job, removing a
+        fixed ~0.4 s of pure scheduling from every point lookup. Any
+        other combination (float/Decimal literals, date/binary oids,
+        no dtype) keeps the JVM job — rendering there is cast-rule
+        territory the driver must not guess."""
         if isinstance(moduli, int):
             moduli = [moduli]
+        fast = self._bucket_values_driver_side(oids, moduli, dtype)
+        if fast is not None:
+            return fast
         df = self.spark.createDataFrame([(o,) for o in oids], ["_oid"])
         if dtype is not None:
             # try_cast: ANSI mode would otherwise throw on an
@@ -4049,6 +4218,33 @@ class Engine:
         return sorted({r[f"b{i}"] for r in rows
                        for i in range(len(moduli))
                        if r[f"b{i}"] is not None})
+
+    @staticmethod
+    def _bucket_values_driver_side(oids: Sequence, moduli: Sequence[int],
+                                   dtype) -> list[int] | None:
+        """Driver-computed bucket values, or None when any literal or
+        the stored dtype falls outside the envelope where the string
+        rendering is unambiguous: integral dtypes render ``str(int)``
+        (a literal beyond the dtype's range matches no stored row, so
+        its extra value only widens the kept set — sound), string
+        dtypes hash ``str`` literals as-is. Floats/Decimals are
+        excluded — ``try_cast(7.5 AS long)`` truncates JVM-side, and
+        guessing that here could DROP the right bucket."""
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.StringType):
+            if not all(isinstance(o, str) for o in oids):
+                return None
+        elif isinstance(dtype, (T.ByteType, T.ShortType,
+                                T.IntegerType, T.LongType)):
+            if not all(isinstance(o, int) and not isinstance(o, bool)
+                       for o in oids):
+                return None
+        else:
+            return None
+        from metrique_spark.xxh64 import obucket_of
+
+        return sorted({obucket_of(o, m) for o in oids for m in moduli})
 
     def _scoped(self, cube: str | DataFrame, query: str | None,
                 date: str | None, oids: Sequence | None = None,
@@ -4076,47 +4272,59 @@ class Engine:
             # manifest resolution (directory-level data skipping)
             lo = date_end_lower_bound(date)
             hi = date_start_upper_bound(date)
+            # point lookup (oids= list, or the same lookup written as
+            # MQL — ``_oid == X`` / ``_oid in [...] and ...``, the
+            # reference's idiom): turn the literals into __obucket
+            # partition values so the read PRUNES to the ~|oids|/N of
+            # the table that can contain them — at 100 TB the
+            # difference between reading a few directories and reading
+            # the table (the _oid filter alone cannot prune: the bucket
+            # is a hash Spark doesn't invert). Resolved BEFORE the read
+            # from the manifest's stored dtype, so the prune applies to
+            # the directory list itself (_read_raw lists O(hit dirs),
+            # not O(cube)). Sound only when the literals share the
+            # stored _oid's type family (see _prune_family_ok) and,
+            # for MQL, when the conjunctively-implied literal set is
+            # bounded and single-typed — otherwise unpruned (skipped,
+            # not wrong).
+            bvals = None
+            if buckets:
+                lookup = list(oids) if oids else None
+                if lookup is None and query:
+                    qoids = oid_literal_set(query)
+                    if (qoids and len(qoids) <= 10_000
+                            and len({type(o) for o in qoids}) == 1):
+                        lookup = sorted(qoids, key=repr)
+                if lookup:
+                    mdtype = self._manifest_oid_dtype(path, generation)
+                    if (mdtype is not None
+                            and self._prune_family_ok(mdtype, lookup)):
+                        bvals = self._oid_bucket_values(
+                            lookup, moduli, dtype=mdtype)
             raw = self._read_raw(
                 path, generation=generation,
                 min_end=_norm_ts_bound(lo) if lo else None,
-                start_upper=_norm_ts_bound(hi) if hi else None)
-            if (oids and buckets and "__obucket" in raw.columns
-                    and self._prune_family_ok(
-                        raw.schema["_oid"].dataType, oids)):
-                # point lookup: turn the oid list into literal __obucket
-                # partition values so the scan PRUNES to the ~|oids|/N
-                # of the table that can contain them — at 100 TB this is
-                # the difference between reading a few directories and
-                # reading the table (the _oid filter alone cannot prune:
-                # the bucket is a hash Spark doesn't invert). Sound only
-                # when the lookup literals share the stored _oid's type
-                # family (see _prune_family_ok) — otherwise unpruned.
-                raw = raw.where(F.col("__obucket").isin(
-                    self._oid_bucket_values(
-                        oids, moduli,
-                        dtype=raw.schema["_oid"].dataType)))
-            elif (oids is None and query and buckets
-                    and "__obucket" in raw.columns):
-                # the SAME prune for point lookups written as MQL
-                # (``query='_oid == X'`` / ``'_oid in [...] and ...'`` —
-                # the reference's own point-lookup idiom): derive the
-                # conjunctively-implied oid set from the query AST and
-                # skip every bucket directory none of them hash into.
-                # Best-effort and sound-only: an unbounded query, a
-                # mixed-type literal set (the bucket-lookup frame needs
-                # one schema), a literal set outside the stored _oid's
-                # type family (the row predicate's coercion and the
-                # prune's cast disagree across families — see
-                # _prune_family_ok), or a huge set (every bucket hit
-                # anyway) just reads unpruned.
-                qoids = oid_literal_set(query)
-                if (qoids and len(qoids) <= 10_000
-                        and len({type(o) for o in qoids}) == 1
-                        and self._prune_family_ok(
-                            raw.schema["_oid"].dataType, qoids)):
+                start_upper=_norm_ts_bound(hi) if hi else None,
+                bucket_values=bvals)
+            if bvals and "__obucket" in raw.columns:
+                # belt-and-braces value filter on the pruned read: also
+                # covers legacy premanifest cubes below
+                raw = raw.where(F.col("__obucket").isin(bvals))
+            elif (bvals is None and "__obucket" in raw.columns
+                    and buckets):
+                # premanifest bucketed cube (no stored dtype): the
+                # legacy post-read prune, keyed on the read schema
+                lookup = list(oids) if oids else None
+                if lookup is None and query:
+                    qoids = oid_literal_set(query)
+                    if (qoids and len(qoids) <= 10_000
+                            and len({type(o) for o in qoids}) == 1):
+                        lookup = sorted(qoids, key=repr)
+                if lookup and self._prune_family_ok(
+                        raw.schema["_oid"].dataType, lookup):
                     raw = raw.where(F.col("__obucket").isin(
                         self._oid_bucket_values(
-                            sorted(qoids, key=repr), moduli,
+                            lookup, moduli,
                             dtype=raw.schema["_oid"].dataType)))
             if "__stime" in raw.columns:
                 # time-partitioned layout: the date spec's strict
@@ -4343,6 +4551,35 @@ class Engine:
         diffs the whole object with added/removed-key classification."""
         return temporal.dfind(self._scoped(cube, query, date), fields)
 
+    @staticmethod
+    def _plan_relations(jplan) -> set:
+        """Single-part table names a parsed (unresolved) logical plan
+        references: every ``UnresolvedRelation`` leaf of the main plan
+        and of every subquery expression plan (``subqueriesAll`` is
+        transitive), identifiers read via ``multipartIdentifier`` —
+        never from the plan's string repr, so quoting is a non-issue.
+        Multipart names (``db.tbl``) are skipped: the warehouse
+        namespace is flat, so they cannot be cubes."""
+        out: set = set()
+        plans = [jplan]
+        try:
+            it = jplan.subqueriesAll().iterator()
+            while it.hasNext():
+                plans.append(it.next())
+        except Exception:
+            pass  # older/newer internals: main plan still walked
+        for p in plans:
+            it = p.collectLeaves().iterator()
+            while it.hasNext():
+                node = it.next()
+                if (node.getClass().getSimpleName()
+                        != "UnresolvedRelation"):
+                    continue
+                parts = node.multipartIdentifier()
+                if parts.size() == 1:
+                    out.add(parts.apply(0))
+        return out
+
     def sql(self, query: str) -> DataFrame:
         """Raw SQL over cubes (reference ``execute``,
         ``sqlalchemy.py:528-547``) — full Spark SQL surface. Reference
@@ -4380,23 +4617,27 @@ class Engine:
                 except Exception:
                     pass
             # the names the query actually references AS TABLES: parse
-            # it with Spark's own SQL parser and collect the
-            # single-part UnresolvedRelation identifiers — a cube name
-            # inside a string literal or column alias is no longer a
-            # match at all (the old bare-word scan registered a
-            # harmless lazy view for those). Parse failure (or an
-            # engine without this internal) falls back to the bare-word
-            # scan: registration stays best-effort either way, and a
-            # truly-referenced missing table still fails with Spark's
-            # own not-found error.
+            # it with Spark's own SQL parser and WALK the logical plan
+            # for ``UnresolvedRelation`` leaves (main plan + every
+            # subquery expression via ``subqueriesAll``), reading each
+            # relation's ``multipartIdentifier`` parts directly — a
+            # cube name inside a string literal or column alias is no
+            # longer a match at all, and a backtick-quoted identifier
+            # containing ``]`` or ``,`` (which the earlier
+            # plan-STRING-repr regex would mis-extract) round-trips
+            # exactly. Only single-part names can be cubes (the
+            # warehouse namespace is flat); CTE names collected here
+            # are harmless — Spark resolves a CTE before any temp
+            # view, so a same-named lazy autoview is shadowed. Parse
+            # failure (or an engine without these internals) falls
+            # back to the bare-word scan: registration stays
+            # best-effort either way, and a truly-referenced missing
+            # table still fails with Spark's own not-found error.
             referenced: set | None = None
             try:
                 jplan = (self.spark._jsparkSession.sessionState()
                          .sqlParser().parsePlan(query))
-                referenced = {
-                    m for m in _re.findall(
-                        r"'UnresolvedRelation \[([^\],]+)\]",
-                        jplan.toString())}
+                referenced = self._plan_relations(jplan)
             except Exception:
                 referenced = None
             for name in self.ls():

@@ -279,7 +279,14 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str,
     commit, later micro-batches win per oid (batch ids order the
     buffered rows — same last-write-wins the per-batch path gets from
     commit order). The returned sink exposes ``flush(spark)`` for a
-    final drain after the stream stops."""
+    final drain after the stream stops.
+
+    The stage's control plane (listing staged batches, clearing them
+    after the fold) rides the ENGINE's ``fs`` abstraction — LIST and
+    prefix-DELETE primitives every object store offers — and the data
+    plane is Spark's own parquet writer, so the coalescing sink stages
+    wherever the engine's warehouse lives; real deployments put the
+    checkpoint dir on the same HDFS/S3 store as the cube."""
 
     def _commit(batch_df: DataFrame):
         engine.upsert(cube, batch_df, stamped=True)
@@ -291,19 +298,18 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str,
 
         return _sink
 
-    import os
-    import shutil
     import time as _time
 
     from pyspark.sql import functions as F
 
-    stage_root = os.path.join(checkpoint_dir, "_upsert_stage")
+    fs = engine.fs
+    stage_root = fs.join(checkpoint_dir, "_upsert_stage")
     state = {"last_flush": _time.monotonic()}
 
     def _staged() -> list[str]:
-        if not os.path.isdir(stage_root):
+        if not fs.isdir(stage_root):
             return []
-        return sorted(d for d in os.listdir(stage_root)
+        return sorted(d for d in fs.listdir(stage_root)
                       if d.startswith("batch="))
 
     def flush(spark) -> int:
@@ -314,7 +320,7 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str,
             state["last_flush"] = _time.monotonic()
             return 0
         df = (spark.read.option("basePath", stage_root)
-              .parquet(*[os.path.join(stage_root, d) for d in batches]))
+              .parquet(*[fs.join(stage_root, d) for d in batches]))
         # one row per oid: latest _start wins, micro-batch id breaks
         # ties (so a later batch's same-timestamp update wins, as it
         # would under per-batch commits). Intermediate versions within
@@ -331,15 +337,14 @@ def stream_upsert_sink(engine, cube: str, checkpoint_dir: str,
               .where(F.col("__rn") == 1).drop("__rn", "batch"))
         _commit(df)
         for d in batches:
-            shutil.rmtree(os.path.join(stage_root, d),
-                          ignore_errors=True)
+            fs.delete_dir(fs.join(stage_root, d))
         state["last_flush"] = _time.monotonic()
         return len(batches)
 
     def _sink(batch_df: DataFrame, batch_id: int):
         if not batch_df.isEmpty():
             (batch_df.write.mode("overwrite")
-             .parquet(os.path.join(stage_root, f"batch={batch_id}")))
+             .parquet(fs.join(stage_root, f"batch={batch_id}")))
         n = len(_staged())
         if not n:
             return

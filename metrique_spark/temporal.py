@@ -565,6 +565,12 @@ def dfind(df: DataFrame, fields: Iterable[str] | None = None) -> DataFrame:
     return out
 
 
+# Distributed-BFS visited union: fold into one checkpointed frame once
+# this many arms accrete, bounding the per-hop (and returned) plan at
+# O(window) whatever the traversal depth (see _deptree_visited).
+_VISITED_COLLAPSE_PARTS = 8
+
+
 def _deptree_hop(scoped: DataFrame, field: str, fringe: DataFrame,
                  broadcast_fringe: bool = True) -> DataFrame:
     """One BFS hop: distinct children of the fringe oids. The fringe rides
@@ -721,8 +727,14 @@ def _deptree_visited(
         # Distributed path. visited stays a lazy union of per-hop
         # checkpointed fringes: each fringe is cut from its lineage
         # (otherwise the plan doubles every iteration), while the union
-        # itself is k cheap checkpoint scans — linear in depth, never a
-        # rewrite of everything seen so far.
+        # itself is k cheap checkpoint scans. A DEEP traversal would
+        # still accrete one union arm per hop — an O(depth) plan fed to
+        # every anti-join and handed to the caller — so whenever the
+        # union reaches ``_VISITED_COLLAPSE_PARTS`` arms it is folded
+        # into ONE checkpointed frame: the plan stays O(collapse
+        # window) at any depth, and the fold's O(|visited|) rewrite
+        # amortizes to ≤1/window of the per-hop anti-join work that
+        # already scans visited.
         from metrique_spark.upsert import (broadcast_fits,
                                            key_row_bytes)
 
@@ -757,6 +769,9 @@ def _deptree_visited(
             if not n_prev:
                 break
             parts.append(new_fringe)
+            if len(parts) >= _VISITED_COLLAPSE_PARTS:
+                parts = [reduce(DataFrame.unionByName, parts)
+                         .localCheckpoint(eager=True)]
             visited = reduce(DataFrame.unionByName, parts)
             fringe = new_fringe
             depth += 1

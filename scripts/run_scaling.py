@@ -25,6 +25,22 @@ manifest's own per-directory stats) per op. The claims under test:
   stored-IVF ANN probe (whose scan bytes should stay ~FLAT — probes
   touch nprobe buckets, not the corpus).
 
+ATTRIBUTION rows (what drives a curve, not just its slope):
+
+- ``trickle_phases`` / ``point_lookup_phases``: the engine's own
+  phase accounting (manifest assemble / segment build / sweeps) plus
+  task time, so residual wall is identifiable as Spark plan/schedule
+  overhead rather than guessed;
+- ``dedup_candidate_pairs`` / ``dedup_verified_pairs`` /
+  ``dedup_max_band_bucket``: the LSH candidate volume — the
+  super-linear ``dedup_shuffle_bytes`` curve tracks candidate pairs
+  (a property of the corpus's band-collision structure), while the
+  hot-bucket cap bounds the worst key;
+- ``ann_probe_candidates``: probed-bucket candidate rows —
+  ~``nprobe x target_bucket_rows`` per query once ``nlist`` exceeds
+  ``nprobe`` (the design bound), so the probe wall saturates where
+  this row saturates.
+
 Writes ``SCALING.json`` at the repo root; the README table is derived
 from it. Usage: python scripts/run_scaling.py [rows,rows,...]
 (default 250k,1M,4M — a 16x span so a linear cost is unmistakable).
@@ -150,15 +166,31 @@ def main() -> None:
         run("hist", lambda: temporal.history(tbl, spine).collect())
 
         # MinHash-LSH dedup pairs over n/10 synthetic docs (every doc
-        # has exactly one twin by construction) — expected LINEAR
+        # has exactly one twin by construction) — expected LINEAR in
+        # docs for the signature stages; the pair stages ride the
+        # CANDIDATE volume, which the attribution rows below expose
+        # (band collisions between distinct contents grow with corpus
+        # size on this 8-shingle synthetic corpus — a data property,
+        # not a plan term; the hot-bucket cap bounds the worst key)
         docs = (spark.range(n // 10).select(
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", *[
                 F.sha2(((F.col("id") % (n // 20)) * 31 + j)
                        .cast("string"), 256)
                 for j in range(8)]).alias("text")))
-        run("dedup", lambda: _dd.minhash_dedup_pairs(
-            docs, num_hashes=32).count())
+        run("dedup", lambda: out.__setitem__(
+            "dedup_verified_pairs", _dd.minhash_dedup_pairs(
+                docs, num_hashes=32).count()))
+        # attribution: candidate volume + the worst band bucket under
+        # the same (hashes, bands, shingle) parameters
+        cand = _dd.minhash_lsh_candidates(docs, num_hashes=32,
+                                          bands=16, shingle_n=1)
+        out["dedup_candidate_pairs"] = cand.count()
+        banded = _dd.banded_hashes(
+            _dd.shingle_table(docs, "doc_id", "text", 1), 32, 16)
+        out["dedup_max_band_bucket"] = (
+            banded.groupBy("band", "bh").count()
+            .agg(F.max("count").alias("m")).first()["m"])
 
         # session windows over n events / n/100 users — LINEAR, one
         # shuffle keyed on user
@@ -189,6 +221,18 @@ def main() -> None:
         queries = vecs.where(F.col("vec_id") % (rows_v // 8) == 3)
         run("ann_probe", lambda: _sim.ivf_topk_indexed(
             assigned, centroids, queries, 5, 4).count())
+        # attribution: candidate rows the probe scored — bounded by
+        # nprobe x target_bucket_rows per query once nlist > nprobe,
+        # so the probe wall saturates where this saturates
+        nb = _sim._nearest_buckets(
+            queries.select(F.col("vec_id").alias("__vid"),
+                           F.expr("transform(embedding, "
+                                  "x -> cast(x as double))")
+                           .alias("qv")),
+            centroids, "qv", 4).select(
+            F.col("centroid_id").alias("bucket"))
+        out["ann_probe_candidates"] = (
+            nb.join(assigned, "bucket").count())
         return out
 
     def measure(n, buckets, small_bytes=256 * 1024 * 1024,
@@ -205,18 +249,31 @@ def main() -> None:
             ((eng._manifest(eng._path("c")).get("stats") or {})
              .get("bytes") or {}).values())
 
+        from metrique_spark.plans.metrics import StageMetricsProbe
+
+        tprobe = StageMetricsProbe(spark)
         trickle = []
+        tphases: dict = {}
         for i in range(3):
             before = set(eng._manifest(eng._path("c"))["dirs"])
             before_segs = seg_listing(eng, "c")
+            eng.phase_times = {}
+            tprobe.start()
             t0 = time.monotonic()
             eng.upsert("c", delta([i * 7 + 1, n // 2 + i],
                                   f"2024-02-0{i + 1}", i),
                        stamped=True)
             wall = time.monotonic() - t0
+            tm = tprobe.finish()
+            if not trickle or wall < trickle[0][0]:
+                tphases = dict(eng.phase_times,
+                               task_run_s=tm["task_run_s"])
+            eng.phase_times = None
             dirs, bts = commit_cost(eng, "c", before)
             mbts = manifest_commit_bytes(eng, "c", before_segs)
             trickle.append((wall, dirs, bts, mbts))
+            trickle.sort()
+        rec["trickle_phases"] = tphases
         rec["trickle_s"] = round(min(w for w, _d, _b, _m in trickle), 3)
         rec["trickle_dirs"] = max(d for _w, d, _b, _m in trickle)
         rec["trickle_bytes"] = max(b for _w, _d, b, _m in trickle)
@@ -241,9 +298,16 @@ def main() -> None:
         rec["compact_removed"] = removed
         rec["compact_bytes"] = bts
 
+        eng.phase_times = {}
+        tprobe.start()
         t0 = time.monotonic()
         assert eng.find("c", oids=[n // 3]).count() == 1
         rec["point_lookup_s"] = round(time.monotonic() - t0, 3)
+        pm = tprobe.finish()
+        rec["point_lookup_phases"] = dict(
+            eng.phase_times, task_run_s=pm["task_run_s"])
+        rec["point_lookup_scan_bytes"] = pm["input_bytes"]
+        eng.phase_times = None
 
         t0 = time.monotonic()
         assert eng.count("c") >= n
@@ -302,8 +366,11 @@ def main() -> None:
                       "migration_start_s", "migration_step_bytes",
                       "hist_s", "hist_shuffle_bytes",
                       "dedup_s", "dedup_shuffle_bytes",
+                      "dedup_candidate_pairs", "dedup_verified_pairs",
+                      "dedup_max_band_bucket",
                       "sessionize_s", "sessionize_shuffle_bytes",
-                      "ann_probe_s", "ann_probe_scan_bytes")
+                      "ann_probe_s", "ann_probe_scan_bytes",
+                      "ann_probe_candidates")
             if k in hi and k in lo},
         "ratios_control": ({
             k: round(control[-1][k] / max(control[0][k], 1e-9), 2)

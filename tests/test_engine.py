@@ -1024,3 +1024,134 @@ def test_sql_user_view_created_after_autoview_wins(spark, tmp_path):
     # gone again: the cube resolves (and refreshes) once more
     assert eng.sql(
         "select count(*) as n from latecube").first()["n"] == 4
+
+
+def test_sql_plan_walk_extracts_quoted_and_multipart_names(spark,
+                                                           tmp_path):
+    """sql()'s referenced-table detection walks the parsed logical
+    plan's ``UnresolvedRelation`` nodes via ``multipartIdentifier`` —
+    never the plan's string repr — so a backtick-quoted identifier
+    containing ``]`` or ``,`` round-trips exactly (the old string-repr
+    regex truncated ``ab]cd`` to ``ab``), multipart names are skipped
+    (the warehouse namespace is flat), and relations inside subquery
+    expressions are seen."""
+    from metrique_spark.objects import stamp
+
+    q = ("with `ab]c,d` as (select 1 as x) "
+         "select * from `ab]c,d` cross join realcube "
+         "where exists (select 1 from subq_only)")
+    jplan = (spark._jsparkSession.sessionState().sqlParser()
+             .parsePlan(q))
+    got = Engine._plan_relations(jplan)
+    # exact names — the bracketed one intact, the prefix 'ab' absent
+    assert got == {"ab]c,d", "realcube", "subq_only"}
+    assert "ab" not in got
+    # multipart identifiers are not cube candidates
+    jplan2 = (spark._jsparkSession.sessionState().sqlParser()
+              .parsePlan("select * from db.tbl join plaincube"))
+    assert Engine._plan_relations(jplan2) == {"plaincube"}
+
+    # end-to-end: a cube named 'ab' must NOT be registered by a query
+    # whose only weird reference is the quoted CTE name it is a string
+    # prefix of, while the really-referenced cube resolves
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=2)
+    mk = spark.createDataFrame([(i, i) for i in range(3)],
+                               "oid long, x long")
+    for name in ("ab", "realcube"):
+        eng.upsert(name, stamp(
+            mk, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+            stamped=True)
+    out = eng.sql("with `ab]c,d` as (select 1 as x) "
+                  "select count(*) as n from realcube "
+                  "cross join `ab]c,d`")
+    assert out.first()["n"] == 3
+    reg = getattr(spark, "_mtq_sql_autoviews", {})
+    assert "realcube" in reg and "ab" not in reg
+
+
+def test_point_lookup_lists_only_hit_bucket_dirs(spark, tmp_path):
+    """The oids= point lookup prunes the DIRECTORY LIST fed to the
+    reader, not just the scan: the planned read's input files all live
+    under the hit buckets' directories (O(hit) listing — past ~32
+    paths Spark's file listing becomes a one-task-per-directory job,
+    which made plan time O(cube) at scale), the empty-bucket lookup
+    reads NOTHING, and the answers match the unpruned read. Large oids
+    (> 2^31) on purpose: they cross py4j as proper longs."""
+    from metrique_spark.objects import stamp
+    from metrique_spark.xxh64 import obucket_of
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=64)
+    base = 2**33
+    df = spark.createDataFrame([(base + i, i) for i in range(256)],
+                               "oid long, x long")
+    eng.upsert("c", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    # one closed delta so both open and closed dirs exist
+    d2 = spark.createDataFrame([(base + 3, 1003)], "oid long, x long")
+    eng.upsert("c", stamp(
+        d2, oid="oid", start=F.to_timestamp(F.lit("2024-02-01"))),
+        stamped=True)
+    meta = eng._manifest(eng._path("c"))
+    assert len(meta["dirs"]) > 32
+    target = base + 3
+    b = obucket_of(target, 64)
+    q = eng.find("c", oids=[target], date="~")
+    files = q._jdf.inputFiles()
+    assert files, "lookup read no files"
+    assert all(f"__obucket={b}/" in f or f.endswith(f"__obucket={b}")
+               or f"__obucket={b}/" in f + "/" for f in files), files
+    got = sorted(r["x"] for r in q.collect())
+    assert got == [3, 1003]
+    # MQL-literal form prunes the same way
+    q2 = eng.find("c", query=f"_oid == {target}", date="~")
+    assert {f.rsplit("/", 2)[-2] if "__obucket" in f else f
+            for f in q2.inputFiles()} and sorted(
+        r["x"] for r in q2.collect()) == [3, 1003]
+    # a lookup hashing only into bucket(s) with no directories reads
+    # nothing at all (zero-row schema frame, no listing)
+    eng2 = Engine(spark, warehouse=str(tmp_path / "wh2"),
+                  oid_buckets=1024)
+    eng2.upsert("t", stamp(
+        spark.createDataFrame([(1, 1), (2, 2)], "oid long, x long"),
+        oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    lived = {d.split("/")[1] for d in
+             eng2._manifest(eng2._path("t"))["dirs"]}
+    empty_oid = next(o for o in range(3, 5000)
+                     if f"__obucket={obucket_of(o, 1024)}" not in lived)
+    qe = eng2.find("t", oids=[empty_oid], date="~")
+    assert qe.count() == 0 and list(qe._jdf.inputFiles()) == []
+
+
+def test_trickle_upsert_does_no_full_cube_listing(spark, tmp_path,
+                                                  monkeypatch):
+    """A bucket-granular snapshot trickle on a manifested bucketed cube
+    must never build the full-cube read: schema checks come from the
+    manifest schema and the merge reads exact hit relpaths — _read_raw
+    (the O(cube) listing read) is not called at all."""
+    from metrique_spark.objects import stamp
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"), oid_buckets=16)
+    df = spark.createDataFrame([(i, i) for i in range(64)],
+                               "oid long, x long")
+    eng.upsert("c", stamp(
+        df, oid="oid", start=F.to_timestamp(F.lit("2024-01-01"))),
+        stamped=True)
+    calls = []
+    orig = Engine._read_raw
+
+    def spy(self, path, *a, **kw):
+        calls.append(path)
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(Engine, "_read_raw", spy)
+    d2 = spark.createDataFrame([(3, 1003), (7, 1007)],
+                               "oid long, x long")
+    eng.upsert("c", stamp(
+        d2, oid="oid", start=F.to_timestamp(F.lit("2024-02-01"))),
+        stamped=True)
+    assert calls == [], "trickle built a full-cube listing read"
+    assert sorted(r["x"] for r in
+                  eng.find("c", oids=[3, 7]).collect()) == [1003, 1007]
+    assert eng.count("c", date="~") == 66

@@ -217,13 +217,41 @@ def test_deptree_df_returns_plan_not_collect(spark):
     out = deptree_df(df, "children", [0], date="~",
                      driver_fringe_threshold=1)
     p = audit.executed_plan(out)
-    # the result plan is checkpointed-fringe scans unioned — no joins,
-    # no exchanges re-reading the edge table, nothing collected
-    assert "Union" in p and "ExistingRDD" in p
+    # the result plan is checkpointed-fringe scans (unioned, or already
+    # folded into one frame by the periodic visited collapse) — no
+    # joins, no exchanges re-reading the edge table, nothing collected
+    assert "ExistingRDD" in p and "Join" not in p
     assert audit.count_exchanges(p) == 0
     got = sorted(r["_oid"] for r in out.collect())
     assert got == deptree(df, "children", [0], date="~")
     assert out.columns == ["_oid"]
+
+
+def test_deptree_deep_chain_plan_stays_bounded(spark):
+    """A DEEP distributed BFS must not accrete one union arm per hop:
+    the visited union folds into a single checkpointed frame every
+    ``_VISITED_COLLAPSE_PARTS`` hops, so a 50-hop chain's result plan
+    carries O(window) leaf scans — not 50 — and the per-hop anti-join
+    never consumes an O(depth) plan either."""
+    from metrique_spark.temporal import (_VISITED_COLLAPSE_PARTS,
+                                         deptree, deptree_df)
+
+    hops = 50
+    df = spark.createDataFrame(
+        [(i, [i + 1] if i < hops else []) for i in range(hops + 1)],
+        "_oid long, children array<long>")
+    out = deptree_df(df, "children", [0], date="~",
+                     driver_fringe_threshold=0)
+    p = audit.executed_plan(out)
+    # leaf scans in the result plan = checkpointed arms, bounded by the
+    # collapse window however deep the traversal went
+    arms = p.count("ExistingRDD") + p.count("Scan ExistingRDD")
+    assert arms <= 2 * _VISITED_COLLAPSE_PARTS, p
+    got = sorted(r["_oid"] for r in out.collect())
+    assert got == list(range(hops + 1))
+    # the list API walks the same chain to the same answer
+    assert deptree(df, "children", [0], date="~",
+                   driver_fringe_threshold=0) == got
 
 
 @pytest.mark.parametrize("name", ["tmp_on_date", "dedup_exact_groups",

@@ -1382,18 +1382,26 @@ def test_streaming_ingest_keeps_auto_index_fresh(spark, tmp_path):
     assert top["neighbor_id"] == 110 and top["sim"] == 1.0
 
 
-def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path):
+@pytest.mark.parametrize("backend", ["local", "objectstore"])
+def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path,
+                                                   backend):
     """Opt-in group commit: micro-batches stage durably and fold into
     ONE engine commit per N batches — the CURRENT state matches the
     per-batch oracle exactly (intermediate versions within a window
     collapse, the documented buffered-container semantics), rows
     stranded in the stage by a crash are drained by the next sink
-    instance, and replay converges."""
+    instance, and replay converges. Runs against BOTH control-plane
+    backends: the stage's list/clear protocol rides ``engine.fs``, so
+    the objectstore run proves the coalescing sink never needs POSIX
+    rename/O_EXCL/recursive-rmtree semantics."""
     from pyspark.sql import functions as F
 
     from metrique_spark.engine import Engine
+    from metrique_spark.fs import ObjectStoreFS
     from metrique_spark.objects import stamp
     from metrique_spark.streaming.events import stream_upsert_sink
+
+    mkfs = (ObjectStoreFS if backend == "objectstore" else lambda: None)
 
     def b(items, t):
         df = spark.createDataFrame(items, "oid long, v long")
@@ -1410,7 +1418,7 @@ def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path):
     ]
     # per-batch oracle
     oracle = Engine(spark, warehouse=str(tmp_path / "wh_o"),
-                    oid_buckets=2)
+                    oid_buckets=2, fs=mkfs())
     plain = stream_upsert_sink(oracle, "cube", str(tmp_path / "ck_o"))
     for i, bd in enumerate(batches):
         plain(bd, i)
@@ -1420,22 +1428,22 @@ def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path):
                       eng.find("cube", fields="v").collect())
 
     # coalesced: 3 staged batches per engine commit
-    eng = Engine(spark, warehouse=str(tmp_path / "wh_c"), oid_buckets=2)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_c"), oid_buckets=2,
+                 fs=mkfs())
     ck = str(tmp_path / "ck_c")
     sink = stream_upsert_sink(eng, "cube", ck, coalesce_batches=3)
     for i, bd in enumerate(batches[:5]):
         sink(bd, i)
     # 5 batches in: one flush happened (at 3), two remain staged —
     # durably on disk, not in the cube yet
-    import os
-
     assert eng._manifest(eng._path("cube"))["gen"] == 1
-    assert len(os.listdir(sink.stage_root)) == 2
+    assert len(eng.fs.listdir(sink.stage_root)) == 2
     # "crash": a NEW sink instance (restart) inherits the stage and
     # drains it with the next batch's flush trigger
     sink2 = stream_upsert_sink(eng, "cube", ck, coalesce_batches=3)
     sink2(batches[5], 5)
-    assert not os.listdir(sink2.stage_root)
+    assert not (eng.fs.isdir(sink2.stage_root)
+                and eng.fs.listdir(sink2.stage_root))
     assert eng._manifest(eng._path("cube"))["gen"] == 2  # 2 commits / 6 batches
     # current state identical to the per-batch oracle
     assert cur(eng) == cur(oracle) == [(1, 11), (2, 21), (3, 31),
@@ -1447,7 +1455,8 @@ def test_stream_upsert_sink_group_commit_coalesces(spark, tmp_path):
     assert eng.count("cube", date="~") == len(cur(eng)) + 2  # 2 closed
     # time-based trigger: a fresh sink with a tiny window flushes on
     # the next batch
-    eng3 = Engine(spark, warehouse=str(tmp_path / "wh_t"), oid_buckets=2)
+    eng3 = Engine(spark, warehouse=str(tmp_path / "wh_t"),
+                  oid_buckets=2, fs=mkfs())
     sink3 = stream_upsert_sink(eng3, "cube", str(tmp_path / "ck_t"),
                                coalesce_seconds=0.0)
     sink3(batches[0], 0)
