@@ -4287,14 +4287,19 @@ class Engine:
             # for MQL, when the conjunctively-implied literal set is
             # bounded and single-typed — otherwise unpruned (skipped,
             # not wrong).
-            bvals = None
-            if buckets:
-                lookup = list(oids) if oids else None
-                if lookup is None and query:
+            def lookup_literals():
+                if oids:
+                    return list(oids)
+                if query:
                     qoids = oid_literal_set(query)
                     if (qoids and len(qoids) <= 10_000
                             and len({type(o) for o in qoids}) == 1):
-                        lookup = sorted(qoids, key=repr)
+                        return sorted(qoids, key=repr)
+                return None
+
+            bvals = None
+            if buckets:
+                lookup = lookup_literals()
                 if lookup:
                     mdtype = self._manifest_oid_dtype(path, generation)
                     if (mdtype is not None
@@ -4314,12 +4319,7 @@ class Engine:
                     and buckets):
                 # premanifest bucketed cube (no stored dtype): the
                 # legacy post-read prune, keyed on the read schema
-                lookup = list(oids) if oids else None
-                if lookup is None and query:
-                    qoids = oid_literal_set(query)
-                    if (qoids and len(qoids) <= 10_000
-                            and len({type(o) for o in qoids}) == 1):
-                        lookup = sorted(qoids, key=repr)
+                lookup = lookup_literals()
                 if lookup and self._prune_family_ok(
                         raw.schema["_oid"].dataType, lookup):
                     raw = raw.where(F.col("__obucket").isin(
