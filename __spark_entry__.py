@@ -1878,11 +1878,25 @@ def _softmax_langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrique_spark.functions.classifier import softmax_classifier_scores
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    langs = (d.select("lang").distinct().withColumn(
-        "cls", (F.dense_rank().over(Window.orderBy("lang")) - 1)
-        .cast("int")))
-    k = langs.count()
-    lab = d.join(F.broadcast(langs), "lang").select("doc_id", "text", "cls")
+    # class ids = dense rank of the language code, derived ONCE on the
+    # driver (K is tiny by contract) and applied as a CASE expression:
+    # one distinct-collect job replaces the former distinct + count +
+    # broadcast-join (3 jobs + an exchange in every downstream plan).
+    # Rank replicated exactly: ascending with NULLS FIRST by UTF-8 byte
+    # order (Spark's string comparator); the former inner join dropped
+    # NULL-lang rows (NULL never equi-matches), as does the CASE below.
+    vals = sorted((r["lang"] for r in d.select("lang").distinct().collect()),
+                  key=lambda v: (v is not None,
+                                 v.encode("utf-8") if v is not None else b""))
+    k = len(vals)
+    cls = None
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        cond = F.col("lang") == F.lit(v)
+        cls = F.when(cond, i) if cls is None else cls.when(cond, i)
+    lab = (d.where(cls.isNotNull())
+           .select("doc_id", "text", cls.cast("int").alias("cls")))
     return softmax_classifier_scores(
         lab, "cls", k, n_buckets=32, len_cap=50, iters=4, lr=25.0,
         holdout_mod=7)

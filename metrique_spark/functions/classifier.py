@@ -62,9 +62,16 @@ def hashed_token_features(
     iterations reuse the persisted result. The dense ``array<double>``
     keeps every later pass map-only (a sparse (id, bucket, x) layout
     would re-shuffle per iteration to rebuild per-doc dots)."""
-    src = df.select(F.col(id_col).alias("id"),
-                    F.col(label_col).cast("double").alias("y"),
-                    F.col(text_col).alias("__t"))
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    # spread BEFORE tokenizing: a single-row-group parquet source scans
+    # as one task, which serializes the tokenize+hash explode (the
+    # dominant feature-build cost) onto one core — exact no-op at real
+    # scale where the input already has ≥cores splits
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(label_col).cast("double").alias("y"),
+                  F.col(text_col).alias("__t")))
     if use_bigrams:
         toks = tokens("__t")
         bigrams = F.zip_with(
@@ -105,13 +112,22 @@ def hashed_token_features(
     return dense.join(src.select("id", "y"), "id")
 
 
+def _dlit(vals) -> str:
+    """SQL double-array literal — ONE parsed expression instead of a
+    py4j ``F.lit`` round trip per element (measured ~1 s of driver time
+    per softmax iteration at K=5×34 literals). ``repr(float)`` is the
+    shortest round-trip rendering, so the parsed doubles are
+    bit-identical to the ``F.lit`` path."""
+    return "array({})".format(",".join(f"{float(v)!r}D" for v in vals))
+
+
 def _scored(feats: DataFrame, w: list, bias: float, z_decimals: int,
             p_decimals: int) -> DataFrame:
     """Map-only sigmoid scores under driver-resident weights: the
     per-doc dot accumulates as DECIMAL(38,12) (exact, order-free — a
     SQL sum over the sparse terms produces the identical value because
     the zero-feature terms cast to decimal zero)."""
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    w_lit = F.expr(_dlit(w))
     dot = F.aggregate(
         F.zip_with(F.col("x"), w_lit, lambda a, b: (a * b).cast(_DEC)),
         F.lit(0).cast(_DEC),
@@ -144,9 +160,9 @@ def train_logreg(
     ``hashed_token_features``)."""
     w = [0.0] * n_dims
     bias = 0.0
-    n = feats.count()
-    if n == 0:
+    if iters == 0 and not feats.head(1):
         raise ValueError("train_logreg: empty feature frame")
+    n = None
     from pyspark import StorageLevel
 
     for _ in range(iters):
@@ -160,9 +176,17 @@ def train_logreg(
             .select("err", F.posexplode(
                 F.concat("x", F.array(F.lit(1.0)))).alias("j", "xj"))
             .groupBy("j")
-            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
+            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"),
+                 # every doc emits every dimension once, so any group's
+                 # count IS the doc count — rides the gradient shuffle,
+                 # replacing the separate feats.count() job
+                 F.count("*").alias("c"))
         ).collect()
         sc.unpersist(blocking=False)
+        if n is None:
+            n = int(grad[0]["c"]) if grad else 0
+            if n == 0:
+                raise ValueError("train_logreg: empty feature frame")
         gmap = {r["j"]: float(r["g"]) for r in grad}
         w = [_round_half_away(w[j] - lr * (gmap.get(j, 0.0) / n),
                               w_decimals)
@@ -197,19 +221,26 @@ def _softmax_scored(feats: DataFrame, W: list, biases: list,
     exponentials are rounded then summed as DECIMAL (order-free), and
     the final probabilities are rounded — so a SQL engine replaying the
     same expressions produces bit-identical probabilities."""
-    n_classes = len(W)
-    zs = F.array(*[
-        F.round(
+    # ONE parsed (weights, bias) struct-array literal + ONE transform
+    # lambda, not K unrolled per-class chains: the unrolled shape cost
+    # ~1 s of py4j literal construction PLUS ~1 s of Catalyst
+    # analysis/codegen per training iteration (the tree is K× bigger),
+    # while the per-class fold below is the IDENTICAL expression per
+    # element — z values are bit-identical.
+    wmat = F.expr("array({})".format(",".join(
+        "named_struct('w', {}, 'b', {!r}D)".format(
+            _dlit(W[k]), float(biases[k]))
+        for k in range(len(W)))))
+    zs = F.transform(
+        wmat,
+        lambda wk: F.round(
             F.aggregate(
-                F.zip_with(
-                    F.col("x"),
-                    F.array(*[F.lit(float(v)) for v in W[k]]),
-                    lambda a, b: (a * b).cast(_DEC)),
+                F.zip_with(F.col("x"), wk["w"],
+                           lambda a, b: (a * b).cast(_DEC)),
                 F.lit(0).cast(_DEC),
                 lambda acc, t: (acc + t).cast(_DEC),
-            ).cast("double") + F.lit(float(biases[k])),
-            z_decimals)
-        for k in range(n_classes)])
+            ).cast("double") + wk["b"],
+            z_decimals))
     sc = feats.select("id", "y", "x", zs.alias("zs"))
     # max-shift before exp: keeps every exponential in (0, 1] so the
     # fixed-decimal rounding below loses no dynamic range
@@ -250,9 +281,9 @@ def train_softmax(
     classifier and kmeans."""
     W = [[0.0] * n_dims for _ in range(n_classes)]
     biases = [0.0] * n_classes
-    n = feats.count()
-    if n == 0:
+    if iters == 0 and not feats.head(1):
         raise ValueError("train_softmax: empty feature frame")
+    n = None
     from pyspark import StorageLevel
 
     for _ in range(iters):
@@ -272,9 +303,16 @@ def train_softmax(
             .select("k", "err", F.posexplode(
                 F.concat("x", F.array(F.lit(1.0)))).alias("j", "xj"))
             .groupBy("k", "j")
-            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"))
+            .agg(F.sum((F.col("err") * F.col("xj")).cast(_DEC)).alias("g"),
+                 # every doc emits every (class, dimension) once — any
+                 # group's count IS the doc count (see train_logreg)
+                 F.count("*").alias("c"))
         ).collect()
         sc.unpersist(blocking=False)
+        if n is None:
+            n = int(grad[0]["c"]) if grad else 0
+            if n == 0:
+                raise ValueError("train_softmax: empty feature frame")
         g = {(r["k"], r["j"]): float(r["g"]) for r in grad}
         W = [[_round_half_away(
                 W[k][j] - lr * (g.get((k, j), 0.0) / n), w_decimals)

@@ -388,6 +388,9 @@ def ivf_assign(
     return assigned, centroids
 
 
+_KMEANS_CENTS_ATTR = "_kmeans_cents"
+
+
 def _lloyd_round(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """One k-means round: assign each vector to its nearest centroid, then
     recompute each centroid as the per-dimension mean of its bucket.
@@ -440,8 +443,13 @@ def _assign_rounded(
 
     ``vectors``: (__vid, v) · ``centroids``: (centroid_id, cvec).
     Returns (__vid, v, cluster, sim)."""
-    rows = centroids.select("centroid_id", "cvec").collect()
-    cents = sorted((r["centroid_id"], list(r["cvec"])) for r in rows)
+    # a centroid frame built by kmeans_fit carries its driver-side list
+    # along — the collect below would be one more sequential job per
+    # assign call for values the driver already holds
+    cents = getattr(centroids, _KMEANS_CENTS_ATTR, None)
+    if cents is None:
+        rows = centroids.select("centroid_id", "cvec").collect()
+        cents = sorted((r["centroid_id"], list(r["cvec"])) for r in rows)
     return _assign_lit(vectors, cents, sim_decimals)
 
 
@@ -466,10 +474,16 @@ def _assign_lit(
     driver-side list of ``(cid, vec)`` sorted by cid."""
     if not cents:
         raise ValueError("cannot assign against an empty centroid set")
+    # each centroid VECTOR is one parsed SQL literal (repr round-trip =
+    # bit-identical doubles), not dim× py4j ``F.lit`` round trips —
+    # measured ~0.5 s of pure driver time per assign call at k=8, d=64.
+    # The cid literal stays an ``F.lit`` so its TYPE (int/long/string,
+    # whatever the id column collected as) is inferred exactly as before.
     cent_lit = F.array(*[
         F.struct(
             F.lit(cid).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            F.expr("array({})".format(
+                ",".join(f"{float(x)!r}D" for x in vec))).alias("cvec"),
             F.lit(_py_norm(vec)).alias("cn"),
         )
         for cid, vec in cents
@@ -593,8 +607,13 @@ def kmeans_fit(
         T.StructField("centroid_id", df.schema[id_col].dataType),
         T.StructField("cvec", T.ArrayType(T.DoubleType())),
     ])
-    return df.sparkSession.createDataFrame(
+    out = df.sparkSession.createDataFrame(
         sorted(cents.items()), schema=schema)
+    # ride the driver-resident centroids along (the kmeans contract —
+    # k·dim doubles) so downstream assign/probe calls skip a collect job
+    setattr(out, _KMEANS_CENTS_ATTR,
+            sorted((cid, list(vec)) for cid, vec in cents.items()))
+    return out
 
 
 def kmeans_assign(
@@ -1174,6 +1193,43 @@ def _book_lit_sql(book: list) -> str:
     return f"array({cws})"
 
 
+def _books_lit_sql(codebooks: list) -> str:
+    """ALL codebooks as one parsed SQL literal: array (over subspaces) of
+    array (over codewords) of ``named_struct('cvec', ..., 'cn2', ...)``.
+    One driver-side parse for the whole codebook set; the per-element
+    doubles are identical to ``_book_lit_sql``'s."""
+    return "array({})".format(",".join(
+        _book_lit_sql(book) for book in codebooks))
+
+
+def _subsv_expr(vcol: Column, m: int, sub_len: int) -> Column:
+    """Per-subspace slices as ONE array-of-arrays expression (each slice
+    evaluated once, by lambda-variable binding in the consumers)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vcol, j * sub_len + 1, sub_len))
+
+
+def _d2mat_expr(subsv: Column, codebooks: list,
+                dist_decimals: int) -> Column:
+    """Rounded squared-L2 distances to every codeword of every subspace:
+    array (per subspace) of array (per codeword), via ONE two-arg
+    transform lambda over the materialized slices and ONE all-codebooks
+    literal — the tree-size-collapsed twin of m unrolled ``_l2_d2s``
+    columns (identical fold arithmetic per element, so the rounded
+    distances are bit-identical; the m-unrolled shape cost ~1 s of
+    Catalyst analysis PER QUERY at m=16). ``subsv``/the lambda vars are
+    bound VALUES, so multiple references don't re-evaluate the slice."""
+    allb = F.expr(_books_lit_sql(codebooks))
+    return F.transform(
+        subsv,
+        lambda sv, j: F.transform(
+            F.element_at(allb, j + 1),
+            lambda cw: F.round(
+                _dot(sv, sv) - 2 * _dot(sv, cw["cvec"]) + cw["cn2"],
+                dist_decimals)))
+
+
 def _l2_d2s(sub: Column, book: list, dist_decimals: int) -> Column:
     """Per-codeword rounded squared-L2 distances (dot expansion,
     codewords as one parsed SQL literal). Callers MUST alias this in
@@ -1218,18 +1274,19 @@ def pq_train(
     map-only scan with literal codewords + one combinable
     (code, dim) shuffle collected as k·(dim/m) rows); the corpus never
     shuffles and the driver holds only the codebooks."""
-    first = df.select(_as_double(vec_col).alias("v")).first()
-    if first is None:
-        raise ValueError("pq_train: empty input")
-    dim = len(first["v"])
-    if dim % m:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
-    sub_len = dim // m
     seed_rows = (
         df.select(F.col(id_col).alias("cid"),
                   _as_double(vec_col).alias("v"),
                   F.md5(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h", "cid").limit(k).select("cid", "v").collect())
+    # dim comes from the seed rows — the former separate ``first()``
+    # probe was one more sequential job per train call
+    if not seed_rows:
+        raise ValueError("pq_train: empty input")
+    dim = len(seed_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub_len = dim // m
     books = [[list(r["v"][j * sub_len:(j + 1) * sub_len])
               for r in seed_rows] for j in range(m)]
     from metrique_spark.functions.dedup import spread_small_scan
@@ -1237,10 +1294,13 @@ def pq_train(
     v = _as_double(vec_col)
     # the argmin folds are interpreted HOFs — a single-row-group input
     # would run them all on one core (spread_small_scan is a no-op at
-    # real scale where the input has thousands of splits)
-    subs = spread_small_scan(df.select(
-        *[F.slice(v, j * sub_len + 1, sub_len)
-          .alias(f"__s{j}") for j in range(m)]))
+    # real scale where the input has thousands of splits). The slices
+    # are ONE array-of-arrays column and the distances ONE two-level
+    # lambda over a single all-codebooks literal (see _d2mat_expr) —
+    # the m-unrolled per-subspace columns cost ~1 s of Catalyst
+    # analysis per iteration at m=16 for identical per-element folds.
+    subs = spread_small_scan(df.select(v.alias("__v"))).select(
+        _subsv_expr(F.col("__v"), m, sub_len).alias("__sv"))
     for _ in range(iters):
         # ALL m subspace argmins in one pass, then ONE combinable
         # (sub, code, dim) shuffle collected as m·k·(dim/m) rows — an
@@ -1248,25 +1308,24 @@ def pq_train(
         # would scan the corpus m times). Persist before the explode:
         # Generate re-evaluates its input per output row, which would
         # rerun every argmin fold m times per vector (the classifier
-        # gradient lesson).
+        # gradient lesson). The distance matrix gets its own projection
+        # so the argmin's double reference doesn't re-run the folds.
         from pyspark import StorageLevel
 
         assigned = (subs.select(
-            *[F.col(f"__s{j}") for j in range(m)],
-            *[_l2_d2s(F.col(f"__s{j}"), books[j], dist_decimals)
-              .alias(f"__d{j}") for j in range(m)])
+            "__sv",
+            _d2mat_expr(F.col("__sv"), books, dist_decimals)
+            .alias("__dm"))
             .select(
-            *[F.col(f"__s{j}") for j in range(m)],
-            *[_argmin_code(F.col(f"__d{j}")).alias(f"__c{j}")
-              for j in range(m)])
+            "__sv",
+            F.transform(F.col("__dm"), _argmin_code).alias("__c"))
             .persist(StorageLevel.MEMORY_AND_DISK))
-        rows = (assigned.select(F.explode(F.array(*[
-            F.struct(F.lit(j).alias("sub"),
-                     F.col(f"__c{j}").alias("code"),
-                     F.col(f"__s{j}").alias("sv"))
-            for j in range(m)])).alias("r"))
-            .select("r.sub", "r.code", F.posexplode("r.sv")
-                    .alias("dim", "x"))
+        rows = (assigned
+                .select("__sv", F.posexplode("__c").alias("sub", "code"))
+                .select("sub", "code",
+                        F.posexplode(F.element_at("__sv",
+                                                  F.col("sub") + 1))
+                        .alias("dim", "x"))
             .groupBy("sub", "code", "dim")
             .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
                  F.count("*").alias("n"))
@@ -1292,25 +1351,23 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>) — each vector compressed to ``m`` codebook
     indices by rounded-L2 argmin. Map-only: codebooks ride into the
-    scan as literals; the subspace slices are materialized in their own
-    projection so the argmin folds don't re-inline the slicing."""
+    scan as ONE parsed literal; the distance matrix is materialized in
+    its own projection so the argmin doesn't re-run the folds (it
+    references its input twice), mirroring the old per-subspace
+    two-step shape with an m×-smaller expression tree."""
     from metrique_spark.functions.dedup import spread_small_scan
 
     m = len(codebooks)
     sub_len = len(codebooks[0][0])
     v = _as_double(vec_col)
-    sliced = spread_small_scan(df.select(
-        F.col(id_col),
-        *[F.slice(v, j * sub_len + 1, sub_len).alias(f"__s{j}")
-          for j in range(m)]))
+    sliced = spread_small_scan(df.select(F.col(id_col), v.alias("__v")))
     dists = sliced.select(
         F.col(id_col),
-        *[_l2_d2s(F.col(f"__s{j}"), codebooks[j], dist_decimals)
-          .alias(f"__d{j}") for j in range(m)])
+        _d2mat_expr(_subsv_expr(F.col("__v"), m, sub_len), codebooks,
+                    dist_decimals).alias("__dm"))
     return dists.select(
         F.col(id_col),
-        F.array(*[_argmin_code(F.col(f"__d{j}"))
-                  for j in range(m)]).alias("codes"))
+        F.transform(F.col("__dm"), _argmin_code).alias("codes"))
 
 
 def _pq_query_frame(queries: DataFrame, codebooks: list,
@@ -1325,19 +1382,18 @@ def _pq_query_frame(queries: DataFrame, codebooks: list,
     q = queries.select(F.col(id_col).alias("query_id"),
                        qv.alias("__qv"))
 
-    def _vecs_lit(book):
-        return F.expr("array({})".format(",".join(
+    # one parsed vectors-only literal for ALL books + one two-arg
+    # transform (sv bound once per subspace) — identical dot folds to
+    # the former m unrolled per-subspace transforms, m× smaller tree
+    allv = F.expr("array({})".format(",".join(
+        "array({})".format(",".join(
             "array({})".format(",".join(f"{float(x)!r}D" for x in vec))
-            for vec in book)))
-
-    # closure factory, not default-arg capture: PySpark types a HOF by
-    # its lambda's parameter count (the bpe.py lesson)
-    def _lut_for(j, book):
-        sub = F.slice(F.col("__qv"), j * sub_len + 1, sub_len)
-        return F.transform(_vecs_lit(book), lambda cv: _dot(sub, cv))
-
-    luts = F.array(*[_lut_for(j, book)
-                     for j, book in enumerate(codebooks)])
+            for vec in book))
+        for book in codebooks)))
+    luts = F.transform(
+        _subsv_expr(F.col("__qv"), m, sub_len),
+        lambda sv, j: F.transform(F.element_at(allv, j + 1),
+                                  lambda cv: _dot(sv, cv)))
     return q.select("query_id", _norm(F.col("__qv")).alias("__qn"),
                     luts.alias("__lut"))
 
@@ -1465,8 +1521,10 @@ def _probe_lists(
 
     ``qv``: (query_id, __qv double array). Returns (query_id, cluster),
     ``nprobe`` rows per query."""
-    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
-                       for r in centroids.collect())
+    cent_rows = getattr(centroids, _KMEANS_CENTS_ATTR, None)
+    if cent_rows is None:
+        cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                           for r in centroids.collect())
     return _probe_lists_lit(qv, cent_rows, nprobe, sim_decimals)
 
 
@@ -1607,8 +1665,10 @@ def ivfpq_topk(
              .join(assigned.select(F.col(id_col), "cluster"), id_col)
              .persist(StorageLevel.MEMORY_AND_DISK))
 
-    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
-                       for r in cents.collect())
+    cent_rows = getattr(cents, _KMEANS_CENTS_ATTR, None)
+    if cent_rows is None:
+        cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                           for r in cents.collect())
     out = ivfpq_topk_codes(codes, cent_rows, books, queries,
                            nprobe=nprobe, topk=topk, id_col=id_col,
                            vec_col=vec_col, score_decimals=score_decimals,
@@ -2357,8 +2417,10 @@ def write_ivfpq_index(
     (codes.withColumn("__abatch", F.lit("base"))
      .write.partitionBy("cluster", "__abatch").mode("overwrite")
      .parquet(path + "/codes"))
-    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
-                       for r in cents.collect())
+    cent_rows = getattr(cents, _KMEANS_CENTS_ATTR, None)
+    if cent_rows is None:
+        cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                           for r in cents.collect())
     meta = {"format": _PQ_FORMAT, "kind": "ivfpq", "m": m, "k": k,
             "iters": pq_iters, "nlist": nlist,
             "coarse_iters": coarse_iters, "id_col": id_col,
@@ -2581,21 +2643,32 @@ def ivfsq8_topk(
     and no codebook training. Deterministic end-to-end; the SQL oracle
     replays coarse training, routing, probe selection, quantization and
     reconstruction exactly."""
+    from pyspark import StorageLevel
+
+    from metrique_spark.functions.cache import track
+
     cents = kmeans_fit(corpus, k=nlist, iters=coarse_iters,
                        id_col=id_col, vec_col=vec_col,
                        sim_decimals=sim_decimals)
     assigned = kmeans_assign(corpus, cents, id_col=id_col,
                              vec_col=vec_col, sim_decimals=sim_decimals)
     params = sq8_train(corpus, vec_col=vec_col)
+    # persist the routed codes (the ivfpq_topk contract): encode-once/
+    # probe-many — repeat probes must pay the quantization + routing
+    # once, not per action. Caller releases via functions.cache.release.
     codes = (sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
-             .join(assigned.select(F.col(id_col), "cluster"), id_col))
-    cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
-                       for r in cents.collect())
-    return ivfsq8_topk_codes(codes, cent_rows, params, queries,
-                             nprobe=nprobe, topk=topk, id_col=id_col,
-                             vec_col=vec_col,
-                             score_decimals=score_decimals,
-                             sim_decimals=sim_decimals)
+             .join(assigned.select(F.col(id_col), "cluster"), id_col)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    cent_rows = getattr(cents, _KMEANS_CENTS_ATTR, None)
+    if cent_rows is None:
+        cent_rows = sorted((r["centroid_id"], list(r["cvec"]))
+                           for r in cents.collect())
+    out = ivfsq8_topk_codes(codes, cent_rows, params, queries,
+                            nprobe=nprobe, topk=topk, id_col=id_col,
+                            vec_col=vec_col,
+                            score_decimals=score_decimals,
+                            sim_decimals=sim_decimals)
+    return track(out, codes)
 
 
 def ivfsq8_topk_codes(

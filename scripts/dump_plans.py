@@ -1,0 +1,66 @@
+"""Dump ``explain("formatted")`` for bench queries into plans/r14/.
+
+Usage:
+    python scripts/dump_plans.py <suffix> [query ...]
+
+Writes plans/r14/<query>_<suffix>.txt for each named query (default: the
+full bench list). Queries whose builders execute driver-side training
+jobs (kmeans seeds, classifier GD) run those jobs as part of plan
+construction — this script is for plan SHAPE, not timing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("plan-dump")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if not names:
+        import bench
+
+        names = list(bench.BENCH_QUERIES)
+
+    outdir = os.path.join(ROOT, "plans", "r14")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as exc:  # noqa: BLE001
+            txt = f"ERROR building plan: {exc!r}\n"
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path}", file=sys.stderr)
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
