@@ -1842,7 +1842,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from metrique_spark.functions.classifier import quality_classifier_scores
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    # spread the scan BEFORE the broadcast join: the joined frame keeps
+    # the streamed side's partitioning, so a single-row-group source
+    # would serialize the tokenize+hash feature build onto one core
+    d = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     g = text.gopher_quality_flags(
         d, min_words=20, min_stopword_hits=0).select("doc_id", "passes")
     return quality_classifier_scores(
@@ -1860,7 +1866,10 @@ def text_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from metrique_spark.functions.classifier import quality_classifier_scores
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    d = spread_small_scan(  # see text_quality_classifier on why pre-join
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     g = text.gopher_quality_flags(
         d, min_words=20, min_stopword_hits=0).select("doc_id", "passes")
     return quality_classifier_scores(
@@ -1877,7 +1886,10 @@ def _softmax_langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from metrique_spark.functions.classifier import softmax_classifier_scores
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    from metrique_spark.functions.dedup import spread_small_scan
+
+    d = spread_small_scan(  # pre-spread: the feature build is narrow
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
     # class ids = dense rank of the language code, derived ONCE on the
     # driver (K is tiny by contract) and applied as a CASE expression:
     # one distinct-collect job replaces the former distinct + count +

@@ -84,52 +84,38 @@ def bpe_train(
 
     Scale: ONE corpus-wide token-count shuffle builds the weighted types
     table; each iteration is a map-only re-segmentation (rule literals)
-    + one combinable pair-count shuffle + a 1-row argmax collect —
-    exactly ONE job per round: each round's types table is a LAZY
-    persist materialized as a side effect of that round's argmax job
-    (the former per-round ``localCheckpoint(eager=True)`` paid a second,
-    purely sequential job per round — 8 extra scheduling round-trips per
-    train at any scale). The superseded round's blocks are unpersisted
-    once the next round is materialized, so steady state holds ~2 copies
-    of the vocabulary-sized table; lineage stays intact (persist, not
-    checkpoint), so a lost block recomputes instead of killing the
-    job."""
-    from pyspark import StorageLevel
-
+    + one combinable pair-count shuffle + a 1-row argmax collect. The
+    types table is localCheckpointed per round so the plan stays flat
+    over ``num_merges``; a superseded round's checkpoint blocks are
+    released by the ContextCleaner once its driver reference drops
+    (immediate under CPython refcounting at the reassignment below —
+    there is no public API to unpersist a localCheckpoint), so steady
+    state holds ~2 copies of the vocabulary-sized table, not
+    ``num_merges``. (A lazy-persist chain was MEASURED SLOWER here
+    despite saving the per-round checkpoint job: every round's action
+    canonicalizes the growing lineage against every registered cache
+    entry — quadratic driver work that outweighs the job it saves.)"""
     t0 = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").cast("long").alias("n"))
         .select("token", "n", _chars(F.col("token")).alias("pieces"))
     )
-    types = t0.persist(StorageLevel.MEMORY_AND_DISK)
-    prev = None
+    types = t0.localCheckpoint(eager=True)
     merges = []
     for i in range(num_merges):
         best = (_pair_counts(types)
                 .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
                 .limit(1).collect())
-        # ``types`` is now materialized; its predecessor's blocks are dead
-        if prev is not None:
-            prev.unpersist(blocking=False)
         if not best:
-            if not return_types:
-                types.unpersist(blocking=False)
             raise ValueError(
                 f"bpe_train: pairs exhausted after {i} merges "
                 f"(requested {num_merges})")
         b = best[0]
         merges.append((b["lhs"], b["rhs"], b["pair_count"]))
-        prev = types
         types = types.select(
             "token", "n",
             _apply_merge(F.col("pieces"), b["lhs"], b["rhs"])
-            .alias("pieces")).persist(StorageLevel.MEMORY_AND_DISK)
-    if not return_types:
-        # the final chain was never needed — drop the lazy registration
-        # (no blocks were written) and the last materialized round's
-        types.unpersist(blocking=False)
-        if prev is not None:
-            prev.unpersist(blocking=False)
+            .alias("pieces")).localCheckpoint(eager=True)
     return (merges, types) if return_types else merges
 
 

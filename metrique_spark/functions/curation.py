@@ -68,13 +68,24 @@ def curate_corpus(
     (id, lang, score) projections."""
     from pyspark import StorageLevel
 
-    ids = df.select(F.col(id_col).alias("id"),
-                    F.col(lang_col).alias("lang"))
+    # ONE signal scan carries the gopher gate (its own single-scan
+    # projection), the language, and the dedup fingerprint — the former
+    # shape ran THREE text passes (gopher, fingerprint, and the LM's)
+    # and joined the first two back by id; identical expressions, so
+    # every output value is unchanged
+    sig = gopher_quality_flags(
+        df.withColumn("__fp", fingerprint(text_col)),
+        text_col=text_col, id_col=id_col, min_words=min_words,
+        max_words=max_words, min_stopword_hits=min_stopword_hits,
+        keep=(lang_col, "__fp"),
+    ).select(F.col(id_col).alias("id"),
+             F.col(lang_col).alias("lang"), "__fp",
+             F.col("passes").alias("gopher_pass"))
 
     scores = (
         unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
         .withColumnRenamed(id_col, "id")
-        .join(ids, "id")
+        .join(sig.select("id", "lang"), "id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -88,17 +99,7 @@ def curate_corpus(
         .withColumnRenamed("stratum", "lang")
     )
 
-    gopher = gopher_quality_flags(
-        df, text_col=text_col, id_col=id_col, min_words=min_words,
-        max_words=max_words, min_stopword_hits=min_stopword_hits)
-    gate = gopher.select(F.col(id_col).alias("id"),
-                         F.col("passes").alias("gopher_pass"))
-
-    fps = df.select(F.col(id_col).alias("id"),
-                    fingerprint(text_col).alias("fp"))
-    owners = fps.groupBy("fp").agg(F.min("id").alias("__own"))
-    canon = fps.join(owners, "fp").select(
-        "id", (F.col("id") == F.col("__own")).alias("is_canonical"))
+    owners = sig.groupBy("__fp").agg(F.min("id").alias("__own"))
 
     # NULL-safe bucketing: a token-less doc has no LM row (NULL score →
     # both WHENs null-false → tail), a lang with no scored docs has no
@@ -109,11 +110,11 @@ def curate_corpus(
         .otherwise(F.lit("tail"))
     )
     out = (
-        ids.join(scores.select("id", "n_tokens", "mean_logprob"), "id",
+        sig.join(scores.select("id", "n_tokens", "mean_logprob"), "id",
                  "left")
         .join(F.broadcast(bounds), "lang", "left")
-        .join(gate, "id")
-        .join(canon, "id")
+        .join(owners, "__fp")
+        .withColumn("is_canonical", F.col("id") == F.col("__own"))
         .withColumn("ppl_bucket", bucket)
         .withColumn(
             "keep",

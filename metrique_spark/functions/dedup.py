@@ -101,6 +101,30 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text_col), n)
 
 
+_SHUFFLE_NODE_RE = None
+
+
+def _has_exchange(df: DataFrame) -> bool:
+    """Whether the OPTIMIZED logical plan contains a shuffle-inducing
+    operator — checked WITHOUT executing anything. This matters because
+    ``DataFrame.rdd`` under AQE materializes the plan's query stages,
+    i.e. RUNS the upstream shuffles as real jobs at plan-BUILD time
+    (measured: several seconds and a dozen phantom jobs per query whose
+    shingle/feature input rode through a join)."""
+    global _SHUFFLE_NODE_RE
+    if _SHUFFLE_NODE_RE is None:
+        import re
+
+        _SHUFFLE_NODE_RE = re.compile(
+            r"\b(Join|Aggregate|Window|Repartition|RepartitionByExpression"
+            r"|Sort|Deduplicate|Intersect|Except|GlobalLimit)\b")
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return True  # can't tell: stay on the safe, probe-free path
+    return _SHUFFLE_NODE_RE.search(tree) is not None
+
+
 def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than cores.
 
@@ -109,7 +133,15 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     one core — measured 8× on the sf0.1 documents table. At real scale the
     input has thousands of splits and this is an exact no-op, so the
     shuffle it introduces exists only in the regime where the shuffle is
-    trivially cheap (the whole input fits in a few partitions)."""
+    trivially cheap (the whole input fits in a few partitions).
+
+    Inputs that already carry a shuffle are returned UNCHANGED without
+    probing: their partitioning is governed by shuffle config/AQE (never
+    a single unsplittable row group), and the ``rdd`` partition probe
+    would otherwise execute the upstream stages at build time under AQE
+    (see ``_has_exchange``)."""
+    if _has_exchange(df):
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -634,6 +634,7 @@ def gopher_quality_flags(
     max_words: int = 100_000,
     min_stopword_hits: int = 2,
     decimals: int = 4,
+    keep: tuple = (),
 ) -> DataFrame:
     """Gopher-rule document quality filters (public technique: Rae et
     al. 2021, "Scaling Language Models: ... Gopher", Appendix A1.1 —
@@ -684,8 +685,13 @@ def gopher_quality_flags(
     for s in GOPHER_STOPWORDS:
         hit = F.array_contains(words, s).cast("int")
         stop_hits = hit if stop_hits is None else stop_hits + hit
+    # ``keep``: extra input columns passed through the (single-scan)
+    # signal projection, so composed pipelines (curate_corpus) ride
+    # their own columns on THIS scan instead of re-scanning the corpus
+    # and joining back by id
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         frac_alpha.alias("frac_alpha_words"),
