@@ -221,26 +221,26 @@ def _softmax_scored(feats: DataFrame, W: list, biases: list,
     exponentials are rounded then summed as DECIMAL (order-free), and
     the final probabilities are rounded — so a SQL engine replaying the
     same expressions produces bit-identical probabilities."""
-    # ONE parsed (weights, bias) struct-array literal + ONE transform
-    # lambda, not K unrolled per-class chains: the unrolled shape cost
-    # ~1 s of py4j literal construction PLUS ~1 s of Catalyst
-    # analysis/codegen per training iteration (the tree is K× bigger),
-    # while the per-class fold below is the IDENTICAL expression per
-    # element — z values are bit-identical.
-    wmat = F.expr("array({})".format(",".join(
-        "named_struct('w', {}, 'b', {!r}D)".format(
-            _dlit(W[k]), float(biases[k]))
-        for k in range(len(W)))))
-    zs = F.transform(
-        wmat,
-        lambda wk: F.round(
+    # K unrolled per-class chains over ONE parsed weight literal each
+    # (`_dlit`): the parse keeps the driver cost at K expression parses
+    # (not K×B py4j round trips), while the unrolled shape keeps the
+    # per-row executor cost at exactly one fold per class. The
+    # alternative — one `transform` over a (w, b) struct-array literal —
+    # was tried and REVERTED: it shrank the tree K× but measured 3.2×
+    # the task CPU per scoring pass (5.30 vs 1.66 s at sf0.1, 32-way;
+    # lambda-variable struct access + the extra HOF layer are
+    # interpreted per row per class), and executor CPU is what scales
+    # with corpus size. z values are bit-identical in both shapes.
+    zs = F.array(*[
+        F.round(
             F.aggregate(
-                F.zip_with(F.col("x"), wk["w"],
+                F.zip_with(F.col("x"), F.expr(_dlit(W[k])),
                            lambda a, b: (a * b).cast(_DEC)),
                 F.lit(0).cast(_DEC),
                 lambda acc, t: (acc + t).cast(_DEC),
-            ).cast("double") + wk["b"],
-            z_decimals))
+            ).cast("double") + F.lit(float(biases[k])),
+            z_decimals)
+        for k in range(len(W))])
     sc = feats.select("id", "y", "x", zs.alias("zs"))
     # max-shift before exp: keeps every exponential in (0, 1] so the
     # fixed-decimal rounding below loses no dynamic range
