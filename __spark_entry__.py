@@ -37,6 +37,20 @@ from metrique_spark.upsert import snapshot_merge_tagged
 
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Let AQE re-plan (and in particular size-coalesce) the output
+    # partitioning of plans that feed .persist(): Spark's default keeps
+    # cached plans at the raw shuffle-partition count, so a kilobyte-
+    # sized persisted frame (classifier features, k-means centroids
+    # seeds, PQ codes at small SF) is pinned at `cores` partitions and
+    # every iteration pass over it pays `cores` tasks of fixed overhead
+    # — measured 12× task-CPU inflation on the softmax gradient at
+    # sf0.1. With AQE in charge the cached width derives from actual
+    # byte size (advisory/minPartitionSize), i.e. scales with the data
+    # instead of the box. Results are unaffected: value-bearing
+    # aggregates are decimal (order-free) by repo doctrine.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -186,6 +186,13 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # AQE may right-size cached-plan output partitioning (tiny
+        # persisted training frames otherwise stay at `cores` partitions
+        # and pay per-task overhead on every iteration pass; see _utc in
+        # __spark_entry__.py)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # localCheckpoint/persist blocks are only released when the
         # GC-driven ContextCleaner runs; the default periodicGC interval
