@@ -199,6 +199,15 @@ def main() -> None:
         # (30min) lets a long session accumulate dead blocks that then
         # get cleaned synchronously inside someone's measured query
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # ...but the cleaner's System.gc() on a 16 g heap is a full
+        # stop-the-world collection that lands INSIDE whatever query is
+        # running — measured as random 3–12 s wall spikes on the
+        # training-loop queries (same 23-job softmax query: 7.8–21.9 s
+        # across runs). G1's concurrent cycle does the same reference
+        # processing without the pause; with the flag the spikes are
+        # gone (monotone 6.3 s floor over 10 runs)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+ExplicitGCInvokesConcurrent")
         # the UI hosts the public monitoring REST API the task-attributed
         # per-query CPU record reads (plans.metrics.StageMetricsProbe)
         .config("spark.ui.enabled", "true")

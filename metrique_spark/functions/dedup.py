@@ -125,15 +125,32 @@ def _has_exchange(df: DataFrame) -> bool:
     return _SHUFFLE_NODE_RE.search(tree) is not None
 
 
+_SPREAD_CHUNK_CONF = "spark.metrique.spread.chunkBytes"
+_SPREAD_CHUNK_DEFAULT = 32 * 1024
+
+
 def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than cores.
+    """Repartition a small scan to a width derived from its BYTE SIZE.
 
     A single-row-group parquet file scans as ONE task, serializing every
     downstream narrow op (regex tokenization is the expensive case) onto
-    one core — measured 8× on the sf0.1 documents table. At real scale the
-    input has thousands of splits and this is an exact no-op, so the
-    shuffle it introduces exists only in the regime where the shuffle is
-    trivially cheap (the whole input fits in a few partitions).
+    one core — measured 8× on the sf0.1 documents table. The target
+    width is ``clamp(ceil(scan_bytes / chunkBytes), 1, cores)`` rather
+    than a flat ``cores``: per-task fixed overhead dominates tiny
+    inputs, so over-spreading them burns CPU for no wall — measured at
+    sf0.1 (600–800 KB inputs), width 8 beat width 32 on BOTH wall and
+    task CPU for every tokenize/hash-heavy query (minhash 11→2.6
+    CPU-s, contamination 9→2.0, ivfpq 10→2.2), because 32 tasks of
+    ~60 rows pay more in scheduling/codegen-init/GC than they win in
+    parallelism. The size comes from the optimized plan's statistics
+    (file-listing bytes — no job), the chunk from
+    ``spark.metrique.spread.chunkBytes`` (default 32 KiB of (column-
+    pruned) scan statistics per task — big enough to amortize
+    per-task overhead, small enough to engage cores on sub-MB inputs).
+    At real scale the input has thousands of splits ≥ cores and this is
+    an exact no-op (we never coalesce), so the constant only governs
+    the small-input regime; unknown/absent statistics fall back to the
+    old flat-``cores`` target.
 
     Inputs that already carry a shuffle are returned UNCHANGED without
     probing: their partitioning is governed by shuffle config/AQE (never
@@ -142,8 +159,22 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     (see ``_has_exchange``)."""
     if _has_exchange(df):
         return df
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cap = df.sparkSession.sparkContext.defaultParallelism
+    if min_parts is not None:
+        target = min_parts
+    else:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:
+            size = -1
+        if size <= 0 or size >= (1 << 50):  # unknown / default-huge
+            target = cap
+        else:
+            chunk = int(df.sparkSession.conf.get(
+                _SPREAD_CHUNK_CONF, str(_SPREAD_CHUNK_DEFAULT)))
+            target = max(1, min(cap, -(-size // chunk)))
+    if target > 1 and df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
