@@ -1,9 +1,9 @@
-"""Dump ``explain("formatted")`` for bench queries into plans/r14/.
+"""Dump ``explain("formatted")`` for bench queries into plans/$METRIQUE_PLANS_ROUND/ (default r15).
 
 Usage:
     python scripts/dump_plans.py <suffix> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each named query (default: the
+Writes plans/$METRIQUE_PLANS_ROUND/ (default r15)<query>_<suffix>.txt for each named query (default: the
 full bench list). Queries whose builders execute driver-side training
 jobs (kmeans seeds, classifier GD) run those jobs as part of plan
 construction — this script is for plan SHAPE, not timing.
@@ -46,7 +46,7 @@ def main() -> None:
 
         names = list(bench.BENCH_QUERIES)
 
-    outdir = os.path.join(ROOT, "plans", "r14")
+    outdir = os.path.join(ROOT, "plans", os.environ.get("METRIQUE_PLANS_ROUND", "r15"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
