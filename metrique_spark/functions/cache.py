@@ -24,6 +24,62 @@ from pyspark.sql import DataFrame
 _ATTR = "_metrique_cached_intermediates"
 _DIRS = "_metrique_scratch_dirs"
 
+_CACHE_CHUNK_CONF = "spark.metrique.cache.chunkBytes"
+_CACHE_CHUNK_DEFAULT = 64 * 1024
+
+
+def _leaf_scan_bytes(df: DataFrame) -> int:
+    """Summed byte statistics of the OPTIMIZED plan's DISTINCT leaf
+    relations (file-listing numbers — reliable, no job), or -1 when any
+    leaf is unknown. Post-join/aggregate stats are useless for sizing (a
+    multiplied estimate of 23 GB was measured for a 2 MB feature frame),
+    but the leaves bound the materialized size of any narrow derivation.
+    Distinct by (node, bytes): plans often scan the SAME relation through
+    2–4 join branches, and counting it once per branch would quadruple
+    the estimate (a same-sized different relation deduping wrongly only
+    biases small inputs slightly narrower — at scale any real leaf
+    saturates the caller's clamp)."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        seen = set()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            s = int(leaf.stats().sizeInBytes())
+            if s <= 0 or s >= (1 << 50):
+                return -1
+            seen.add((leaf.nodeName(), s))
+        return sum(s for _, s in seen)
+    except Exception:
+        return -1
+
+
+def narrow_small(df: DataFrame) -> DataFrame:
+    """Right-size a small frame that is about to be persisted and then
+    re-read by several downstream passes: ``coalesce`` it to
+    ``clamp(ceil(leaf_scan_bytes / chunkBytes), 1, cores)`` partitions —
+    ONLY when that lands strictly under the core count, i.e. only in
+    the small-input regime. Cached plans are exempt from AQE
+    re-planning (``canChangeCachedPlanOutputPartitioning`` stays at the
+    Spark default — see ``_utc`` in the entry module and the r14
+    verdict), so a small persisted frame otherwise stays at the
+    session's full shuffle-partition count and every pass over the
+    cache pays ``cores`` tasks of fixed per-task overhead: measured on
+    the classifier's 6-iteration GD loop at sf0.1 (≈5 k rows), width 32
+    = 7.3 s wall / 33 task-CPU s vs width 8 = 3.2 s / 3.5 s. At real
+    scale the leaves are huge, the clamp saturates at ``cores`` and the
+    frame is returned UNTOUCHED — partitioning stays governed by
+    shuffle config/AQE; this never coalesces a big frame."""
+    sess = df.sparkSession
+    cap = sess.sparkContext.defaultParallelism
+    size = _leaf_scan_bytes(df)
+    if size <= 0:
+        return df
+    chunk = int(sess.conf.get(_CACHE_CHUNK_CONF, str(_CACHE_CHUNK_DEFAULT)))
+    target = max(1, -(-size // chunk))
+    if target < cap:
+        return df.coalesce(target)
+    return df
+
 
 def track(result: DataFrame, *frames: DataFrame) -> DataFrame:
     """Record persisted ``frames`` as intermediates of ``result`` so

@@ -27,66 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metrique_spark.functions.cache import track
+from metrique_spark.functions.cache import narrow_small, track
 from metrique_spark.functions.num import round_half_away as _round_half_away
 from metrique_spark.functions.text import md5_long, tokens
 
 _DEC = "decimal(38,12)"
-
-_CACHE_CHUNK_CONF = "spark.metrique.cache.chunkBytes"
-_CACHE_CHUNK_DEFAULT = 64 * 1024
-
-
-def _leaf_scan_bytes(df: DataFrame) -> int:
-    """Summed byte statistics of the OPTIMIZED plan's DISTINCT leaf
-    relations (file-listing numbers — reliable, no job), or -1 when any
-    leaf is unknown. Post-join/aggregate stats are useless here (a
-    multiplied estimate of 23 GB was measured for a 2 MB feature
-    frame), but the leaves bound the materialized size of any narrow
-    derivation. Distinct by (node, bytes): the classifier plans scan
-    the SAME document relation through 2–4 join branches, and counting
-    it once per branch would quadruple the estimate (a same-sized
-    different relation deduping wrongly only biases small inputs
-    slightly narrower — at scale any real leaf saturates the clamp)."""
-    try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        seen = set()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            s = int(leaf.stats().sizeInBytes())
-            if s <= 0 or s >= (1 << 50):
-                return -1
-            seen.add((leaf.nodeName(), s))
-        return sum(s for _, s in seen)
-    except Exception:
-        return -1
-
-
-def _narrow_for_iteration(df: DataFrame) -> DataFrame:
-    """Right-size a small frame that is about to be persisted and then
-    re-read by every training iteration: ``coalesce`` it to
-    ``clamp(ceil(leaf_scan_bytes / chunkBytes), 1, cores)`` partitions —
-    ONLY when that lands strictly under the core count, i.e. only in
-    the small-input regime. The shuffle feeding the feature build keeps
-    the session's full shuffle-partition count on the cached plan (AQE
-    may not re-plan cached output partitioning — see _utc in the entry
-    module), so at sf0.1 every pass over the cache was 32 tasks of
-    ~150 rows paying ~150 ms of fixed per-task CPU each: measured on
-    the 6-iteration logreg loop, width 32 = 7.3 s wall / 33 task-CPU s
-    vs width 8 = 3.2 s / 3.5 s and width 4 = 2.8 s / 2.4 s. At real
-    scale the leaves are huge, the clamp saturates at ``cores`` and the
-    frame is returned UNTOUCHED — partitioning stays governed by
-    shuffle config/AQE, so this never coalesces a big frame."""
-    sess = df.sparkSession
-    cap = sess.sparkContext.defaultParallelism
-    size = _leaf_scan_bytes(df)
-    if size <= 0:
-        return df
-    chunk = int(sess.conf.get(_CACHE_CHUNK_CONF, str(_CACHE_CHUNK_DEFAULT)))
-    target = max(1, -(-size // chunk))
-    if target < cap:
-        return df.coalesce(target)
-    return df
 
 
 def hashed_token_features(
@@ -433,7 +378,7 @@ def softmax_classifier_scores(
     ``quality_classifier_scores``."""
     from pyspark import StorageLevel
 
-    feats = _narrow_for_iteration(hashed_token_features(
+    feats = narrow_small(hashed_token_features(
         df, label_col, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets, len_cap=len_cap,
         use_bigrams=use_bigrams)).persist(StorageLevel.MEMORY_AND_DISK)
@@ -467,7 +412,7 @@ def quality_classifier_scores(
     ``functions.cache.release(result)`` after materializing."""
     from pyspark import StorageLevel
 
-    feats = _narrow_for_iteration(hashed_token_features(
+    feats = narrow_small(hashed_token_features(
         df, label_col, id_col=id_col, text_col=text_col,
         n_buckets=n_buckets,
         len_cap=len_cap)).persist(StorageLevel.MEMORY_AND_DISK)

@@ -86,8 +86,10 @@ def curate_corpus(
         unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
         .withColumnRenamed(id_col, "id")
         .join(sig.select("id", "lang"), "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from metrique_spark.functions.cache import narrow_small
+
+    scores = narrow_small(scores).persist(StorageLevel.MEMORY_AND_DISK)
 
     terciles = stratum_quantiles(
         scores, "lang", "mean_logprob",

@@ -232,7 +232,9 @@ def jaccard_pairs(
     if persist_shingles:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from metrique_spark.functions.cache import narrow_small
+
+        sh = narrow_small(sh).persist(StorageLevel.MEMORY_AND_DISK)
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(sh)>0 filter and push it below the repartition exchange, where
     # it re-runs the whole tokenize+shingle expression inside the
@@ -366,7 +368,9 @@ def minhash_lsh_candidates(
         # (id, band, bh) rows instead of computing signatures twice
         from pyspark import StorageLevel
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        from metrique_spark.functions.cache import narrow_small
+
+        banded = narrow_small(banded).persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(banded)
         hot = (banded.groupBy("band", "bh")
                .agg(F.count("*").alias("__n"))
@@ -412,7 +416,9 @@ def minhash_dedup_pairs(
     if persist_shingles:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from metrique_spark.functions.cache import narrow_small
+
+        sh = narrow_small(sh).persist(StorageLevel.MEMORY_AND_DISK)
         tracked.append(sh)
     from metrique_spark.functions.cache import track
 
@@ -572,7 +578,10 @@ def dedup_against_index(
                 f"{mine} — band hashes would never collide (near-zero "
                 "recall); pass the index's parameters")
 
-    bsh = shingle_table(batch, id_col, text_col, shingle_n).persist(
+    from metrique_spark.functions.cache import narrow_small
+
+    bsh = narrow_small(
+        shingle_table(batch, id_col, text_col, shingle_n)).persist(
         StorageLevel.MEMORY_AND_DISK)
     bb = banded_hashes(bsh, num_hashes, bands)
     idx = index.select(F.col("id").alias("corpus_id"), "band", "bh")
@@ -601,7 +610,8 @@ def dedup_against_index(
         cand = (cand.withColumn("__rk", F.row_number().over(w))
                 .where(F.col("__rk") <= max_candidates_per_doc)
                 .drop("__rk"))
-    cand = cand.drop("__nb").persist(StorageLevel.MEMORY_AND_DISK)
+    cand = narrow_small(cand.drop("__nb")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     cids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     csh = shingle_table(corpus.join(cids, id_col, "semi"),
                         id_col, text_col, shingle_n)
@@ -678,7 +688,9 @@ def duplicate_window_stats(
     )
     from pyspark import StorageLevel
 
-    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    from metrique_spark.functions.cache import narrow_small
+
+    spans = narrow_small(spans).persist(StorageLevel.MEMORY_AND_DISK)
     freq = (spans.groupBy("h").agg(F.count("*").alias("__nd"))
             .where(F.col("__nd") >= min_docs))
     dup = (spans.join(freq.select("h"), "h", "semi")
@@ -966,7 +978,9 @@ def connected_components(
         # persist first: if the probe overflows the threshold we fall
         # through to the distributed loop without recomputing the
         # (expensive) pair generation
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        from metrique_spark.functions.cache import narrow_small
+
+        pairs = narrow_small(pairs).persist(StorageLevel.MEMORY_AND_DISK)
         small = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
                  .limit(driver_edge_threshold + 1).collect())
         if len(small) <= driver_edge_threshold:

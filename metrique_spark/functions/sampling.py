@@ -27,6 +27,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metrique_spark.functions.cache import narrow_small
+
 _PREC = 8  # hex digits of hash compared; 16^8 ≈ 4.3e9 buckets
 
 
@@ -576,7 +578,7 @@ def select_by_token_budget(
     # projection with expression-heavy columns (quality regexes) pays
     # the compute once. The expected input is the NARROW scored table
     # (key, quality, tokens) — at scale that is GBs, not the corpus.
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = narrow_small(df).persist(StorageLevel.MEMORY_AND_DISK)
     q = F.col(quality_col)
     band_of = F.floor(q * 1000).cast("int")
     # min/null-count ride the same tiny aggregate that finds the bands:

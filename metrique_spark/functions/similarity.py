@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metrique_spark.functions.cache import narrow_small
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -280,7 +282,7 @@ def _pairs_within_buckets(
     # per-bucket sizes drive the salting; persist so the (windowed) probe
     # assignment isn't recomputed for the count pass — MEMORY_AND_DISK
     # spills rather than OOMs, block released by LRU / session end
-    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    probed = narrow_small(probed).persist(StorageLevel.MEMORY_AND_DISK)
     counts = probed.groupBy("bucket").agg(F.count("*").alias("__bn"))
     blocked = (
         probed.join(F.broadcast(counts), "bucket")
@@ -696,7 +698,8 @@ def semantic_dedup(
                            sim_decimals=sim_decimals)
     vectors = df.select(
         F.col(id_col).alias("__vid"), _as_double(vec_col).alias("v"))
-    assigned = _assign_rounded(vectors, centroids, sim_decimals).persist(
+    assigned = narrow_small(
+        _assign_rounded(vectors, centroids, sim_decimals)).persist(
         StorageLevel.MEMORY_AND_DISK)
     probed = assigned.select(
         F.col("__vid").cast("long").alias("id"), "v",
@@ -1018,7 +1021,7 @@ def ivf_knn_join(
     # probe/assignment windows aren't recomputed for the count pass
     # (MEMORY_AND_DISK spills rather than OOMs).
     if salted:
-        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        tagged = narrow_small(tagged).persist(StorageLevel.MEMORY_AND_DISK)
         counts = tagged.groupBy("bucket").agg(
             F.sum("role").alias("__ln"),
             F.sum(1 - F.col("role")).alias("__rn"))
@@ -1318,8 +1321,9 @@ def pq_train(
             .alias("__dm"))
             .select(
             "__sv",
-            F.transform(F.col("__dm"), _argmin_code).alias("__c"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            F.transform(F.col("__dm"), _argmin_code).alias("__c")))
+        assigned = narrow_small(assigned).persist(
+            StorageLevel.MEMORY_AND_DISK)
         rows = (assigned
                 .select("__sv", F.posexplode("__c").alias("sub", "code"))
                 .select("sub", "code",
@@ -1458,8 +1462,9 @@ def pq_topk(
     # times (ADC numerator + reconstruction norm) and the encode argmin
     # folds are interpreted HOFs — re-inlining them per reference is
     # the dominant cost. Caller releases via functions.cache.release.
-    codes = pq_encode(corpus, codebooks, id_col=id_col,
-                      vec_col=vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    codes = narrow_small(pq_encode(corpus, codebooks, id_col=id_col,
+                                   vec_col=vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK)
     out = pq_topk_codes(codes, codebooks, queries, k=k, id_col=id_col,
                         vec_col=vec_col, score_decimals=score_decimals,
                         max_query_rows=max_query_rows)
@@ -1661,9 +1666,10 @@ def ivfpq_topk(
                              vec_col=vec_col, sim_decimals=sim_decimals)
     books = pq_train(corpus, m=m, k=k, iters=pq_iters,
                      id_col=id_col, vec_col=vec_col)
-    codes = (pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-             .join(assigned.select(F.col(id_col), "cluster"), id_col)
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    codes = narrow_small(
+        pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        .join(assigned.select(F.col(id_col), "cluster"), id_col)).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     cent_rows = getattr(cents, _KMEANS_CENTS_ATTR, None)
     if cent_rows is None:
@@ -2656,9 +2662,10 @@ def ivfsq8_topk(
     # persist the routed codes (the ivfpq_topk contract): encode-once/
     # probe-many — repeat probes must pay the quantization + routing
     # once, not per action. Caller releases via functions.cache.release.
-    codes = (sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
-             .join(assigned.select(F.col(id_col), "cluster"), id_col)
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    codes = narrow_small(
+        sq8_encode(corpus, params, id_col=id_col, vec_col=vec_col)
+        .join(assigned.select(F.col(id_col), "cluster"), id_col)).persist(
+        StorageLevel.MEMORY_AND_DISK)
     cent_rows = getattr(cents, _KMEANS_CENTS_ATTR, None)
     if cent_rows is None:
         cent_rows = sorted((r["centroid_id"], list(r["cvec"]))

@@ -265,7 +265,9 @@ def history_with_forecast(
     # the regression basis and the observed series, and without
     # materialization lazy evaluation re-runs the big-side interval join
     # once per consumer
-    hist = history(df, all_dates, count_col).persist()
+    from metrique_spark.functions.cache import narrow_small
+
+    hist = narrow_small(history(df, all_dates, count_col)).persist()
     basis = hist.where(
         (F.col("_date") >= basis_lo) & (F.col("_date") <= since_ts)
     )
@@ -686,7 +688,10 @@ def _deptree_visited(
     # Every hop re-scans the edge table: persist the 2-column projection
     # once (MEMORY_AND_DISK — spills rather than OOMs) instead of
     # recomputing the caller's upstream plan per hop.
-    scoped = scoped.select("_oid", field).persist(StorageLevel.MEMORY_AND_DISK)
+    from metrique_spark.functions.cache import narrow_small
+
+    scoped = narrow_small(
+        scoped.select("_oid", field)).persist(StorageLevel.MEMORY_AND_DISK)
     schema = T.StructType([T.StructField("_oid", oid_type)])
     cap = driver_fringe_threshold
 
