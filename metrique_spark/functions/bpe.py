@@ -95,12 +95,19 @@ def bpe_train(
     despite saving the per-round checkpoint job: every round's action
     canonicalizes the growing lineage against every registered cache
     entry — quadratic driver work that outweighs the job it saves.)"""
+    from metrique_spark.functions.cache import narrow_small
+
     t0 = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").cast("long").alias("n"))
         .select("token", "n", _chars(F.col("token")).alias("pieces"))
     )
-    types = t0.localCheckpoint(eager=True)
+    # narrow the vocabulary table before the first checkpoint: every
+    # round's re-segmentation + checkpoint + pair-count map side then
+    # runs at the size-derived width instead of the session's full
+    # shuffle-partition count (8 rounds x 3 passes of fixed per-task
+    # overhead at sf0.1; exact no-op at scale — see narrow_small)
+    types = narrow_small(t0).localCheckpoint(eager=True)
     merges = []
     for i in range(num_merges):
         best = (_pair_counts(types)
